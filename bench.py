@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the engine's headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes to a no-op sink (full pipeline runs, nothing
+collected to the driver) — measuring engine throughput, not driver
+serialization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from vectorsearch_scylla_spark.session import get_spark  # noqa: E402
+from vectorsearch_scylla_spark.plans.registry import REGISTRY  # noqa: E402
+
+# Headline set: one per major operator family (hot path, kNN, dedup,
+# window/pivot, relational core, serving).
+HEADLINE = [
+    "path2_anomaly",
+    "knn_bruteforce",
+    "knn_label_purity",
+    "window_pivot_snapshot",
+    "tumbling_window_counts",
+    "pricing_summary",
+    "market_share",
+    "latest_event_per_user",
+    "zscore_outliers",
+    "threshold_rules",
+    "dedup_exact",
+    "minhash_dup_buckets",
+    "embedding_neardup_pairs",
+    "text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("vectorsearch-scylla-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers once so per-query times measure the
+    # operators, not first-touch costs
+    REGISTRY["tumbling_window_counts"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in REGISTRY:
+            continue
+        t0 = time.perf_counter()
+        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,65 @@
+"""Vector math as native Catalyst column expressions — no Python UDFs.
+
+The reference computes cosine similarity in NumPy, duplicated five
+times (``pipeline/anomaly_detection.py:37-44`` and four copies, SURVEY
+V1).  Here it is a single higher-order-function expression that runs
+inside whole-stage codegen on the JVM, so it vectorizes across a 100 TB
+scan without any Python round-trip.
+
+Semantics preserved from the reference:
+- zero-norm guard: ``cos(a, b) = 0.0`` when either norm is 0
+  (``pipeline/anomaly_detection.py:41-43`` — failed embeddings are
+  zero vectors, ``pipeline/kafka_consumer.py:377-379``).
+- all math in double precision regardless of input element type.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Dot product of two array columns (double)."""
+    a, b = _c(a), _c(b)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    """Euclidean norm of an array column."""
+    a = _c(a)
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def l2_normalize(a: Column | str) -> Column:
+    """Unit-normalize an array column; zero vectors stay zero.
+
+    On unit vectors, Euclidean distance is monotone in cosine
+    similarity, which is what lets the LSH approximate path
+    (operators/knn.py) reuse Euclidean bucketing for cosine ranking.
+    """
+    a = _c(a)
+    n = l2_norm(a)
+    return F.when(n == 0.0, a.cast("array<double>")).otherwise(
+        F.transform(a, lambda x: x.cast("double") / n)
+    )
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """cos(a,b) = a·b / (‖a‖‖b‖), 0.0 if either norm is 0.
+
+    Parity: ``pipeline/anomaly_detection.py:37-44`` (reference V1).
+    """
+    a, b = _c(a), _c(b)
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom == 0.0, F.lit(0.0)).otherwise(dot(a, b) / denom)

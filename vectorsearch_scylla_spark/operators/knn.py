@@ -1,0 +1,255 @@
+"""Batch top-k similarity join — the engine's replacement for ScyllaDB's
+``ORDER BY embedding ANN OF ? LIMIT k`` (HNSW/USearch, SURVEY §4.4).
+
+Three strategies, one API:
+
+1. ``topk_similarity_join`` (exact, expression-based): broadcast the
+   query side, join against the corpus, cosine via native array exprs,
+   rank per query.  O(Q·N·d) but fully JVM-side and embarrassingly
+   parallel over corpus partitions; correct oracle for everything else.
+
+2. ``topk_similarity_join_blocked`` (exact, vectorized): same result,
+   but the corpus side is consumed per-partition by a ``mapInPandas``
+   NumPy matmul with a per-partition top-k, then a cheap global re-rank
+   of Q·k·P candidate rows.  This is the 100 TB path: float32 BLAS
+   inside Arrow batches, shuffle only the per-partition winners
+   (Q × k rows per partition), never the corpus.
+
+3. ``lsh_topk_similarity_join`` (approximate): L2-normalize both sides
+   (Euclidean on unit vectors is monotone in cosine) and bucket with
+   random hyperplane projections; candidates = bucket collisions, then
+   exact re-rank.  Trades recall for avoiding the Q×N product.
+
+Unlike ScyllaDB's ANN (no WHERE allowed — the reference over-fetches
+LIMIT 50-100 then client-filters, ``detect_anomalies_vector_search.py:
+106-149``), filters here compose *before* ranking: pass a pre-filtered
+corpus DataFrame and LIMIT semantics stay exact (SURVEY §4 last row).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from vectorsearch_scylla_spark.functions.vector import cosine_similarity, l2_normalize
+
+
+def topk_similarity_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    query_vec: str = "query_vec",
+    corpus_vec: str = "corpus_vec",
+    threshold: float | None = None,
+    exclude_self: bool = False,
+    join_keys: list[str] | None = None,
+) -> DataFrame:
+    """Exact brute-force top-k cosine join.
+
+    Returns (query_id, corpus_id, [join_keys...], similarity, rank),
+    rank 1..k per query ordered by similarity desc (ties broken by
+    corpus_id so results are deterministic / oracle-stable).
+
+    ``exclude_self`` drops corpus rows whose id equals the query id —
+    the reference's anti-self join (SURVEY J6,
+    ``pipeline/path3_vector_search.py:149-151``) — encoded in the join
+    predicate, not post-hoc, so LIMIT semantics are preserved
+    (SURVEY §7.5).
+
+    ``join_keys``: columns present on BOTH sides that must match
+    (e.g. same-device constraint, ``path3_vector_search.py:137-140``).
+    Equi-keys turn the broadcast nested-loop into a broadcast HASH
+    join — at scale this prunes the candidate space from Q×N to
+    Q×N/keys before any cosine is computed.
+
+    Scale: the query side is broadcast (Q small — detection works on
+    one microbatch of new snapshots); the corpus side streams through
+    executors partition-by-partition.  No shuffle of the corpus; the
+    only shuffle is the final rank over Q·N' candidate rows, which the
+    optional ``threshold`` prunes first.
+    """
+    join_keys = join_keys or []
+    q = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(query_vec).alias("__qvec"),
+        *[F.col(kcol) for kcol in join_keys],
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("__cid"),
+        F.col(corpus_vec).alias("__cvec"),
+        *[F.col(kcol).alias(f"__k_{kcol}") for kcol in join_keys],
+    )
+    cond = F.lit(True) if not exclude_self else (F.col("__qid") != F.col("__cid"))
+    for kcol in join_keys:
+        cond = cond & (F.col(kcol) == F.col(f"__k_{kcol}"))
+    pairs = c.join(F.broadcast(q), on=cond, how="inner").withColumn(
+        "similarity", cosine_similarity("__qvec", "__cvec")
+    )
+    if threshold is not None:
+        pairs = pairs.filter(F.col("similarity") >= threshold)
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("similarity").desc(), F.col("__cid").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            *join_keys,
+            "similarity",
+            "rank",
+        )
+    )
+
+
+def topk_similarity_join_blocked(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    query_vec: str = "query_vec",
+    corpus_vec: str = "corpus_vec",
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Exact top-k via per-partition NumPy matmul + global re-rank.
+
+    Same result set as ``topk_similarity_join`` (modulo float32 vs
+    float64 rounding in the dot product).  The corpus never shuffles:
+    each partition emits at most Q×k candidate rows, and the global
+    re-rank runs over Q×k×num_partitions rows — negligible versus N.
+
+    This is strategy (1)+(2) of SURVEY §4.4: float32 block matmul in
+    ``mapInPandas``, top-k per block, re-rank global top-k.
+    """
+    import numpy as np
+    import pandas as pd
+
+    sc = queries.sparkSession
+    qrows = queries.select(query_id, query_vec).collect()
+    if not qrows:
+        return topk_similarity_join(
+            queries, corpus, k, query_id, corpus_id, query_vec, corpus_vec
+        )
+    qids = [r[query_id] for r in qrows]
+    qmat = np.asarray([r[query_vec] for r in qrows], dtype=np.float32)
+    qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qnorm[qnorm == 0.0] = 1.0
+    qunit = qmat / qnorm
+    bq = sc.sparkContext.broadcast((qids, qunit))
+
+    out_schema = f"{corpus_id} long, __qidx int, similarity double"
+
+    def block_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids_b, qunit_b = bq.value
+        nq = qunit_b.shape[0]
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cmat = np.asarray(list(pdf[corpus_vec]), dtype=np.float32)
+            cnorm = np.linalg.norm(cmat, axis=1, keepdims=True)
+            cnorm[cnorm == 0.0] = 1.0
+            sims = (cmat / cnorm) @ qunit_b.T  # (n_corpus, n_queries)
+            cids = pdf[corpus_id].to_numpy()
+            kk = min(k, sims.shape[0])
+            # per-query partial top-k within this Arrow batch
+            idx = np.argpartition(-sims, kk - 1, axis=0)[:kk, :]
+            rows = {corpus_id: [], "__qidx": [], "similarity": []}
+            for qi in range(nq):
+                sel = idx[:, qi]
+                rows[corpus_id].extend(cids[sel])
+                rows["__qidx"].extend([qi] * len(sel))
+                rows["similarity"].extend(sims[sel, qi].astype(np.float64))
+            yield pd.DataFrame(rows)
+
+    candidates = corpus.select(corpus_id, corpus_vec).mapInPandas(
+        block_topk, schema=out_schema
+    )
+    qid_df = sc.createDataFrame(
+        [(i, qid) for i, qid in enumerate(qids)], schema=f"__qidx int, {query_id} long"
+    )
+    joined = candidates.join(F.broadcast(qid_df), "__qidx")
+    if exclude_self:
+        joined = joined.filter(F.col(query_id) != F.col(corpus_id))
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("similarity").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "similarity", "rank")
+    )
+
+
+def lsh_topk_similarity_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    query_vec: str = "query_vec",
+    corpus_vec: str = "corpus_vec",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH candidates + exact re-rank.
+
+    Uses ``BucketedRandomProjectionLSH`` on L2-normalized vectors —
+    Euclidean distance on unit vectors is monotone in cosine
+    (dist² = 2 − 2·cos), so Euclidean buckets preserve cosine
+    neighborhoods (SURVEY §4.4 option 2).  Recall is tunable via
+    ``num_hash_tables`` (more tables → more candidates → higher
+    recall); tests check recall ≥ 0.9 against the exact join.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.linalg import VectorUDT  # noqa: F401  (ensures ml is loadable)
+
+    qn = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(query_vec).alias("__qvec"),
+        array_to_vector(l2_normalize(query_vec)).alias("features"),
+    )
+    cn = corpus.select(
+        F.col(corpus_id).alias("__cid"),
+        F.col(corpus_vec).alias("__cvec"),
+        array_to_vector(l2_normalize(corpus_vec)).alias("features"),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="__hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(cn)
+    # unit vectors: max L2 distance is 2.0 → threshold 2.0 keeps all
+    # colliding candidates; ranking below is exact cosine.
+    cand = model.approxSimilarityJoin(
+        model.transform(qn), model.transform(cn), 2.0, distCol="__dist"
+    ).select(
+        F.col("datasetA.__qid").alias("__qid"),
+        F.col("datasetB.__cid").alias("__cid"),
+        cosine_similarity(F.col("datasetA.__qvec"), F.col("datasetB.__cvec")).alias(
+            "similarity"
+        ),
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("similarity").desc(), F.col("__cid").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            "similarity",
+            "rank",
+        )
+    )

@@ -1,0 +1,110 @@
+"""Behavior-profile build: embedding centroid + per-metric statistics.
+
+Reference: ``pipeline/build_profiles.py`` — per device, over non-anomalous
+snapshots of a lookback window, compute (a) the element-wise mean of the
+N×384 embeddings (``build_profiles.py:90-105``, A4/V5) and (b)
+{metric → {mean, std, min, max}} with **population** std (``np.std``,
+``build_profiles.py:131``, A5), skipping devices with < 5 snapshots
+(``build_profiles.py:197-199``).
+
+Spark-first translation — both are single shuffles:
+- centroid: ``posexplode(embedding)`` → ``groupBy(key, pos).avg`` →
+  re-assemble ordered by pos.  Scales to any dim × any row count; the
+  shuffle key (device, pos) is wide enough to spread evenly.
+- stats: explode the metrics map → ``groupBy(key, metric)`` with
+  ``avg/stddev_pop/min/max`` — Catalyst does partial aggregation
+  map-side, so the shuffle carries one row per (device, metric), not
+  per snapshot.
+
+The profile table output is tiny (one row per device) — downstream
+detection broadcast-joins it (SURVEY J1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def embedding_centroid(
+    df: DataFrame, key: str = "device_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Element-wise mean of an array column per key → (key, centroid).
+
+    Parity: ``pipeline/build_profiles.py:90-105`` (np.mean axis=0).
+    """
+    pos = df.select(key, F.posexplode(vec_col).alias("pos", "val"))
+    means = pos.groupBy(key, "pos").agg(F.avg("val").alias("mean_val"))
+    return (
+        means.groupBy(key)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "mean_val"))).alias("entries")
+        )
+        .select(
+            key,
+            F.transform(F.col("entries"), lambda e: e["mean_val"]).alias("centroid"),
+        )
+    )
+
+
+def metric_stats(
+    df: DataFrame, key: str = "device_id", metrics_col: str = "metrics"
+) -> DataFrame:
+    """Explode a metrics map → per-(key, metric) mean/std/min/max.
+
+    Population std to match ``np.std`` (``build_profiles.py:131``;
+    SURVEY §7.5 warns Spark's ``stddev`` default is sample).
+    """
+    ex = df.select(key, F.explode(metrics_col).alias("metric_name", "metric_value"))
+    return ex.groupBy(key, "metric_name").agg(
+        F.avg("metric_value").alias("mean"),
+        F.stddev_pop("metric_value").alias("std"),
+        F.min("metric_value").alias("min"),
+        F.max("metric_value").alias("max"),
+        F.count("*").alias("n"),
+    )
+
+
+def build_profiles(
+    snapshots: DataFrame,
+    key: str = "device_id",
+    vec_col: str = "embedding",
+    metrics_col: str = "metrics",
+    min_snapshots: int = 5,
+    anomaly_col: str = "is_anomalous",
+) -> DataFrame:
+    """Full profile build: centroid ⋈ nested stats ⋈ metadata.
+
+    Mirrors ``pipeline/build_profiles.py:173-232``: excludes anomalous
+    snapshots (P9), requires ≥ min_snapshots, records last_seen /
+    snapshot_count (A9).
+    """
+    normal = snapshots
+    if anomaly_col in snapshots.columns:
+        normal = snapshots.filter(~F.coalesce(F.col(anomaly_col), F.lit(False)))
+
+    meta = normal.groupBy(key).agg(
+        F.count("*").alias("snapshot_count"),
+        F.max("snapshot_time").alias("last_seen"),
+    ).filter(F.col("snapshot_count") >= min_snapshots)
+
+    centroid = embedding_centroid(normal, key, vec_col)
+    stats = (
+        metric_stats(normal, key, metrics_col)
+        .groupBy(key)
+        .agg(
+            F.map_from_entries(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct(
+                            "metric_name",
+                            F.struct("mean", "std", "min", "max").alias("stats"),
+                        )
+                    )
+                )
+            ).alias("metric_stats")
+        )
+    )
+    return meta.join(centroid, key).join(stats, key).withColumnRenamed(
+        "centroid", "profile_embedding"
+    )
