@@ -27,19 +27,31 @@ from vectorsearch_scylla_spark.plans.registry import REGISTRY  # noqa: E402
 # window/pivot, relational core, serving).
 HEADLINE = [
     "path2_anomaly",
+    "detect_consensus",
     "knn_bruteforce",
     "knn_label_purity",
+    "knn_same_label",
+    "ivf_knn",
+    "path3_novelty_flags",
     "window_pivot_snapshot",
     "tumbling_window_counts",
+    "lww_window_snapshot",
+    "streaming_window_pivot",
     "pricing_summary",
     "market_share",
     "latest_event_per_user",
+    "asof_nearest_join",
     "zscore_outliers",
     "threshold_rules",
+    "device_profile_build",
     "dedup_exact",
     "minhash_dup_buckets",
+    "simhash_dup_pairs",
+    "ngram_jaccard_pairs",
     "embedding_neardup_pairs",
     "text_quality",
+    "language_id",
+    "media_byte_features",
 ]
 
 

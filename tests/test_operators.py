@@ -1,0 +1,141 @@
+"""Unit tests for the operator library on small synthetic frames:
+join-key constraints, kNN strategy agreement (expression vs blocked vs
+LSH), detection formulas, serving helpers.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectorsearch_scylla_spark.functions.vector import cosine_similarity, l2_normalize
+from vectorsearch_scylla_spark.operators.knn import (
+    cosine_pairs_blocked,
+    lsh_topk_similarity_join,
+    topk_similarity_join,
+    topk_similarity_join_blocked,
+)
+from vectorsearch_scylla_spark.operators.detection import path3_novelty
+from vectorsearch_scylla_spark.operators.serving import asof_bucket_join, latest_per_key
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    from vectorsearch_scylla_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_cosine_zero_norm_guard(spark):
+    df = spark.createDataFrame(
+        [([0.0, 0.0], [1.0, 2.0]), ([1.0, 0.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    out = [r[0] for r in df.select(cosine_similarity("a", "b")).collect()]
+    assert out[0] == 0.0
+    assert abs(out[1] - 1.0) < 1e-12
+
+
+def test_l2_normalize_keeps_zero_vectors(spark):
+    df = spark.createDataFrame([([0.0, 0.0],), ([3.0, 4.0],)], "a array<double>")
+    rows = [r[0] for r in df.select(l2_normalize("a")).collect()]
+    assert rows[0] == [0.0, 0.0]
+    assert abs(rows[1][0] - 0.6) < 1e-12 and abs(rows[1][1] - 0.8) < 1e-12
+
+
+def test_topk_blocked_matches_expression(spark, emb):
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec")
+    )
+    exact = {
+        (r["query_id"], r["rank"]): r["corpus_id"]
+        for r in topk_similarity_join(q, c, k=5, exclude_self=True).collect()
+    }
+    blocked = {
+        (r["query_id"], r["rank"]): r["corpus_id"]
+        for r in topk_similarity_join_blocked(q, c, k=5, exclude_self=True).collect()
+    }
+    # float32 blocked matmul may swap near-equal neighbors; compare sets
+    # per query, which are stable for this corpus
+    qs = {k[0] for k in exact}
+    for qid in qs:
+        e = {v for k, v in exact.items() if k[0] == qid}
+        b = {v for k, v in blocked.items() if k[0] == qid}
+        assert len(e & b) >= 4, (qid, e, b)
+
+
+def test_lsh_recall_against_exact(spark, emb):
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec")
+    )
+    exact = topk_similarity_join(q, c, k=5).collect()
+    approx = lsh_topk_similarity_join(q, c, k=5, num_hash_tables=3).collect()
+    e = {(r["query_id"], r["corpus_id"]) for r in exact}
+    a = {(r["query_id"], r["corpus_id"]) for r in approx}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, recall
+
+
+def test_cosine_pairs_blocked_threshold(spark, emb):
+    pairs = cosine_pairs_blocked(emb, threshold=0.9).collect()
+    assert all(r["similarity"] > 0.9 and r["id_a"] < r["id_b"] for r in pairs)
+
+
+def test_path3_novelty_same_device_constraint(spark):
+    # two devices; d1 has 3 tightly-clustered normal rows, d2 has rows
+    # identical to d1's — if the same-device constraint leaked, d1's
+    # snapshot would count d2's rows as neighbors.
+    rows = []
+    for i, dev in [(0, "d1"), (1, "d1"), (2, "d1"), (3, "d2"), (4, "d2"), (5, "d2")]:
+        rows.append((i, dev, [1.0, 0.0, 0.0], False))
+    hist = spark.createDataFrame(
+        rows, "snapshot_id long, device_id string, embedding array<double>, is_anomalous boolean"
+    )
+    snaps = hist.filter(F.col("snapshot_id") == 0)
+    out = path3_novelty(
+        snaps, hist, k=10, min_matches=3, sim_threshold=0.99, id_col="snapshot_id"
+    ).collect()[0]
+    # only d1's OTHER two rows qualify (self excluded, d2 excluded)
+    assert out["similar_count"] == 2
+    assert bool(out["path3_triggered"]) is True
+
+
+def test_latest_per_key(spark):
+    df = spark.createDataFrame(
+        [("a", 1, "x"), ("a", 3, "y"), ("b", 2, "z")],
+        "k string, snapshot_time int, v string",
+    )
+    out = {r["k"]: r["v"] for r in latest_per_key(df, "k").collect()}
+    assert out == {"a": "y", "b": "z"}
+
+
+def test_asof_bucket_join_rounding(spark):
+    ev = spark.createDataFrame(
+        [("d1", "2024-01-01 00:00:14")], "device_id string, detected_at string"
+    ).withColumn("detected_at", F.to_timestamp("detected_at"))
+    sn = spark.createDataFrame(
+        [("d1", "2024-01-01 00:00:11"), ("d1", "2024-01-01 00:00:21")],
+        "device_id string, snapshot_time string",
+    ).withColumn("snapshot_time", F.to_timestamp("snapshot_time"))
+    out = asof_bucket_join(ev, sn, "detected_at", "snapshot_time", ["device_id"])
+    # both round to the 00:00:10 bucket → exactly one match (00:00:11)
+    rows = out.collect()
+    assert len(rows) == 1
+    assert rows[0]["snapshot_time"].second == 11
+
+
+def test_anomaly_score_formula(spark):
+    from vectorsearch_scylla_spark.operators.detection import anomaly_score
+
+    df = spark.createDataFrame([(0.8, [2.0, 15.0])], "sim double, zs array<double>")
+    got = df.select(anomaly_score(F.col("sim"), F.col("zs")).alias("s")).collect()[0]["s"]
+    # max(0, 1-0.8) + min(1, (2 + 10)/40) = 0.2 + 0.3
+    assert math.isclose(got, 0.5, rel_tol=1e-12)

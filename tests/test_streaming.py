@@ -1,0 +1,110 @@
+"""Structured Streaming semantics tests: watermark emission, LWW pivot
+correctness vs the batch twin, and late-data drop across a restart
+(SURVEY §2.8 T1-T3, T6).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectorsearch_scylla_spark.sources.tables import device_metrics_raw
+from vectorsearch_scylla_spark.streaming.pipeline import windowed_snapshot_stream
+
+
+def _run_stream(spark, src: str, ck: str, name: str, schema):
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        windowed_snapshot_stream(stream, window_seconds=60, watermark_windows=2)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(name)
+
+
+@pytest.fixture(scope="module")
+def raw(spark, sf_dir):
+    return (
+        device_metrics_raw(spark, sf_dir)
+        .select("device_id", "timestamp", "metric_name", "metric_value")
+        .cache()
+    )
+
+
+def test_stream_matches_batch_twin(spark, raw, tmp_path):
+    """Emitted (finalized) windows must equal the batch LWW pivot
+    restricted to windows at-or-before the final watermark."""
+    src, ck = str(tmp_path / "src"), str(tmp_path / "ck")
+    raw.write.parquet(src)
+    out = _run_stream(spark, src, ck, "t_stream_batch", raw.schema)
+
+    emitted = out.select(
+        "device_id",
+        F.unix_timestamp("window_start").alias("ws"),
+        F.explode("metrics").alias("metric_name", "metric_value"),
+    )
+
+    max_ts = raw.agg(F.max("timestamp")).collect()[0][0]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(
+        "device_id", (F.floor(F.unix_timestamp("timestamp") / 60)).alias("wfl"), "metric_name"
+    ).orderBy(F.col("timestamp").desc(), F.col("metric_value").desc())
+    batch = (
+        raw.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "device_id",
+            (F.floor(F.unix_timestamp("timestamp") / 60) * 60).cast("long").alias("ws"),
+            "metric_name",
+            "metric_value",
+        )
+        .filter(F.col("ws") + 60 <= F.lit(max_ts.timestamp() - 120))
+    )
+    assert emitted.count() == batch.count()
+    assert emitted.exceptAll(batch).count() == 0
+    assert batch.exceptAll(emitted).count() == 0
+
+
+def test_late_rows_dropped_across_restart(spark, raw, tmp_path):
+    """T3/T6: rows older than the persisted watermark, arriving in a
+    later micro-batch after a restart, must not produce new windows.
+    Uses a file sink — the memory sink cannot recover a checkpoint."""
+    src, ck, sink = str(tmp_path / "src2"), str(tmp_path / "ck2"), str(tmp_path / "sink2")
+    cutoff = raw.selectExpr(
+        "cast(min(timestamp) as double) + (cast(max(timestamp) as double) - cast(min(timestamp) as double)) * 0.8"
+    ).collect()[0][0]
+    early = raw.filter(F.col("timestamp").cast("double") <= cutoff)
+    late = raw.filter(F.col("timestamp").cast("double") > cutoff)
+    assert late.count() > 0
+
+    def run_phase():
+        stream = spark.readStream.schema(raw.schema).parquet(src)
+        q = (
+            windowed_snapshot_stream(stream, window_seconds=60, watermark_windows=2)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return spark.read.parquet(sink)
+
+    # phase 1: stream the late 20% FIRST (advances the watermark far)
+    late.write.mode("append").parquet(src)
+    n1 = run_phase().count()
+    assert n1 > 0
+
+    # phase 2: the early 80% arrives late — entirely behind the persisted
+    # watermark, so every row must be dropped before the aggregation and
+    # no window (new or re-emitted) may appear in the sink.
+    early.write.mode("append").parquet(src)
+    n2 = run_phase().count()
+    assert n2 == n1

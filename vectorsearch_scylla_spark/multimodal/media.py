@@ -1,0 +1,164 @@
+"""Multimodal columns: images/audio/video as opaque ``binary`` + typed
+metadata, processed by Arrow-batched ``mapInPandas`` kernels.
+
+The reference is text/metric-only; these operators extend the engine for
+large-scale training-data pipelines where a row carries media bytes.
+Design rules for 100 TB:
+
+- media stays an opaque ``BinaryType`` column; Spark never interprets
+  it — no shuffle ever carries decoded frames, only the bytes column
+  (columnar parquet with ZSTD) and small extracted-feature columns.
+- decode / feature-extract run inside ``mapInPandas``: one Python
+  worker per partition, Arrow batches in, so per-row overhead is
+  amortized and the decode library (PIL/ffmpeg/...) loads once per
+  worker, not per row.
+- partition sizing: media rows are fat — callers should set
+  ``spark.sql.files.maxPartitionBytes`` (or repartition by asset id)
+  so one Arrow batch of blobs fits executor memory.
+
+The actual image/audio codecs are NOT available in this environment, so
+``decode_image`` is a clearly-marked stub (NotImplementedError unless
+PIL is importable); the Spark-side plumbing — schema, batching, UDF
+signatures, frame sampling — is real and oracle-tested via the
+deterministic byte-level kernels below.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video|blob
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+
+def documents_as_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adapt the ``documents`` test table into the media shape (text
+    bytes as the opaque blob) so the binary pipeline is exercisable on
+    the driver's fixtures."""
+    from vectorsearch_scylla_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.lit("blob").alias("kind"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.create_map(
+            F.lit("lang"), F.col("lang"), F.lit("source"), F.col("source")
+        ).alias("meta"),
+    )
+
+
+def extract_byte_features(df: DataFrame) -> DataFrame:
+    """Deterministic per-blob byte statistics via ``mapInPandas``.
+
+    Emits (asset_id, n_bytes, n_af, n_gm, n_space): total size and
+    counts of bytes in [a-f], [g-m], and the space byte — a stand-in
+    for real feature extraction (e.g. channel histograms) with the same
+    execution shape: Arrow batch in → NumPy kernel → small row out.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {"asset_id": [], "n_bytes": [], "n_af": [], "n_gm": [], "n_space": []}
+            for aid, blob in zip(pdf["asset_id"], pdf["content"]):
+                arr = np.frombuffer(blob if blob is not None else b"", dtype=np.uint8)
+                out["asset_id"].append(aid)
+                out["n_bytes"].append(arr.size)
+                out["n_af"].append(int(((arr >= 97) & (arr <= 102)).sum()))
+                out["n_gm"].append(int(((arr >= 103) & (arr <= 109)).sum()))
+                out["n_space"].append(int((arr == 32).sum()))
+            yield pd.DataFrame(out)
+
+    return df.select("asset_id", "content").mapInPandas(
+        kernel, schema="asset_id long, n_bytes long, n_af long, n_gm long, n_space long"
+    )
+
+
+def sample_frames(df: DataFrame, frame_bytes: int = 16, every_n: int = 2) -> DataFrame:
+    """Frame sampling for chunked media: treat the blob as consecutive
+    ``frame_bytes``-sized frames and keep every ``every_n``-th one.
+
+    Emits (asset_id, frame_idx, frame binary) — the exploded shape a
+    video keyframe sampler would produce.  One input row fans out to
+    ceil(len/frame_bytes)/every_n rows inside the worker; no shuffle.
+    """
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {"asset_id": [], "frame_idx": [], "frame": []}
+            for aid, blob in zip(pdf["asset_id"], pdf["content"]):
+                blob = blob or b""
+                n_frames = (len(blob) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, every_n):
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(i)
+                    out["frame"].append(blob[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame(out)
+
+    return df.select("asset_id", "content").mapInPandas(
+        kernel, schema="asset_id long, frame_idx int, frame binary"
+    )
+
+
+def decode_image(df: DataFrame, resize: tuple[int, int] | None = None) -> DataFrame:
+    """STUB — image decode (+ optional resize) to (asset_id, width,
+    height, mode, pixels binary).
+
+    The container has no imaging library; if PIL is importable this
+    runs for real, otherwise the kernel raises ``NotImplementedError``
+    at execution time.  The signature, schema, and batching are the
+    production shape — swapping in a real codec changes only the
+    ``_decode`` body.
+    """
+    import pandas as pd
+
+    try:  # gate the optional dependency at plan-build time
+        from PIL import Image  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        if not have_pil:
+            raise NotImplementedError(
+                "decode_image: no imaging library in this environment; "
+                "plug in PIL/turbojpeg here"
+            )
+        from PIL import Image
+
+        for pdf in batches:
+            out = {"asset_id": [], "width": [], "height": [], "mode": [], "pixels": []}
+            for aid, blob in zip(pdf["asset_id"], pdf["content"]):
+                img = Image.open(io.BytesIO(blob))
+                if resize is not None:
+                    img = img.resize(resize)
+                out["asset_id"].append(aid)
+                out["width"].append(img.width)
+                out["height"].append(img.height)
+                out["mode"].append(img.mode)
+                out["pixels"].append(img.tobytes())
+            yield pd.DataFrame(out)
+
+    return df.select("asset_id", "content").mapInPandas(
+        kernel, schema="asset_id long, width int, height int, mode string, pixels binary"
+    )

@@ -98,7 +98,7 @@ def build_profiles(
                     F.collect_list(
                         F.struct(
                             "metric_name",
-                            F.struct("mean", "std", "min", "max").alias("stats"),
+                            F.struct("mean", "std", "min", "max", "n").alias("stats"),
                         )
                     )
                 )

@@ -36,7 +36,10 @@ from pyspark.sql import Window
 from vectorsearch_scylla_spark.functions.vector import cosine_similarity
 from vectorsearch_scylla_spark.sources.tables import load_table, device_metrics_raw
 from vectorsearch_scylla_spark.operators.window_pivot import window_start
-from vectorsearch_scylla_spark.operators.knn import topk_similarity_join
+from vectorsearch_scylla_spark.operators.knn import (
+    cosine_pairs_blocked,
+    topk_similarity_join,
+)
 from vectorsearch_scylla_spark.operators.serving import bucket_10s
 
 # ---------------------------------------------------------------------
@@ -283,9 +286,11 @@ def q_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = device_metrics_raw(spark, sf_dir)
+    # range predicate on the raw nanos column so it reaches the parquet
+    # scan as a PushedFilter (row-group min/max skipping at scale)
     return raw.filter(
-        (F.unix_timestamp("timestamp") >= 1704844800)
-        & (F.unix_timestamp("timestamp") < 1705708800)
+        (F.col("ts_ns") >= 1704844800 * 1_000_000_000)
+        & (F.col("ts_ns") < 1705708800 * 1_000_000_000)
         & F.col("metric_name").isin("error", "purchase")
     ).select(
         "device_id",
@@ -329,6 +334,165 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("metric_value").alias("snapshot_value"),
     )
     return anomalies.join(snaps, ["device_id", "bucket"])
+
+
+@query(
+    "lww_window_snapshot",
+    RAW_CTE
+    + """
+    SELECT device_id, window_start, metric_name, metric_value,
+           CAST(n_writes AS BIGINT) AS n_writes,
+           CAST(floor(epoch(max_ts)) AS BIGINT) AS last_ts
+    FROM (
+        SELECT device_id,
+               CAST(floor(epoch(timestamp) / 60) * 60 AS BIGINT) AS window_start,
+               metric_name, metric_value,
+               row_number() OVER w AS rn,
+               count(*) OVER (PARTITION BY device_id,
+                              floor(epoch(timestamp) / 60), metric_name) AS n_writes,
+               max(timestamp) OVER (PARTITION BY device_id,
+                              floor(epoch(timestamp) / 60), metric_name) AS max_ts
+        FROM raw
+        WINDOW w AS (PARTITION BY device_id, floor(epoch(timestamp) / 60), metric_name
+                     ORDER BY timestamp DESC, event_id DESC)
+    ) WHERE rn = 1
+    """,
+    ["S5", "T3", "A1"],
+    "Last-write-wins buffer upsert: per (device, window, metric) keep the "
+    "value of the latest write — the metric_aggregation_buffer's "
+    "primary-key overwrite semantics (pipeline/kafka_consumer.py:317-343), "
+    "as a declarative max_by aggregate (tie-broken by event_id).",
+)
+def q_lww_window_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = device_metrics_raw(spark, sf_dir)
+    return raw.groupBy(
+        "device_id",
+        window_start("timestamp", 60).alias("window_start"),
+        "metric_name",
+    ).agg(
+        F.max_by("metric_value", F.struct("timestamp", "event_id")).alias("metric_value"),
+        F.count("*").alias("n_writes"),
+        F.unix_timestamp(F.max("timestamp")).alias("last_ts"),
+    )
+
+
+@query(
+    "rolling_metric_stats",
+    RAW_CTE
+    + f"""
+    SELECT device_id, metric_name, event_id,
+           CAST(floor(epoch(timestamp)) AS BIGINT) AS ts_epoch,
+           {Q("avg(metric_value) OVER w")} AS rolling_avg,
+           round(max(metric_value) OVER w, 2) AS rolling_max,
+           CAST(count(*) OVER w AS BIGINT) AS n_in_frame
+    FROM raw
+    WINDOW w AS (PARTITION BY device_id, metric_name
+                 ORDER BY timestamp, event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    """,
+    ["W4"],
+    "Rolling last-10 frame per (device, metric) — the simulator's "
+    "per-metric history deque (iot_simulator/iot_simulator.py:41-52) as "
+    "a ROWS frame window aggregate.",
+)
+def q_rolling_metric_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = device_metrics_raw(spark, sf_dir)
+    w = (
+        Window.partitionBy("device_id", "metric_name")
+        .orderBy("timestamp", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    return raw.select(
+        "device_id",
+        "metric_name",
+        "event_id",
+        F.unix_timestamp("timestamp").alias("ts_epoch"),
+        quantize(F.avg("metric_value").over(w)).alias("rolling_avg"),
+        F.round(F.max("metric_value").over(w), 2).alias("rolling_max"),
+        F.count("*").over(w).alias("n_in_frame"),
+    )
+
+
+@query(
+    "asof_nearest_join",
+    RAW_CTE
+    + """
+    , err AS (
+        SELECT device_id, event_id AS anomaly_event_id, timestamp
+        FROM raw WHERE metric_name = 'error'
+    ),
+    snap AS (  -- dedupe to one snapshot per (device, ts) for determinism
+        SELECT device_id, timestamp,
+               arg_max(event_id, event_id) AS snapshot_event_id,
+               arg_max(metric_value, event_id) AS snapshot_value
+        FROM raw WHERE metric_name = 'view'
+        GROUP BY device_id, timestamp
+    )
+    SELECT e.device_id, e.anomaly_event_id,
+           CAST(floor(epoch(e.timestamp)) AS BIGINT) AS ts_epoch,
+           s.snapshot_event_id, s.snapshot_value
+    FROM err e ASOF LEFT JOIN snap s
+      ON e.device_id = s.device_id AND e.timestamp >= s.timestamp
+    """,
+    ["J5"],
+    "True as-of join: each anomaly event matched to the latest snapshot "
+    "at-or-before its timestamp — the exact-semantics upgrade of the "
+    "dashboard's 10s-rounded bucket join (dashboard/app.py:533-541). "
+    "Spark has no ASOF JOIN; expressed as a sorted union + "
+    "last-non-null carry-forward window (one shuffle, no range join).",
+)
+def q_asof_nearest_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = device_metrics_raw(spark, sf_dir)
+    err = raw.filter(F.col("metric_name") == "error").select(
+        "device_id",
+        F.col("event_id").alias("anomaly_event_id"),
+        "timestamp",
+    )
+    snap = (
+        raw.filter(F.col("metric_name") == "view")
+        .groupBy("device_id", "timestamp")
+        .agg(
+            F.max("event_id").alias("snapshot_event_id"),
+            F.max_by("metric_value", "event_id").alias("snapshot_value"),
+        )
+    )
+    # union-and-carry: tag snapshot rows 0, event rows 1; within a device,
+    # order by (ts, tag) so a same-ts snapshot precedes the event; carry
+    # the last snapshot forward and keep only event rows.
+    u = snap.select(
+        "device_id",
+        "timestamp",
+        F.lit(0).alias("tag"),
+        F.lit(None).cast("long").alias("anomaly_event_id"),
+        "snapshot_event_id",
+        "snapshot_value",
+    ).unionByName(
+        err.select(
+            "device_id",
+            "timestamp",
+            F.lit(1).alias("tag"),
+            "anomaly_event_id",
+            F.lit(None).cast("long").alias("snapshot_event_id"),
+            F.lit(None).cast("double").alias("snapshot_value"),
+        )
+    )
+    w = (
+        Window.partitionBy("device_id")
+        .orderBy("timestamp", "tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        u.withColumn("snapshot_event_id", F.last("snapshot_event_id", True).over(w))
+        .withColumn("snapshot_value", F.last("snapshot_value", True).over(w))
+        .filter(F.col("tag") == 1)
+        .select(
+            "device_id",
+            "anomaly_event_id",
+            F.unix_timestamp("timestamp").alias("ts_epoch"),
+            "snapshot_event_id",
+            "snapshot_value",
+        )
+    )
 
 
 # =====================================================================
@@ -437,6 +601,64 @@ def q_metric_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("metric_value"), 2).alias("min_value"),
         F.round(F.max("metric_value"), 2).alias("max_value"),
         F.count("*").alias("n"),
+    )
+
+
+@query(
+    "streaming_window_pivot",
+    RAW_CTE
+    + """
+    , wm AS (SELECT epoch(max(timestamp)) - 120 AS w FROM raw)
+    SELECT device_id, window_start, metric_name, metric_value
+    FROM (
+        SELECT device_id,
+               CAST(floor(epoch(timestamp) / 60) * 60 AS BIGINT) AS window_start,
+               metric_name, metric_value,
+               row_number() OVER (PARTITION BY device_id,
+                                  floor(epoch(timestamp) / 60), metric_name
+                                  ORDER BY timestamp DESC, metric_value DESC) AS rn
+        FROM raw
+    ) r, wm
+    WHERE r.rn = 1 AND r.window_start + 60 <= wm.w
+    """,
+    ["T1", "T2", "T3", "A1", "A3", "S5", "S13"],
+    "STRUCTURED STREAMING end-to-end: the ingest hot path run as a real "
+    "watermarked streaming query (file source → withWatermark 2W → "
+    "tumbling-window LWW pivot → append sink, availableNow trigger), "
+    "then the emitted snapshots exploded back to rows.  The oracle "
+    "recomputes the same LWW pivot and keeps only windows whose end is "
+    "≤ the final watermark (max event time − 120 s) — i.e. it checks "
+    "Spark's append-mode emission semantics, not just the aggregation "
+    "(pipeline/kafka_consumer.py:381-484; SURVEY §3.1).",
+)
+def q_streaming_window_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from vectorsearch_scylla_spark.streaming.pipeline import windowed_snapshot_stream
+
+    raw = device_metrics_raw(spark, sf_dir).select(
+        "device_id", "timestamp", "metric_name", "metric_value"
+    )
+    src = tempfile.mkdtemp(prefix="vss_stream_src_")
+    ck = tempfile.mkdtemp(prefix="vss_stream_ck_")
+    raw.write.mode("overwrite").parquet(src)
+    name = f"snaps_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(raw.schema).parquet(src)
+    q = (
+        windowed_snapshot_stream(stream, window_seconds=60, watermark_windows=2)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.table(name).select(
+        "device_id",
+        F.unix_timestamp("window_start").alias("window_start"),
+        F.explode("metrics").alias("metric_name", "metric_value"),
     )
 
 
@@ -670,6 +892,222 @@ def q_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "knn_same_label",
+    f"""
+    SELECT query_id, neighbor_id, label, {Q("similarity")} AS similarity, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.label,
+               {KNN_COS} AS similarity,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {KNN_COS} DESC, b.vec_id ASC) AS rank
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+        WHERE a.vec_id % 25 = 0
+    ) WHERE rank <= 5
+    """,
+    ["V4", "S8", "J3", "W2"],
+    "Partition-scoped kNN: top-k restricted to the query's own partition "
+    "(device/date in the reference, pipeline/find_similar_states.py:"
+    "106-134) — the equi-key turns the candidate join into a hash join "
+    "so each query only scans its shard of the corpus.",
+)
+def q_knn_same_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label"),
+        F.col("embedding").alias("query_vec"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label"),
+        F.col("embedding").alias("corpus_vec"),
+    )
+    out = topk_similarity_join(
+        queries,
+        corpus,
+        k=5,
+        query_id="query_id",
+        corpus_id="neighbor_id",
+        exclude_self=True,
+        join_keys=["label"],
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "label",
+        quantize(F.col("similarity")).alias("similarity"),
+        "rank",
+    )
+
+
+# --- IVF (inverted-file) approximate kNN ----------------------------
+# Coarse quantizer = per-label centroids (the clustering is given by the
+# corpus's own label partition — at scale this would be k-means).
+# Probe: assign each query to its nearest centroid (nprobe=1), then
+# exact top-k within that cluster only.  Centroid values are quantized
+# so both engines compare bit-identical doubles.
+_IVF_CENT_SQL = f"""
+    exploded AS (
+        SELECT label,
+               unnest(generate_series(1, len(embedding))) - 1 AS pos,
+               unnest(embedding::DOUBLE[]) AS val
+        FROM embeddings
+    ),
+    centroids AS (
+        SELECT label, list(avg_val ORDER BY pos) AS cvec
+        FROM (SELECT label, pos, {Q("avg(val)", 6)} AS avg_val
+              FROM exploded GROUP BY label, pos) t
+        GROUP BY label
+    )
+"""
+
+
+@query(
+    "ivf_knn",
+    f"""
+    WITH {_IVF_CENT_SQL},
+    probes AS (
+        SELECT query_id, centroid_label FROM (
+            SELECT q.vec_id AS query_id, c.label AS centroid_label,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cvec) DESC,
+                                c.label ASC) AS crank
+            FROM embeddings q, centroids c
+            WHERE q.vec_id % 25 = 0
+        ) WHERE crank = 1
+    )
+    SELECT query_id, neighbor_id, centroid_label, {Q("similarity")} AS similarity,
+           CAST(rank AS INT) AS rank
+    FROM (
+        SELECT p.query_id, b.vec_id AS neighbor_id, p.centroid_label,
+               {KNN_COS} AS similarity,
+               row_number() OVER (PARTITION BY p.query_id
+                                  ORDER BY {KNN_COS} DESC, b.vec_id ASC) AS rank
+        FROM probes p
+        JOIN embeddings a ON a.vec_id = p.query_id
+        JOIN embeddings b ON b.label = p.centroid_label AND b.vec_id <> p.query_id
+    ) WHERE rank <= 5
+    """,
+    ["V3", "V4", "A4", "J3", "W2"],
+    "IVF-style approximate kNN — the 100 TB scale path: coarse-quantize "
+    "the corpus into C cluster centroids, assign each query to its "
+    "nearest centroid (nprobe=1), exact top-k inside that cluster only. "
+    "Cuts the candidate space from N to N/C; the cluster join is a hash "
+    "join on the cluster id.  (Replaces the reference's HNSW index, "
+    "scylladb_setup/create_iot_schema.py:137-155.)",
+)
+def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
+    )
+    means = pos.groupBy("label", "pos").agg(quantize(F.avg("val"), 6).alias("avg_val"))
+    centroids = (
+        means.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "avg_val"))).alias("entries"))
+        .select(
+            F.col("label").alias("centroid_label"),
+            F.transform("entries", lambda e: e["avg_val"]).alias("cvec"),
+        )
+    )
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    crank_w = Window.partitionBy("query_id").orderBy(
+        cosine_similarity("query_vec", "cvec").desc(), F.col("centroid_label").asc()
+    )
+    probes = (
+        queries.join(F.broadcast(centroids))
+        .withColumn("crank", F.row_number().over(crank_w))
+        .filter(F.col("crank") == 1)
+        .select("query_id", "query_vec", "centroid_label")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("centroid_label"),
+        F.col("embedding").alias("corpus_vec"),
+    )
+    out = topk_similarity_join(
+        probes.select("query_id", "centroid_label", "query_vec"),
+        corpus,
+        k=5,
+        query_id="query_id",
+        corpus_id="neighbor_id",
+        exclude_self=True,
+        join_keys=["centroid_label"],
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        "centroid_label",
+        quantize(F.col("similarity")).alias("similarity"),
+        "rank",
+    )
+
+
+@query(
+    "path3_novelty_flags",
+    f"""
+    WITH q AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 25 = 0),
+    topk AS (
+        SELECT query_id, similarity FROM (
+            SELECT a.vec_id AS query_id, {KNN_COS} AS similarity,
+                   row_number() OVER (PARTITION BY a.vec_id
+                                      ORDER BY {KNN_COS} DESC, b.vec_id ASC) AS rank
+            FROM q a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id <> b.vec_id
+        ) WHERE rank <= 10
+    ),
+    counts AS (
+        SELECT query_id,
+               CAST(sum(CASE WHEN similarity >= 0.90 THEN 1 ELSE 0 END) AS BIGINT) AS similar_count
+        FROM topk GROUP BY query_id
+    )
+    SELECT q.vec_id AS query_id,
+           coalesce(c.similar_count, 0) AS similar_count,
+           coalesce(c.similar_count, 0) < 7 AS path3_triggered
+    FROM q LEFT JOIN counts c ON q.vec_id = c.query_id
+    """,
+    ["P7", "P8", "V3", "V7", "J6"],
+    "Path-3 inverted-ANN novelty detection end-to-end: fewer than 7 of "
+    "the top-10 same-group neighbors with cosine ≥ 0.90 ⇒ novel state "
+    "(pipeline/path3_vector_search.py:160-170), with the group/normal "
+    "filters pushed into the join, not applied after over-fetching.",
+)
+def q_path3_novelty_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label"),
+        F.col("embedding").alias("query_vec"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("label"),
+        F.col("embedding").alias("corpus_vec"),
+    )
+    topk = topk_similarity_join(
+        queries, corpus, k=10, exclude_self=True, join_keys=["label"]
+    )
+    counts = (
+        topk.filter(F.col("similarity") >= 0.90)
+        .groupBy("query_id")
+        .agg(F.count("*").alias("similar_count"))
+    )
+    return (
+        queries.select("query_id")
+        .join(counts, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("similar_count", F.lit(0)).alias("similar_count"),
+            (F.coalesce("similar_count", F.lit(0)) < 7).alias("path3_triggered"),
+        )
+    )
+
+
 # =====================================================================
 # Flagship: Path-2 profile-similarity anomaly detection, end-to-end
 # (SURVEY §7.2 — scan → window pivot → featurize → centroid profile →
@@ -735,6 +1173,224 @@ def q_path2_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_start",
         quantize(sim).alias("similarity"),
         (sim < 0.90).alias("path2_triggered"),
+    )
+
+
+@query(
+    "device_profile_build",
+    RAW_CTE
+    + f"""
+    , per_metric AS (  -- 60s tumbling map-snapshot, one row per (device, window, metric)
+        SELECT device_id,
+               CAST(floor(epoch(timestamp) / 60) * 60 AS BIGINT) AS ws,
+               metric_name,
+               {Q("avg(metric_value)")} AS v,
+               max(timestamp) AS last_ts
+        FROM raw GROUP BY 1, 2, 3
+    ),
+    snap AS (SELECT device_id, ws, max(last_ts) AS snapshot_time
+             FROM per_metric GROUP BY 1, 2),
+    meta AS (SELECT device_id,
+                    CAST(count(*) AS BIGINT) AS snapshot_count,
+                    CAST(floor(epoch(max(snapshot_time))) AS BIGINT) AS last_seen
+             FROM snap GROUP BY device_id
+             HAVING count(*) >= 5),
+    stats AS (SELECT device_id, metric_name,
+                     {Q("avg(v)")} AS mean,
+                     {Q("stddev_pop(v)")} AS std,
+                     {Q("min(v)")} AS min_value,
+                     {Q("max(v)")} AS max_value,
+                     CAST(count(*) AS BIGINT) AS n_windows
+              FROM per_metric GROUP BY 1, 2),
+    centroid AS (  -- featurizer 0-fills missing metrics, so the centroid
+                   -- position averages over ALL windows, absent → 0
+        SELECT s.device_id, m.metric_name,
+               {Q("avg(coalesce(p.v, 0.0))")} AS centroid_val
+        FROM snap s
+        CROSS JOIN (VALUES {", ".join(f"('{m}')" for m in METRICS)}) m(metric_name)
+        LEFT JOIN per_metric p
+          ON p.device_id = s.device_id AND p.ws = s.ws AND p.metric_name = m.metric_name
+        GROUP BY s.device_id, m.metric_name
+    )
+    SELECT st.device_id, st.metric_name, st.mean, st.std, st.min_value,
+           st.max_value, st.n_windows, me.snapshot_count, me.last_seen,
+           c.centroid_val
+    FROM stats st
+    JOIN meta me ON st.device_id = me.device_id
+    JOIN centroid c ON c.device_id = st.device_id AND c.metric_name = st.metric_name
+    """,
+    ["A4", "A5", "A9", "P9", "V5", "V2"],
+    "Behavior-profile build end-to-end through the REAL operator stack "
+    "(operators/profiles.py:build_profiles over "
+    "operators/window_pivot.py:tumbling_window_snapshots): 60 s map "
+    "snapshots → deterministic metric-vector featurizer → per-device "
+    "embedding centroid (posexplode path) + per-metric population-std "
+    "stats + last_seen/snapshot_count, devices with ≥5 snapshots only "
+    "(pipeline/build_profiles.py:173-232).",
+)
+def q_device_profile_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectorsearch_scylla_spark.operators.profiles import build_profiles
+    from vectorsearch_scylla_spark.operators.window_pivot import (
+        tumbling_window_snapshots,
+    )
+
+    raw = device_metrics_raw(spark, sf_dir)
+    snaps = tumbling_window_snapshots(raw, window_seconds=60, value_agg="avg")
+    # quantize the per-window metric values so downstream stats start
+    # from bit-identical doubles in both engines
+    snaps = snaps.withColumn(
+        "metrics", F.map_from_arrays(
+            F.map_keys("metrics"),
+            F.transform(F.map_values("metrics"), lambda v: quantize(v)),
+        )
+    )
+    # deterministic featurizer (V2 test impl): fixed metric order → vector
+    vec = F.array(
+        *[F.coalesce(F.element_at("metrics", F.lit(m)), F.lit(0.0)) for m in METRICS]
+    )
+    snaps = snaps.withColumn("embedding", vec)
+    prof = build_profiles(snaps, min_snapshots=5)
+    # explode the nested profile into flat oracle-comparable rows
+    ex = prof.select(
+        "device_id",
+        "snapshot_count",
+        F.unix_timestamp("last_seen").alias("last_seen"),
+        F.explode("metric_stats").alias("metric_name", "s"),
+        F.col("profile_embedding"),
+    )
+    centroid_val = F.element_at(
+        "profile_embedding",
+        # element_at is 1-based; map metric → its featurizer position
+        F.when(F.col("metric_name") == METRICS[0], F.lit(1))
+        .when(F.col("metric_name") == METRICS[1], F.lit(2))
+        .when(F.col("metric_name") == METRICS[2], F.lit(3))
+        .when(F.col("metric_name") == METRICS[3], F.lit(4))
+        .otherwise(F.lit(5)),
+    )
+    return ex.select(
+        "device_id",
+        "metric_name",
+        quantize(F.col("s.mean")).alias("mean"),
+        quantize(F.col("s.std")).alias("std"),
+        quantize(F.col("s.min")).alias("min_value"),
+        quantize(F.col("s.max")).alias("max_value"),
+        F.col("s.n").alias("n_windows"),
+        "snapshot_count",
+        "last_seen",
+        quantize(centroid_val).alias("centroid_val"),
+    )
+
+
+# =====================================================================
+# Consensus detection (SURVEY §2.3 A10/A11, §2.2 P2-P6) — all 3 paths
+# =====================================================================
+
+# Per-metric helper fragments over the daily pivot (quantized stats make
+# downstream float math bit-identical across engines — see module doc).
+_CS_STATS_SQL = ", ".join(
+    f"{Q(f'avg(m_{m})')} AS mean_{m}, {Q(f'stddev_pop(m_{m})')} AS std_{m}"
+    for m in METRICS
+)
+_CS_Z = {
+    m: f"(CASE WHEN st.std_{m} > 0 THEN abs((s.m_{m} - st.mean_{m}) / st.std_{m}) ELSE 0.0 END)"
+    for m in METRICS
+}
+_CS_OUTLIERS = " + ".join(f"(CASE WHEN {_CS_Z[m]} > 1.5 THEN 1 ELSE 0 END)" for m in METRICS)
+_CS_RULE = {m: (lo, hi) for m, lo, hi, _ in RULES_ROWS}
+_CS_VIOL = " + ".join(
+    f"(CASE WHEN s.m_{m} < {_CS_RULE[m][0]} OR s.m_{m} > {_CS_RULE[m][1]} THEN 1 ELSE 0 END)"
+    for m in METRICS
+)
+_CS_DOT = " + ".join(f"s.m_{m} * st.mean_{m}" for m in METRICS)
+_CS_NS = " + ".join(f"s.m_{m} * s.m_{m}" for m in METRICS)
+_CS_NC = " + ".join(f"st.mean_{m} * st.mean_{m}" for m in METRICS)
+_CS_SIM = (
+    f"CASE WHEN ({_CS_NS}) = 0 OR ({_CS_NC}) = 0 THEN 0.0 "
+    f"ELSE ({_CS_DOT}) / (sqrt({_CS_NS}) * sqrt({_CS_NC})) END"
+)
+_CS_ZSUM = " + ".join(f"least(10.0, {_CS_Z[m]})" for m in METRICS)
+
+
+@query(
+    "detect_consensus",
+    RAW_CTE
+    + f"""
+    , snap AS (
+        SELECT device_id,
+               CAST(floor(epoch(timestamp) / 86400) * 86400 AS BIGINT) AS window_start,
+               {_pivot_cols_sql()}
+        FROM raw GROUP BY 1, 2
+    )
+    , stats AS (
+        SELECT device_id, {_CS_STATS_SQL}
+        FROM snap GROUP BY device_id
+    )
+    SELECT s.device_id, s.window_start,
+           CAST({_CS_OUTLIERS} AS BIGINT) AS outlier_count,
+           {Q(_CS_SIM)} AS similarity,
+           CAST({_CS_VIOL} AS BIGINT) AS violation_count,
+           CAST((CASE WHEN ({_CS_OUTLIERS}) >= 2 THEN 1 ELSE 0 END)
+              + (CASE WHEN ({_CS_SIM}) < 0.95 THEN 1 ELSE 0 END)
+              + (CASE WHEN ({_CS_VIOL}) >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS votes,
+           ((CASE WHEN ({_CS_OUTLIERS}) >= 2 THEN 1 ELSE 0 END)
+              + (CASE WHEN ({_CS_SIM}) < 0.95 THEN 1 ELSE 0 END)
+              + (CASE WHEN ({_CS_VIOL}) >= 1 THEN 1 ELSE 0 END)) >= 2 AS is_anomalous,
+           {Q(f"greatest(0.0, 1.0 - ({_CS_SIM})) + least(1.0, ({_CS_ZSUM}) / 40.0)")} AS anomaly_score
+    FROM snap s JOIN stats st ON s.device_id = st.device_id
+    """,
+    ["A10", "A11", "P2", "P4", "P5", "P6", "J1", "J4"],
+    "FLAGSHIP 2 — all three detection paths + consensus vote + anomaly "
+    "score in one plan: Path 1 = ≥2 z-score outlier metrics (σ=1.5), "
+    "Path 2 = cosine-to-centroid < 0.95, Path 3 = ≥1 threshold-rule "
+    "violation; anomalous iff ≥2 votes; score = max(0,1−sim) + "
+    "min(1, Σ min(10,|z|)/40) (pipeline/detect_anomalies_all.py:218-231, "
+    "pipeline/anomaly_detection.py:142-148).",
+)
+def q_detect_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    snap = _pivot_spark(spark, sf_dir, 86400).drop("n_rows")
+    stats = snap.groupBy("device_id").agg(
+        *[
+            a
+            for m in METRICS
+            for a in (
+                quantize(F.avg(f"m_{m}")).alias(f"mean_{m}"),
+                quantize(F.stddev_pop(f"m_{m}")).alias(f"std_{m}"),
+            )
+        ]
+    )
+    j = snap.join(F.broadcast(stats), "device_id")
+    z = {
+        m: F.when(
+            F.col(f"std_{m}") > 0,
+            F.abs((F.col(f"m_{m}") - F.col(f"mean_{m}")) / F.col(f"std_{m}")),
+        ).otherwise(0.0)
+        for m in METRICS
+    }
+    outliers = sum(F.when(z[m] > 1.5, 1).otherwise(0) for m in METRICS)
+    viol = sum(
+        F.when(
+            (F.col(f"m_{m}") < _CS_RULE[m][0]) | (F.col(f"m_{m}") > _CS_RULE[m][1]), 1
+        ).otherwise(0)
+        for m in METRICS
+    )
+    svec = F.array(*[F.col(f"m_{m}") for m in METRICS])
+    cvec = F.array(*[F.col(f"mean_{m}") for m in METRICS])
+    sim = cosine_similarity(svec, cvec)
+    p1 = F.when(outliers >= 2, 1).otherwise(0)
+    p2 = F.when(sim < 0.95, 1).otherwise(0)
+    p3 = F.when(viol >= 1, 1).otherwise(0)
+    votes = p1 + p2 + p3
+    zsum = sum(F.least(F.lit(10.0), z[m]) for m in METRICS)
+    score = F.greatest(F.lit(0.0), F.lit(1.0) - sim) + F.least(F.lit(1.0), zsum / 40.0)
+    return j.select(
+        "device_id",
+        "window_start",
+        outliers.cast("long").alias("outlier_count"),
+        quantize(sim).alias("similarity"),
+        viol.cast("long").alias("violation_count"),
+        votes.cast("long").alias("votes"),
+        (votes >= 2).alias("is_anomalous"),
+        quantize(score).alias("anomaly_score"),
     )
 
 
@@ -904,6 +1560,501 @@ def q_minhash_dup_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- SimHash (16-bit, from md5 hex-digit parity per word) -----------
+# bit i's contribution for a word: +1 if the i-th hex digit of md5(word)
+# is odd, else -1; bit set iff the sum over words is > 0.
+_ODD_HEX = "('1','3','5','7','9','b','d','f')"
+
+
+def _simhash_bit_sum_sql(i: int) -> str:
+    return (
+        f"list_sum(list_transform(string_split(text, ' '), "
+        f"w -> CASE WHEN substr(md5(w), {i}, 1) IN {_ODD_HEX} THEN 1 ELSE -1 END))"
+    )
+
+
+_SIMHASH_SQL = " + ".join(
+    f"(CASE WHEN {_simhash_bit_sum_sql(i)} > 0 THEN {1 << (i - 1)} ELSE 0 END)"
+    for i in range(1, 17)
+)
+
+
+def _simhash_spark() -> Column:
+    # NB: built as SQL-text lambdas (F.expr), NOT Python lambdas —
+    # composing many pyspark-lambda HOFs in ONE projection makes the
+    # identically-named lambda variables collide and silently evaluate
+    # every copy to the same value.  SQL lambda variables are scoped
+    # per-expression, so this form is safe (and it mirrors the oracle).
+    def bit_sum(i: int) -> str:
+        return (
+            "aggregate(transform(split(text, ' '), "
+            f"w -> CASE WHEN substring(md5(cast(w as binary)), {i}, 1) IN "
+            f"('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END), 0, (acc, x) -> acc + x)"
+        )
+
+    total = " + ".join(
+        f"(CASE WHEN {bit_sum(i)} > 0 THEN {1 << (i - 1)} ELSE 0 END)"
+        for i in range(1, 17)
+    )
+    return F.expr(total)
+
+
+@query(
+    "simhash_fingerprints",
+    f"""
+    SELECT doc_id, CAST({_SIMHASH_SQL} AS BIGINT) AS simhash
+    FROM documents
+    """,
+    ["DEDUP-SIMHASH"],
+    "16-bit SimHash per document from word-hash bit votes — near-dup "
+    "fingerprint where small text edits flip few bits.",
+)
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", _simhash_spark().cast("long").alias("simhash"))
+
+
+@query(
+    "simhash_dup_pairs",
+    f"""
+    WITH sigs AS (
+        SELECT doc_id, CAST({_SIMHASH_SQL} AS BIGINT) AS simhash FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sigs a JOIN sigs b
+      ON (a.simhash // 256) = (b.simhash // 256) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    ["DEDUP-SIMHASH", "DEDUP-LSH"],
+    "SimHash near-dup candidate pairs: band join on the high byte "
+    "(LSH-style candidate generation — no O(N²) pair space), then exact "
+    "Hamming-distance filter ≤ 3.",
+)
+def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = docs.select("doc_id", _simhash_spark().cast("long").alias("simhash"))
+    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(
+            b,
+            (F.floor(F.col("sh_a") / 256) == F.floor(F.col("sh_b") / 256))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(hamming <= 3)
+        .select("id_a", "id_b", hamming.cast("long").alias("hamming"))
+    )
+
+
+@query(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH sigs AS (
+        SELECT doc_id,
+               {", ".join(_minhash_sql_one(s) for s in _MINHASH_SEEDS)}
+        FROM documents
+    ),
+    shingled AS (
+        SELECT d.doc_id, s.sig_0, s.sig_1,
+               list_distinct(CASE WHEN len(string_split(d.text, ' ')) >= 3 THEN
+                   list_transform(range(1, len(string_split(d.text, ' ')) - 1),
+                       i -> string_split(d.text, ' ')[i] || ' ' ||
+                            string_split(d.text, ' ')[i+1] || ' ' ||
+                            string_split(d.text, ' ')[i+2])
+               ELSE [d.text] END) AS shingles
+        FROM documents d JOIN sigs s ON d.doc_id = s.doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           {Q("CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) / "
+               "(len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles)))")} AS jaccard
+    FROM shingled a JOIN shingled b
+      ON a.sig_0 = b.sig_0 AND a.sig_1 = b.sig_1 AND a.doc_id < b.doc_id
+    """,
+    ["DEDUP-NGRAM", "DEDUP-MINHASH"],
+    "Exact word-3-gram Jaccard similarity over MinHash-band candidate "
+    "pairs — the verify step after LSH candidate generation.",
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = q_minhash_signatures(spark, sf_dir).select("doc_id", "sig_0", "sig_1")
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    nshingle = F.size(words) - 2
+
+    def shingle_at(i):
+        return F.concat_ws(" ", F.get(words, i), F.get(words, i + 1), F.get(words, i + 2))
+
+    shingles = F.array_distinct(
+        F.when(
+            F.size(words) >= 3,
+            F.transform(F.sequence(F.lit(0), nshingle - 1), shingle_at),
+        ).otherwise(F.array(F.col("text")))
+    )
+    sh = docs.join(sigs, "doc_id").select(
+        "doc_id", "sig_0", "sig_1", shingles.alias("shingles")
+    )
+    a = sh.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sig_0").alias("s0a"),
+        F.col("sig_1").alias("s1a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sig_0").alias("s0b"),
+        F.col("sig_1").alias("s1b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        a.join(
+            b,
+            (F.col("s0a") == F.col("s0b"))
+            & (F.col("s1a") == F.col("s1b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            quantize(inter.cast("double") / union).alias("jaccard"),
+        )
+    )
+
+
+# --- Language ID (marker-word scoring) ------------------------------
+# Deterministic n-gram heuristic: score = total occurrences of each
+# language's marker words (computed via length/replace arithmetic —
+# identical in both engines); predicted = argmax with fixed tie order.
+LANG_MARKERS = {
+    "en": ["the", "and"],
+    "de": ["der", "und"],
+    "es": ["el", "de"],
+    "fr": ["le", "et"],
+    "zh": ["zh", "cn"],
+}
+
+
+def _occ_sql(s: str) -> str:
+    pat = f" {s} "
+    return f"((length(' ' || text || ' ') - length(replace(' ' || text || ' ', '{pat}', ''))) / {len(pat)})"
+
+
+def _lang_score_sql(lang: str) -> str:
+    return " + ".join(_occ_sql(m) for m in LANG_MARKERS[lang])
+
+
+_LANG_ARGMAX_SQL = "CASE "
+for _lang in LANG_MARKERS:
+    _others = [o for o in LANG_MARKERS if o != _lang]
+    _LANG_ARGMAX_SQL += (
+        f"WHEN {' AND '.join(f'({_lang_score_sql(_lang)}) >= ({_lang_score_sql(o)})' for o in _others)} "
+        f"THEN '{_lang}' "
+    )
+_LANG_ARGMAX_SQL += "ELSE 'und' END"
+
+
+def _occ_spark(s: str) -> Column:
+    pat = f" {s} "
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    return (
+        (F.length(padded) - F.length(F.replace(padded, F.lit(pat), F.lit(""))))
+        / len(pat)
+    ).cast("long")
+
+
+def _lang_score_spark(lang: str) -> Column:
+    out = F.lit(0).cast("long")
+    for m in LANG_MARKERS[lang]:
+        out = out + _occ_spark(m)
+    return out
+
+
+@query(
+    "language_id",
+    f"""
+    SELECT doc_id, lang AS labeled_lang,
+           {", ".join(f"CAST({_lang_score_sql(lg)} AS BIGINT) AS score_{lg}" for lg in LANG_MARKERS)},
+           {_LANG_ARGMAX_SQL} AS predicted_lang
+    FROM documents
+    """,
+    ["TEXT-LANGID"],
+    "Language identification: per-language marker-word scores + argmax "
+    "with fixed tie order (first language in table order wins ties).",
+)
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scores = {lg: _lang_score_spark(lg) for lg in LANG_MARKERS}
+    pred = F.lit("und")
+    # build CASE in reverse so the first language wins ties, same as SQL
+    langs = list(LANG_MARKERS)
+    pred_expr = None
+    for lg in langs:
+        others = [o for o in langs if o != lg]
+        cond = F.lit(True)
+        for o in others:
+            cond = cond & (scores[lg] >= scores[o])
+        pred_expr = (
+            F.when(cond, F.lit(lg)) if pred_expr is None else pred_expr.when(cond, F.lit(lg))
+        )
+    pred = pred_expr.otherwise(F.lit("und"))
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[scores[lg].cast("long").alias(f"score_{lg}") for lg in LANG_MARKERS],
+        pred.alias("predicted_lang"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           list_min(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+                                   i -> md5(substr(text, i, 8)))) AS fp_min8,
+           CAST(len(list_distinct(list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+                                   i -> md5(substr(text, i, 8))))) AS BIGINT) AS n_unique_grams
+    FROM documents
+    """,
+    ["TEXT-FINGERPRINT"],
+    "Rolling-hash document fingerprint: min md5 over all character "
+    "8-grams (winnowing-style k-min sketch, k=1) + distinct-gram count.",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = F.expr(
+        "transform(sequence(1, greatest(length(text) - 7, 1)), "
+        "i -> md5(cast(substring(text, i, 8) as binary)))"
+    )
+    return docs.select(
+        "doc_id",
+        F.array_min(grams).alias("fp_min8"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_unique_grams"),
+    )
+
+
+@query(
+    "metric_delta_top3",
+    RAW_CTE
+    + f"""
+    , snap AS (
+        SELECT device_id,
+               CAST(floor(epoch(timestamp) / 86400) * 86400 AS BIGINT) AS window_start,
+               metric_name, {Q("avg(metric_value)")} AS v
+        FROM raw GROUP BY 1, 2, 3
+    )
+    SELECT device_id, window_start, metric_name, v, prev_v, delta, pct_change, rnk
+    FROM (
+        SELECT cur.device_id, cur.window_start, cur.metric_name,
+               cur.v, prev.v AS prev_v,
+               {Q("cur.v - prev.v")} AS delta,
+               {Q("CASE WHEN prev.v <> 0 THEN (cur.v - prev.v) / prev.v * 100.0 END")} AS pct_change,
+               CAST(row_number() OVER (
+                   PARTITION BY cur.device_id, cur.window_start
+                   ORDER BY abs(CASE WHEN prev.v <> 0 THEN (cur.v - prev.v) / prev.v * 100.0 ELSE 0 END) DESC,
+                            cur.metric_name ASC) AS INT) AS rnk
+        FROM snap cur JOIN snap prev
+          ON cur.device_id = prev.device_id
+         AND cur.window_start = prev.window_start + 86400
+         AND cur.metric_name = prev.metric_name
+    ) WHERE rnk <= 3
+    """,
+    ["V8", "W3", "F11", "F12"],
+    "Metric-delta comparison: each daily snapshot vs the previous day's, "
+    "top-3 metrics by |% change| with ÷0 guard — the find-similar-states "
+    "drill-down (pipeline/find_similar_states.py:152-170,276-289).",
+)
+def q_metric_delta_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = device_metrics_raw(spark, sf_dir)
+    snap = raw.groupBy(
+        "device_id",
+        window_start("timestamp", 86400).alias("window_start"),
+        "metric_name",
+    ).agg(quantize(F.avg("metric_value")).alias("v"))
+    cur, prev = snap.alias("cur"), snap.alias("prev")
+    j = cur.join(
+        prev,
+        (F.col("cur.device_id") == F.col("prev.device_id"))
+        & (F.col("cur.window_start") == F.col("prev.window_start") + 86400)
+        & (F.col("cur.metric_name") == F.col("prev.metric_name")),
+    )
+    pct = F.when(
+        F.col("prev.v") != 0,
+        (F.col("cur.v") - F.col("prev.v")) / F.col("prev.v") * 100.0,
+    )
+    w = Window.partitionBy("cur.device_id", "cur.window_start").orderBy(
+        F.abs(F.coalesce(pct, F.lit(0.0))).desc(), F.col("cur.metric_name").asc()
+    )
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("cur.device_id").alias("device_id"),
+            F.col("cur.window_start").alias("window_start"),
+            F.col("cur.metric_name").alias("metric_name"),
+            F.col("cur.v").alias("v"),
+            F.col("prev.v").alias("prev_v"),
+            quantize(F.col("cur.v") - F.col("prev.v")).alias("delta"),
+            quantize(pct).alias("pct_change"),
+            "rnk",
+        )
+    )
+
+
+@query(
+    "embedding_input_text",
+    RAW_CTE
+    + f"""
+    , snap AS (
+        SELECT device_id,
+               CAST(floor(epoch(timestamp) / 86400) * 86400 AS BIGINT) AS window_start,
+               metric_name, {Q("avg(metric_value)")} AS v
+        FROM raw GROUP BY 1, 2, 3
+    )
+    SELECT device_id, window_start,
+           device_id || ' ' ||
+           string_agg(metric_name || ':' ||
+                      CAST(v100 // 100 AS VARCHAR) || '.' ||
+                      lpad(CAST(v100 % 100 AS VARCHAR), 2, '0'),
+                      ' ' ORDER BY metric_name) AS embed_text
+    FROM (SELECT *, CAST(floor(v * 100 + 0.500001) AS BIGINT) AS v100 FROM snap)
+    GROUP BY device_id, window_start
+    """,
+    ["V2", "F9", "F10"],
+    "Embedding input-text build: '<device_id> metric:value ...' with "
+    "SORTED metric names and %.2f formatting — byte-for-byte the "
+    "reference's text fed to the embedding model "
+    "(pipeline/kafka_consumer.py:345-374).",
+)
+def q_embedding_input_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = device_metrics_raw(spark, sf_dir)
+    snap = raw.groupBy(
+        "device_id",
+        window_start("timestamp", 86400).alias("window_start"),
+        "metric_name",
+    ).agg(quantize(F.avg("metric_value")).alias("v"))
+    # %.2f via integer math — float-formatting rounding modes differ
+    # across engines (Java HALF_UP vs fmtlib half-even) on exact ties
+    v100 = F.floor(F.col("v") * 100 + 0.500001).cast("long")
+    entry = F.concat(
+        F.col("metric_name"),
+        F.lit(":"),
+        F.floor(v100 / 100).cast("long").cast("string"),
+        F.lit("."),
+        F.lpad((v100 % 100).cast("string"), 2, "0"),
+    )
+    return (
+        snap.groupBy("device_id", "window_start")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list(entry)), " "
+            ).alias("parts")
+        )
+        .select(
+            "device_id",
+            "window_start",
+            F.concat_ws(" ", F.col("device_id"), F.col("parts")).alias("embed_text"),
+        )
+    )
+
+
+@query(
+    "fleet_config_source",
+    RAW_CTE
+    + """
+    SELECT DISTINCT device_id,
+           'device-' || device_id AS device_name,
+           'building-' || substr(device_id, 5, 10) AS building_id
+    FROM raw
+    """,
+    ["S12"],
+    "Fleet-config JSON source: the device dimension round-tripped "
+    "through spark.read.json (pipeline/fleet_config.json + loader "
+    "pipeline/kafka_producer.py:199-203).",
+)
+def q_fleet_config_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    import os
+    import tempfile
+
+    raw = device_metrics_raw(spark, sf_dir)
+    devices = sorted(r[0] for r in raw.select("device_id").distinct().collect())
+    cfg_dir = tempfile.mkdtemp(prefix="vss_fleet_cfg_")
+    with open(os.path.join(cfg_dir, "fleet_config.json"), "w") as f:
+        for d in devices:
+            f.write(
+                json.dumps(
+                    {
+                        "device_id": d,
+                        "device_name": f"device-{d}",
+                        "building_id": f"building-{d[4:]}",
+                    }
+                )
+                + "\n"
+            )
+    return spark.read.json(cfg_dir).select("device_id", "device_name", "building_id")
+
+
+# =====================================================================
+# Multimodal (binary media columns — see multimodal/media.py)
+# =====================================================================
+
+@query(
+    "media_byte_features",
+    """
+    SELECT doc_id AS asset_id,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(length(text) - length(regexp_replace(text, '[a-f]', '', 'g')) AS BIGINT) AS n_af,
+           CAST(length(text) - length(regexp_replace(text, '[g-m]', '', 'g')) AS BIGINT) AS n_gm,
+           CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space
+    FROM documents
+    """,
+    ["MEDIA-FEATURES"],
+    "Binary-column feature extraction: blobs → byte-class histogram via "
+    "an Arrow-batched mapInPandas NumPy kernel (multimodal/media.py). "
+    "Oracle recomputes the same counts from the source text.",
+)
+def q_media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectorsearch_scylla_spark.multimodal.media import (
+        documents_as_media,
+        extract_byte_features,
+    )
+
+    return extract_byte_features(documents_as_media(spark, sf_dir))
+
+
+@query(
+    "media_frame_sample",
+    """
+    SELECT doc_id AS asset_id,
+           CAST(unnest(range(0, CAST(ceil(length(text) / 16.0) AS BIGINT), 2)) AS INT) AS frame_idx,
+           md5(unnest(list_transform(range(0, CAST(ceil(length(text) / 16.0) AS BIGINT), 2),
+                                     i -> substr(text, CAST(i * 16 + 1 AS BIGINT), 16)))) AS frame_md5,
+           CAST(unnest(list_transform(range(0, CAST(ceil(length(text) / 16.0) AS BIGINT), 2),
+                                     i -> length(substr(text, CAST(i * 16 + 1 AS BIGINT), 16)))) AS BIGINT) AS frame_len
+    FROM documents
+    """,
+    ["MEDIA-FRAMES"],
+    "Frame sampling over chunked binary media: every 2nd 16-byte frame, "
+    "exploded to (asset, frame_idx, frame) rows inside the Python "
+    "worker — the keyframe-sampler execution shape (multimodal/media.py).",
+)
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectorsearch_scylla_spark.multimodal.media import (
+        documents_as_media,
+        sample_frames,
+    )
+
+    frames = sample_frames(documents_as_media(spark, sf_dir), frame_bytes=16, every_n=2)
+    return frames.select(
+        "asset_id",
+        "frame_idx",
+        F.md5("frame").alias("frame_md5"),
+        F.length("frame").cast("long").alias("frame_len"),
+    )
+
+
 @query(
     "embedding_neardup_pairs",
     f"""
@@ -918,12 +2069,5 @@ def q_minhash_dup_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("vec_a"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vec_b"))
-    sim = cosine_similarity("vec_a", "vec_b")
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("similarity", sim)
-        .filter(F.col("similarity") > 0.92)
-        .select("id_a", "id_b", quantize(F.col("similarity")).alias("similarity"))
-    )
+    pairs = cosine_pairs_blocked(emb, threshold=0.92)
+    return pairs.select("id_a", "id_b", quantize(F.col("similarity")).alias("similarity"))

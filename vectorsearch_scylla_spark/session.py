@@ -43,5 +43,8 @@ def get_spark(app_name: str = "vectorsearch-scylla-spark", cpus: str | int | Non
         # --- keep the driver lean; results are written, not collected ---
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # the console progress bar interleaves \r frames with stdout,
+        # corrupting bench/driver log lines
+        .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()

@@ -73,11 +73,26 @@ def device_metrics_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``date`` is the reference's partition bucket
     (``strftime('%Y-%m-%d')``, ``pipeline/kafka_consumer.py:295``).
     """
-    ev = load_table(spark, sf_dir, "events")
+    # Read the parquet directly (not via load_table's eager ts
+    # conversion) so the raw int64-nanos column survives: predicates on
+    # it (epoch × 1e9 literals) push down to the parquet scan, which
+    # predicates on the converted timestamp cannot (they sit behind
+    # arithmetic the pushdown rule can't invert).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("__ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    else:
+        ev = ev.withColumn(
+            "__ts_ns", F.unix_timestamp("ts").cast("long") * F.lit(1_000_000_000)
+        )
     return ev.select(
         F.concat(F.lit("DEV-"), F.lpad(F.col("user_id").cast("string"), 3, "0")).alias("device_id"),
         F.date_format("ts", "yyyy-MM-dd").alias("date"),
         F.col("ts").alias("timestamp"),
+        F.col("__ts_ns").alias("ts_ns"),
         F.col("event_type").alias("metric_name"),
         F.round(F.col("value"), 2).alias("metric_value"),
         F.col("event_id"),
