@@ -36,7 +36,6 @@ HEADLINE = [
     "window_pivot_snapshot",
     "tumbling_window_counts",
     "lww_window_snapshot",
-    "streaming_window_pivot",
     "pricing_summary",
     "market_share",
     "latest_event_per_user",
@@ -52,6 +51,10 @@ HEADLINE = [
     "text_quality",
     "language_id",
     "media_byte_features",
+    # LAST: a completed streaming query leaves residue in the shared
+    # local JVM that intermittently slows later heavy batch queries
+    # (observed 10-50x); keep batch timings clean by running it last
+    "streaming_window_pivot",
 ]
 
 

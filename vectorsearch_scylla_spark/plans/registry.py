@@ -604,64 +604,6 @@ def q_metric_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "streaming_window_pivot",
-    RAW_CTE
-    + """
-    , wm AS (SELECT epoch(max(timestamp)) - 120 AS w FROM raw)
-    SELECT device_id, window_start, metric_name, metric_value
-    FROM (
-        SELECT device_id,
-               CAST(floor(epoch(timestamp) / 60) * 60 AS BIGINT) AS window_start,
-               metric_name, metric_value,
-               row_number() OVER (PARTITION BY device_id,
-                                  floor(epoch(timestamp) / 60), metric_name
-                                  ORDER BY timestamp DESC, metric_value DESC) AS rn
-        FROM raw
-    ) r, wm
-    WHERE r.rn = 1 AND r.window_start + 60 <= wm.w
-    """,
-    ["T1", "T2", "T3", "A1", "A3", "S5", "S13"],
-    "STRUCTURED STREAMING end-to-end: the ingest hot path run as a real "
-    "watermarked streaming query (file source → withWatermark 2W → "
-    "tumbling-window LWW pivot → append sink, availableNow trigger), "
-    "then the emitted snapshots exploded back to rows.  The oracle "
-    "recomputes the same LWW pivot and keeps only windows whose end is "
-    "≤ the final watermark (max event time − 120 s) — i.e. it checks "
-    "Spark's append-mode emission semantics, not just the aggregation "
-    "(pipeline/kafka_consumer.py:381-484; SURVEY §3.1).",
-)
-def q_streaming_window_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-    import uuid
-
-    from vectorsearch_scylla_spark.streaming.pipeline import windowed_snapshot_stream
-
-    raw = device_metrics_raw(spark, sf_dir).select(
-        "device_id", "timestamp", "metric_name", "metric_value"
-    )
-    src = tempfile.mkdtemp(prefix="vss_stream_src_")
-    ck = tempfile.mkdtemp(prefix="vss_stream_ck_")
-    raw.write.mode("overwrite").parquet(src)
-    name = f"snaps_{uuid.uuid4().hex[:8]}"
-    stream = spark.readStream.schema(raw.schema).parquet(src)
-    q = (
-        windowed_snapshot_stream(stream, window_seconds=60, watermark_windows=2)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(600)
-    return spark.table(name).select(
-        "device_id",
-        F.unix_timestamp("window_start").alias("window_start"),
-        F.explode("metrics").alias("metric_name", "metric_value"),
-    )
-
-
 # =====================================================================
 # Detection predicates (SURVEY §2.2)
 # =====================================================================
@@ -1281,6 +1223,236 @@ def q_device_profile_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "relationship_rules",
+    RAW_CTE
+    + f"""
+    , snap AS (
+        SELECT device_id,
+               CAST(floor(epoch(timestamp) / 86400) * 86400 AS BIGINT) AS window_start,
+               {_pivot_cols_sql()}
+        FROM raw GROUP BY 1, 2
+    )
+    SELECT device_id, window_start,
+           (m_error > 0 AND m_view < 50)            AS rule_error_no_traffic,
+           (abs(m_click - m_view) > 80)             AS rule_click_view_gap,
+           (m_purchase > 0 AND m_signup = 0)        AS rule_purchase_no_signup,
+           ((CASE WHEN m_error > 0 AND m_view < 50 THEN 1 ELSE 0 END)
+          + (CASE WHEN abs(m_click - m_view) > 80 THEN 1 ELSE 0 END)
+          + (CASE WHEN m_purchase > 0 AND m_signup = 0 THEN 1 ELSE 0 END)) > 0 AS any_violation
+    FROM snap
+    """,
+    ["P3", "P2"],
+    "Cross-metric relationship predicates — the reference's lambda rules "
+    "('compressor on but no power draw', 'delta-T too low', "
+    "pipeline/detect_anomalies_rules.py:70-91) as pure boolean column "
+    "expressions over the pivoted snapshot.",
+)
+def q_relationship_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    snap = _pivot_spark(spark, sf_dir, 86400).drop("n_rows")
+    r1 = (F.col("m_error") > 0) & (F.col("m_view") < 50)
+    r2 = F.abs(F.col("m_click") - F.col("m_view")) > 80
+    r3 = (F.col("m_purchase") > 0) & (F.col("m_signup") == 0)
+    any_v = (
+        F.when(r1, 1).otherwise(0) + F.when(r2, 1).otherwise(0) + F.when(r3, 1).otherwise(0)
+    ) > 0
+    return snap.select(
+        "device_id",
+        "window_start",
+        r1.alias("rule_error_no_traffic"),
+        r2.alias("rule_click_view_gap"),
+        r3.alias("rule_purchase_no_signup"),
+        any_v.alias("any_violation"),
+    )
+
+
+@query(
+    "device_statistics",
+    RAW_CTE
+    + f"""
+    , snap AS (
+        SELECT device_id,
+               CAST(floor(epoch(timestamp) / 86400) * 86400 AS BIGINT) AS window_start,
+               {_pivot_cols_sql()}
+        FROM raw GROUP BY 1, 2
+    )
+    SELECT device_id,
+           CAST(count(*) AS BIGINT) AS total_snapshots,
+           CAST(sum(CASE WHEN m_error > 100 THEN 1 ELSE 0 END) AS BIGINT) AS anomaly_count,
+           count(*) >= 30 AS warmup_complete
+    FROM snap GROUP BY device_id
+    """,
+    ["A7", "P11", "A6"],
+    "Device statistics counters as recomputed aggregates (the Scylla "
+    "counter table, scylladb_setup/create_iot_schema.py:175-181) plus "
+    "the Path-3 warmup guard: detection eligible only after ≥30 "
+    "snapshots (pipeline/path3_vector_search.py:40-43,233-252).",
+)
+def q_device_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    snap = _pivot_spark(spark, sf_dir, 86400)
+    return snap.groupBy("device_id").agg(
+        F.count("*").alias("total_snapshots"),
+        F.sum(F.when(F.col("m_error") > 100, 1).otherwise(0)).alias("anomaly_count"),
+        (F.count("*") >= 30).alias("warmup_complete"),
+    )
+
+
+@query(
+    "fleet_simulator",
+    """
+    WITH devices AS (
+        SELECT 'SIM-' || lpad(CAST(d AS VARCHAR), 3, '0') AS device_id, d
+        FROM (SELECT unnest(range(0, 8)) AS d)
+    ),
+    ticks AS (SELECT unnest(range(0, 120)) AS t)
+    SELECT device_id, CAST(t AS BIGINT) AS tick,
+           CAST(1704067200 + t * 10 AS BIGINT) AS ts_epoch,
+           (floor((
+               50.0 + d * 10.0
+             + 20.0 * (abs(CAST(t % 40 AS DOUBLE) - 20.0) - 10.0) / 10.0
+             + (CAST((CASE WHEN substr(md5(device_id || ':' || CAST(t AS VARCHAR)), 1, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE 0 END
+                   + CASE WHEN substr(md5(device_id || ':' || CAST(t AS VARCHAR)), 2, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE 0 END
+                   + CASE WHEN substr(md5(device_id || ':' || CAST(t AS VARCHAR)), 3, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE 0 END
+                   + CASE WHEN substr(md5(device_id || ':' || CAST(t AS VARCHAR)), 4, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE 0 END) AS DOUBLE) - 2.0)
+           ) * 10000 + 0.5) / 10000) AS metric_value
+    FROM devices CROSS JOIN ticks
+    """,
+    ["T8", "F7", "F8", "S11"],
+    "Deterministic fleet simulator source: per-device triangle-wave base "
+    "load + md5-derived pseudo-noise, exact integer/dyadic arithmetic "
+    "only so both engines produce identical streams (replaces the "
+    "reference's stateful random simulator, "
+    "iot_simulator/iot_simulator.py:54-87 — deterministic so results "
+    "are oracle-checkable, FIXTURES.md preamble).",
+)
+def q_fleet_simulator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    devices = spark.range(8).select(
+        F.concat(F.lit("SIM-"), F.lpad(F.col("id").cast("string"), 3, "0")).alias(
+            "device_id"
+        ),
+        F.col("id").alias("d"),
+    )
+    ticks = spark.range(120).select(F.col("id").alias("t"))
+    j = devices.crossJoin(ticks)
+    high = lambda pos: F.when(  # noqa: E731
+        F.substring(
+            F.md5(F.concat(F.col("device_id"), F.lit(":"), F.col("t").cast("string")).cast("binary")),
+            pos,
+            1,
+        ).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+        1,
+    ).otherwise(0)
+    noise = (high(1) + high(2) + high(3) + high(4)).cast("double") - 2.0
+    tri = 20.0 * (F.abs((F.col("t") % 40).cast("double") - 20.0) - 10.0) / 10.0
+    v = 50.0 + F.col("d") * 10.0 + tri + noise
+    return j.select(
+        "device_id",
+        F.col("t").cast("long").alias("tick"),
+        (F.lit(1704067200) + F.col("t") * 10).cast("long").alias("ts_epoch"),
+        (F.floor(v * 10000 + 0.5) / 10000).alias("metric_value"),
+    )
+
+
+def _md5_uuid_sql(expr: str) -> str:
+    h = f"md5({expr})"
+    return (
+        f"substr({h},1,8) || '-' || substr({h},9,4) || '-' || substr({h},13,4)"
+        f" || '-' || substr({h},17,4) || '-' || substr({h},21,12)"
+    )
+
+
+@query(
+    "anomaly_events_build",
+    RAW_CTE
+    + f"""
+    , snap AS (
+        SELECT device_id,
+               CAST(floor(epoch(timestamp) / 86400) * 86400 AS BIGINT) AS window_start,
+               {_pivot_cols_sql()}
+        FROM raw GROUP BY 1, 2
+    )
+    SELECT device_id,
+           {_md5_uuid_sql("device_id || '|' || CAST(window_start AS VARCHAR)")} AS anomaly_id,
+           window_start AS snapshot_epoch,
+           CAST(DATE '1970-01-01' + CAST(window_start // 86400 AS INT) AS VARCHAR) AS date,
+           'threshold_violation' AS anomaly_type,
+           {Q("least(1.0, m_error / 200.0)")} AS anomaly_score
+    FROM snap
+    WHERE m_error > 100
+    """,
+    ["S7", "F6", "F1"],
+    "Anomaly-event fact-table build: one append-only event row per "
+    "flagged snapshot with a deterministic md5-derived surrogate UUID "
+    "(Spark uuid() is not time-ordered, so ordering stays on the event "
+    "timestamp — SURVEY §1.2 timeuuid note; "
+    "pipeline/kafka_consumer.py:219-283).",
+)
+def q_anomaly_events_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    snap = _pivot_spark(spark, sf_dir, 86400)
+    h = F.md5(
+        F.concat(
+            F.col("device_id"), F.lit("|"), F.col("window_start").cast("string")
+        ).cast("binary")
+    )
+    uuid_col = F.concat_ws(
+        "-",
+        F.substring(h, 1, 8),
+        F.substring(h, 9, 4),
+        F.substring(h, 13, 4),
+        F.substring(h, 17, 4),
+        F.substring(h, 21, 12),
+    )
+    return snap.filter(F.col("m_error") > 100).select(
+        "device_id",
+        uuid_col.alias("anomaly_id"),
+        F.col("window_start").alias("snapshot_epoch"),
+        # tz-free date bucket: day arithmetic on DATE, not session-tz
+        # formatting of a timestamp (F1; driver sessions may be non-UTC)
+        F.date_add(
+            F.lit("1970-01-01").cast("date"),
+            F.floor(F.col("window_start") / 86400).cast("int"),
+        )
+        .cast("string")
+        .alias("date"),
+        F.lit("threshold_violation").alias("anomaly_type"),
+        quantize(F.least(F.lit(1.0), F.col("m_error") / 200.0)).alias("anomaly_score"),
+    )
+
+
+@query(
+    "retention_sweep",
+    RAW_CTE
+    + """
+    , cutoff AS (SELECT CAST(floor(epoch(max(timestamp))) AS BIGINT) - 14 * 86400 AS c FROM raw)
+    SELECT device_id,
+           CAST(DATE '1970-01-01' + CAST(floor(epoch(timestamp) / 86400) AS INT) AS VARCHAR) AS date,
+           CAST(count(*) AS BIGINT) AS rows_kept
+    FROM raw, cutoff
+    WHERE epoch(timestamp) >= cutoff.c
+    GROUP BY 1, 2
+    """,
+    ["S14", "F1", "S10"],
+    "Retention sweep: the TTL-expiry batch job (raw 30 d / snapshots "
+    "90 d, scylladb_setup/create_iot_schema.py:85,133) as a "
+    "partition-level delete — per-(device, date) surviving row counts "
+    "under a 14-day cutoff; at scale this drops whole date partitions.",
+)
+def q_retention_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = device_metrics_raw(spark, sf_dir)
+    max_ts = raw.agg(F.max(F.unix_timestamp("timestamp"))).collect()[0][0]
+    cutoff = max_ts - 14 * 86400
+    # tz-free date bucket (the raw `date` column follows the session tz)
+    day = F.date_add(
+        F.lit("1970-01-01").cast("date"),
+        F.floor(F.unix_timestamp("timestamp") / 86400).cast("int"),
+    ).cast("string")
+    return (
+        raw.filter(F.unix_timestamp("timestamp") >= cutoff)
+        .groupBy("device_id", day.alias("date"))
+        .agg(F.count("*").alias("rows_kept"))
+    )
+
+
 # =====================================================================
 # Consensus detection (SURVEY §2.3 A10/A11, §2.2 P2-P6) — all 3 paths
 # =====================================================================
@@ -1391,6 +1563,70 @@ def q_detect_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
         votes.cast("long").alias("votes"),
         (votes >= 2).alias("is_anomalous"),
         quantize(score).alias("anomaly_score"),
+    )
+
+
+_FB_VOTES = (
+    f"((CASE WHEN ({_CS_OUTLIERS}) >= 2 THEN 1 ELSE 0 END)"
+    f" + (CASE WHEN ({_CS_SIM}) < 0.95 THEN 1 ELSE 0 END)"
+    f" + (CASE WHEN ({_CS_VIOL}) >= 1 THEN 1 ELSE 0 END))"
+)
+
+
+@query(
+    "profile_rebuild_after_feedback",
+    RAW_CTE
+    + f"""
+    , snap AS (
+        SELECT device_id,
+               CAST(floor(epoch(timestamp) / 86400) * 86400 AS BIGINT) AS window_start,
+               {_pivot_cols_sql()}
+        FROM raw GROUP BY 1, 2
+    )
+    , stats AS (
+        SELECT device_id, {_CS_STATS_SQL}
+        FROM snap GROUP BY device_id
+    )
+    , flagged AS (
+        SELECT s.device_id, s.window_start
+        FROM snap s JOIN stats st ON s.device_id = st.device_id
+        WHERE {_FB_VOTES} >= 2
+    )
+    SELECT s.device_id,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           {", ".join(f"{Q(f'avg(s.m_{m})')} AS mean_{m}, {Q(f'stddev_pop(s.m_{m})')} AS std_{m}" for m in METRICS)}
+    FROM snap s
+    LEFT JOIN flagged f
+      ON s.device_id = f.device_id AND s.window_start = f.window_start
+    WHERE f.device_id IS NULL
+    GROUP BY s.device_id
+    """,
+    ["T7", "P9", "A5", "A10"],
+    "The feedback loop, Spark-native: the reference MUTATES snapshot "
+    "labels and later profile builds read them back "
+    "(pipeline/detect_anomalies.py:193-203 → build_profiles.py:71-73); "
+    "here labels are DERIVED — consensus detection runs as a CTE and the "
+    "profile rebuild anti-joins its flagged snapshots (recompute, never "
+    "update-in-place — SURVEY §7.4 last row).",
+)
+def q_profile_rebuild_after_feedback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flagged = (
+        q_detect_consensus(spark, sf_dir)
+        .filter(F.col("is_anomalous"))
+        .select("device_id", "window_start")
+    )
+    snap = _pivot_spark(spark, sf_dir, 86400).drop("n_rows")
+    kept = snap.join(flagged, ["device_id", "window_start"], "left_anti")
+    return kept.groupBy("device_id").agg(
+        F.count("*").alias("n_kept"),
+        *[
+            a
+            for m in METRICS
+            for a in (
+                quantize(F.avg(f"m_{m}")).alias(f"mean_{m}"),
+                quantize(F.stddev_pop(f"m_{m}")).alias(f"std_{m}"),
+            )
+        ],
     )
 
 
@@ -2071,3 +2307,69 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = cosine_pairs_blocked(emb, threshold=0.92)
     return pairs.select("id_a", "id_b", quantize(F.col("similarity")).alias("similarity"))
+
+
+# =====================================================================
+# Structured Streaming end-to-end — registered LAST: a completed
+# streaming query leaves residue in the shared local JVM that
+# intermittently slows later heavy batch queries, so every consumer
+# (driver correctness runner iterates registration order, bench) runs
+# it after the batch queries.
+# =====================================================================
+
+@query(
+    "streaming_window_pivot",
+    RAW_CTE
+    + """
+    , wm AS (SELECT epoch(max(timestamp)) - 120 AS w FROM raw)
+    SELECT device_id, window_start, metric_name, metric_value
+    FROM (
+        SELECT device_id,
+               CAST(floor(epoch(timestamp) / 60) * 60 AS BIGINT) AS window_start,
+               metric_name, metric_value,
+               row_number() OVER (PARTITION BY device_id,
+                                  floor(epoch(timestamp) / 60), metric_name
+                                  ORDER BY timestamp DESC, metric_value DESC) AS rn
+        FROM raw
+    ) r, wm
+    WHERE r.rn = 1 AND r.window_start + 60 <= wm.w
+    """,
+    ["T1", "T2", "T3", "A1", "A2", "A3", "S5", "S13"],
+    "STRUCTURED STREAMING end-to-end: the ingest hot path run as a real "
+    "watermarked streaming query (file source → withWatermark 2W → "
+    "tumbling-window LWW pivot → append sink, availableNow trigger), "
+    "then the emitted snapshots exploded back to rows.  The oracle "
+    "recomputes the same LWW pivot and keeps only windows whose end is "
+    "≤ the final watermark (max event time − 120 s) — i.e. it checks "
+    "Spark's append-mode emission semantics, not just the aggregation "
+    "(pipeline/kafka_consumer.py:381-484; SURVEY §3.1).",
+)
+def q_streaming_window_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from vectorsearch_scylla_spark.streaming.pipeline import windowed_snapshot_stream
+
+    raw = device_metrics_raw(spark, sf_dir).select(
+        "device_id", "timestamp", "metric_name", "metric_value"
+    )
+    src = tempfile.mkdtemp(prefix="vss_stream_src_")
+    ck = tempfile.mkdtemp(prefix="vss_stream_ck_")
+    raw.write.mode("overwrite").parquet(src)
+    name = f"snaps_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(raw.schema).parquet(src)
+    q = (
+        windowed_snapshot_stream(stream, window_seconds=60, watermark_windows=2)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return spark.table(name).select(
+        "device_id",
+        F.unix_timestamp("window_start").alias("window_start"),
+        F.explode("metrics").alias("metric_name", "metric_value"),
+    )

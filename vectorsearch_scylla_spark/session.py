@@ -42,6 +42,14 @@ def get_spark(app_name: str = "vectorsearch-scylla-spark", cpus: str | int | Non
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # --- keep the driver lean; results are written, not collected ---
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # many large generated-code queries in one JVM exhaust the
+        # default ~240 MB code cache → JIT disables itself and every
+        # subsequent query runs interpreted (observed 10-50× slowdowns
+        # late in a bench run).  Reserve enough for the whole suite.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
         # the console progress bar interleaves \r frames with stdout,
         # corrupting bench/driver log lines
