@@ -71,6 +71,11 @@ def main() -> None:
     REGISTRY["tumbling_window_counts"].fn(spark, sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+    # ... and the Python worker pool + Arrow lanes (first mapInPandas in a
+    # session pays ~10 s of worker/Arrow spin-up; workers are reused after)
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name in HEADLINE:
