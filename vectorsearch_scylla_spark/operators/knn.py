@@ -116,58 +116,97 @@ def topk_similarity_join_blocked(
     query_vec: str = "query_vec",
     corpus_vec: str = "corpus_vec",
     exclude_self: bool = False,
+    dtype: str = "float32",
+    join_keys: list[str] | None = None,
 ) -> DataFrame:
     """Exact top-k via per-partition NumPy matmul + global re-rank.
 
-    Same result set as ``topk_similarity_join`` (modulo float32 vs
-    float64 rounding in the dot product).  The corpus never shuffles:
-    each partition emits at most Q×k candidate rows, and the global
-    re-rank runs over Q×k×num_partitions rows — negligible versus N.
+    Same result set as ``topk_similarity_join`` (with ``dtype=
+    "float64"`` the dot products agree with the expression/SQL oracles
+    to fp rounding; float32 is the cheaper 100 TB default).  The corpus
+    never shuffles: each partition emits ~Q×k candidate rows, and the
+    global re-rank runs over Q×k×num_partitions rows — negligible
+    versus N.
 
-    This is strategy (1)+(2) of SURVEY §4.4: float32 block matmul in
+    ``join_keys`` restricts each query's candidates to corpus rows with
+    equal key values (IVF cluster probe / same-device constraint) —
+    applied as a mask INSIDE the kernel so per-batch top-k stays exact.
+
+    This is strategy (1)+(2) of SURVEY §4.4: block matmul in
     ``mapInPandas``, top-k per block, re-rank global top-k.
     """
     import numpy as np
     import pandas as pd
 
+    np_dtype = np.dtype(dtype)
+    join_keys = join_keys or []
     sc = queries.sparkSession
-    qrows = queries.select(query_id, query_vec).collect()
+    qrows = queries.select(query_id, query_vec, *join_keys).collect()
     if not qrows:
         return topk_similarity_join(
             queries, corpus, k, query_id, corpus_id, query_vec, corpus_vec
         )
     qids = [r[query_id] for r in qrows]
-    qmat = np.asarray([r[query_vec] for r in qrows], dtype=np.float32)
+    qmat = np.asarray([r[query_vec] for r in qrows], dtype=np_dtype)
     qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
     qnorm[qnorm == 0.0] = 1.0
     qunit = qmat / qnorm
-    bq = sc.sparkContext.broadcast((qids, qunit))
+    if join_keys:
+        # build a 1-D object array explicitly — np.asarray of equal-length
+        # tuples would silently produce a 2-D array and break broadcasting
+        qkeys = np.empty(len(qrows), dtype=object)
+        qkeys[:] = [tuple(r[kc] for kc in join_keys) for r in qrows]
+    else:
+        qkeys = None
+    bq = sc.sparkContext.broadcast((qids, qunit, qkeys))
 
     out_schema = f"{corpus_id} long, __qidx int, similarity double"
+    # exclude_self drops ≤1 row per query AFTER the per-batch top-k, so
+    # each batch must supply one spare candidate to keep global rank k
+    # exact at the margin.
+    kk_target = k + 1 if exclude_self else k
 
     def block_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qids_b, qunit_b = bq.value
+        qids_b, qunit_b, qkeys_b = bq.value
         nq = qunit_b.shape[0]
         for pdf in batches:
             if pdf.empty:
                 continue
-            cmat = np.asarray(list(pdf[corpus_vec]), dtype=np.float32)
+            cmat = np.asarray(list(pdf[corpus_vec]), dtype=np_dtype)
             cnorm = np.linalg.norm(cmat, axis=1, keepdims=True)
             cnorm[cnorm == 0.0] = 1.0
             sims = (cmat / cnorm) @ qunit_b.T  # (n_corpus, n_queries)
+            if qkeys_b is not None:
+                btuples = [tuple(t) for t in pdf[join_keys].itertuples(index=False)]
+                bkeys = np.empty(len(btuples), dtype=object)
+                bkeys[:] = btuples
+                match = bkeys[:, None] == qkeys_b[None, :]
+                sims = np.where(match, sims, -np.inf)
             cids = pdf[corpus_id].to_numpy()
-            kk = min(k, sims.shape[0])
+            kk = min(kk_target, sims.shape[0])
             # per-query partial top-k within this Arrow batch
             idx = np.argpartition(-sims, kk - 1, axis=0)[:kk, :]
             rows = {corpus_id: [], "__qidx": [], "similarity": []}
             for qi in range(nq):
-                sel = idx[:, qi]
+                # argpartition breaks boundary ties arbitrarily, but the
+                # global re-rank breaks them by corpus_id ASC — emit ALL
+                # candidates tied with the kth value so the deterministic
+                # winner is never dropped batch-side.
+                kth = sims[idx[:, qi], qi].min()
+                if kth == -np.inf:
+                    # fewer matching candidates than k in this batch —
+                    # emit only the real (non-masked) ones
+                    sel = np.nonzero(sims[:, qi] > -np.inf)[0]
+                else:
+                    sel = np.nonzero(sims[:, qi] >= kth)[0]
+                if not len(sel):
+                    continue
                 rows[corpus_id].extend(cids[sel])
                 rows["__qidx"].extend([qi] * len(sel))
                 rows["similarity"].extend(sims[sel, qi].astype(np.float64))
             yield pd.DataFrame(rows)
 
-    candidates = corpus.select(corpus_id, corpus_vec).mapInPandas(
+    candidates = corpus.select(corpus_id, corpus_vec, *join_keys).mapInPandas(
         block_topk, schema=out_schema
     )
     qid_df = sc.createDataFrame(

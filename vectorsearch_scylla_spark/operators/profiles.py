@@ -78,17 +78,47 @@ def build_profiles(
     Mirrors ``pipeline/build_profiles.py:173-232``: excludes anomalous
     snapshots (P9), requires ≥ min_snapshots, records last_seen /
     snapshot_count (A9).
+
+    Assumes ``vec_col`` is non-null and fixed-dimension (the engine's
+    embedding contract, like the reference's ``vector<float, 384>`` —
+    failures produce zero vectors, never null/empty,
+    ``pipeline/kafka_consumer.py:377-379``); snapshot_count is derived
+    from the exploded vector positions.
     """
     normal = snapshots
     if anomaly_col in snapshots.columns:
         normal = snapshots.filter(~F.coalesce(F.col(anomaly_col), F.lit(False)))
 
-    meta = normal.groupBy(key).agg(
-        F.count("*").alias("snapshot_count"),
-        F.max("snapshot_time").alias("last_seen"),
-    ).filter(F.col("snapshot_count") >= min_snapshots)
-
-    centroid = embedding_centroid(normal, key, vec_col)
+    # meta rides the centroid's posexplode pass instead of a third scan
+    # of the snapshot subtree: every snapshot contributes exactly one
+    # row per vector position, so per-(key, pos) count(*) IS the
+    # snapshot count and max(snapshot_time) survives the explode.
+    # Catalyst cannot reuse the aggregation exchange across differently
+    # keyed branches, so each fused branch saves a full upstream
+    # recompute (the snapshot pivot is itself a 2-level aggregation).
+    pos = normal.select(key, "snapshot_time", F.posexplode(vec_col).alias("pos", "val"))
+    by_pos = pos.groupBy(key, "pos").agg(
+        F.avg("val").alias("mean_val"),
+        F.count("*").alias("n_snaps"),
+        F.max("snapshot_time").alias("max_st"),
+    )
+    centroid_meta = (
+        by_pos.groupBy(key)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "mean_val"))).alias("entries"),
+            F.max("n_snaps").alias("snapshot_count"),
+            F.max("max_st").alias("last_seen"),
+        )
+        .filter(F.col("snapshot_count") >= min_snapshots)
+        .select(
+            key,
+            "snapshot_count",
+            "last_seen",
+            F.transform(F.col("entries"), lambda e: e["mean_val"]).alias(
+                "profile_embedding"
+            ),
+        )
+    )
     stats = (
         metric_stats(normal, key, metrics_col)
         .groupBy(key)
@@ -105,6 +135,4 @@ def build_profiles(
             ).alias("metric_stats")
         )
     )
-    return meta.join(centroid, key).join(stats, key).withColumnRenamed(
-        "centroid", "profile_embedding"
-    )
+    return centroid_meta.join(stats, key)

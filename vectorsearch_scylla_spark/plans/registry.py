@@ -39,6 +39,7 @@ from vectorsearch_scylla_spark.operators.window_pivot import window_start
 from vectorsearch_scylla_spark.operators.knn import (
     cosine_pairs_blocked,
     topk_similarity_join,
+    topk_similarity_join_blocked,
 )
 from vectorsearch_scylla_spark.operators.serving import bucket_10s
 
@@ -768,13 +769,18 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("corpus_vec")
     )
-    out = topk_similarity_join(
+    # blocked NumPy kernel (float64 so the dot products agree with the
+    # double-precision oracle): the HOF-expression cosine falls out of
+    # whole-stage codegen and eval-interprets the 64-step fold per pair
+    # — measured ~5x slower than the BLAS matmul even at bench scale.
+    out = topk_similarity_join_blocked(
         queries,
         corpus,
         k=5,
         query_id="query_id",
         corpus_id="neighbor_id",
         exclude_self=True,
+        dtype="float64",
     )
     return out.select(
         "query_id", "neighbor_id", quantize(F.col("similarity")).alias("similarity"), "rank"
@@ -814,13 +820,14 @@ def q_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("neighbor_label"),
         F.col("embedding").alias("corpus_vec"),
     )
-    topk = topk_similarity_join(
+    topk = topk_similarity_join_blocked(
         queries.select("query_id", "query_vec"),
         corpus.select("neighbor_id", "corpus_vec"),
         k=10,
         query_id="query_id",
         corpus_id="neighbor_id",
         exclude_self=True,
+        dtype="float64",
     )
     labeled = (
         topk.join(F.broadcast(queries.select("query_id", "query_label")), "query_id")
@@ -866,16 +873,20 @@ def q_knn_same_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label"),
         F.col("embedding").alias("corpus_vec"),
     )
-    out = topk_similarity_join(
+    # blocked NumPy kernel with the partition constraint masked inside
+    # the batch matmul (see q_knn_bruteforce); label re-attaches from
+    # the query side — equi-key join, so both sides carry the same value.
+    out = topk_similarity_join_blocked(
         queries,
         corpus,
         k=5,
         query_id="query_id",
         corpus_id="neighbor_id",
         exclude_self=True,
+        dtype="float64",
         join_keys=["label"],
     )
-    return out.select(
+    return out.join(F.broadcast(queries.select("query_id", "label")), "query_id").select(
         "query_id",
         "neighbor_id",
         "label",
@@ -972,16 +983,21 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("centroid_label"),
         F.col("embedding").alias("corpus_vec"),
     )
-    out = topk_similarity_join(
-        probes.select("query_id", "centroid_label", "query_vec"),
+    # blocked NumPy kernel with the cluster constraint masked inside the
+    # batch matmul (see q_knn_bruteforce for why not the HOF expression);
+    # centroid_label re-attaches from the probe side — for an equi-key
+    # join the query's key IS the neighbor's key.
+    out = topk_similarity_join_blocked(
+        probes.select("query_id", "query_vec", "centroid_label"),
         corpus,
         k=5,
         query_id="query_id",
         corpus_id="neighbor_id",
         exclude_self=True,
+        dtype="float64",
         join_keys=["centroid_label"],
     )
-    return out.select(
+    return out.join(F.broadcast(probes.select("query_id", "centroid_label")), "query_id").select(
         "query_id",
         "neighbor_id",
         "centroid_label",
@@ -1907,20 +1923,33 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Hamming-distance filter ≤ 3.",
 )
 def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # band = high byte → pure equi-join key (hash/sort-merge joinable,
-    # shuffle partitioned by band at scale); hamming is a cheap bit-op
-    # post-filter on the candidate pairs.
+    # band = high byte.  A band self-JOIN would evaluate the whole
+    # md5-per-word fingerprint tree twice (once per join side — the two
+    # sides project different aliases, so Catalyst cannot reuse the
+    # exchange; measured ~2x the query).  Instead groupBy(band) once and
+    # expand candidate pairs INSIDE each bucket with array HOFs: one
+    # fingerprint pass, one shuffle keyed by band.  LSH buckets are tiny
+    # by construction (same high byte ⇒ near-identical docs), so the
+    # O(bucket²) in-memory expansion is bounded; at 100 TB a runaway
+    # bucket is a data-quality signal, not a plan hazard (AQE skew
+    # handling splits the shuffle read; the flatten stays per-group).
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     sigs = _simhash_df(docs, non_null=True).withColumn(
         "band", F.floor(F.col("simhash") / 256)
     )
-    a = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a"), "band")
-    b = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sh_b"), "band")
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    buckets = sigs.groupBy("band").agg(
+        F.collect_list(F.struct("doc_id", "simhash")).alias("items")
+    )
+    pairs = F.expr(
+        "filter(flatten(transform(items, x -> transform(items, y -> "
+        "struct(x.doc_id AS id_a, y.doc_id AS id_b, "
+        "cast(bit_count(x.simhash ^ y.simhash) AS bigint) AS hamming)))), "
+        "p -> p.id_a < p.id_b AND p.hamming <= 3)"
+    )
     return (
-        a.join(b, ["band"])
-        .filter((F.col("id_a") < F.col("id_b")) & (hamming <= 3))
-        .select("id_a", "id_b", hamming.cast("long").alias("hamming"))
+        buckets.filter(F.size("items") > 1)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
     )
 
 
