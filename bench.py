@@ -84,21 +84,30 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in REGISTRY:
-            continue
-        # best-of-2: one-off JIT/GC stalls in the shared JVM have been
-        # observed adding 10-50x to a single execution; the min of two
-        # runs measures the plan, not the stall
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+    def time_once(name: str) -> float:
+        t0 = time.perf_counter()
+        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return time.perf_counter() - t0
+
+    # Transient host/JVM stalls (CPU steal, GC, JIT deopt) have been
+    # observed adding 10-50x to whatever executes during a ~20-60 s
+    # window — back-to-back best-of-2 sits inside the same window and
+    # measures the stall twice.  Instead: one timed run each, then a
+    # DEFERRED retry pass for anything suspiciously slow, minutes away
+    # from its first run.  The retry pass stays BEFORE the streaming
+    # query (streaming residue slows later batch queries — see HEADLINE).
+    batch = [n for n in HEADLINE if n in REGISTRY and n != "streaming_window_pivot"]
+    times: dict[str, float] = {name: time_once(name) for name in batch}
+    for name in [n for n in batch if times[n] > 1.5]:
+        times[name] = min(times[name], time_once(name))
+    if "streaming_window_pivot" in REGISTRY and "streaming_window_pivot" in HEADLINE:
+        t = time_once("streaming_window_pivot")
+        if t > 5.0:  # micro-batch scheduling jitter; nothing runs after, so retry is safe
+            t = min(t, time_once("streaming_window_pivot"))
+        times["streaming_window_pivot"] = t
+    times = {n: round(t, 3) for n, t in times.items()}
 
     total = round(sum(times.values()), 3)
     print(
