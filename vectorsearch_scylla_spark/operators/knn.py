@@ -118,6 +118,7 @@ def topk_similarity_join_blocked(
     exclude_self: bool = False,
     dtype: str = "float32",
     join_keys: list[str] | None = None,
+    max_query_rows: int = 4096,
 ) -> DataFrame:
     """Exact top-k via per-partition NumPy matmul + global re-rank.
 
@@ -132,87 +133,131 @@ def topk_similarity_join_blocked(
     equal key values (IVF cluster probe / same-device constraint) —
     applied as a mask INSIDE the kernel so per-batch top-k stays exact.
 
+    The query side is processed in chunks of ``max_query_rows``: each
+    chunk is a BOUNDED driver collect + broadcast whose kernel scans
+    the corpus once, and all chunks' candidates union into one global
+    re-rank (one job — chunk scans run concurrently).  Driver memory is
+    O(max_query_rows × d) regardless of Q, the corpus still never
+    shuffles; the trade is ceil(Q / max_query_rows) corpus scans, the
+    classic blocked exact-kNN sweep.  Id columns keep whatever type the
+    inputs carry (string snapshot ids, long vec ids, ...).
+
     This is strategy (1)+(2) of SURVEY §4.4: block matmul in
     ``mapInPandas``, top-k per block, re-rank global top-k.
     """
+    import math
+
     import numpy as np
     import pandas as pd
+    from pyspark.sql import types as T
 
     np_dtype = np.dtype(dtype)
     join_keys = join_keys or []
     sc = queries.sparkSession
-    qrows = queries.select(query_id, query_vec, *join_keys).collect()
-    if not qrows:
+    qsel = queries.select(query_id, query_vec, *join_keys)
+    n_q = qsel.count()
+    if not n_q:
         return topk_similarity_join(
             queries, corpus, k, query_id, corpus_id, query_vec, corpus_vec
         )
-    qids = [r[query_id] for r in qrows]
-    qmat = np.asarray([r[query_vec] for r in qrows], dtype=np_dtype)
-    qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
-    qnorm[qnorm == 0.0] = 1.0
-    qunit = qmat / qnorm
-    if join_keys:
-        # build a 1-D object array explicitly — np.asarray of equal-length
-        # tuples would silently produce a 2-D array and break broadcasting
-        qkeys = np.empty(len(qrows), dtype=object)
-        qkeys[:] = [tuple(r[kc] for kc in join_keys) for r in qrows]
-    else:
-        qkeys = None
-    bq = sc.sparkContext.broadcast((qids, qunit, qkeys))
+    nchunks = max(1, math.ceil(n_q / max_query_rows))
 
-    out_schema = f"{corpus_id} long, __qidx int, similarity double"
+    out_fields = [
+        T.StructField(corpus_id, corpus.schema[corpus_id].dataType, True),
+        T.StructField("__qidx", T.IntegerType(), False),
+        T.StructField("similarity", T.DoubleType(), False),
+    ]
+    out_schema = T.StructType(out_fields)
+    qid_schema = T.StructType(
+        [
+            T.StructField("__qidx", T.IntegerType(), False),
+            T.StructField(query_id, queries.schema[query_id].dataType, True),
+        ]
+    )
     # exclude_self drops ≤1 row per query AFTER the per-batch top-k, so
     # each batch must supply one spare candidate to keep global rank k
     # exact at the margin.
     kk_target = k + 1 if exclude_self else k
 
-    def block_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        qids_b, qunit_b, qkeys_b = bq.value
-        nq = qunit_b.shape[0]
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            cmat = np.asarray(list(pdf[corpus_vec]), dtype=np_dtype)
-            cnorm = np.linalg.norm(cmat, axis=1, keepdims=True)
-            cnorm[cnorm == 0.0] = 1.0
-            sims = (cmat / cnorm) @ qunit_b.T  # (n_corpus, n_queries)
-            if qkeys_b is not None:
-                btuples = [tuple(t) for t in pdf[join_keys].itertuples(index=False)]
-                bkeys = np.empty(len(btuples), dtype=object)
-                bkeys[:] = btuples
-                match = bkeys[:, None] == qkeys_b[None, :]
-                sims = np.where(match, sims, -np.inf)
-            cids = pdf[corpus_id].to_numpy()
-            kk = min(kk_target, sims.shape[0])
-            # per-query partial top-k within this Arrow batch
-            idx = np.argpartition(-sims, kk - 1, axis=0)[:kk, :]
-            rows = {corpus_id: [], "__qidx": [], "similarity": []}
-            for qi in range(nq):
-                # argpartition breaks boundary ties arbitrarily, but the
-                # global re-rank breaks them by corpus_id ASC — emit ALL
-                # candidates tied with the kth value so the deterministic
-                # winner is never dropped batch-side.
-                kth = sims[idx[:, qi], qi].min()
-                if kth == -np.inf:
-                    # fewer matching candidates than k in this batch —
-                    # emit only the real (non-masked) ones
-                    sel = np.nonzero(sims[:, qi] > -np.inf)[0]
-                else:
-                    sel = np.nonzero(sims[:, qi] >= kth)[0]
-                if not len(sel):
-                    continue
-                rows[corpus_id].extend(cids[sel])
-                rows["__qidx"].extend([qi] * len(sel))
-                rows["similarity"].extend(sims[sel, qi].astype(np.float64))
-            yield pd.DataFrame(rows)
+    def chunk_candidates(qrows: list) -> DataFrame:
+        qids = [r[query_id] for r in qrows]
+        qmat = np.asarray([r[query_vec] for r in qrows], dtype=np_dtype)
+        qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
+        qnorm[qnorm == 0.0] = 1.0
+        qunit = qmat / qnorm
+        if join_keys:
+            # build a 1-D object array explicitly — np.asarray of
+            # equal-length tuples would silently produce a 2-D array and
+            # break broadcasting
+            qkeys = np.empty(len(qrows), dtype=object)
+            qkeys[:] = [tuple(r[kc] for kc in join_keys) for r in qrows]
+        else:
+            qkeys = None
+        bq = sc.sparkContext.broadcast((qunit, qkeys))
 
-    candidates = corpus.select(corpus_id, corpus_vec, *join_keys).mapInPandas(
-        block_topk, schema=out_schema
-    )
-    qid_df = sc.createDataFrame(
-        [(i, qid) for i, qid in enumerate(qids)], schema=f"__qidx int, {query_id} long"
-    )
-    joined = candidates.join(F.broadcast(qid_df), "__qidx")
+        def block_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            qunit_b, qkeys_b = bq.value
+            nq = qunit_b.shape[0]
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                cmat = np.asarray(list(pdf[corpus_vec]), dtype=np_dtype)
+                cnorm = np.linalg.norm(cmat, axis=1, keepdims=True)
+                cnorm[cnorm == 0.0] = 1.0
+                sims = (cmat / cnorm) @ qunit_b.T  # (n_corpus, n_queries)
+                if qkeys_b is not None:
+                    btuples = [
+                        tuple(t) for t in pdf[join_keys].itertuples(index=False)
+                    ]
+                    bkeys = np.empty(len(btuples), dtype=object)
+                    bkeys[:] = btuples
+                    match = bkeys[:, None] == qkeys_b[None, :]
+                    sims = np.where(match, sims, -np.inf)
+                cids = pdf[corpus_id].to_numpy()
+                kk = min(kk_target, sims.shape[0])
+                # per-query partial top-k within this Arrow batch
+                idx = np.argpartition(-sims, kk - 1, axis=0)[:kk, :]
+                rows = {corpus_id: [], "__qidx": [], "similarity": []}
+                for qi in range(nq):
+                    # argpartition breaks boundary ties arbitrarily, but
+                    # the global re-rank breaks them by corpus_id ASC —
+                    # emit ALL candidates tied with the kth value so the
+                    # deterministic winner is never dropped batch-side.
+                    kth = sims[idx[:, qi], qi].min()
+                    if kth == -np.inf:
+                        # fewer matching candidates than k in this batch
+                        # — emit only the real (non-masked) ones
+                        sel = np.nonzero(sims[:, qi] > -np.inf)[0]
+                    else:
+                        sel = np.nonzero(sims[:, qi] >= kth)[0]
+                    if not len(sel):
+                        continue
+                    rows[corpus_id].extend(cids[sel])
+                    rows["__qidx"].extend([qi] * len(sel))
+                    rows["similarity"].extend(sims[sel, qi].astype(np.float64))
+                yield pd.DataFrame(rows)
+
+        cand = corpus.select(corpus_id, corpus_vec, *join_keys).mapInPandas(
+            block_topk, schema=out_schema
+        )
+        qid_df = sc.createDataFrame(
+            [(i, qid) for i, qid in enumerate(qids)], schema=qid_schema
+        )
+        return cand.join(F.broadcast(qid_df), "__qidx").drop("__qidx")
+
+    if nchunks == 1:
+        joined = chunk_candidates(qsel.collect())
+    else:
+        parts = []
+        for ci in range(nchunks):
+            qrows = qsel.filter(
+                F.pmod(F.xxhash64(F.col(query_id)), F.lit(nchunks)) == ci
+            ).collect()
+            if qrows:
+                parts.append(chunk_candidates(qrows))
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = joined.unionByName(p)
     if exclude_self:
         joined = joined.filter(F.col(query_id) != F.col(corpus_id))
     w = Window.partitionBy(query_id).orderBy(
@@ -238,19 +283,23 @@ def cosine_pairs_blocked(
     The N×N pair space never materializes as rows: each Arrow batch of
     B rows does one (B × N) BLAS multiply and emits only the pairs
     above threshold.  At demo scale this replaced an interpreted
-    expression self-join that was ~100× slower; at 100 TB the corpus no
-    longer fits a broadcast — the scale path is LSH/MinHash bucketing
-    (see ``lsh_topk_similarity_join`` / the minhash registry queries)
-    to prefilter candidates, then this exact kernel per bucket.
+    expression self-join that was ~100× slower.  BOUNDED INPUTS ONLY:
+    this collects + broadcasts the full (id, vector) set, so it is the
+    exact kernel you run per LSH/MinHash bucket or on one detection
+    microbatch — the registry's corpus-scale near-dup query uses
+    ``hyperplane_lsh`` banding for candidates instead (see
+    ``functions/hyperplane.py``), never this on a whole corpus.
 
-    float64 end-to-end so results hash-match a double-precision SQL
-    oracle.
+    Ids keep the input column's type (orderable — pairs are deduped by
+    ``id_a < id_b``).  float64 end-to-end so results hash-match a
+    double-precision SQL oracle.
     """
     import numpy as np
     import pandas as pd
 
+    id_dt = df.schema[id_col].dataType.simpleString()
     rows = df.select(id_col, vec_col).collect()
-    ids = np.asarray([r[id_col] for r in rows], dtype=np.int64)
+    ids = np.asarray([r[id_col] for r in rows])
     mat = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     zero = norms == 0.0
@@ -264,7 +313,7 @@ def cosine_pairs_blocked(
         for pdf in batches:
             if pdf.empty:
                 continue
-            bids = pdf[id_col].to_numpy(dtype=np.int64)
+            bids = pdf[id_col].to_numpy()
             bmat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
             bnorms = np.linalg.norm(bmat, axis=1, keepdims=True)
             bzero = (bnorms == 0.0).ravel()
@@ -282,7 +331,7 @@ def cosine_pairs_blocked(
             )
 
     return df.select(id_col, vec_col).mapInPandas(
-        emit_pairs, schema="id_a long, id_b long, similarity double"
+        emit_pairs, schema=f"id_a {id_dt}, id_b {id_dt}, similarity double"
     )
 
 

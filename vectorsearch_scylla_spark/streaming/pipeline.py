@@ -135,22 +135,26 @@ def windowed_snapshot_stream(
     Output: device_id, window_start/window_end (timestamps),
     metrics map<metric→last value>, snapshot_time (max source tick),
     n_metrics.
+
+    Equal-timestamp writes tie-break on ``event_id`` when the source
+    carries one — matching the batch twin ``lww_window_snapshot``
+    exactly.  The reference's Kafka message has no event id
+    (``pipeline/kafka_producer.py:149-158``), so the Kafka path falls
+    back to max-value tie-breaking (documented divergence: ties only).
     """
     watermark = f"{window_seconds * watermark_windows} seconds"
     win = F.window("timestamp", f"{window_seconds} seconds")
+    entry_fields = [F.col("metric_name"), F.col("timestamp").alias("ts")]
+    if "event_id" in metrics.columns:
+        # sort key (metric, ts, event_id, v): last entry per metric is
+        # the max-(ts, event_id) write — the batch twin's max_by struct
+        entry_fields.append(F.col("event_id"))
+    entry_fields.append(F.col("metric_value").alias("v"))
     agged = (
         metrics.withWatermark("timestamp", watermark)
         .groupBy(F.col("device_id"), win.alias("window"))
         .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col("metric_name"),
-                        F.col("timestamp").alias("ts"),
-                        F.col("metric_value").alias("v"),
-                    )
-                )
-            ).alias("__entries"),
+            F.array_sort(F.collect_list(F.struct(*entry_fields))).alias("__entries"),
             F.max("timestamp").alias("snapshot_time"),
         )
     )
