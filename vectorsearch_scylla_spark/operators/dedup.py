@@ -1,0 +1,150 @@
+"""Near-duplicate fingerprints for the training-data dedup pipeline.
+
+128-bit SimHash with b×r LSH banding — the corpus-scale near-dup
+candidate generator (replaces round 1's 16-bit/256-band scheme whose
+band key had too little entropy to bound bucket sizes at 100 TB).
+
+Scheme (b=6 bands × r=21 bits over a 128-bit fingerprint):
+- fingerprint: one md5 per word; all 128 digest bits vote ±1 per word,
+  bit i of the fingerprint set iff its vote sum is positive.  Computed
+  in an Arrow-batched NumPy kernel — higher-order-function expression
+  folds run interpreted (outside whole-stage codegen) and a 128-wide
+  fold per word is ~8× the work of round 1's 16-wide one, while the
+  kernel hashes each word once at C speed and never shuffles the text.
+- banding: any pair within Hamming distance b−1 (=5) differs in ≤5 bit
+  positions, which touch ≤5 of the 6 bands, so at least one band is
+  identical on both sides — the per-band equi-join finds EVERY such
+  pair (pigeonhole): the operator is exact for h ≤ 5, not approximate.
+- band-key entropy: 2^21 values per band (× 6 band ids) — expected
+  bucket size N/2^21, so the per-band join's quadratic term stays
+  bounded at 100 TB (vs 2^8 buckets in the old scheme).
+
+Reference parity: the reference dedups via embedding ANN (HNSW,
+scylladb_setup/create_iot_schema.py:137-155); this is the text-side
+twin a training pipeline runs before embedding.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SIMHASH_BITS = 128
+SIMHASH_BANDS = 6
+SIMHASH_BAND_BITS = 21  # 6×21 = 126 bits banded; bits 126-127 unbanded
+SIG_WORDS = 4  # fingerprint surfaced as 4 × 32-bit little-endian words
+
+
+def simhash128(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, text) → (id, s0..s3, b0..b5): 128-bit SimHash fingerprint as
+    four 32-bit signature words plus six 21-bit LSH band values.
+
+    Bit layout (shared verbatim with the DuckDB oracle in
+    ``plans/registry.py``): word w's md5 digest byte j contributes bits
+    i = 8j+b with value ``(byte >> b) & 1`` (LSB-first within each
+    byte); vote = 2·bit − 1; fingerprint bit i = (Σ votes over words)
+    > 0.  s_m packs bits 32m..32m+31 LSB-first; band_k packs bits
+    21k..21k+20 LSB-first.
+
+    Rows with NULL text must be filtered by the caller (they carry no
+    words to hash); the kernel raises on None rather than guessing.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    w32 = 1 << np.arange(32, dtype=np.int64)
+    w21 = 1 << np.arange(SIMHASH_BAND_BITS, dtype=np.int64)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            s_cols: list[list[int]] = [[] for _ in range(SIG_WORDS)]
+            b_cols: list[list[int]] = [[] for _ in range(SIMHASH_BANDS)]
+            for text in pdf[text_col]:
+                votes = np.zeros(SIMHASH_BITS, dtype=np.int64)
+                for word in text.split(" "):
+                    d = hashlib.md5(word.encode("utf-8")).digest()
+                    bits = np.unpackbits(
+                        np.frombuffer(d, dtype=np.uint8), bitorder="little"
+                    ).astype(np.int64)
+                    votes += 2 * bits - 1
+                fp = (votes > 0).astype(np.int64)
+                for m in range(SIG_WORDS):
+                    s_cols[m].append(int(fp[32 * m : 32 * m + 32] @ w32))
+                for k in range(SIMHASH_BANDS):
+                    lo = SIMHASH_BAND_BITS * k
+                    b_cols[k].append(int(fp[lo : lo + SIMHASH_BAND_BITS] @ w21))
+            out = {id_col: pdf[id_col]}
+            out.update({f"s{m}": s_cols[m] for m in range(SIG_WORDS)})
+            out.update({f"b{k}": b_cols[k] for k in range(SIMHASH_BANDS)})
+            yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [T.StructField(id_col, docs.schema[id_col].dataType, True)]
+        + [T.StructField(f"s{m}", T.LongType(), False) for m in range(SIG_WORDS)]
+        + [T.StructField(f"b{k}", T.LongType(), False) for k in range(SIMHASH_BANDS)]
+    )
+    return docs.select(id_col, text_col).mapInPandas(kernel, schema=schema)
+
+
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    max_hamming: int = SIMHASH_BANDS - 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All pairs (id_a < id_b) with SimHash Hamming distance ≤
+    ``max_hamming`` — EXACT for max_hamming ≤ bands−1 (pigeonhole: see
+    module docstring), LSH-approximate above that.
+
+    Plan shape: one fingerprint pass per join side, bands unpivoted to
+    (id, band_idx, band_val) rows, per-band hash equi-join, Hamming
+    filter, DISTINCT (a pair may collide in several bands).  No
+    whole-band ``collect_list`` — a skewed band is an AQE skew-join,
+    never a single in-memory array.
+    """
+    if max_hamming > SIMHASH_BANDS - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the exactness bound "
+            f"{SIMHASH_BANDS - 1}; results would silently miss pairs"
+        )
+    sigs = simhash128(docs, id_col=id_col, text_col=text_col)
+    banded = sigs.select(
+        id_col,
+        *[f"s{m}" for m in range(SIG_WORDS)],
+        F.posexplode(F.array(*[f"b{k}" for k in range(SIMHASH_BANDS)])).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"s{m}").alias(f"a_s{m}") for m in range(SIG_WORDS)],
+        "band_idx",
+        "band_val",
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"s{m}").alias(f"b_s{m}") for m in range(SIG_WORDS)],
+        F.col("band_idx").alias("band_idx_b"),
+        F.col("band_val").alias("band_val_b"),
+    )
+    hamming = F.expr(
+        " + ".join(f"bit_count(a_s{m} ^ b_s{m})" for m in range(SIG_WORDS))
+    ).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("band_idx") == F.col("band_idx_b"))
+            & (F.col("band_val") == F.col("band_val_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

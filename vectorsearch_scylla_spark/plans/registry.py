@@ -1650,21 +1650,57 @@ def q_profile_rebuild_after_feedback(spark: SparkSession, sf_dir: str) -> DataFr
 # Dedup & text analysis (training-data pipeline ops)
 # =====================================================================
 
+# --- Planted duplicates ---------------------------------------------
+# The driver fixture carries no duplicate texts (verified: 500/500
+# distinct at sf0.01) and testdata is read-only, so a dedup query over
+# it alone passes vacuously with 0 rows.  Both engines therefore derive
+# the SAME deterministic augmented corpus in-query: every 50th doc gets
+# an exact copy (id+1_000_000) and every 50th-offset-25 doc a one-word
+# near-duplicate edit (id+2_000_000) — the positive path of each dedup
+# operator is then oracle-checked on rows that actually exist.
+_PLANTED_DOCS_SQL = """
+    planted AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, text || ' vss' AS text
+        FROM documents WHERE doc_id % 50 = 25
+    )
+"""
+
+
+def _docs_with_planted_dups(docs: DataFrame) -> DataFrame:
+    """Spark twin of ``_PLANTED_DOCS_SQL`` (same rows, bit-identical)."""
+    base = docs.select("doc_id", "text")
+    exact = base.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near = base.filter(F.col("doc_id") % 50 == 25).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" vss")).alias("text"),
+    )
+    return base.unionByName(exact).unionByName(near)
+
+
 @query(
     "dedup_exact",
-    """
+    f"""
+    WITH {_PLANTED_DOCS_SQL.strip()}
     SELECT md5(text) AS text_hash,
            CAST(count(*) AS BIGINT) AS dup_count,
            min(doc_id) AS keeper_doc_id
-    FROM documents
+    FROM planted
     GROUP BY md5(text)
     HAVING count(*) > 1
     """,
     ["DEDUP-EXACT"],
-    "Exact dedup: hash-groupBy on content, keep min doc_id.",
+    "Exact dedup: hash-groupBy on content over the planted-duplicate "
+    "corpus, keep min doc_id — non-vacuous positive path (each exact "
+    "copy forms a dup_count=2 group).",
 )
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _docs_with_planted_dups(load_table(spark, sf_dir, "documents"))
     return (
         docs.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
         .agg(F.count("*").alias("dup_count"), F.min("doc_id").alias("keeper_doc_id"))
