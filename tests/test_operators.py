@@ -139,3 +139,78 @@ def test_anomaly_score_formula(spark):
     got = df.select(anomaly_score(F.col("sim"), F.col("zs")).alias("s")).collect()[0]["s"]
     # max(0, 1-0.8) + min(1, (2 + 10)/40) = 0.2 + 0.3
     assert math.isclose(got, 0.5, rel_tol=1e-12)
+
+
+def test_simhash128_matches_reference_bits(spark):
+    """Kernel bit layout vs an independent per-word md5 reference."""
+    import hashlib
+
+    import numpy as np
+
+    from vectorsearch_scylla_spark.operators.dedup import simhash128
+
+    texts = ["hello world the quick brown fox", "single", "a b a b a"]
+
+    def ref(text):
+        votes = np.zeros(128, dtype=np.int64)
+        for w in text.split(" "):
+            d = hashlib.md5(w.encode()).digest()
+            bits = np.unpackbits(np.frombuffer(d, dtype=np.uint8), bitorder="little")
+            votes += 2 * bits.astype(np.int64) - 1
+        fp = (votes > 0).astype(np.int64)
+        s = [int(fp[32 * m : 32 * m + 32] @ (1 << np.arange(32))) for m in range(4)]
+        b = [int(fp[21 * k : 21 * k + 21] @ (1 << np.arange(21))) for k in range(6)]
+        return s, b
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in simhash128(df).collect()}
+    for i, t in enumerate(texts):
+        s, b = ref(t)
+        assert [got[i][f"s{m}"] for m in range(4)] == s
+        assert [got[i][f"b{k}"] for k in range(6)] == b
+
+
+def test_simhash_near_dup_pairs_exact_within_bound(spark):
+    """Banding finds EVERY pair with hamming <= 5 (pigeonhole) and none
+    above the filter; exact copies pair at hamming 0."""
+    from vectorsearch_scylla_spark.operators.dedup import (
+        simhash128,
+        simhash_near_dup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 4
+    docs = [
+        (0, base),
+        (1, base),  # exact copy -> hamming 0
+        (2, base + "vss"),  # one-word edit -> small hamming
+        (3, "completely different text about spark catalyst tungsten arrow"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_dup_pairs(df, max_hamming=5).collect()
+    }
+    assert pairs.get((0, 1)) == 0
+    # brute-force oracle: every pair with hamming <= 5 must be present
+    sig = {r["doc_id"]: [r[f"s{m}"] for m in range(4)] for r in simhash128(df).collect()}
+
+    def ham(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(sig[a], sig[b]))
+
+    expect = {
+        (a, b): ham(a, b)
+        for a in sig
+        for b in sig
+        if a < b and ham(a, b) <= 5
+    }
+    assert pairs == expect
+
+
+def test_simhash_near_dup_rejects_unsound_bound(spark):
+    import pytest as _pytest
+
+    from vectorsearch_scylla_spark.operators.dedup import simhash_near_dup_pairs
+
+    df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        simhash_near_dup_pairs(df, max_hamming=6)

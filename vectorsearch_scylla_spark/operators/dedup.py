@@ -57,32 +57,47 @@ def simhash128(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     import pandas as pd
     from pyspark.sql import types as T
 
-    w32 = 1 << np.arange(32, dtype=np.int64)
-    w21 = 1 << np.arange(SIMHASH_BAND_BITS, dtype=np.int64)
+    # packing matrix: column m<4 holds weights for sig word m (bits
+    # 32m..32m+31 LSB-first), column 4+k for band k (bits 21k..21k+20)
+    pack = np.zeros((SIMHASH_BITS, SIG_WORDS + SIMHASH_BANDS), dtype=np.int64)
+    for m in range(SIG_WORDS):
+        pack[32 * m : 32 * m + 32, m] = 1 << np.arange(32, dtype=np.int64)
+    for k in range(SIMHASH_BANDS):
+        lo = SIMHASH_BAND_BITS * k
+        pack[lo : lo + SIMHASH_BAND_BITS, SIG_WORDS + k] = 1 << np.arange(
+            SIMHASH_BAND_BITS, dtype=np.int64
+        )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # word → 128-bit row cache: a word is md5'd once per PARTITION,
+        # not once per occurrence (corpora repeat words heavily)
+        cache: dict[str, np.ndarray] = {}
+        md5 = hashlib.md5
+        unpack = np.unpackbits
         for pdf in batches:
             if pdf.empty:
                 continue
-            s_cols: list[list[int]] = [[] for _ in range(SIG_WORDS)]
-            b_cols: list[list[int]] = [[] for _ in range(SIMHASH_BANDS)]
-            for text in pdf[text_col]:
-                votes = np.zeros(SIMHASH_BITS, dtype=np.int64)
-                for word in text.split(" "):
-                    d = hashlib.md5(word.encode("utf-8")).digest()
-                    bits = np.unpackbits(
-                        np.frombuffer(d, dtype=np.uint8), bitorder="little"
-                    ).astype(np.int64)
-                    votes += 2 * bits - 1
-                fp = (votes > 0).astype(np.int64)
-                for m in range(SIG_WORDS):
-                    s_cols[m].append(int(fp[32 * m : 32 * m + 32] @ w32))
-                for k in range(SIMHASH_BANDS):
-                    lo = SIMHASH_BAND_BITS * k
-                    b_cols[k].append(int(fp[lo : lo + SIMHASH_BAND_BITS] @ w21))
+            fps = np.empty((len(pdf), SIMHASH_BITS), dtype=np.int64)
+            for di, text in enumerate(pdf[text_col]):
+                words = text.split(" ")
+                rows = np.empty((len(words), SIMHASH_BITS), dtype=np.uint8)
+                for j, w in enumerate(words):
+                    row = cache.get(w)
+                    if row is None:
+                        row = unpack(
+                            np.frombuffer(md5(w.encode("utf-8")).digest(), np.uint8),
+                            bitorder="little",
+                        )
+                        cache[w] = row
+                    rows[j] = row
+                # votes = Σ(2·bit−1) = 2·Σbit − n; fingerprint bit = votes>0
+                fps[di] = 2 * rows.sum(axis=0, dtype=np.int64) - len(words) > 0
+            packed = fps @ pack  # (B, 10): s0..s3, b0..b5
             out = {id_col: pdf[id_col]}
-            out.update({f"s{m}": s_cols[m] for m in range(SIG_WORDS)})
-            out.update({f"b{k}": b_cols[k] for k in range(SIMHASH_BANDS)})
+            out.update({f"s{m}": packed[:, m] for m in range(SIG_WORDS)})
+            out.update(
+                {f"b{k}": packed[:, SIG_WORDS + k] for k in range(SIMHASH_BANDS)}
+            )
             yield pd.DataFrame(out)
 
     schema = T.StructType(

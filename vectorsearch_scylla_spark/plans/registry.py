@@ -1871,122 +1871,104 @@ def q_minhash_dup_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- SimHash (16-bit, from md5 hex-digit parity per word) -----------
-# bit i's contribution for a word: +1 if the i-th hex digit of md5(word)
-# is odd, else -1; bit set iff the sum over words is > 0.
-_ODD_HEX = "('1','3','5','7','9','b','d','f')"
+# --- SimHash (128-bit, banded — operators/dedup.py) -----------------
+# Bit layout shared verbatim with the NumPy kernel (dedup.py:simhash128):
+# word's md5 digest byte j contributes bits i = 8j+b, LSB-first within
+# each byte; vote = 2·bit − 1; fingerprint bit i = (Σ votes) > 0 —
+# equivalently 2·Σbits > n_words.  s_m packs bits 32m..32m+31
+# LSB-first; band_k packs bits 21k..21k+20 (6×21 = 126 bits banded).
+def _simhash128_sigs_sql(source: str) -> str:
+    """DuckDB CTE chain ``source`` → ``sigs(doc_id, s0..s3, b0..b5)``.
 
-
-def _simhash_bit_sum_sql(i: int) -> str:
-    return (
-        f"list_sum(list_transform(string_split(text, ' '), "
-        f"w -> CASE WHEN substr(md5(w), {i}, 1) IN {_ODD_HEX} THEN 1 ELSE -1 END))"
-    )
-
-
-_SIMHASH_SQL = " + ".join(
-    f"(CASE WHEN {_simhash_bit_sum_sql(i)} > 0 THEN {1 << (i - 1)} ELSE 0 END)"
-    for i in range(1, 17)
-)
-
-
-def _simhash_df(docs: DataFrame, non_null: bool = False) -> DataFrame:
-    """doc_id + 16-bit simhash, computed in a single pass over the words.
-
-    One ``aggregate`` folds every word's md5 into an array of 16 bit-vote
-    sums (zip_with add), then a second projection folds the votes into the
-    integer fingerprint.  This hashes each word ONCE instead of once per
-    bit — the naive 16-independent-bit-sum expression tree re-split and
-    re-hashed the text per bit and fell out of codegen into interpreted
-    eval (measured ~90x slower on the bench documents table).
-
-    NB: lambdas are SQL-text (F.expr), NOT Python-lambda HOFs — repeated
-    Python-lambda HOFs in one projection collide on the lambda variable
-    name and silently mis-evaluate; SQL lambda variables are scoped
-    per-expression.
+    One md5 per word (the ``h`` CTE), then each digest exploded to its
+    128 bits: byte j = hex chars 2j+1/2j+2 (high/low nibble), bit
+    b of byte = (byte >> b) & 1.
     """
-    bits = F.expr(
-        "aggregate(transform(split(text, ' '), w -> md5(cast(w as binary))), "
-        "array_repeat(0, 16), "
-        "(acc, h) -> zip_with(acc, sequence(1, 16), "
-        "(a, i) -> a + CASE WHEN substring(h, i, 1) IN "
-        "('1','3','5','7','9','b','d','f') THEN 1 ELSE -1 END))"
+    hexval = "strpos('0123456789abcdef', substr(hx, {pos}, 1)) - 1"
+    sig_terms = ", ".join(
+        f"CAST(sum(CASE WHEN i // 32 = {m} THEN fp * (CAST(1 AS BIGINT) << (i % 32)) ELSE 0 END) AS BIGINT) AS s{m}"
+        for m in range(4)
     )
-    fold = (
-        "aggregate(zip_with(bits, sequence(0, 15), "
-        "(b, i) -> IF(b > 0, shiftleft(1, i), 0)), 0, (acc, x) -> acc + x)"
+    band_terms = ", ".join(
+        f"CAST(sum(CASE WHEN i < 126 AND i // 21 = {k} THEN fp * (CAST(1 AS BIGINT) << (i % 21)) ELSE 0 END) AS BIGINT) AS b{k}"
+        for k in range(6)
     )
-    if non_null:
-        # see _minhash_sig: pins nullable=false so the band equi-join's
-        # isnotnull probe folds away instead of re-deriving the whole
-        # fingerprint below the projection; callers pre-filter null text,
-        # so the 0 fallback is unreachable
-        fold = f"coalesce({fold}, 0)"
-    return docs.select("doc_id", bits.alias("bits")).select(
-        "doc_id", F.expr(fold).cast("long").alias("simhash")
-    )
+    return f"""
+    w AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM {source} WHERE text IS NOT NULL
+    ),
+    h AS (SELECT doc_id, md5(word) AS hx FROM w),
+    bits AS (
+        SELECT doc_id, i,
+               (((16 * ({hexval.format(pos="2*(i//8)+1")})
+                 + ({hexval.format(pos="2*(i//8)+2")})) >> (i % 8)) & 1) AS bit
+        FROM h, (SELECT unnest(range(0,128)) AS i) idx
+    ),
+    votes AS (
+        SELECT doc_id, i, CASE WHEN 2*sum(bit) > count(*) THEN 1 ELSE 0 END AS fp
+        FROM bits GROUP BY doc_id, i
+    ),
+    sigs AS (
+        SELECT doc_id, {sig_terms}, {band_terms}
+        FROM votes GROUP BY doc_id
+    )"""
 
 
 @query(
     "simhash_fingerprints",
     f"""
-    SELECT doc_id, CAST({_SIMHASH_SQL} AS BIGINT) AS simhash
-    FROM documents
+    WITH {_simhash128_sigs_sql("documents")}
+    SELECT doc_id, s0, s1, s2, s3 FROM sigs
     """,
     ["DEDUP-SIMHASH"],
-    "16-bit SimHash per document from word-hash bit votes — near-dup "
-    "fingerprint where small text edits flip few bits.",
+    "128-bit SimHash per document (four 32-bit signature words) from "
+    "word-hash bit votes — near-dup fingerprint where small text edits "
+    "flip few bits.  Arrow-batched NumPy kernel, one md5 per distinct "
+    "word per partition (operators/dedup.py:simhash128).",
 )
 def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _simhash_df(load_table(spark, sf_dir, "documents"))
+    from vectorsearch_scylla_spark.operators.dedup import simhash128
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return simhash128(docs).select("doc_id", "s0", "s1", "s2", "s3")
 
 
 @query(
     "simhash_dup_pairs",
     f"""
-    WITH sigs AS (
-        SELECT doc_id, CAST({_SIMHASH_SQL} AS BIGINT) AS simhash FROM documents
+    WITH {_PLANTED_DOCS_SQL.strip()},
+    {_simhash128_sigs_sql("planted")},
+    banded AS (
+        SELECT doc_id, s0, s1, s2, s3, k AS band_idx,
+               CASE k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2
+                      WHEN 3 THEN b3 WHEN 4 THEN b4 ELSE b5 END AS band_val
+        FROM sigs, (SELECT unnest(range(0,6)) AS k) bands
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-    FROM sigs a JOIN sigs b
-      ON (a.simhash // 256) = (b.simhash // 256) AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1))
+              + bit_count(xor(a.s2, b.s2)) + bit_count(xor(a.s3, b.s3)) AS BIGINT) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1))
+        + bit_count(xor(a.s2, b.s2)) + bit_count(xor(a.s3, b.s3)) <= 5
     """,
     ["DEDUP-SIMHASH", "DEDUP-LSH"],
-    "SimHash near-dup candidate pairs: band join on the high byte "
-    "(LSH-style candidate generation — no O(N²) pair space), then exact "
-    "Hamming-distance filter ≤ 3.",
+    "SimHash near-dup pairs over the planted-duplicate corpus: 128-bit "
+    "fingerprints, 6×21-bit LSH bands, per-band equi-join, exact Hamming "
+    "filter ≤ 5 — EXACT for h ≤ bands−1 by pigeonhole (any pair within "
+    "Hamming 5 is identical in ≥1 band), and every band key has 2^21 "
+    "entropy so bucket sizes stay bounded at 100 TB.  No whole-band "
+    "collect_list anywhere in the plan: a skewed band is an AQE skew "
+    "join, never one in-memory array (operators/dedup.py).",
 )
 def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # band = high byte.  A band self-JOIN would evaluate the whole
-    # md5-per-word fingerprint tree twice (once per join side — the two
-    # sides project different aliases, so Catalyst cannot reuse the
-    # exchange; measured ~2x the query).  Instead groupBy(band) once and
-    # expand candidate pairs INSIDE each bucket with array HOFs: one
-    # fingerprint pass, one shuffle keyed by band.  LSH buckets are tiny
-    # by construction (same high byte ⇒ near-identical docs), so the
-    # O(bucket²) in-memory expansion is bounded; at 100 TB a runaway
-    # bucket is a data-quality signal, not a plan hazard (AQE skew
-    # handling splits the shuffle read; the flatten stays per-group).
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    sigs = _simhash_df(docs, non_null=True).withColumn(
-        "band", F.floor(F.col("simhash") / 256)
+    from vectorsearch_scylla_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = _docs_with_planted_dups(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
     )
-    buckets = sigs.groupBy("band").agg(
-        F.collect_list(F.struct("doc_id", "simhash")).alias("items")
-    )
-    pairs = F.expr(
-        "filter(flatten(transform(items, x -> transform(items, y -> "
-        "struct(x.doc_id AS id_a, y.doc_id AS id_b, "
-        "cast(bit_count(x.simhash ^ y.simhash) AS bigint) AS hamming)))), "
-        "p -> p.id_a < p.id_b AND p.hamming <= 3)"
-    )
-    return (
-        buckets.filter(F.size("items") > 1)
-        .select(F.explode(pairs).alias("p"))
-        .select("p.id_a", "p.id_b", "p.hamming")
-    )
+    return simhash_near_dup_pairs(docs, max_hamming=5)
 
 
 @query(
