@@ -214,3 +214,48 @@ def test_simhash_near_dup_rejects_unsound_bound(spark):
     df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         simhash_near_dup_pairs(df, max_hamming=6)
+
+
+def test_hyperplane_near_dup_recall_is_exhaustive(spark, sf_dir):
+    """Seeded hyperplane LSH finds EVERY above-threshold pair in the
+    planted corpus (verified against a NumPy brute force)."""
+    import numpy as np
+
+    from vectorsearch_scylla_spark.functions.hyperplane import (
+        hyperplane_near_dup_pairs,
+    )
+    from vectorsearch_scylla_spark.plans.registry import _emb_with_planted_dups
+    from vectorsearch_scylla_spark.sources.tables import load_table
+
+    emb = _emb_with_planted_dups(load_table(spark, sf_dir, "embeddings"))
+    got = {
+        (r["id_a"], r["id_b"]): r["similarity"]
+        for r in hyperplane_near_dup_pairs(emb, 0.92, dim=64).collect()
+    }
+    rows = emb.collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    mat = np.array([r["embedding"] for r in rows])
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = unit @ unit.T
+    iu = np.triu_indices(len(ids), 1)
+    mask = sims[iu] > 0.92
+    exact = {
+        (min(a, b), max(a, b))
+        for a, b in zip(ids[iu[0][mask]], ids[iu[1][mask]])
+    }
+    assert len(exact) > 0  # planted corpus makes the check non-vacuous
+    assert set(got) == exact
+    # exact copies sit at cosine 1.0
+    assert any(abs(s - 1.0) < 1e-12 for s in got.values())
+
+
+def test_hyperplane_signatures_deterministic(spark):
+    from vectorsearch_scylla_spark.functions.hyperplane import hyperplane_signatures
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0, 2.0]), (1, [-1.0, 3.0, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    a = sorted(map(tuple, hyperplane_signatures(df, dim=3).collect()))
+    b = sorted(map(tuple, hyperplane_signatures(df, dim=3).collect()))
+    assert a == b

@@ -1,0 +1,173 @@
+"""Random-hyperplane LSH for cosine similarity — the corpus-scale
+candidate generator for embedding near-duplicate detection.
+
+Scheme (signed random projections, Charikar 2002 — the SimHash family
+applied to real vectors):
+- planes: ``n_bands × band_bits`` unit-free Gaussian directions drawn
+  from a fixed-seed ``numpy.random.RandomState`` (legacy generator —
+  its stream is frozen forever, so signatures are reproducible across
+  processes and sessions).
+- signature: bit p = (v · r_p ≥ 0); band k packs its ``band_bits``
+  bits into one integer key.  P(bit differs) = θ/π for angle θ, so a
+  pair at cosine s collides in a band with prob (1 − θ/π)^band_bits —
+  near-certain for s → 1, vanishing for unrelated vectors.
+- candidates: per-band equi-join on (band_idx, band_val) — bucket
+  sizes are N/2^band_bits in expectation, so the quadratic term stays
+  bounded at 100 TB and a skewed bucket is an AQE skew join, never a
+  driver-side array.
+
+Reference parity: this replaces the reference's HNSW ANN index for the
+pair-retrieval use (scylladb_setup/create_iot_schema.py:137-155) — the
+index *build* is the signature pass, the *probe* is the band join.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _planes(n_planes: int, dim: int, seed: int):
+    import numpy as np
+
+    # RandomState (not default_rng): NumPy guarantees this stream never
+    # changes across versions, which makes seeded signatures a stable
+    # contract for tests and oracles.
+    return np.random.RandomState(seed).standard_normal((dim, n_planes))
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bands: int = 8,
+    band_bits: int = 16,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """(id, vec) → (id, b0..b{n_bands-1}): per-band LSH keys.
+
+    One Arrow-batched NumPy matmul per batch: (B × d) @ (d × planes),
+    signs packed LSB-first per band.  The plane matrix is tiny
+    (d × n_bands·band_bits) and ships once per task via broadcast.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    n_planes = n_bands * band_bits
+    planes = _planes(n_planes, dim, seed)
+    pack = np.zeros((n_planes, n_bands), dtype=np.int64)
+    for k in range(n_bands):
+        pack[k * band_bits : (k + 1) * band_bits, k] = 1 << np.arange(
+            band_bits, dtype=np.int64
+        )
+    bc = df.sparkSession.sparkContext.broadcast((planes, pack))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        planes_b, pack_b = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            signs = (mat @ planes_b) >= 0.0  # (B, n_planes)
+            keys = signs.astype(np.int64) @ pack_b  # (B, n_bands)
+            out = {id_col: pdf[id_col]}
+            out.update({f"b{k}": keys[:, k] for k in range(n_bands)})
+            yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [T.StructField(id_col, df.schema[id_col].dataType, True)]
+        + [T.StructField(f"b{k}", T.LongType(), False) for k in range(n_bands)]
+    )
+    return df.select(id_col, vec_col).mapInPandas(kernel, schema=schema)
+
+
+def hyperplane_near_dup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 8,
+    band_bits: int = 16,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Pairs (id_a < id_b) with cosine > ``threshold`` among band-collision
+    candidates: signature pass → band unpivot → per-band equi-join →
+    DISTINCT pair ids → re-attach both vectors (two hash joins against
+    the input — candidates are tiny relative to N) → exact float64
+    cosine in an Arrow-batched kernel → threshold filter.
+
+    Nothing collects to the driver and the input never self-joins at
+    full width: the only quadratic surface is within-bucket, bounded by
+    the 2^band_bits band-key entropy.  Exact copies collide in every
+    band (identical signs), so recall loss is confined to pairs near
+    the decision boundary — tune ``n_bands`` up for tighter thresholds.
+    """
+    import numpy as np
+    import pandas as pd
+
+    sigs = hyperplane_signatures(
+        df, vec_col=vec_col, id_col=id_col, n_bands=n_bands,
+        band_bits=band_bits, seed=seed, dim=dim,
+    )
+    banded = sigs.select(
+        id_col,
+        F.posexplode(F.array(*[f"b{k}" for k in range(n_bands)])).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_val"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col("band_idx").alias("band_idx_b"),
+        F.col("band_val").alias("band_val_b"),
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("band_idx") == F.col("band_idx_b"))
+            & (F.col("band_val") == F.col("band_val_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    paired = cand.join(va, "id_a").join(vb, "id_b")
+
+    id_dt = df.schema[id_col].dataType.simpleString()
+
+    def cosine_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ma = np.asarray(list(pdf["__va"]), dtype=np.float64)
+            mb = np.asarray(list(pdf["__vb"]), dtype=np.float64)
+            na = np.linalg.norm(ma, axis=1)
+            nb = np.linalg.norm(mb, axis=1)
+            denom = na * nb
+            zero = denom == 0.0
+            denom[zero] = 1.0
+            sims = np.einsum("ij,ij->i", ma, mb) / denom
+            sims[zero] = 0.0  # zero-norm guard: cos := 0
+            keep = sims > threshold
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"][keep],
+                    "id_b": pdf["id_b"][keep],
+                    "similarity": sims[keep],
+                }
+            )
+
+    return paired.mapInPandas(
+        cosine_kernel, schema=f"id_a {id_dt}, id_b {id_dt}, similarity double"
+    )

@@ -286,9 +286,11 @@ def cosine_pairs_blocked(
     expression self-join that was ~100× slower.  BOUNDED INPUTS ONLY:
     this collects + broadcasts the full (id, vector) set, so it is the
     exact kernel you run per LSH/MinHash bucket or on one detection
-    microbatch — the registry's corpus-scale near-dup query uses
-    ``hyperplane_lsh`` banding for candidates instead (see
-    ``functions/hyperplane.py``), never this on a whole corpus.
+    microbatch — the registry's corpus-scale near-dup query
+    (``embedding_neardup_pairs``) instead uses
+    ``functions.hyperplane.hyperplane_near_dup_pairs``: seeded
+    random-hyperplane band candidates + an exact per-candidate cosine
+    kernel, never this on a whole corpus.
 
     Ids keep the input column's type (orderable — pairs are deduped by
     ``id_a < id_b``).  float64 end-to-end so results hash-match a

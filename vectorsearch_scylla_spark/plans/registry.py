@@ -2394,21 +2394,70 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Planted near-duplicate embeddings ------------------------------
+# Like _PLANTED_DOCS_SQL: the fixture corpus has no organic pairs above
+# the 0.92 threshold (max organic cosine 0.51 at sf0.01 / 0.60 at
+# sf0.1), so both engines derive the SAME augmented corpus in-query —
+# every 50th vector gets an exact copy (cosine 1.0) and every
+# 50th-offset-25 a one-coordinate +0.1 nudge (cosine ≈ 0.995+) — and
+# the operator's positive path is oracle-checked on real rows.
+# Vectors are cast to DOUBLE on both sides (float→double is exact) so
+# the planted arithmetic is bit-identical across engines.
+_PLANTED_EMB_SQL = """
+    planted_emb AS (
+        SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings WHERE vec_id % 50 = 0
+        UNION ALL
+        SELECT vec_id + 2000000,
+               list_transform(range(1, len(embedding) + 1),
+                              i -> CASE WHEN i = 1 THEN embedding[i]::DOUBLE + 0.1 ELSE embedding[i]::DOUBLE END)
+        FROM embeddings WHERE vec_id % 50 = 25
+    )
+"""
+
+
+def _emb_with_planted_dups(emb: DataFrame) -> DataFrame:
+    """Spark twin of ``_PLANTED_EMB_SQL`` (same rows, bit-identical)."""
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    exact = base.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding"
+    )
+    near = base.filter(F.col("vec_id") % 50 == 25).select(
+        (F.col("vec_id") + 2000000).alias("vec_id"),
+        F.expr("transform(embedding, (x, i) -> IF(i = 0, x + 0.1D, x))").alias(
+            "embedding"
+        ),
+    )
+    return base.unionByName(exact).unionByName(near)
+
+
 @query(
     "embedding_neardup_pairs",
     f"""
+    WITH {_PLANTED_EMB_SQL.strip()}
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            {Q(KNN_COS)} AS similarity
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM planted_emb a JOIN planted_emb b ON a.vec_id < b.vec_id
     WHERE {KNN_COS} > 0.92
     """,
-    ["DEDUP-EMBED", "V1"],
-    "Embedding-cosine near-duplicate pairs (id_a < id_b de-dupes the "
-    "pair space).",
+    ["DEDUP-EMBED", "V1", "V3"],
+    "Embedding-cosine near-duplicate pairs over the planted corpus — "
+    "the 100 TB path: seeded random-hyperplane LSH signatures (8 bands "
+    "× 16 bits), per-band equi-join candidates, exact float64 cosine "
+    "kernel over candidates only, threshold 0.92.  Nothing collects to "
+    "the driver and the corpus never self-joins at full width "
+    "(functions/hyperplane.py); the oracle is the exhaustive O(N²) "
+    "pair join, so the green row also certifies LSH recall = 1.0 on "
+    "every above-threshold pair.",
 )
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    pairs = cosine_pairs_blocked(emb, threshold=0.92)
+    from vectorsearch_scylla_spark.functions.hyperplane import (
+        hyperplane_near_dup_pairs,
+    )
+
+    emb = _emb_with_planted_dups(load_table(spark, sf_dir, "embeddings"))
+    pairs = hyperplane_near_dup_pairs(emb, threshold=0.92, dim=64)
     return pairs.select("id_a", "id_b", quantize(F.col("similarity")).alias("similarity"))
 
 
