@@ -133,14 +133,18 @@ def topk_similarity_join_blocked(
     equal key values (IVF cluster probe / same-device constraint) —
     applied as a mask INSIDE the kernel so per-batch top-k stays exact.
 
-    The query side is processed in chunks of ``max_query_rows``: each
-    chunk is a BOUNDED driver collect + broadcast whose kernel scans
-    the corpus once, and all chunks' candidates union into one global
-    re-rank (one job — chunk scans run concurrently).  Driver memory is
-    O(max_query_rows × d) regardless of Q, the corpus still never
-    shuffles; the trade is ceil(Q / max_query_rows) corpus scans, the
-    classic blocked exact-kNN sweep.  Id columns keep whatever type the
-    inputs carry (string snapshot ids, long vec ids, ...).
+    The query side is collected ONCE (a single evaluation of the query
+    plan — safe for nondeterministic inputs like ``sample``/``limit``)
+    then sliced into chunks of ``max_query_rows``: each chunk is a
+    bounded broadcast whose kernel scans the corpus once, and all
+    chunks' candidates union into one global re-rank (one job — chunk
+    scans run concurrently).  Driver memory is O(Q × d) for the collect
+    (the query side is assumed small relative to the corpus); chunking
+    bounds each broadcast and each kernel's working set to
+    O(max_query_rows × d).  The corpus still never shuffles; the trade
+    is ceil(Q / max_query_rows) corpus scans, the classic blocked
+    exact-kNN sweep.  Id columns keep whatever type the inputs carry
+    (string snapshot ids, long vec ids, ...).
 
     This is strategy (1)+(2) of SURVEY §4.4: block matmul in
     ``mapInPandas``, top-k per block, re-rank global top-k.
@@ -154,8 +158,8 @@ def topk_similarity_join_blocked(
     np_dtype = np.dtype(dtype)
     join_keys = join_keys or []
     sc = queries.sparkSession
-    qsel = queries.select(query_id, query_vec, *join_keys)
-    n_q = qsel.count()
+    qrows_all = queries.select(query_id, query_vec, *join_keys).collect()
+    n_q = len(qrows_all)
     if not n_q:
         return topk_similarity_join(
             queries, corpus, k, query_id, corpus_id, query_vec, corpus_vec
@@ -246,15 +250,12 @@ def topk_similarity_join_blocked(
         return cand.join(F.broadcast(qid_df), "__qidx").drop("__qidx")
 
     if nchunks == 1:
-        joined = chunk_candidates(qsel.collect())
+        joined = chunk_candidates(qrows_all)
     else:
-        parts = []
-        for ci in range(nchunks):
-            qrows = qsel.filter(
-                F.pmod(F.xxhash64(F.col(query_id)), F.lit(nchunks)) == ci
-            ).collect()
-            if qrows:
-                parts.append(chunk_candidates(qrows))
+        parts = [
+            chunk_candidates(qrows_all[ci * max_query_rows : (ci + 1) * max_query_rows])
+            for ci in range(nchunks)
+        ]
         joined = parts[0]
         for p in parts[1:]:
             joined = joined.unionByName(p)

@@ -2314,7 +2314,10 @@ def q_fleet_config_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.exists(cfg_path):
         os.makedirs(cfg_dir, exist_ok=True)
         devices = sorted(r[0] for r in raw.select("device_id").distinct().collect())
-        with open(cfg_path, "w") as f:
+        # write-then-rename: a crash mid-write must not leave a
+        # truncated fixture that every later run reuses forever
+        fd, tmp_path = tempfile.mkstemp(dir=cfg_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
             for d in devices:
                 f.write(
                     json.dumps(
@@ -2326,7 +2329,8 @@ def q_fleet_config_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     + "\n"
                 )
-    return spark.read.json(cfg_dir).select("device_id", "device_name", "building_id")
+        os.replace(tmp_path, cfg_path)
+    return spark.read.json(cfg_path).select("device_id", "device_name", "building_id")
 
 
 # =====================================================================
@@ -2472,20 +2476,37 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _stream_source_dir(raw: DataFrame, sf_dir: str) -> str:
     """Deterministic, reusable parquet copy of ``raw`` for file-source
-    streaming queries — keyed by (sf_dir, columns) so repeated bench /
-    correctness invocations reuse one copy instead of leaking a fresh
-    tempdir + full rewrite per call.  The marker file starts with ``_``
-    so Spark's file listing treats it as hidden."""
+    streaming queries — keyed by (sf_dir contents, columns) so repeated
+    bench / correctness invocations reuse one copy instead of leaking a
+    fresh tempdir + full rewrite per call.
+
+    The cache key folds in the source parquet files' (name, size,
+    mtime) so regenerated testdata at the same path gets a fresh copy
+    rather than silently reusing a stale one, and the copy is staged in
+    a unique temp dir then atomically renamed into place so concurrent
+    runs never observe (or destroy) a half-written source."""
+    import glob
     import hashlib
     import os
+    import shutil
     import tempfile
+    import uuid
 
-    key = hashlib.md5(("|".join([sf_dir, *raw.columns])).encode()).hexdigest()[:12]
+    stats = [
+        f"{os.path.basename(p)}:{st.st_size}:{st.st_mtime_ns}"
+        for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet")))
+        for st in [os.stat(p)]
+    ]
+    key = hashlib.md5(("|".join([sf_dir, *raw.columns, *stats])).encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"vss_stream_src_{key}")
-    marker = os.path.join(path, "_VSS_READY")
-    if not os.path.exists(marker):
-        raw.write.mode("overwrite").parquet(path)
-        open(marker, "w").close()
+    if not os.path.isdir(path):
+        staging = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+        raw.write.mode("overwrite").parquet(staging)
+        try:
+            os.rename(staging, path)
+        except OSError:
+            # another process won the race — its copy is equivalent
+            shutil.rmtree(staging, ignore_errors=True)
     return path
 
 @query(
@@ -2542,7 +2563,13 @@ def q_streaming_window_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(600)
+    if not q.awaitTermination(600):
+        # never delete the checkpoint out from under a live query
+        q.stop()
+        shutil.rmtree(ck, ignore_errors=True)
+        raise RuntimeError(
+            "streaming_window_pivot: availableNow query did not drain within 600s"
+        )
     shutil.rmtree(ck, ignore_errors=True)
     return spark.table(name).select(
         "device_id",
