@@ -33,6 +33,7 @@ HEADLINE = [
     "knn_label_purity",
     "knn_same_label",
     "ivf_knn",
+    "lsh_knn",
     "path3_novelty_flags",
     "window_pivot_snapshot",
     "tumbling_window_counts",

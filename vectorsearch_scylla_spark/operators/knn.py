@@ -349,6 +349,8 @@ def lsh_topk_similarity_join(
     bucket_length: float = 2.0,
     num_hash_tables: int = 3,
     seed: int = 42,
+    distance_threshold: float = 2.0,
+    exclude_self: bool = False,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH candidates + exact re-rank.
 
@@ -358,6 +360,15 @@ def lsh_topk_similarity_join(
     neighborhoods (SURVEY §4.4 option 2).  Recall is tunable via
     ``num_hash_tables`` (more tables → more candidates → higher
     recall); tests check recall ≥ 0.9 against the exact join.
+
+    ``distance_threshold`` bounds the L2 distance of emitted candidate
+    pairs (2.0 = no bound on unit vectors).  For near-duplicate /
+    similar-state retrieval pass the cosine floor's distance image,
+    ``sqrt(2 − 2·min_cos)`` — the join then prunes unrelated pairs
+    instead of carrying them to the re-rank, which is what makes the
+    approximate join sub-quadratic in practice.  ``exclude_self`` drops
+    query==corpus id matches before ranking (for self-join retrieval
+    where the query set is a subset of the corpus).
     """
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
@@ -384,7 +395,7 @@ def lsh_topk_similarity_join(
     # unit vectors: max L2 distance is 2.0 → threshold 2.0 keeps all
     # colliding candidates; ranking below is exact cosine.
     cand = model.approxSimilarityJoin(
-        model.transform(qn), model.transform(cn), 2.0, distCol="__dist"
+        model.transform(qn), model.transform(cn), distance_threshold, distCol="__dist"
     ).select(
         F.col("datasetA.__qid").alias("__qid"),
         F.col("datasetB.__cid").alias("__cid"),
@@ -392,6 +403,8 @@ def lsh_topk_similarity_join(
             "similarity"
         ),
     )
+    if exclude_self:
+        cand = cand.filter(F.col("__qid") != F.col("__cid"))
     w = Window.partitionBy("__qid").orderBy(
         F.col("similarity").desc(), F.col("__cid").asc()
     )

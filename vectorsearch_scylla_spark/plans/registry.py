@@ -38,6 +38,7 @@ from vectorsearch_scylla_spark.sources.tables import load_table, device_metrics_
 from vectorsearch_scylla_spark.operators.window_pivot import window_start
 from vectorsearch_scylla_spark.operators.knn import (
     cosine_pairs_blocked,
+    lsh_topk_similarity_join,
     topk_similarity_join,
     topk_similarity_join_blocked,
 )
@@ -2463,6 +2464,59 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb_with_planted_dups(load_table(spark, sf_dir, "embeddings"))
     pairs = hyperplane_near_dup_pairs(emb, threshold=0.92, dim=64)
     return pairs.select("id_a", "id_b", quantize(F.col("similarity")).alias("similarity"))
+
+
+@query(
+    "lsh_knn",
+    f"""
+    WITH {_PLANTED_EMB_SQL.strip()}
+    SELECT query_id, neighbor_id, {Q("similarity")} AS similarity
+    FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {KNN_COS} AS similarity,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {KNN_COS} DESC, b.vec_id ASC) AS rank
+        FROM planted_emb a JOIN planted_emb b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id >= 1000000
+    ) WHERE rank = 1
+    """,
+    ["V3", "V6", "J3", "W2", "ANN-LSH"],
+    "LSH APPROXIMATE nearest-neighbor retrieval, value-checked: for "
+    "each planted duplicate (exact copy at cos 1.0, nudged copy at cos "
+    "≈0.995) find its most-similar state via BucketedRandomProjectionLSH "
+    "(seed 42, 3 tables, bucketLength 0.25) with a REAL candidate "
+    "bound — distance ≤ 0.6 ⇔ cosine ≥ 0.82, so unrelated pairs are "
+    "pruned at the hash join, not carried to the re-rank.  The oracle "
+    "is the EXACT top-1 CTE: any LSH miss (recall@1 < 1.0) or wrong "
+    "neighbor is a row-count/hash mismatch, so the green row certifies "
+    "perfect seeded recall on the reference's similar-state workload "
+    "(ORDER BY embedding ANN OF ? LIMIT 1 with the 0.85 similarity "
+    "floor — pipeline/find_similar_states.py:106-134, "
+    "docs/SCYLLADB_VECTOR_SEARCH_REFERENCE.md:49-58).",
+)
+def q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb_with_planted_dups(load_table(spark, sf_dir, "embeddings"))
+    queries = emb.filter(F.col("vec_id") >= 1000000).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("corpus_vec")
+    )
+    out = lsh_topk_similarity_join(
+        queries,
+        corpus,
+        k=1,
+        query_id="query_id",
+        corpus_id="neighbor_id",
+        bucket_length=0.25,
+        num_hash_tables=3,
+        seed=42,
+        distance_threshold=0.6,
+        exclude_self=True,
+    )
+    return out.select(
+        "query_id", "neighbor_id", quantize(F.col("similarity")).alias("similarity")
+    )
 
 
 # =====================================================================
