@@ -1,0 +1,155 @@
+"""IVF (inverted-file) ANN index build: deterministic distributed
+Lloyd's k-means over an embedding column.
+
+The reference's ANN index is an HNSW build maintained by the database
+(scylladb_setup/create_iot_schema.py:137-155); the Spark-first
+equivalent of "build the index" is training a coarse quantizer over
+the corpus and materializing the cluster assignment as a partition
+key, so probes become hash-join partition scans (N/C candidates per
+query instead of N).
+
+Why hand-rolled Lloyd instead of ``pyspark.ml.clustering.KMeans``:
+this engine's correctness gate is bit-exact parity with a DuckDB SQL
+oracle, and MLlib's k-means|| init + treeAggregate reduction order is
+not reproducible in SQL.  This trainer is deterministic BY
+CONSTRUCTION on both engines:
+
+- init: the k vectors with the smallest ``md5(cast(id as string))``
+  (tie-break id) — a seeded pseudo-random draw both engines compute
+  identically;
+- assignment: argmax cosine against the current centroids, tie-break
+  lowest cluster id — a map-side-only expression (no shuffle, no
+  join: centroids ride along as literals, exactly how MLlib
+  broadcasts them);
+- update: per-(cluster, position) mean via ``posexplode`` +
+  ``groupBy`` — partially aggregated map-side, the same shape as
+  MLlib's treeAggregate — then QUANTIZED to ``decimals`` places, so
+  both engines enter the next iteration with bit-identical centroids
+  and fp-accumulation order can never drift across iterations;
+- fixed iteration count (no convergence test — a data-dependent stop
+  would have to match across engines).
+
+Execution cost per iteration at scale: one corpus scan (assignment is
+embarrassingly parallel; the fold-based cosine runs interpreted, so
+swap in a blocked NumPy ``mapInPandas`` kernel for the assignment pass
+when d×k grows) plus one k×d-sized shuffle (the update aggregate) —
+identical asymptotics to MLlib.  ``tests/test_operators.py`` checks
+the trainer's clustering quality against ``pyspark.ml.KMeans`` on the
+same corpus so determinism isn't bought with a degenerate clustering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# mirrors plans/registry.quantize (floor(x·10^n + 0.5 + eps)/10^n) —
+# redefined here to keep operators/ free of registry imports
+_EPS = 1e-6
+
+
+def _quantize(c: Column, n: int) -> Column:
+    scale = float(10**n)
+    return F.floor(c.cast("double") * scale + F.lit(0.5 + _EPS)) / scale
+
+
+def _centroid_lit(cvec: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in cvec])
+
+
+def _best_cluster_struct(
+    vec_col: Column, centroids: list[tuple[int, list[float]]]
+) -> Column:
+    """array_max over per-centroid (similarity, -cluster_id) structs =
+    argmax cosine, tie-break LOWEST cluster id — the struct comparison
+    mirrors the oracle's ``ORDER BY cos DESC, cluster_id ASC``."""
+    from vectorsearch_scylla_spark.functions.vector import cosine_similarity
+
+    entries = [
+        F.struct(
+            cosine_similarity(vec_col, _centroid_lit(cvec)).alias("s"),
+            F.lit(-cid).alias("nc"),
+        )
+        for cid, cvec in centroids
+    ]
+    return F.array_max(F.array(*entries))
+
+
+def assign_clusters(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "cluster_id",
+) -> DataFrame:
+    """Attach each row's nearest-centroid id (max cosine, tie-break
+    lowest id).  Pure projection — no shuffle, no join: the centroid
+    matrix is embedded as literals, the per-row work is k fused cosine
+    folds."""
+    best = _best_cluster_struct(F.col(vec_col), centroids)
+    return df.withColumn(out_col, (-best["nc"]).cast("int"))
+
+
+def probe_clusters(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int,
+    vec_col: str = "embedding",
+    out_col: str = "cluster_id",
+) -> DataFrame:
+    """Explode each row into its ``nprobe`` nearest-centroid ids
+    (cosine desc, tie-break lowest id) — the multi-probe fan-out of an
+    IVF search.  Also a pure projection + explode; no join."""
+    from vectorsearch_scylla_spark.functions.vector import cosine_similarity
+
+    entries = [
+        F.struct(
+            cosine_similarity(F.col(vec_col), _centroid_lit(cvec)).alias("s"),
+            F.lit(-cid).alias("nc"),
+        )
+        for cid, cvec in centroids
+    ]
+    # ascending lexicographic sort on (s, nc), reversed = (s DESC, nc
+    # DESC); nc = -cluster_id, so nc DESC = cluster_id ASC on ties
+    ranked = F.slice(F.reverse(F.array_sort(F.array(*entries))), 1, nprobe)
+    return df.withColumn("__probe", F.explode(ranked)).withColumn(
+        out_col, (-F.col("__probe")["nc"]).cast("int")
+    ).drop("__probe")
+
+
+def lloyd_kmeans(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """Train the coarse quantizer; returns ``[(cluster_id, centroid)]``
+    sorted by cluster id.  ``iters + 1`` Spark jobs: one seed draw and
+    one assignment+update aggregate per iteration; only k×d values
+    ever reach the driver.  A cluster that loses every member simply
+    drops out (deterministically on both engines)."""
+    vecs = df.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
+    seeds = (
+        vecs.withColumn("__h", F.md5(F.col(id_col).cast("string")))
+        .orderBy("__h", id_col)
+        .limit(k)
+        .collect()
+    )
+    cents = [(i, list(r["__v"])) for i, r in enumerate(seeds)]
+    for _ in range(iters):
+        assigned = assign_clusters(vecs, cents, vec_col="__v")
+        rows = (
+            assigned.select("cluster_id", F.posexplode("__v").alias("pos", "val"))
+            .groupBy("cluster_id", "pos")
+            .agg(_quantize(F.avg("val"), decimals).alias("avg_val"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_cluster.setdefault(r["cluster_id"], {})[r["pos"]] = r["avg_val"]
+        cents = [
+            (cid, [pos_map[p] for p in sorted(pos_map)])
+            for cid, pos_map in sorted(by_cluster.items())
+        ]
+    return cents

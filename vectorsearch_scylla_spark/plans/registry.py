@@ -897,111 +897,145 @@ def q_knn_same_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- IVF (inverted-file) approximate kNN ----------------------------
-# Coarse quantizer = per-label centroids (the clustering is given by the
-# corpus's own label partition — at scale this would be k-means).
-# Probe: assign each query to its nearest centroid (nprobe=1), then
-# exact top-k within that cluster only.  Centroid values are quantized
-# so both engines compare bit-identical doubles.
-_IVF_CENT_SQL = f"""
-    exploded AS (
-        SELECT label,
-               unnest(generate_series(1, len(embedding))) - 1 AS pos,
-               unnest(embedding::DOUBLE[]) AS val
-        FROM embeddings
-    ),
-    centroids AS (
-        SELECT label, list(avg_val ORDER BY pos) AS cvec
-        FROM (SELECT label, pos, {Q("avg(val)", 6)} AS avg_val
-              FROM exploded GROUP BY label, pos) t
-        GROUP BY label
+# Coarse quantizer TRAINED by deterministic distributed Lloyd's k-means
+# (operators/ivf.py): md5-seeded init, argmax-cosine assignment, per-
+# (cluster, pos) mean update quantized to 6 decimals each iteration so
+# both engines carry bit-identical centroids into the next iteration.
+# The oracle unrolls the SAME fixed iterations as chained CTEs.
+IVF_K = 8
+IVF_ITERS = 3
+IVF_NPROBE = 2
+
+
+def _cos_sql(x: str, y: str) -> str:
+    """Zero-guarded cosine between two DOUBLE[] SQL expressions
+    (KNN_COS generalized beyond the a/b table aliases)."""
+    return (
+        f"CASE WHEN list_sum(list_transform({x}, v -> v*v)) = 0 "
+        f"  OR list_sum(list_transform({y}, v -> v*v)) = 0 THEN 0.0 "
+        f"ELSE list_cosine_similarity({x}, {y}) END"
     )
-"""
+
+
+def _ivf_kmeans_cte(k: int, iters: int, nprobe: int, querymod: int) -> str:
+    """Unrolled Lloyd's k-means + membership + multi-probe CTE chain —
+    the SQL twin of ``operators/ivf.lloyd_kmeans`` (same init, same
+    tie-breaks, same per-iteration quantization)."""
+    cos_vc = _cos_sql("v.embedding", "c.cvec")
+    assign = (
+        "SELECT vec_id, embedding, cluster_id FROM ("
+        "SELECT v.vec_id, v.embedding, c.cluster_id, "
+        f"row_number() OVER (PARTITION BY v.vec_id ORDER BY {cos_vc} DESC, "
+        "c.cluster_id ASC) AS rn "
+        "FROM vecs v CROSS JOIN cent{src} c) WHERE rn = 1"
+    )
+    parts = [
+        "vecs AS (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings)",
+        f"""cent0 AS (
+        SELECT CAST(rn - 1 AS INT) AS cluster_id, embedding AS cvec FROM (
+            SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn,
+                   embedding
+            FROM vecs) WHERE rn <= {k})""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"asgn{i} AS ({assign.format(src=i - 1)})")
+        parts.append(
+            f"""cent{i} AS (
+        SELECT cluster_id, list(avg_val ORDER BY pos) AS cvec FROM (
+            SELECT cluster_id, pos, {Q("avg(val)", 6)} AS avg_val FROM (
+                SELECT cluster_id,
+                       unnest(generate_series(1, len(embedding))) - 1 AS pos,
+                       unnest(embedding) AS val
+                FROM asgn{i})
+            GROUP BY cluster_id, pos)
+        GROUP BY cluster_id)"""
+        )
+    parts.append(f"members AS ({assign.format(src=iters)})")
+    parts.append(
+        f"""probes AS (
+        SELECT query_id, cluster_id FROM (
+            SELECT v.vec_id AS query_id, c.cluster_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                                      ORDER BY {cos_vc} DESC, c.cluster_id ASC) AS crank
+            FROM vecs v CROSS JOIN cent{iters} c
+            WHERE v.vec_id % {querymod} = 0) WHERE crank <= {nprobe})"""
+    )
+    return ",\n    ".join(parts)
 
 
 @query(
     "ivf_knn",
     f"""
-    WITH {_IVF_CENT_SQL},
-    probes AS (
-        SELECT query_id, centroid_label FROM (
-            SELECT q.vec_id AS query_id, c.label AS centroid_label,
-                   row_number() OVER (
-                       PARTITION BY q.vec_id
-                       ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.cvec) DESC,
-                                c.label ASC) AS crank
-            FROM embeddings q, centroids c
-            WHERE q.vec_id % 25 = 0
-        ) WHERE crank = 1
-    )
-    SELECT query_id, neighbor_id, centroid_label, {Q("similarity")} AS similarity,
+    WITH {_ivf_kmeans_cte(IVF_K, IVF_ITERS, IVF_NPROBE, 25)}
+    SELECT query_id, neighbor_id, cluster_id, {Q("similarity")} AS similarity,
            CAST(rank AS INT) AS rank
     FROM (
-        SELECT p.query_id, b.vec_id AS neighbor_id, p.centroid_label,
-               {KNN_COS} AS similarity,
+        SELECT p.query_id, m.vec_id AS neighbor_id, m.cluster_id,
+               {_cos_sql("a.embedding", "m.embedding")} AS similarity,
                row_number() OVER (PARTITION BY p.query_id
-                                  ORDER BY {KNN_COS} DESC, b.vec_id ASC) AS rank
+                                  ORDER BY {_cos_sql("a.embedding", "m.embedding")} DESC,
+                                           m.vec_id ASC) AS rank
         FROM probes p
-        JOIN embeddings a ON a.vec_id = p.query_id
-        JOIN embeddings b ON b.label = p.centroid_label AND b.vec_id <> p.query_id
+        JOIN vecs a ON a.vec_id = p.query_id
+        JOIN members m ON m.cluster_id = p.cluster_id AND m.vec_id <> p.query_id
     ) WHERE rank <= 5
     """,
-    ["V3", "V4", "A4", "J3", "W2"],
-    "IVF-style approximate kNN — the 100 TB scale path: coarse-quantize "
-    "the corpus into C cluster centroids, assign each query to its "
-    "nearest centroid (nprobe=1), exact top-k inside that cluster only. "
-    "Cuts the candidate space from N to N/C; the cluster join is a hash "
-    "join on the cluster id.  (Replaces the reference's HNSW index, "
-    "scylladb_setup/create_iot_schema.py:137-155.)",
+    ["V3", "V4", "A4", "J3", "W2", "ANN-IVF"],
+    "IVF approximate kNN with a TRAINED coarse quantizer — the 100 TB "
+    "path: deterministic distributed Lloyd's k-means (k=8, 3 fixed "
+    "iterations, md5-seeded init, centroids re-quantized each iteration "
+    "so the SQL oracle's unrolled-CTE twin stays bit-identical — "
+    "operators/ivf.py), corpus materialized into inverted lists "
+    "(cluster_id partition key), queries probe their nprobe=2 nearest "
+    "clusters, exact blocked top-k inside the probed lists only.  Cuts "
+    "candidates from N to nprobe·N/C; at scale the trained index is "
+    "built once and reused across queries.  (Replaces the reference's "
+    "HNSW index build, scylladb_setup/create_iot_schema.py:137-155.)",
 )
 def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectorsearch_scylla_spark.operators.ivf import (
+        assign_clusters,
+        lloyd_kmeans,
+        probe_clusters,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    pos = emb.select(
-        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    cents = lloyd_kmeans(vecs, k=IVF_K, iters=IVF_ITERS)
+    members = assign_clusters(vecs, cents)
+    queries = probe_clusters(
+        vecs.filter(F.col("vec_id") % 25 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        ),
+        cents,
+        nprobe=IVF_NPROBE,
+        vec_col="query_vec",
     )
-    means = pos.groupBy("label", "pos").agg(quantize(F.avg("val"), 6).alias("avg_val"))
-    centroids = (
-        means.groupBy("label")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "avg_val"))).alias("entries"))
-        .select(
-            F.col("label").alias("centroid_label"),
-            F.transform("entries", lambda e: e["avg_val"]).alias("cvec"),
-        )
-    )
-    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    crank_w = Window.partitionBy("query_id").orderBy(
-        cosine_similarity("query_vec", "cvec").desc(), F.col("centroid_label").asc()
-    )
-    probes = (
-        queries.join(F.broadcast(centroids))
-        .withColumn("crank", F.row_number().over(crank_w))
-        .filter(F.col("crank") == 1)
-        .select("query_id", "query_vec", "centroid_label")
-    )
-    corpus = emb.select(
+    corpus = members.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("centroid_label"),
         F.col("embedding").alias("corpus_vec"),
+        "cluster_id",
     )
-    # blocked NumPy kernel with the cluster constraint masked inside the
-    # batch matmul (see q_knn_bruteforce for why not the HOF expression);
-    # centroid_label re-attaches from the probe side — for an equi-key
-    # join the query's key IS the neighbor's key.
+    # blocked NumPy kernel with the probed-cluster constraint masked
+    # inside the batch matmul; a query appears once per probed cluster
+    # and the global re-rank merges both probes' candidates.  The
+    # neighbor's cluster id re-attaches from the inverted-list side.
     out = topk_similarity_join_blocked(
-        probes.select("query_id", "query_vec", "centroid_label"),
+        queries.select("query_id", "query_vec", "cluster_id"),
         corpus,
         k=5,
         query_id="query_id",
         corpus_id="neighbor_id",
         exclude_self=True,
         dtype="float64",
-        join_keys=["centroid_label"],
+        join_keys=["cluster_id"],
     )
-    return out.join(F.broadcast(probes.select("query_id", "centroid_label")), "query_id").select(
+    return out.join(
+        members.select(F.col("vec_id").alias("neighbor_id"), "cluster_id"), "neighbor_id"
+    ).select(
         "query_id",
         "neighbor_id",
-        "centroid_label",
+        "cluster_id",
         quantize(F.col("similarity")).alias("similarity"),
         "rank",
     )
