@@ -55,8 +55,9 @@ HEADLINE = [
     "media_byte_features",
     # LAST: a completed streaming query leaves residue in the shared
     # local JVM that intermittently slows later heavy batch queries
-    # (observed 10-50x); keep batch timings clean by running it last
+    # (observed 10-50x); keep batch timings clean by running them last
     "streaming_window_pivot",
+    "streaming_detect_e2e",
 ]
 
 
@@ -99,15 +100,16 @@ def main() -> None:
     # DEFERRED retry pass for anything suspiciously slow, minutes away
     # from its first run.  The retry pass stays BEFORE the streaming
     # query (streaming residue slows later batch queries — see HEADLINE).
-    batch = [n for n in HEADLINE if n in REGISTRY and n != "streaming_window_pivot"]
+    streaming = [n for n in HEADLINE if n.startswith("streaming_")]
+    batch = [n for n in HEADLINE if n in REGISTRY and n not in streaming]
     times: dict[str, float] = {name: time_once(name) for name in batch}
-    for name in [n for n in batch if times[n] > 1.5]:
+    for name in [n for n in batch if times[name] > 1.5]:
         times[name] = min(times[name], time_once(name))
-    if "streaming_window_pivot" in REGISTRY and "streaming_window_pivot" in HEADLINE:
-        t = time_once("streaming_window_pivot")
-        if t > 5.0:  # micro-batch scheduling jitter; nothing runs after, so retry is safe
-            t = min(t, time_once("streaming_window_pivot"))
-        times["streaming_window_pivot"] = t
+    for name in [n for n in streaming if n in REGISTRY]:
+        t = time_once(name)
+        if t > 5.0:  # micro-batch scheduling jitter; no batch queries run after, so retry is safe
+            t = min(t, time_once(name))
+        times[name] = t
     times = {n: round(t, 3) for n, t in times.items()}
 
     total = round(sum(times.values()), 3)

@@ -71,6 +71,75 @@ def test_stream_matches_batch_twin(spark, raw, tmp_path):
     assert batch.exceptAll(emitted).count() == 0
 
 
+def test_detect_e2e_exactly_once_across_restart(spark, raw, tmp_path):
+    """T5/T6 for the full detection pipeline: a restart with the same
+    checkpoint must not duplicate snapshot or event rows (epoch-
+    overwrite idempotence in detection_sinks), and events must equal
+    the batch-computed Path-1/2 detections over the emitted windows."""
+    import os
+
+    from vectorsearch_scylla_spark.streaming.pipeline import (
+        detect_paths12,
+        detection_sinks,
+    )
+
+    src, base = str(tmp_path / "src3"), str(tmp_path / "e2e")
+    # deterministic synthetic id (monotonically_increasing_id is
+    # rejected inside streaming plans via the stream-static join)
+    raw2 = raw.withColumn(
+        "event_id", F.abs(F.xxhash64("device_id", "timestamp", "metric_name"))
+    )
+    raw2.write.parquet(src)
+
+    metrics_order = ["click", "error", "purchase", "signup", "view"]
+    lww = raw2.groupBy(
+        "device_id",
+        (F.floor(F.unix_timestamp("timestamp") / 60) * 60).cast("long").alias("ws"),
+        "metric_name",
+    ).agg(F.max_by("metric_value", F.struct("timestamp", "event_id")).alias("v"))
+    snapb = lww.groupBy("device_id", "ws").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("metric_name") == m, F.col("v"))), F.lit(0.0)
+            ).alias(f"m_{m}")
+            for m in metrics_order
+        ]
+    )
+    profiles = snapb.groupBy("device_id").agg(
+        *[
+            a
+            for m in metrics_order
+            for a in (
+                F.avg(f"m_{m}").alias(f"mean_{m}"),
+                F.stddev_pop(f"m_{m}").alias(f"std_{m}"),
+            )
+        ]
+    )
+
+    def run_phase():
+        stream = spark.readStream.schema(raw2.schema).parquet(src)
+        snaps = windowed_snapshot_stream(stream, window_seconds=60, watermark_windows=2)
+        q = detection_sinks(detect_paths12(snaps, profiles, metrics_order), base)
+        assert q.awaitTermination(300)
+        return (
+            spark.read.parquet(os.path.join(base, "snapshots")),
+            spark.read.parquet(os.path.join(base, "events")),
+        )
+
+    snaps1, events1 = run_phase()
+    n_snaps, n_events = snaps1.count(), events1.count()
+    assert n_snaps > 0
+    # every event is an anomalous snapshot; no event escaped the filter
+    assert events1.filter(~F.col("is_anomalous")).count() == 0
+    assert n_events == snaps1.filter(F.col("is_anomalous")).count()
+
+    # "restart": same checkpoint, no new source data — a drained
+    # availableNow query must add nothing to either sink
+    snaps2, events2 = run_phase()
+    assert snaps2.count() == n_snaps
+    assert events2.count() == n_events
+
+
 def test_late_rows_dropped_across_restart(spark, raw, tmp_path):
     """T3/T6: rows older than the persisted watermark, arriving in a
     later micro-batch after a restart, must not produce new windows.

@@ -2259,6 +2259,171 @@ def q_metric_delta_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# similar_state_metric_diff: 5-dim q/s cosine + per-metric unpivot SQL
+_SSD_DOT = " + ".join(f"q.m_{m} * s.m_{m}" for m in METRICS)
+_SSD_NQ = " + ".join(f"q.m_{m} * q.m_{m}" for m in METRICS)
+_SSD_NS = " + ".join(f"s.m_{m} * s.m_{m}" for m in METRICS)
+# term order matches the Spark fused fold (METRICS order, left-to-right)
+# so the ranking similarity is bit-identical across engines
+_SSD_SIM = (
+    f"CASE WHEN ({_SSD_NQ}) = 0 OR ({_SSD_NS}) = 0 THEN 0.0 "
+    f"ELSE ({_SSD_DOT}) / (sqrt({_SSD_NQ}) * sqrt({_SSD_NS})) END"
+)
+_SSD_QVAL = (
+    "CASE mm.metric_name "
+    + " ".join(f"WHEN '{m}' THEN m.qm_{m}" for m in METRICS)
+    + " END"
+)
+_SSD_SVAL = (
+    "CASE mm.metric_name "
+    + " ".join(f"WHEN '{m}' THEN m.sm_{m}" for m in METRICS)
+    + " END"
+)
+_SSD_DIFF = (
+    f"CASE WHEN ({_SSD_SVAL}) <> 0 "
+    f"THEN (({_SSD_QVAL}) - ({_SSD_SVAL})) / ({_SSD_SVAL}) * 100.0 ELSE 0.0 END"
+)
+
+
+@query(
+    "similar_state_metric_diff",
+    RAW_CTE
+    + f"""
+    , snap AS (
+        SELECT device_id,
+               CAST(floor(epoch(timestamp) / 86400) * 86400 AS BIGINT) AS window_start,
+               {_pivot_cols_sql()}
+        FROM raw GROUP BY 1, 2
+    ),
+    latest AS (SELECT device_id, max(window_start) AS qws FROM snap GROUP BY device_id),
+    matched AS (
+        SELECT * FROM (
+            SELECT q.device_id, q.window_start AS qws, s.window_start AS mws,
+                   {_SSD_SIM} AS sim_raw,
+                   {", ".join(f"q.m_{m} AS qm_{m}" for m in METRICS)},
+                   {", ".join(f"s.m_{m} AS sm_{m}" for m in METRICS)},
+                   row_number() OVER (PARTITION BY q.device_id
+                                      ORDER BY {_SSD_SIM} DESC, s.window_start ASC) AS rn
+            FROM (SELECT sn.* FROM snap sn
+                  JOIN latest l ON sn.device_id = l.device_id
+                               AND sn.window_start = l.qws) q
+            JOIN snap s ON s.device_id = q.device_id
+                       AND s.window_start < q.window_start
+        ) WHERE rn = 1
+    )
+    SELECT device_id, window_start, match_window_start, similarity, metric_name,
+           current_val, similar_val, diff_pct, CAST(diff_rank AS INT) AS diff_rank
+    FROM (
+        SELECT m.device_id, m.qws AS window_start, m.mws AS match_window_start,
+               {Q("m.sim_raw")} AS similarity,
+               mm.metric_name,
+               {_SSD_QVAL} AS current_val,
+               {_SSD_SVAL} AS similar_val,
+               {Q(_SSD_DIFF)} AS diff_pct,
+               row_number() OVER (PARTITION BY m.device_id
+                                  ORDER BY abs({_SSD_DIFF}) DESC,
+                                           mm.metric_name ASC) AS diff_rank
+        FROM matched m
+        CROSS JOIN (VALUES {", ".join(f"('{m}')" for m in METRICS)}) mm(metric_name)
+        WHERE ({_SSD_QVAL}) <> ({_SSD_SVAL})
+    ) WHERE diff_rank <= 3
+    """,
+    ["V8", "V1", "V3", "W3", "F11", "J3"],
+    "NEIGHBOR-RELATIVE metric delta — the reference's actual "
+    "find-similar-states drill-down: each device's latest snapshot is "
+    "matched to its most-similar HISTORICAL state (embedding cosine "
+    "over the featurized metric vector, ANN-of semantics), then the "
+    "query's metrics are diffed against the MATCHED state's (absent → "
+    "0, equal values skipped, ÷0 → 0%) and the top-3 by |%% change| are "
+    "emitted (pipeline/find_similar_states.py:152-170,276-289).  "
+    "Replaces metric_delta_top3's previous-day stand-in as the V8 "
+    "parity query.",
+)
+def q_similar_state_metric_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    snap = _pivot_spark(spark, sf_dir, 86400).drop("n_rows")
+    latest = snap.groupBy("device_id").agg(F.max("window_start").alias("qws"))
+    qside = (
+        snap.join(latest, "device_id")
+        .filter(F.col("window_start") == F.col("qws"))
+        .select(
+            "device_id",
+            F.col("window_start").alias("qws"),
+            *[F.col(f"m_{m}").alias(f"qm_{m}") for m in METRICS],
+        )
+    )
+    sside = snap.select(
+        "device_id",
+        F.col("window_start").alias("mws"),
+        *[F.col(f"m_{m}").alias(f"sm_{m}") for m in METRICS],
+    )
+    # same-device history join (equi-key hash join — per-device
+    # candidate count is bounded by the retention horizon at scale),
+    # then exact top-1 by the fused 5-dim cosine; term order matches
+    # the SQL oracle so ranking never diverges on fp rounding.
+    j = qside.join(sside, "device_id").filter(F.col("mws") < F.col("qws"))
+    qvec = F.array(*[F.col(f"qm_{m}") for m in METRICS])
+    svec = F.array(*[F.col(f"sm_{m}") for m in METRICS])
+    sim = cosine_similarity(qvec, svec)
+    w = Window.partitionBy("device_id").orderBy(sim.desc(), F.col("mws").asc())
+    matched = (
+        j.withColumn("sim_raw", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("metric_name"),
+                F.col(f"qm_{m}").alias("current_val"),
+                F.col(f"sm_{m}").alias("similar_val"),
+            )
+            for m in METRICS
+        ]
+    )
+    ex = (
+        matched.select(
+            "device_id",
+            F.col("qws").alias("window_start"),
+            F.col("mws").alias("match_window_start"),
+            quantize(F.col("sim_raw")).alias("similarity"),
+            F.explode(entries).alias("e"),
+        )
+        .select(
+            "device_id",
+            "window_start",
+            "match_window_start",
+            "similarity",
+            "e.metric_name",
+            "e.current_val",
+            "e.similar_val",
+        )
+        .filter(F.col("current_val") != F.col("similar_val"))
+    )
+    diff = F.when(
+        F.col("similar_val") != 0,
+        (F.col("current_val") - F.col("similar_val")) / F.col("similar_val") * 100.0,
+    ).otherwise(0.0)
+    w2 = Window.partitionBy("device_id").orderBy(
+        F.abs(diff).desc(), F.col("metric_name").asc()
+    )
+    return (
+        ex.withColumn("diff_pct", quantize(diff))
+        .withColumn("diff_rank", F.row_number().over(w2))
+        .filter(F.col("diff_rank") <= 3)
+        .select(
+            "device_id",
+            "window_start",
+            "match_window_start",
+            "similarity",
+            "metric_name",
+            "current_val",
+            "similar_val",
+            "diff_pct",
+            "diff_rank",
+        )
+    )
+
+
 @query(
     "embedding_input_text",
     RAW_CTE
@@ -2664,3 +2829,126 @@ def q_streaming_window_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("window_start").alias("window_start"),
         F.explode("metrics").alias("metric_name", "metric_value"),
     )
+
+
+# streaming_detect_e2e oracle fragments: the 60 s LWW pivot (0-filled)
+# exposes s.m_* / st.mean_* / st.std_* so the _CS_* detection fragments
+# apply unchanged; profile stats cover ALL windows (the batch profile
+# job ran over full history), emission covers watermark-final windows.
+_SDE_SCORE = f"greatest(0.0, 1.0 - ({_CS_SIM})) + least(1.0, ({_CS_ZSUM}) / 40.0)"
+
+
+@query(
+    "streaming_detect_e2e",
+    RAW_CTE
+    + f"""
+    , wm AS (SELECT epoch(max(timestamp)) - 120 AS w FROM raw),
+    lww AS (
+        SELECT device_id, ws, metric_name, metric_value FROM (
+            SELECT device_id,
+                   CAST(floor(epoch(timestamp) / 60) * 60 AS BIGINT) AS ws,
+                   metric_name, metric_value,
+                   row_number() OVER (PARTITION BY device_id,
+                                      floor(epoch(timestamp) / 60), metric_name
+                                      ORDER BY timestamp DESC, event_id DESC) AS rn
+            FROM raw) WHERE rn = 1
+    ),
+    snap AS (
+        SELECT device_id, ws AS window_start,
+               {", ".join(f"coalesce(max(CASE WHEN metric_name = '{m}' THEN metric_value END), 0.0) AS m_{m}" for m in METRICS)}
+        FROM lww GROUP BY 1, 2
+    ),
+    stats AS (SELECT device_id, {_CS_STATS_SQL} FROM snap GROUP BY device_id),
+    emitted AS (SELECT s.* FROM snap s, wm WHERE s.window_start + 60 <= wm.w)
+    SELECT s.device_id, s.window_start,
+           CAST({_CS_OUTLIERS} AS BIGINT) AS outlier_count,
+           {Q(_CS_SIM)} AS similarity,
+           {Q(_SDE_SCORE)} AS anomaly_score,
+           ({_CS_OUTLIERS}) >= 2 AS path1_triggered,
+           ({_CS_SIM}) < 0.90 AS path2_triggered
+    FROM emitted s JOIN stats st ON s.device_id = st.device_id
+    WHERE ({_CS_OUTLIERS}) >= 2 OR ({_CS_SIM}) < 0.90
+    """,
+    ["S4", "S6", "S7", "T1", "T2", "T3", "T5", "A10", "A11", "P4", "P6", "J1"],
+    "STREAMING DETECTION END-TO-END — the full consumer hot path as ONE "
+    "declarative streaming query: file source → watermarked 60 s LWW "
+    "window pivot → featurize → inline Path 1+2 detection against the "
+    "broadcast batch-built profile → foreachBatch fan-out to snapshot "
+    "AND anomaly-event parquet sinks (epoch-overwrite idempotence = "
+    "exactly-once across restarts).  The query returns the persisted "
+    "anomaly events; the oracle recomputes pivot, profile, detection "
+    "and append-mode emission in SQL, so the green row certifies the "
+    "whole pipeline including which windows were emitted "
+    "(pipeline/kafka_consumer.py:381-556, SURVEY §3.1).",
+)
+def q_streaming_detect_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from vectorsearch_scylla_spark.streaming.pipeline import (
+        detect_paths12,
+        detection_sinks,
+        windowed_snapshot_stream,
+    )
+
+    raw = device_metrics_raw(spark, sf_dir).select(
+        "device_id", "timestamp", "metric_name", "metric_value", "event_id"
+    )
+    src = _stream_source_dir(raw, sf_dir)
+    # the "earlier batch job": per-device profile over the FULL history
+    # (60 s LWW pivot, 0-filled, quantized stats — what the reference's
+    # build_profiles.py persists and the consumer caches per device)
+    lww = raw.groupBy(
+        "device_id", window_start("timestamp", 60).alias("ws"), "metric_name"
+    ).agg(F.max_by("metric_value", F.struct("timestamp", "event_id")).alias("v"))
+    snapb = lww.groupBy("device_id", "ws").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("metric_name") == m, F.col("v"))), F.lit(0.0)
+            ).alias(f"m_{m}")
+            for m in METRICS
+        ]
+    )
+    profiles = snapb.groupBy("device_id").agg(
+        *[
+            a
+            for m in METRICS
+            for a in (
+                quantize(F.avg(f"m_{m}")).alias(f"mean_{m}"),
+                quantize(F.stddev_pop(f"m_{m}")).alias(f"std_{m}"),
+            )
+        ]
+    )
+    base = tempfile.mkdtemp(prefix="vss_detect_e2e_")
+    try:
+        stream = spark.readStream.schema(raw.schema).parquet(src)
+        snaps = windowed_snapshot_stream(stream, window_seconds=60, watermark_windows=2)
+        detected = detect_paths12(snaps, profiles, METRICS, sim_threshold=0.90)
+        q = detection_sinks(detected, base)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                "streaming_detect_e2e: availableNow query did not drain within 600s"
+            )
+        events = spark.read.parquet(os.path.join(base, "events"))
+        # materialize the (small) event set so the sink dirs can be
+        # reclaimed before returning — the pipeline itself never
+        # collected anything; this is the driver handing back results
+        out_schema = (
+            "device_id string, window_start bigint, outlier_count bigint, "
+            "similarity double, anomaly_score double, "
+            "path1_triggered boolean, path2_triggered boolean"
+        )
+        rows = events.select(
+            "device_id",
+            F.unix_timestamp("window_start").cast("long").alias("window_start"),
+            "outlier_count",
+            quantize(F.col("similarity")).alias("similarity"),
+            quantize(F.col("anomaly_score")).alias("anomaly_score"),
+            "path1_triggered",
+            "path2_triggered",
+        ).collect()
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, out_schema)

@@ -183,6 +183,107 @@ def windowed_snapshot_stream(
     )
 
 
+def detect_paths12(
+    snapshots: DataFrame,
+    profiles: DataFrame,
+    metrics_order: list[str],
+    sim_threshold: float = 0.90,
+    z_threshold: float = 1.5,
+) -> DataFrame:
+    """Inline Path-1/Path-2 anomaly detection over snapshots — the
+    streaming twin of the consumer's per-snapshot ``write_snapshot``
+    detection (``pipeline/kafka_consumer.py:509-556`` calling
+    ``detect_anomaly_paths_1_2``).
+
+    ``profiles`` is a STATIC frame (device_id, mean_<m>, std_<m> per
+    metric) — the output of the earlier batch profile-build job, which
+    the reference loads per device from ``device_profiles``
+    (``kafka_consumer.py:486-507``).  The stream-static broadcast join
+    is the cache: every executor holds the profile table, no per-row
+    lookup.  Works identically on a batch frame (used by the oracle
+    twin and tests).
+
+    Path 1 = ≥2 metrics with |z| > ``z_threshold`` (σ from the
+    profile); Path 2 = cosine(featurized snapshot, profile centroid) <
+    ``sim_threshold``; score = max(0, 1−sim) + min(1, Σ min(10,|z|)/40)
+    (``pipeline/anomaly_detection.py:142-148``).  The featurizer
+    0-fills metrics absent from the snapshot map, and all float math
+    folds in ``metrics_order`` so a SQL oracle reproducing the same
+    term order matches bit-for-bit.
+    """
+    from vectorsearch_scylla_spark.functions.vector import cosine_similarity
+
+    v = {
+        m: F.coalesce(F.element_at("metrics", F.lit(m)), F.lit(0.0))
+        for m in metrics_order
+    }
+    joined = snapshots.join(F.broadcast(profiles), "device_id")
+    z = {
+        m: F.when(
+            F.col(f"std_{m}") > 0,
+            F.abs((v[m] - F.col(f"mean_{m}")) / F.col(f"std_{m}")),
+        ).otherwise(0.0)
+        for m in metrics_order
+    }
+    outliers = sum(F.when(z[m] > z_threshold, 1).otherwise(0) for m in metrics_order)
+    svec = F.array(*[v[m] for m in metrics_order])
+    cvec = F.array(*[F.col(f"mean_{m}") for m in metrics_order])
+    sim = cosine_similarity(svec, cvec)
+    zsum = sum(F.least(F.lit(10.0), z[m]) for m in metrics_order)
+    score = F.greatest(F.lit(0.0), F.lit(1.0) - sim) + F.least(F.lit(1.0), zsum / 40.0)
+    p1 = outliers >= 2
+    p2 = sim < sim_threshold
+    return joined.select(
+        "device_id",
+        "window_start",
+        "window_end",
+        "metrics",
+        "snapshot_time",
+        "n_metrics",
+        outliers.cast("long").alias("outlier_count"),
+        sim.alias("similarity"),
+        score.alias("anomaly_score"),
+        p1.alias("path1_triggered"),
+        p2.alias("path2_triggered"),
+        (p1 | p2).alias("is_anomalous"),
+    )
+
+
+def detection_sinks(detected: DataFrame, base_dir: str, available_now: bool = True):
+    """S4/S6/S7: ``foreachBatch`` fan-out to BOTH persistent sinks —
+    every snapshot appends under ``<base>/snapshots``, anomalous rows
+    also under ``<base>/events`` (the consumer's snapshot insert +
+    ``_record_anomaly_event``, ``pipeline/kafka_consumer.py:509-556``).
+
+    Exactly-once across restarts: each epoch writes (mode=overwrite)
+    into its own ``batch=<epochId>`` subdirectory, so a replayed epoch
+    replaces its previous partial output instead of appending
+    duplicates; the checkpoint under ``<base>/checkpoint`` replaces
+    Kafka committed offsets (T5/T6).
+    """
+    import os
+
+    snap_dir = os.path.join(base_dir, "snapshots")
+    events_dir = os.path.join(base_dir, "events")
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        df.persist()
+        df.write.mode("overwrite").parquet(os.path.join(snap_dir, f"batch={epoch_id}"))
+        df.filter(F.col("is_anomalous")).write.mode("overwrite").parquet(
+            os.path.join(events_dir, f"batch={epoch_id}")
+        )
+        df.unpersist()
+
+    writer = (
+        detected.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", os.path.join(base_dir, "checkpoint"))
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def snapshot_sink(
     snapshots: DataFrame,
     path: str,
