@@ -136,6 +136,75 @@ def test_cosine_pairs_blocked_threshold(spark, emb):
     assert all(r["similarity"] > 0.9 and r["id_a"] < r["id_b"] for r in pairs)
 
 
+def test_media_kernels_byte_exact_on_non_ascii(spark):
+    """Both the Spark media kernels AND the registered DuckDB oracles
+    must agree with ground-truth BYTE semantics on non-ASCII UTF-8 —
+    the failure mode the old character-based oracle only dodged because
+    the fixtures were pure ASCII."""
+    import duckdb
+
+    from vectorsearch_scylla_spark.multimodal.media import (
+        extract_byte_features,
+        sample_frames,
+    )
+    from vectorsearch_scylla_spark.plans.registry import REGISTRY
+
+    texts = [
+        "héllo wörld abc",
+        "日本語テキスト gm f",
+        "a" * 17 + "é",
+        "",
+        "ça va? déjà-vu gmf  ",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "asset_id long, text string").select(
+        "asset_id", F.encode("text", "UTF-8").alias("content")
+    )
+
+    def expected_feats(t: str):
+        b = t.encode("utf-8")
+        return (
+            len(b),
+            sum(1 for c in b if 97 <= c <= 102),
+            sum(1 for c in b if 103 <= c <= 109),
+            b.count(32),
+        )
+
+    feats = {
+        r["asset_id"]: (r["n_bytes"], r["n_af"], r["n_gm"], r["n_space"])
+        for r in extract_byte_features(df).collect()
+    }
+    assert feats == {i: expected_feats(t) for i, t in enumerate(texts) if True}
+
+    frames = {
+        (r["asset_id"], r["frame_idx"]): bytes(r["frame"])
+        for r in sample_frames(df, frame_bytes=16, every_n=2).collect()
+    }
+    exp_frames = {}
+    for i, t in enumerate(texts):
+        b = t.encode("utf-8")
+        for fi in range(0, (len(b) + 15) // 16, 2):
+            exp_frames[(i, fi)] = b[fi * 16 : (fi + 1) * 16]
+    assert frames == exp_frames
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    ofeats = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(REGISTRY["media_byte_features"].oracle).fetchall()
+    }
+    assert ofeats == {i: expected_feats(t) for i, t in enumerate(texts)}
+    oframes = {
+        (r[0], r[1]): (r[2], r[3])
+        for r in con.execute(REGISTRY["media_frame_sample"].oracle).fetchall()
+    }
+    assert oframes == {
+        k: (v.hex().upper(), len(v)) for k, v in exp_frames.items()
+    }
+    con.close()
+
+
 def test_path3_novelty_same_device_constraint(spark):
     # two devices; d1 has 3 tightly-clustered normal rows, d2 has rows
     # identical to d1's — if the same-device constraint leaked, d1's

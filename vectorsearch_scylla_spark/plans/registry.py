@@ -2541,7 +2541,7 @@ def q_fleet_config_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_byte_features",
     """
     SELECT doc_id AS asset_id,
-           CAST(length(text) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            CAST(length(text) - length(regexp_replace(text, '[a-f]', '', 'g')) AS BIGINT) AS n_af,
            CAST(length(text) - length(regexp_replace(text, '[g-m]', '', 'g')) AS BIGINT) AS n_gm,
            CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_space
@@ -2550,11 +2550,10 @@ def q_fleet_config_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     ["MEDIA-FEATURES"],
     "Binary-column feature extraction: blobs → byte-class histogram via "
     "an Arrow-batched mapInPandas NumPy kernel (multimodal/media.py). "
-    "Oracle recomputes the same counts from the source text.  NB: the "
-    "kernel counts BYTES of the UTF-8 encoding while the oracle counts "
-    "CHARACTERS — equivalent only because the documents fixture is "
-    "pure ASCII (verified); non-ASCII corpora need encode(text) on the "
-    "oracle side.",
+    "Oracle is BYTE-exact for any input: n_bytes = octet_length of the "
+    "UTF-8 encoding, and the ASCII char-class counts equal their "
+    "byte-class twins on arbitrary UTF-8 because multibyte sequences "
+    "only use bytes ≥ 0x80 (pytest covers a non-ASCII corpus).",
 )
 def q_media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectorsearch_scylla_spark.multimodal.media import (
@@ -2569,19 +2568,23 @@ def q_media_byte_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "media_frame_sample",
     """
     SELECT doc_id AS asset_id,
-           CAST(unnest(range(0, CAST(ceil(length(text) / 16.0) AS BIGINT), 2)) AS INT) AS frame_idx,
-           md5(unnest(list_transform(range(0, CAST(ceil(length(text) / 16.0) AS BIGINT), 2),
-                                     i -> substr(text, CAST(i * 16 + 1 AS BIGINT), 16)))) AS frame_md5,
-           CAST(unnest(list_transform(range(0, CAST(ceil(length(text) / 16.0) AS BIGINT), 2),
-                                     i -> length(substr(text, CAST(i * 16 + 1 AS BIGINT), 16)))) AS BIGINT) AS frame_len
-    FROM documents
+           CAST(unnest(range(0, nf, 2)) AS INT) AS frame_idx,
+           unnest(list_transform(range(0, nf, 2),
+                                 i -> substr(hx, CAST(i * 32 + 1 AS BIGINT), 32))) AS frame_hex,
+           CAST(unnest(list_transform(range(0, nf, 2),
+                                      i -> length(substr(hx, CAST(i * 32 + 1 AS BIGINT), 32)) // 2)) AS BIGINT) AS frame_len
+    FROM (SELECT doc_id, hex(encode(text)) AS hx,
+                 CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT) AS nf
+          FROM documents)
     """,
     ["MEDIA-FRAMES"],
     "Frame sampling over chunked binary media: every 2nd 16-byte frame, "
     "exploded to (asset, frame_idx, frame) rows inside the Python "
     "worker — the keyframe-sampler execution shape (multimodal/media.py). "
-    "Same ASCII caveat as media_byte_features: byte frames vs the "
-    "oracle's substr character frames coincide only on ASCII fixtures.",
+    "Frames surface as hex so the oracle can slice the SAME BYTES "
+    "(hex(encode(text)) at 2×byte offsets) — exact for any UTF-8 "
+    "input, replacing the old character-substr oracle that was only "
+    "valid on ASCII fixtures.",
 )
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectorsearch_scylla_spark.multimodal.media import (
@@ -2593,7 +2596,7 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "asset_id",
         "frame_idx",
-        F.md5("frame").alias("frame_md5"),
+        F.hex("frame").alias("frame_hex"),
         F.length("frame").cast("long").alias("frame_len"),
     )
 
