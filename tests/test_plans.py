@@ -1,0 +1,118 @@
+"""Physical-plan regression tests: assert the execution SHAPE of the
+headline queries, not just their results.
+
+These guard the properties that make the engine viable at 100 TB and
+that a green correctness row cannot see:
+- no accidental CartesianProduct anywhere;
+- BroadcastNestedLoopJoin only where the build side is a bounded
+  constant (the fleet simulator's literal device×tick grid);
+- no ``collect_list`` in the near-dup pair plans — the round-1 SimHash
+  scheme materialized whole LSH bands as single in-memory arrays,
+  which OOMs when one band holds millions of docs; the banded
+  per-band equi-join must never silently regress to that;
+- parquet filter pushdown reaches the scan for the range-scan family
+  (a scan that reads everything to apply a time filter is wrong).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from vectorsearch_scylla_spark.plans.registry import REGISTRY
+
+# BNLJ allowed: build side is a literal VALUES/range (bounded, tiny).
+_BNLJ_OK = {"fleet_simulator"}
+# collect_list allowed: per-group cardinality is structurally bounded
+# (device_profile_build folds ≤ |METRICS| entries per group).
+_COLLECT_LIST_OK = {"device_profile_build"}
+
+# Batch queries whose plan shape we pin.  Streaming queries are
+# excluded (building them runs the stream); so are queries that only
+# re-derive one of these shapes.
+_PINNED = [
+    "pricing_summary",
+    "range_scan",
+    "latest_event_per_user",
+    "top_orders_per_customer",
+    "market_share",
+    "asof_nearest_join",
+    "zscore_outliers",
+    "threshold_rules",
+    "window_pivot_snapshot",
+    "path2_anomaly",
+    "detect_consensus",
+    "device_profile_build",
+    "metric_delta_top3",
+    "similar_state_metric_diff",
+    "knn_bruteforce",
+    "knn_same_label",
+    "ivf_knn",
+    "lsh_knn",
+    "path3_novelty_flags",
+    "dedup_exact",
+    "minhash_dup_buckets",
+    "simhash_dup_pairs",
+    "ngram_jaccard_pairs",
+    "embedding_neardup_pairs",
+    "text_quality",
+    "language_id",
+    "media_byte_features",
+    "fleet_simulator",
+]
+
+_NEARDUP_PAIR_QUERIES = [
+    "simhash_dup_pairs",
+    "embedding_neardup_pairs",
+    "ngram_jaccard_pairs",
+    "minhash_dup_buckets",
+]
+
+
+def _plan(spark, sf_dir: str, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    return {name: _plan(spark, sf_dir, name) for name in _PINNED}
+
+
+@pytest.mark.parametrize("name", _PINNED)
+def test_no_cartesian_product(plans, name):
+    assert "CartesianProduct" not in plans[name], name
+
+
+@pytest.mark.parametrize("name", _PINNED)
+def test_no_unexpected_broadcast_nested_loop(plans, name):
+    if name in _BNLJ_OK:
+        return
+    assert "BroadcastNestedLoopJoin" not in plans[name], name
+
+
+@pytest.mark.parametrize("name", _NEARDUP_PAIR_QUERIES)
+def test_neardup_pair_plans_never_materialize_buckets(plans, name):
+    """The banded schemes must stay per-band equi-joins — a
+    ``collect_list`` here means some band's full membership is being
+    built as one in-memory array again (the known 100 TB OOM)."""
+    assert "collect_list" not in plans[name], name
+
+
+@pytest.mark.parametrize("name", _PINNED)
+def test_bounded_collect_list_only(plans, name):
+    if name in _COLLECT_LIST_OK:
+        return
+    assert "collect_list" not in plans[name], name
+
+
+def test_range_scan_filter_pushdown(plans):
+    """The time/key predicates must reach the parquet scan."""
+    p = plans["range_scan"]
+    assert "PushedFilters: [" in p, p
+    assert "PushedFilters: []" not in p, p
