@@ -103,14 +103,17 @@ def main() -> None:
     streaming = [n for n in HEADLINE if n.startswith("streaming_")]
     batch = [n for n in HEADLINE if n in REGISTRY and n not in streaming]
     times: dict[str, float] = {name: time_once(name) for name in batch}
-    for name in [n for n in batch if times[name] > 1.5]:
+    raw_times = dict(times)  # first-run numbers, before the retry pass
+    for name in [n for n in batch if times[n] > 1.5]:
         times[name] = min(times[name], time_once(name))
     for name in [n for n in streaming if n in REGISTRY]:
         t = time_once(name)
+        raw_times[name] = t
         if t > 5.0:  # micro-batch scheduling jitter; no batch queries run after, so retry is safe
             t = min(t, time_once(name))
         times[name] = t
     times = {n: round(t, 3) for n, t in times.items()}
+    raw_times = {n: round(raw_times[n], 3) for n in times}
 
     total = round(sum(times.values()), 3)
     print(
@@ -120,6 +123,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "queries_raw_first_run": raw_times,
                 "sf": sf,
             }
         )

@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""Larger-scale bench point for the kNN + dedup operator families.
+
+Synthesizes a ``SPARK_GRAFT_SCALE``× (default 10×) corpus from the
+``$SPARK_GRAFT_SF_DIR`` fixtures (default sf0.1 → ≈50 k docs / 100 k
+vectors), materializes it as parquet so every timed operator runs a
+real scan, and times the scale-path kernels end-to-end to a noop sink.
+
+Replication is PERTURBED, which makes the dedup numbers a realistic
+stress: replica k of a document appends a ``r<k>`` token (so every
+replica group is a 10-way NEAR-duplicate cluster — the banded schemes
+must find ~45 pairs per group without any bucket blowing up), and
+replica k of a vector nudges one coordinate (10-way near-identical
+clusters for the ANN paths).
+
+Prints ONE JSON line:
+    {"metric": "scale_bench_wall_time", "value": N, "unit": "sec",
+     "queries": {...}, "scale": K, "n_docs": D, "n_vecs": V}
+Interpretation guidance lives in BENCH_SCALE.md (written by hand from
+these numbers — rerun this script to reproduce).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from vectorsearch_scylla_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    scale = int(os.environ.get("SPARK_GRAFT_SCALE", "10"))
+
+    spark = get_spark("vectorsearch-scylla-spark-scale-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from vectorsearch_scylla_spark.functions.hyperplane import hyperplane_near_dup_pairs
+    from vectorsearch_scylla_spark.operators.dedup import simhash_near_dup_pairs
+    from vectorsearch_scylla_spark.operators.ivf import (
+        assign_clusters,
+        lloyd_kmeans,
+        probe_clusters,
+    )
+    from vectorsearch_scylla_spark.operators.knn import topk_similarity_join_blocked
+
+    docs0 = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    emb0 = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    reps = spark.range(scale).select(F.col("id").cast("int").alias("rep"))
+    docs = docs0.crossJoin(F.broadcast(reps)).select(
+        (F.col("doc_id") + F.col("rep").cast("long") * 10_000_000).alias("doc_id"),
+        F.when(F.col("rep") == 0, F.col("text"))
+        .otherwise(F.concat("text", F.lit(" r"), F.col("rep")))
+        .alias("text"),
+    )
+    emb = emb0.crossJoin(F.broadcast(reps)).select(
+        (F.col("vec_id") + F.col("rep").cast("long") * 10_000_000).alias("vec_id"),
+        "label",
+        F.expr(
+            "transform(cast(embedding as array<double>), "
+            "(x, i) -> CASE WHEN i = pmod(rep, size(embedding)) "
+            "THEN x + 0.01 * rep ELSE x END)"
+        ).alias("embedding"),
+    )
+
+    base = tempfile.mkdtemp(prefix="vss_scale_bench_")
+    try:
+        docs.write.parquet(os.path.join(base, "documents"))
+        emb.write.parquet(os.path.join(base, "embeddings"))
+        docs = spark.read.parquet(os.path.join(base, "documents"))
+        emb = spark.read.parquet(os.path.join(base, "embeddings"))
+        n_docs, n_vecs = docs.count(), emb.count()
+
+        def noop(df) -> None:
+            df.write.format("noop").mode("overwrite").save()
+
+        times: dict[str, float] = {}
+
+        def timed(name: str, fn) -> None:
+            t0 = time.perf_counter()
+            fn()
+            times[name] = round(time.perf_counter() - t0, 3)
+
+        # warm the Python worker pool / Arrow lanes (see bench.py)
+        spark.range(32).repartition(32).mapInPandas(
+            lambda it: it, schema="id long"
+        ).write.format("noop").mode("overwrite").save()
+
+        timed(
+            "dedup_exact",
+            lambda: noop(
+                docs.groupBy(F.md5("text").alias("h"))
+                .agg(F.count("*").alias("c"), F.min("doc_id").alias("keeper"))
+                .filter(F.col("c") > 1)
+            ),
+        )
+        timed(
+            "simhash_near_dup_pairs",
+            lambda: noop(simhash_near_dup_pairs(docs, max_hamming=5)),
+        )
+        timed(
+            "embedding_neardup_pairs",
+            lambda: noop(hyperplane_near_dup_pairs(emb, threshold=0.92, dim=64)),
+        )
+
+        queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        )
+        corpus = emb.select(
+            F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec")
+        )
+        # float32: the documented 100 TB default (float64 is only for
+        # oracle hash-matching)
+        timed(
+            "knn_bruteforce_blocked",
+            lambda: noop(
+                topk_similarity_join_blocked(
+                    queries, corpus, k=5, exclude_self=True, dtype="float32"
+                )
+            ),
+        )
+
+        cents: list = []
+
+        def ivf_build() -> None:
+            cents.extend(lloyd_kmeans(emb, k=8, iters=3))
+
+        timed("ivf_kmeans_build", ivf_build)
+
+        def ivf_probe() -> None:
+            members = assign_clusters(emb, cents).select(
+                F.col("vec_id").alias("corpus_id"),
+                F.col("embedding").alias("corpus_vec"),
+                "cluster_id",
+            )
+            probes = probe_clusters(queries, cents, nprobe=2, vec_col="query_vec")
+            noop(
+                topk_similarity_join_blocked(
+                    probes,
+                    members,
+                    k=5,
+                    exclude_self=True,
+                    dtype="float32",
+                    join_keys=["cluster_id"],
+                )
+            )
+
+        timed("ivf_probe_topk", ivf_probe)
+
+        total = round(sum(times.values()), 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "scale_bench_wall_time",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": times,
+                    "scale": scale,
+                    "n_docs": n_docs,
+                    "n_vecs": n_vecs,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
