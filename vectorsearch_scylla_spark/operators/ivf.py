@@ -116,6 +116,63 @@ def probe_clusters(
     ).drop("__probe")
 
 
+def build_ivf_index(
+    df: DataFrame,
+    cache_token: str,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> tuple[list[tuple[int, list[float]]], str]:
+    """Build-once IVF index: train the coarse quantizer, materialize the
+    inverted lists as ``cluster_id``-partitioned parquet, and cache both
+    on disk keyed by ``cache_token`` (caller folds in source-file
+    fingerprints + hyperparameters).  Returns ``(centroids, lists_path)``.
+
+    This is the "index build" half of the reference's ANN story
+    (scylladb_setup/create_iot_schema.py:137-155 builds an HNSW index
+    ONCE; queries then only probe it).  At 100 TB the k-means train +
+    corpus assignment runs once as a batch job; every subsequent search
+    reads ONLY its probed clusters' partitions — Spark prunes the
+    non-probed directories at the parquet scan, so a probe touches
+    nprobe/C of the corpus bytes.  Concurrent builders race safely:
+    staging dir + atomic rename, loser deletes its copy.
+    """
+    import json
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    spark = df.sparkSession
+    path = os.path.join(tempfile.gettempdir(), f"vss_ivf_idx_{cache_token}")
+    cents_file = os.path.join(path, "centroids.json")
+    lists_path = os.path.join(path, "lists")
+    if os.path.isfile(cents_file):
+        with open(cents_file) as f:
+            cents = [(int(c), v) for c, v in json.load(f)]
+        return cents, lists_path
+    cents = lloyd_kmeans(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, decimals=decimals
+    )
+    staging = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    os.makedirs(staging, exist_ok=True)
+    members = assign_clusters(df, cents, vec_col=vec_col)
+    # one file per non-empty cluster partition: the shuffle co-locates
+    # each inverted list, partitionBy splits them into prunable dirs
+    members.repartition(k, "cluster_id").write.partitionBy("cluster_id").parquet(
+        os.path.join(staging, "lists")
+    )
+    with open(os.path.join(staging, "centroids.json"), "w") as f:
+        json.dump(cents, f)
+    try:
+        os.rename(staging, path)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+    return cents, lists_path
+
+
 def lloyd_kmeans(
     df: DataFrame,
     k: int = 8,
