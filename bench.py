@@ -48,6 +48,7 @@ HEADLINE = [
     "dedup_exact",
     "minhash_dup_buckets",
     "simhash_dup_pairs",
+    "dedup_clusters",
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",
     "text_quality",

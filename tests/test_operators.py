@@ -375,3 +375,37 @@ def test_hyperplane_signatures_deterministic(spark):
     a = sorted(map(tuple, hyperplane_signatures(df, dim=3).collect()))
     b = sorted(map(tuple, hyperplane_signatures(df, dim=3).collect()))
     assert a == b
+
+
+def test_connected_components_known_graph(spark):
+    from vectorsearch_scylla_spark.operators.graph import connected_components
+
+    # component A: chain 1-2-3-4 (diameter 3, exercises propagation
+    # beyond one hop); component B: triangle 10-11-12; component C:
+    # single edge 20-21; ids deliberately non-contiguous
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10), (21, 20)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_connected_components_long_chain_pointer_jump(spark):
+    from vectorsearch_scylla_spark.operators.graph import connected_components
+
+    # a 40-node chain converges only via pointer jumping within the
+    # 25-round cap (pure neighbor-min would need 39 rounds)
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert got == {i: 0 for i in range(41)}

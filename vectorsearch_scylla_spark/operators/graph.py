@@ -1,0 +1,99 @@
+"""Distributed connected components over a pair-edge DataFrame.
+
+The final step of every training-data dedup pipeline: exact and
+near-dup PAIRS (hash groups, SimHash/MinHash band joins, embedding
+LSH) must be folded into CLUSTERS so one canonical document per
+component survives.  The reference stops at pair retrieval (its ANN
+index returns neighbor lists, docs/SCYLLADB_VECTOR_SEARCH_REFERENCE.md:49-58);
+clustering the pair graph is the batch-pipeline completion of that.
+
+Algorithm: iterative min-label propagation with pointer jumping.
+Each round every node takes ``min(own label, labels of its neighbors,
+label OF its label)``; the last term (pointer jumping / path halving)
+contracts chains so convergence is O(log diameter) rounds rather than
+O(diameter), and each round is two hash joins + one groupBy — no
+driver-side graph state, edges never leave the cluster.  For dup
+graphs specifically, components are near-cliques of bounded size
+(duplicate groups), so rounds ≈ 2-3 in practice.
+
+Scale notes (100 TB): the edge set of a dedup graph is orders of
+magnitude smaller than the corpus (only candidate pairs survive the
+band joins), so label propagation shuffles |E| rows per round on the
+join key — uniformly hash-partitioned, no skew beyond what AQE
+handles.  Lineage is truncated per round with ``localCheckpoint``
+(single-node) — on a real cluster point ``spark.sparkContext
+.setCheckpointDir`` at durable storage and swap to ``checkpoint``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Components of the undirected graph given by ``edges`` pairs.
+
+    Returns ``(node, component)`` where ``component`` is the MINIMUM
+    node id in the component — deterministic, so both the canonical-doc
+    choice ("keep the smallest id") and the oracle comparison are
+    stable.  Nodes are exactly the ids appearing in any edge.
+
+    Raises if the propagation has not reached a fixpoint within
+    ``max_iters`` rounds (pointer jumping makes that ~log2 of the
+    largest component diameter; 25 covers any realistic dup graph).
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("u").alias("node")).distinct().withColumn("lbl", F.col("node"))
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+            .withColumnRenamed("u", "node")
+        )
+        jump = (
+            labels.join(
+                labels.select(
+                    F.col("node").alias("lbl"), F.col("lbl").alias("jump_lbl")
+                ),
+                "lbl",
+            )
+            .select("node", "jump_lbl")
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .join(jump, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"),
+                    F.coalesce(F.col("nbr_lbl"), F.col("lbl")),
+                    F.coalesce(F.col("jump_lbl"), F.col("lbl")),
+                ).alias("lbl"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.withColumnRenamed("lbl", "new_lbl")
+            .join(labels, "node")
+            .filter(F.col("new_lbl") != F.col("lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("node", F.col("lbl").alias("component"))
+    raise RuntimeError(
+        f"connected_components: no fixpoint within {max_iters} rounds"
+    )

@@ -2037,6 +2037,81 @@ def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_PLANTED_DOCS_SQL.strip()},
+    {_simhash128_sigs_sql("planted")},
+    banded AS (
+        SELECT doc_id, s0, s1, s2, s3, k AS band_idx,
+               CASE k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2
+                      WHEN 3 THEN b3 WHEN 4 THEN b4 ELSE b5 END AS band_val
+        FROM sigs, (SELECT unnest(range(0,6)) AS k) bands
+    ),
+    near_e AS (
+        SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1))
+            + bit_count(xor(a.s2, b.s2)) + bit_count(xor(a.s3, b.s3)) <= 5
+    ),
+    exact_e AS (
+        SELECT m AS a, doc_id AS b FROM (
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS m
+            FROM planted WHERE text IS NOT NULL)
+        WHERE doc_id <> m
+    ),
+    edges AS (SELECT a, b FROM near_e UNION SELECT a, b FROM exact_e),
+    sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+    reach(node, r) AS (
+        SELECT DISTINCT a AS node, a AS r FROM sym
+        UNION
+        SELECT rc.node, s.b AS r FROM reach rc JOIN sym s ON s.a = rc.r
+    ),
+    comp AS (SELECT node AS doc_id, min(r) AS canonical_id FROM reach GROUP BY node)
+    SELECT doc_id, canonical_id,
+           CAST(count(*) OVER (PARTITION BY canonical_id) AS BIGINT) AS cluster_size,
+           doc_id = canonical_id AS is_keeper
+    FROM comp
+    """,
+    ["DEDUP-EXACT", "DEDUP-SIMHASH", "DEDUP-CLUSTERS"],
+    "Duplicate CLUSTERS from the union of exact-dup and SimHash "
+    "near-dup pair edges: distributed connected components (min-label "
+    "propagation + pointer jumping, operators/graph.py) fold candidate "
+    "pairs into components; the minimum doc_id is the canonical keeper. "
+    "The dedup-pipeline completion of pair retrieval — at 100 TB the "
+    "edge set is tiny vs the corpus, each round is two hash joins.  "
+    "Oracle computes the same components via recursive-CTE transitive "
+    "closure — an INDEPENDENT algorithm, so the green row checks the "
+    "clustering itself, not a shared implementation.",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectorsearch_scylla_spark.operators.dedup import simhash_near_dup_pairs
+    from vectorsearch_scylla_spark.operators.graph import connected_components
+
+    docs = _docs_with_planted_dups(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    near = simhash_near_dup_pairs(docs, max_hamming=5).select("id_a", "id_b")
+    grouped = docs.select(
+        "doc_id",
+        F.min("doc_id")
+        .over(Window.partitionBy(F.md5(F.col("text").cast("binary"))))
+        .alias("m"),
+    )
+    exact = grouped.filter(F.col("doc_id") != F.col("m")).select(
+        F.col("m").alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    comp = connected_components(near.union(exact).distinct())
+    sizes = comp.groupBy("component").agg(F.count("*").cast("long").alias("cluster_size"))
+    return comp.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("canonical_id"),
+        "cluster_size",
+        (F.col("node") == F.col("component")).alias("is_keeper"),
+    )
+
+
+@query(
     "ngram_jaccard_pairs",
     f"""
     WITH sigs AS (
