@@ -53,6 +53,8 @@ HEADLINE = [
     "embedding_neardup_pairs",
     "text_quality",
     "language_id",
+    "corpus_quality_filter",
+    "stratified_sample",
     "media_byte_features",
     # LAST: a completed streaming query leaves residue in the shared
     # local JVM that intermittently slows later heavy batch queries

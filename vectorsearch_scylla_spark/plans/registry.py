@@ -2297,6 +2297,134 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_quality_filter",
+    f"""
+    WITH {_PLANTED_DOCS_SQL.strip()},
+    scored AS (
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS keeper,
+               CAST({_WC} AS BIGINT) AS word_count,
+               {Q(f"least(1.0, {_WC} / 100.0) * (1.0 - CAST({_THE_CHARS} AS DOUBLE) / 3.0 / {_WC})")} AS quality_score,
+               {_LANG_ARGMAX_SQL} AS predicted_lang,
+               ({" + ".join(f"({_lang_score_sql(lg)})" for lg in LANG_MARKERS)}) AS lang_evidence
+        FROM planted WHERE text IS NOT NULL
+    )
+    SELECT doc_id, predicted_lang, word_count, quality_score,
+           CASE WHEN doc_id <> keeper THEN 'duplicate'
+                WHEN word_count < 15 THEN 'too_short'
+                WHEN quality_score < 0.2 THEN 'low_quality'
+                WHEN lang_evidence = 0 THEN 'unknown_lang'
+           END AS reject_reason,
+           (doc_id = keeper AND word_count >= 15 AND quality_score >= 0.2
+            AND lang_evidence > 0) AS kept
+    FROM scored
+    """,
+    ["TEXT-QUALITY", "TEXT-LANGID", "DEDUP-EXACT", "PIPELINE-FILTER"],
+    "Composed training-corpus admission filter — the keep/reject "
+    "decision a data pipeline applies per document, as ONE declarative "
+    "pass: exact-dup keeper check (window min over content hash), "
+    "length floor, quality-score floor, language-evidence gate, with "
+    "the FIRST failing stage as the reject reason.  Runs over the "
+    "planted corpus and thresholds chosen so EVERY reject path fires "
+    "on the fixture (non-vacuous).  Single scan + one window shuffle; "
+    "every stage is JVM-side expression arithmetic.",
+)
+def q_corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_planted_dups(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    ln = F.length("text")
+    wc = (ln - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1).cast(
+        "long"
+    )
+    the_chars = ln - F.length(F.replace(F.col("text"), F.lit("the"), F.lit("")))
+    quality = quantize(
+        F.least(F.lit(1.0), wc / 100.0) * (1.0 - the_chars.cast("double") / 3.0 / wc)
+    )
+    scores = {lg: _lang_score_spark(lg) for lg in LANG_MARKERS}
+    pred_expr = None
+    for lg in LANG_MARKERS:
+        cond = F.lit(True)
+        for o in LANG_MARKERS:
+            if o != lg:
+                cond = cond & (scores[lg] >= scores[o])
+        pred_expr = (
+            F.when(cond, F.lit(lg))
+            if pred_expr is None
+            else pred_expr.when(cond, F.lit(lg))
+        )
+    pred = pred_expr.otherwise(F.lit("und"))
+    evidence = None
+    for lg in LANG_MARKERS:
+        evidence = scores[lg] if evidence is None else evidence + scores[lg]
+    scored = docs.select(
+        "doc_id",
+        F.min("doc_id")
+        .over(Window.partitionBy(F.md5(F.col("text").cast("binary"))))
+        .alias("keeper"),
+        wc.alias("word_count"),
+        quality.alias("quality_score"),
+        pred.alias("predicted_lang"),
+        evidence.alias("lang_evidence"),
+    )
+    reason = (
+        F.when(F.col("doc_id") != F.col("keeper"), "duplicate")
+        .when(F.col("word_count") < 15, "too_short")
+        .when(F.col("quality_score") < 0.2, "low_quality")
+        .when(F.col("lang_evidence") == 0, "unknown_lang")
+    )
+    return scored.select(
+        "doc_id",
+        "predicted_lang",
+        "word_count",
+        "quality_score",
+        reason.alias("reject_reason"),
+        reason.isNull().alias("kept"),
+    )
+
+
+# sampling rates per labeled language stratum, out of 256 hash buckets
+# (rebalance toward the rarer languages)
+_STRATUM_RATES = {"en": 52, "de": 103, "es": 154, "fr": 205, "zh": 256}
+
+
+@query(
+    "stratified_sample",
+    f"""
+    SELECT doc_id, lang, sample_bucket
+    FROM (
+        SELECT doc_id, lang,
+               CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS BIGINT) AS sample_bucket
+        FROM documents
+    )
+    WHERE sample_bucket < CASE lang {" ".join(f"WHEN '{lg}' THEN {r}" for lg, r in _STRATUM_RATES.items())} ELSE 0 END
+    """,
+    ["PIPELINE-SAMPLE"],
+    "Deterministic stratified sampling: per-language keep rates applied "
+    "via a content-independent hash bucket (first md5 byte of the doc "
+    "id, 256 buckets) — reproducible across runs/engines unlike "
+    "rand()-based sampling, join-stable (the same doc is always in or "
+    "out), and a pure scan-side filter: no shuffle, prunes at the "
+    "source, trivially scales.  The rebalance-toward-rare-languages "
+    "rates are the standard corpus-mixing move.",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 2), 16, 10
+    ).cast("long")
+    rate = F.lit(0)
+    for lg, r in _STRATUM_RATES.items():
+        rate = F.when(F.col("lang") == lg, F.lit(r)).otherwise(rate)
+    return (
+        docs.select("doc_id", "lang", bucket.alias("sample_bucket"))
+        .filter(F.col("sample_bucket") < rate)
+    )
+
+
+
+@query(
     "metric_delta_top3",
     RAW_CTE
     + f"""
