@@ -116,3 +116,11 @@ def test_range_scan_filter_pushdown(plans):
     p = plans["range_scan"]
     assert "PushedFilters: [" in p, p
     assert "PushedFilters: []" not in p, p
+    # the TIME RANGE itself must be pushed (row-group min/max skipping),
+    # not just the metric-name IN filter — a comparison hidden behind
+    # cast/arithmetic degrades to a post-scan DataFilter and silently
+    # reads the whole table at scale
+    import re
+
+    assert re.search(r"PushedFilters:[^\n]*GreaterThanOrEqual\(ts", p), p
+    assert re.search(r"PushedFilters:[^\n]*LessThan\(ts", p), p

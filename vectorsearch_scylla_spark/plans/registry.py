@@ -287,14 +287,13 @@ def q_conditional_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the predicate is session-timezone-independent.",
 )
 def q_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    raw = device_metrics_raw(spark, sf_dir)
-    # range predicate on the raw nanos column so it reaches the parquet
-    # scan as a PushedFilter (row-group min/max skipping at scale)
-    return raw.filter(
-        (F.col("ts_ns") >= 1704844800 * 1_000_000_000)
-        & (F.col("ts_ns") < 1705708800 * 1_000_000_000)
-        & F.col("metric_name").isin("error", "purchase")
-    ).select(
+    # time bounds go through device_metrics_raw so they land on the
+    # PHYSICAL ts column pre-conversion and reach the parquet scan as
+    # PushedFilters (row-group min/max skipping at scale)
+    raw = device_metrics_raw(
+        spark, sf_dir, start_epoch=1704844800, end_epoch=1705708800
+    )
+    return raw.filter(F.col("metric_name").isin("error", "purchase")).select(
         "device_id",
         "event_id",
         F.unix_timestamp("timestamp").alias("ts_epoch"),
@@ -2986,7 +2985,11 @@ def _stream_source_dir(raw: DataFrame, sf_dir: str) -> str:
         for p in sorted(glob.glob(os.path.join(sf_dir, "*.parquet")))
         for st in [os.stat(p)]
     ]
-    key = hashlib.md5(("|".join([sf_dir, *raw.columns, *stats])).encode()).hexdigest()[:12]
+    # dtypes are part of the key: the same columns can arrive as
+    # TIMESTAMP vs TIMESTAMP_NTZ depending on the source generation,
+    # and readStream.schema(raw.schema) must match the staged files
+    cols = [f"{c}:{t}" for c, t in raw.dtypes]
+    key = hashlib.md5(("|".join([sf_dir, *cols, *stats])).encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"vss_stream_src_{key}")
     if not os.path.isdir(path):
         staging = f"{path}.tmp.{uuid.uuid4().hex[:8]}"

@@ -38,17 +38,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table. Column pruning / predicate pushdown reach the
     scan because we return the raw DataFrame (no materialization).
 
-    ``events.ts`` is TIMESTAMP(NANOS) in the source parquet, which Spark
-    rejects by default; we enable the legacy nanos-as-long read at
-    runtime (works on any caller-provided session, e.g. the driver's)
-    and convert to a microsecond timestamp instant (integer division —
-    exact, timezone-independent).
+    ``events.ts`` has shipped as TIMESTAMP(NANOS) (older generator) and
+    as TIMESTAMP_NTZ(MICROS); we normalize both to a UTC TimestampType
+    instant.  Nanos: legacy nanos-as-long read (set at runtime so any
+    caller-provided session works) + integer division — exact,
+    timezone-independent.  NTZ: the naive values ARE UTC wall times, so
+    we pin the session timezone to UTC and cast — exact and required
+    for event-time streaming (``withWatermark`` rejects TIMESTAMP_NTZ).
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        dt = dict(df.dtypes).get("ts")
+        if dt == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dt == "timestamp_ntz":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -62,7 +69,12 @@ def load_all(spark: SparkSession, sf_dir: str, register_views: bool = True) -> d
     return dfs
 
 
-def device_metrics_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+def device_metrics_raw(
+    spark: SparkSession,
+    sf_dir: str,
+    start_epoch: int | None = None,
+    end_epoch: int | None = None,
+) -> DataFrame:
     """``events`` → the reference's ``device_metrics_raw`` shape.
 
     Mirrors the Kafka message format of
@@ -72,22 +84,54 @@ def device_metrics_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ``date`` is the reference's partition bucket
     (``strftime('%Y-%m-%d')``, ``pipeline/kafka_consumer.py:295``).
+
+    ``[start_epoch, end_epoch)`` (UTC seconds) is applied on the
+    PHYSICAL source column *before* any type conversion, as a literal
+    the pushdown rule can see — so it reaches the parquet scan as a
+    PushedFilter (row-group min/max skipping) in every source layout.
+    Predicates added after conversion sit behind arithmetic/casts the
+    rule can't invert and degrade to post-scan DataFilters.
     """
+    import datetime
+
     # Read the parquet directly (not via load_table's eager ts
-    # conversion) so the raw int64-nanos column survives: predicates on
-    # it (epoch × 1e9 literals) push down to the parquet scan, which
-    # predicates on the converted timestamp cannot (they sit behind
-    # arithmetic the pushdown rule can't invert).
+    # conversion) so the physical ts column survives for pushdown.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(ev.dtypes).get("ts") == "bigint":
+    dt = dict(ev.dtypes).get("ts")
+    if dt == "bigint":
+        # raw int64 nanos: epoch × 1e9 literals compare directly
+        if start_epoch is not None:
+            ev = ev.filter(F.col("ts") >= start_epoch * 1_000_000_000)
+        if end_epoch is not None:
+            ev = ev.filter(F.col("ts") < end_epoch * 1_000_000_000)
         ev = ev.withColumn("__ts_ns", F.col("ts")).withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
         )
     else:
-        ev = ev.withColumn(
-            "__ts_ns", F.unix_timestamp("ts").cast("long") * F.lit(1_000_000_000)
-        )
+        if dt == "timestamp_ntz":
+            # naive micros are UTC wall times; pin the session tz so the
+            # cast to an instant is deterministic on any caller session,
+            # and so withWatermark (which rejects NTZ) gets TimestampType
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            # to_timestamp_ntz of a string literal constant-folds to an
+            # NTZ constant (independent of any driver/session timezone),
+            # so the comparison is attribute-vs-literal and pushes down
+            def _ntz(epoch_s: int):
+                wall = datetime.datetime.fromtimestamp(epoch_s, datetime.timezone.utc)
+                return F.to_timestamp_ntz(F.lit(wall.strftime("%Y-%m-%d %H:%M:%S")))
+
+            if start_epoch is not None:
+                ev = ev.filter(F.col("ts") >= _ntz(start_epoch))
+            if end_epoch is not None:
+                ev = ev.filter(F.col("ts") < _ntz(end_epoch))
+            ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        else:
+            if start_epoch is not None:
+                ev = ev.filter(F.col("ts") >= F.timestamp_seconds(F.lit(start_epoch)))
+            if end_epoch is not None:
+                ev = ev.filter(F.col("ts") < F.timestamp_seconds(F.lit(end_epoch)))
+        ev = ev.withColumn("__ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
     return ev.select(
         F.concat(F.lit("DEV-"), F.lpad(F.col("user_id").cast("string"), 3, "0")).alias("device_id"),
         F.date_format("ts", "yyyy-MM-dd").alias("date"),
