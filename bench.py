@@ -55,6 +55,8 @@ HEADLINE = [
     "language_id",
     "corpus_quality_filter",
     "stratified_sample",
+    "benchmark_decontam",
+    "token_packing",
     "media_byte_features",
     # LAST: a completed streaming query leaves residue in the shared
     # local JVM that intermittently slows later heavy batch queries

@@ -2035,9 +2035,12 @@ def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup_pairs(docs, max_hamming=5)
 
 
-@query(
-    "dedup_clusters",
-    f"""
+# Shared CTE chain: planted corpus → SimHash near-dup + exact-dup pair
+# edges → connected components via recursive-CTE transitive closure —
+# an INDEPENDENT clustering algorithm from the Spark side's min-label
+# propagation, so green rows check the clustering itself.  Ends at
+# ``comp(doc_id, canonical_id)``.
+_DEDUP_COMPONENTS_CTES = f"""
     WITH RECURSIVE {_PLANTED_DOCS_SQL.strip()},
     {_simhash128_sigs_sql("planted")},
     banded AS (
@@ -2067,6 +2070,31 @@ def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT rc.node, s.b AS r FROM reach rc JOIN sym s ON s.a = rc.r
     ),
     comp AS (SELECT node AS doc_id, min(r) AS canonical_id FROM reach GROUP BY node)
+"""
+
+
+def _dedup_component_edges(docs: DataFrame) -> DataFrame:
+    """Spark twin of the edge CTEs: SimHash near-dup pairs ∪ exact-dup
+    pairs over the planted corpus, as ``(id_a, id_b)``."""
+    from vectorsearch_scylla_spark.operators.dedup import simhash_near_dup_pairs
+
+    near = simhash_near_dup_pairs(docs, max_hamming=5).select("id_a", "id_b")
+    grouped = docs.select(
+        "doc_id",
+        F.min("doc_id")
+        .over(Window.partitionBy(F.md5(F.col("text").cast("binary"))))
+        .alias("m"),
+    )
+    exact = grouped.filter(F.col("doc_id") != F.col("m")).select(
+        F.col("m").alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    return near.union(exact).distinct()
+
+
+@query(
+    "dedup_clusters",
+    _DEDUP_COMPONENTS_CTES
+    + """
     SELECT doc_id, canonical_id,
            CAST(count(*) OVER (PARTITION BY canonical_id) AS BIGINT) AS cluster_size,
            doc_id = canonical_id AS is_keeper
@@ -2084,29 +2112,86 @@ def q_simhash_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "clustering itself, not a shared implementation.",
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vectorsearch_scylla_spark.operators.dedup import simhash_near_dup_pairs
     from vectorsearch_scylla_spark.operators.graph import connected_components
 
     docs = _docs_with_planted_dups(load_table(spark, sf_dir, "documents")).filter(
         F.col("text").isNotNull()
     )
-    near = simhash_near_dup_pairs(docs, max_hamming=5).select("id_a", "id_b")
-    grouped = docs.select(
-        "doc_id",
-        F.min("doc_id")
-        .over(Window.partitionBy(F.md5(F.col("text").cast("binary"))))
-        .alias("m"),
-    )
-    exact = grouped.filter(F.col("doc_id") != F.col("m")).select(
-        F.col("m").alias("id_a"), F.col("doc_id").alias("id_b")
-    )
-    comp = connected_components(near.union(exact).distinct())
+    comp = connected_components(_dedup_component_edges(docs))
     sizes = comp.groupBy("component").agg(F.count("*").cast("long").alias("cluster_size"))
     return comp.join(sizes, "component").select(
         F.col("node").alias("doc_id"),
         F.col("component").alias("canonical_id"),
         "cluster_size",
         (F.col("node") == F.col("component")).alias("is_keeper"),
+    )
+
+
+@query(
+    "dedup_canonical",
+    _DEDUP_COMPONENTS_CTES
+    + f"""
+    , scored AS (
+        SELECT comp.doc_id, comp.canonical_id,
+               {Q(f"least(1.0, {_WC} / 100.0) * (1.0 - CAST({_THE_CHARS} AS DOUBLE) / 3.0 / {_WC})")} AS quality_score
+        FROM comp JOIN planted p ON p.doc_id = comp.doc_id
+    )
+    SELECT canonical_id AS cluster_id,
+           doc_id AS survivor_doc_id,
+           quality_score AS survivor_quality,
+           CAST(cluster_size AS BIGINT) AS cluster_size
+    FROM (
+        SELECT scored.*,
+               row_number() OVER (PARTITION BY canonical_id
+                                  ORDER BY quality_score DESC, doc_id ASC) AS rn,
+               count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+        FROM scored
+    ) WHERE rn = 1
+    """,
+    ["DEDUP-CANONICAL", "W2"],
+    "Canonical-survivor selection: for each duplicate cluster keep the "
+    "HIGHEST-QUALITY member (tie-break lowest doc_id), not merely the "
+    "lowest id — the standard curation policy when near-duplicates "
+    "differ in quality (truncation, boilerplate).  Composition of the "
+    "dedup clustering with the quality scorer: edges → connected "
+    "components → broadcast-join scores → per-cluster top-1 window.  "
+    "At 100 TB the cluster set is tiny vs the corpus (only docs that "
+    "appear in some dup pair), so every stage after pair generation "
+    "runs on the edge subgraph, not the corpus.",
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectorsearch_scylla_spark.operators.graph import connected_components
+
+    docs = _docs_with_planted_dups(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    comp = connected_components(_dedup_component_edges(docs))
+    ln = F.length("text")
+    wc = ln - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1
+    the_chars = ln - F.length(F.replace(F.col("text"), F.lit("the"), F.lit("")))
+    quality = quantize(
+        F.least(F.lit(1.0), wc / 100.0) * (1.0 - the_chars.cast("double") / 3.0 / wc)
+    )
+    scored = comp.join(
+        docs.select("doc_id", quality.alias("quality_score")),
+        comp["node"] == F.col("doc_id"),
+    ).select("doc_id", F.col("component").alias("cluster_id"), "quality_score")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "cluster_size",
+            F.count("*").over(Window.partitionBy("cluster_id")).cast("long"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("survivor_doc_id"),
+            F.col("quality_score").alias("survivor_quality"),
+            "cluster_size",
+        )
     )
 
 
@@ -2421,6 +2506,153 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sample_bucket") < rate)
     )
 
+
+@query(
+    "benchmark_decontam",
+    """
+    WITH docs_w AS (
+        SELECT doc_id, string_split(text, ' ') AS w
+        FROM documents WHERE text IS NOT NULL
+    ),
+    bench AS (
+        SELECT doc_id AS bench_id, array_to_string(w[3:10], ' ') AS gram
+        FROM docs_w WHERE len(w) >= 10 AND doc_id % 50 = 10
+    ),
+    grams AS (
+        SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(w) >= 8 THEN
+                list_transform(range(1, len(w) - 6),
+                               i -> array_to_string(w[i:i+7], ' '))
+            ELSE [] END)) AS gram
+        FROM docs_w
+    )
+    SELECT g.doc_id,
+           CAST(count(DISTINCT g.gram) AS BIGINT) AS grams_hit,
+           min(b.bench_id) AS min_bench_id
+    FROM grams g JOIN bench b ON g.gram = b.gram
+    GROUP BY g.doc_id
+    """,
+    ["PIPELINE-DECONTAM"],
+    "Benchmark decontamination: flag training documents sharing any "
+    "8-word shingle with an eval-benchmark set (here: a deterministic "
+    "probe set drawn from every 50th document's words 3-10, so the "
+    "positive path is non-vacuous by construction — each probe's "
+    "source doc must hit).  The scalable shape: corpus explodes to "
+    "distinct word-8-grams ONCE (linear in corpus tokens), the tiny "
+    "benchmark gram table broadcasts, and the match is a broadcast "
+    "hash equi-join on the gram string — never a contains() scan per "
+    "benchmark item, never a corpus×benchmark nested loop.",
+)
+def q_benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    dw = docs.select("doc_id", F.split("text", " ").alias("w"))
+    bench = dw.filter((F.size("w") >= 10) & (F.col("doc_id") % 50 == 10)).select(
+        F.col("doc_id").alias("bench_id"),
+        F.concat_ws(" ", F.slice("w", 3, 8)).alias("gram"),
+    )
+    # SQL-text lambda (engine convention: HOF lambdas via expr so the
+    # variables scope per-expression); sequence() guarded — with stop <
+    # start it would generate a DESCENDING range, not an empty one
+    grams = dw.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.size("w") >= 8,
+                    F.expr(
+                        "transform(sequence(1, size(w) - 7),"
+                        " i -> concat_ws(' ', slice(w, i, 8)))"
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            )
+        ).alias("gram"),
+    )
+    return (
+        grams.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count_distinct("gram").alias("grams_hit"),
+            F.min("bench_id").alias("min_bench_id"),
+        )
+    )
+
+
+# context-window token budget for sequence packing; small enough that
+# sf0.01 docs (avg ~50 words) pack several per window
+_PACK_BUDGET = 256
+_PACK_SHARDS_SPAN = 1_000_000
+
+
+@query(
+    "token_packing",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               CAST(strpos('0123456789abcdef',
+                           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                    AS BIGINT) AS shard,
+               CAST({_WC} AS BIGINT) AS n_tokens
+        FROM documents WHERE text IS NOT NULL
+    ),
+    packed AS (
+        SELECT doc_id, shard, n_tokens,
+               CAST(COALESCE(sum(n_tokens) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cum_prev
+        FROM toks
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(shard * {_PACK_SHARDS_SPAN} + cum_prev // {_PACK_BUDGET} AS BIGINT) AS seq_id,
+           CAST(cum_prev % {_PACK_BUDGET} AS BIGINT) AS seq_offset,
+           CAST((cum_prev + n_tokens - 1) // {_PACK_BUDGET}
+                - cum_prev // {_PACK_BUDGET} + 1 AS BIGINT) AS windows_spanned
+    FROM packed
+    """,
+    ["PIPELINE-PACK"],
+    "Sequence packing (concat-and-chunk): documents are concatenated in "
+    "a deterministic order and split into fixed token-budget context "
+    "windows — each doc gets its window id, offset, and how many "
+    "windows it straddles.  Sharded by a content-independent md5 "
+    "bucket of doc_id so the running-sum window runs PER SHARD: at "
+    "100 TB each shard packs independently in parallel (more shards = "
+    "more parallelism; one global ORDER BY would serialize on a single "
+    "partition).  Shard and order are hash/id-derived, so the packing "
+    "is reproducible across runs and engines — the property a "
+    "training-data writer needs for resumable exports.",
+)
+def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    wc = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    ).cast("long")
+    shard = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1), 16, 10
+    ).cast("long")
+    toks = docs.select("doc_id", shard.alias("shard"), wc.alias("n_tokens"))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = toks.withColumn(
+        "cum_prev", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    b = _PACK_BUDGET
+    return packed.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (F.col("shard") * _PACK_SHARDS_SPAN + F.expr(f"cum_prev div {b}")).alias("seq_id"),
+        (F.col("cum_prev") % b).alias("seq_offset"),
+        (
+            F.expr(f"(cum_prev + n_tokens - 1) div {b}")
+            - F.expr(f"cum_prev div {b}")
+            + F.lit(1)
+        ).cast("long").alias("windows_spanned"),
+    )
 
 
 @query(
@@ -2973,6 +3205,14 @@ def _stream_source_dir(raw: DataFrame, sf_dir: str) -> str:
     rather than silently reusing a stale one, and the copy is staged in
     a unique temp dir then atomically renamed into place so concurrent
     runs never observe (or destroy) a half-written source."""
+    return _materialize_once(raw, "vss_stream_src", sf_dir)
+
+
+def _materialize_once(df: DataFrame, prefix: str, sf_dir: str) -> str:
+    """Write ``df`` to a reusable parquet dir keyed by (sf_dir source
+    fingerprints, df dtypes); concurrent/repeat-safe via staging dir +
+    atomic rename.  The disk twin of a persisted table: what a real
+    deployment's earlier batch job would have left behind."""
     import glob
     import hashlib
     import os
@@ -2988,12 +3228,12 @@ def _stream_source_dir(raw: DataFrame, sf_dir: str) -> str:
     # dtypes are part of the key: the same columns can arrive as
     # TIMESTAMP vs TIMESTAMP_NTZ depending on the source generation,
     # and readStream.schema(raw.schema) must match the staged files
-    cols = [f"{c}:{t}" for c, t in raw.dtypes]
+    cols = [f"{c}:{t}" for c, t in df.dtypes]
     key = hashlib.md5(("|".join([sf_dir, *cols, *stats])).encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"vss_stream_src_{key}")
+    path = os.path.join(tempfile.gettempdir(), f"{prefix}_{key}")
     if not os.path.isdir(path):
         staging = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
-        raw.write.mode("overwrite").parquet(staging)
+        df.write.mode("overwrite").parquet(staging)
         try:
             os.rename(staging, path)
         except OSError:
@@ -3137,7 +3377,12 @@ def q_streaming_detect_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _stream_source_dir(raw, sf_dir)
     # the "earlier batch job": per-device profile over the FULL history
     # (60 s LWW pivot, 0-filled, quantized stats — what the reference's
-    # build_profiles.py persists and the consumer caches per device)
+    # build_profiles.py persists and the consumer caches per device).
+    # PERSISTED like the real profile table, not left as a live
+    # aggregate: an unmaterialized profile plan would re-run the whole
+    # history scan+aggregate INSIDE every streaming micro-batch that
+    # broadcasts it (~7 s/invocation at sf0.1) — the stream must join
+    # against the written table, exactly as the consumer does.
     lww = raw.groupBy(
         "device_id", window_start("timestamp", 60).alias("ws"), "metric_name"
     ).agg(F.max_by("metric_value", F.struct("timestamp", "event_id")).alias("v"))
@@ -3149,7 +3394,7 @@ def q_streaming_detect_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in METRICS
         ]
     )
-    profiles = snapb.groupBy("device_id").agg(
+    profiles_plan = snapb.groupBy("device_id").agg(
         *[
             a
             for m in METRICS
@@ -3159,35 +3404,33 @@ def q_streaming_detect_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ]
     )
+    profiles = spark.read.parquet(
+        _materialize_once(profiles_plan, "vss_profiles", sf_dir)
+    )
+    import atexit
+
     base = tempfile.mkdtemp(prefix="vss_detect_e2e_")
-    try:
-        stream = spark.readStream.schema(raw.schema).parquet(src)
-        snaps = windowed_snapshot_stream(stream, window_seconds=60, watermark_windows=2)
-        detected = detect_paths12(snaps, profiles, METRICS, sim_threshold=0.90)
-        q = detection_sinks(detected, base)
-        if not q.awaitTermination(600):
-            q.stop()
-            raise RuntimeError(
-                "streaming_detect_e2e: availableNow query did not drain within 600s"
-            )
-        events = spark.read.parquet(os.path.join(base, "events"))
-        # materialize the (small) event set so the sink dirs can be
-        # reclaimed before returning — the pipeline itself never
-        # collected anything; this is the driver handing back results
-        out_schema = (
-            "device_id string, window_start bigint, outlier_count bigint, "
-            "similarity double, anomaly_score double, "
-            "path1_triggered boolean, path2_triggered boolean"
+    # sink dirs must outlive this function (the caller still has to
+    # consume the returned DataFrame, which scans them) — reclaim at
+    # process exit instead of collecting 100k rows through the driver
+    # just to delete the files early
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    stream = spark.readStream.schema(raw.schema).parquet(src)
+    snaps = windowed_snapshot_stream(stream, window_seconds=60, watermark_windows=2)
+    detected = detect_paths12(snaps, profiles, METRICS, sim_threshold=0.90)
+    q = detection_sinks(detected, base)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(
+            "streaming_detect_e2e: availableNow query did not drain within 600s"
         )
-        rows = events.select(
-            "device_id",
-            F.unix_timestamp("window_start").cast("long").alias("window_start"),
-            "outlier_count",
-            quantize(F.col("similarity")).alias("similarity"),
-            quantize(F.col("anomaly_score")).alias("anomaly_score"),
-            "path1_triggered",
-            "path2_triggered",
-        ).collect()
-    finally:
-        shutil.rmtree(base, ignore_errors=True)
-    return spark.createDataFrame(rows, out_schema)
+    events = spark.read.parquet(os.path.join(base, "events"))
+    return events.select(
+        "device_id",
+        F.unix_timestamp("window_start").cast("long").alias("window_start"),
+        "outlier_count",
+        quantize(F.col("similarity")).alias("similarity"),
+        quantize(F.col("anomaly_score")).alias("anomaly_score"),
+        "path1_triggered",
+        "path2_triggered",
+    )
