@@ -135,6 +135,13 @@ def main() -> None:
 
         timed("ivf_kmeans_build", ivf_build)
 
+        # the documented scale swap-in: same trainer, blocked NumPy
+        # BLAS assignment passes instead of interpreted cosine folds
+        timed(
+            "ivf_kmeans_build_np",
+            lambda: lloyd_kmeans(emb, k=8, iters=3, kernel="numpy"),
+        )
+
         def ivf_probe() -> None:
             members = assign_clusters(emb, cents).select(
                 F.col("vec_id").alias("corpus_id"),

@@ -131,6 +131,31 @@ def test_lloyd_kmeans_quality_vs_mllib(spark, emb):
     assert ours >= theirs - 0.05, (ours, theirs)
 
 
+def test_assign_clusters_np_matches_expr_kernel(spark, emb):
+    """The blocked NumPy assignment kernel (scale swap-in) must agree
+    with the oracle-parity expression kernel on every fixture row at
+    float64 — the only admissible divergence is an exact cosine tie,
+    which this corpus does not contain."""
+    from vectorsearch_scylla_spark.operators.ivf import (
+        assign_clusters,
+        assign_clusters_np,
+        lloyd_kmeans,
+    )
+
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = lloyd_kmeans(vecs, k=8, iters=2)
+    expr_out = {
+        r["vec_id"]: r["cluster_id"] for r in assign_clusters(vecs, cents).collect()
+    }
+    np_out = {
+        r["vec_id"]: r["cluster_id"]
+        for r in assign_clusters_np(vecs, cents, dtype="float64").collect()
+    }
+    assert expr_out == np_out
+
+
 def test_cosine_pairs_blocked_threshold(spark, emb):
     pairs = cosine_pairs_blocked(emb, threshold=0.9).collect()
     assert all(r["similarity"] > 0.9 and r["id_a"] < r["id_b"] for r in pairs)

@@ -89,6 +89,60 @@ def assign_clusters(
     return df.withColumn(out_col, (-best["nc"]).cast("int"))
 
 
+def assign_clusters_np(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "cluster_id",
+    dtype: str = "float32",
+) -> DataFrame:
+    """Blocked NumPy assignment kernel — the documented scale swap-in
+    for :func:`assign_clusters` when bit-exact oracle parity is not
+    required (the fold-based cosine runs interpreted, outside
+    whole-stage codegen; one BLAS matmul per Arrow batch replaces
+    k interpreted folds per row).
+
+    Semantics match :func:`assign_clusters`: argmax cosine, tie-break
+    LOWEST cluster id (centroid rows are sorted by id and ``argmax``
+    takes the first maximum), zero vectors get similarity 0.0 against
+    every centroid and so land in the lowest cluster id.  Only the fp
+    reduction ORDER differs (BLAS pairwise vs left-fold), which can
+    flip an assignment only on a genuine cosine tie at ~1e-15 —
+    ``tests/test_operators.py`` asserts full agreement on the fixture
+    corpus.  ``dtype='float32'`` is the 100 TB default (half the Arrow
+    transfer + matmul cost); use ``'float64'`` to match the expression
+    kernel's precision.
+    """
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    ordered = sorted(centroids)
+    ids = np.array([cid for cid, _ in ordered], dtype=np.int64)
+    C = np.asarray([v for _, v in ordered], dtype=dtype)
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0.0] = 1.0
+    Cn = (C / cn[:, None]).T  # d × k, normalized
+
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, IntegerType(), False)]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            V = np.asarray(list(pdf[vec_col]), dtype=dtype)
+            vn = np.linalg.norm(V, axis=1)
+            zero = vn == 0.0
+            vn[zero] = 1.0
+            sims = (V / vn[:, None]) @ Cn  # n × k cosine block
+            sims[zero, :] = 0.0
+            best = ids[np.argmax(sims, axis=1)]
+            pdf = pdf.copy()
+            pdf[out_col] = best.astype("int32")
+            yield pdf
+
+    return df.mapInPandas(assign, schema)
+
+
 def probe_clusters(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -180,12 +234,27 @@ def lloyd_kmeans(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     decimals: int = 6,
+    kernel: str = "expr",
 ) -> list[tuple[int, list[float]]]:
     """Train the coarse quantizer; returns ``[(cluster_id, centroid)]``
     sorted by cluster id.  ``iters + 1`` Spark jobs: one seed draw and
     one assignment+update aggregate per iteration; only k×d values
     ever reach the driver.  A cluster that loses every member simply
-    drops out (deterministically on both engines)."""
+    drops out (deterministically on both engines).
+
+    ``kernel='expr'`` (default) assigns via the fused cosine-fold
+    expression — interpreted, but bit-reproducible in SQL, which the
+    oracle parity gate requires.  ``kernel='numpy'`` swaps in the
+    blocked float64 BLAS kernel (:func:`assign_clusters_np`) for the
+    assignment pass — the 100 TB build path (identical asymptotics,
+    ~5× lower constant; can differ from the fold only on exact cosine
+    ties).  Both feed the SAME Spark-side quantized-mean update, so
+    centroids stay deterministic either way."""
+    if kernel == "numpy":
+        def _assign(vdf, cents, vec_col):
+            return assign_clusters_np(vdf, cents, vec_col=vec_col, dtype="float64")
+    else:
+        _assign = assign_clusters
     vecs = df.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
     seeds = (
         vecs.withColumn("__h", F.md5(F.col(id_col).cast("string")))
@@ -195,7 +264,7 @@ def lloyd_kmeans(
     )
     cents = [(i, list(r["__v"])) for i, r in enumerate(seeds)]
     for _ in range(iters):
-        assigned = assign_clusters(vecs, cents, vec_col="__v")
+        assigned = _assign(vecs, cents, vec_col="__v")
         rows = (
             assigned.select("cluster_id", F.posexplode("__v").alias("pos", "val"))
             .groupBy("cluster_id", "pos")
