@@ -48,11 +48,15 @@ def connected_components(
     ``max_iters`` rounds (pointer jumping makes that ~log2 of the
     largest component diameter; 25 covers any realistic dup graph).
     """
+    # truncate the EDGE lineage too: ``sym`` is joined in every round
+    # and in the convergence check — without this, the caller's whole
+    # pair-generation pipeline (band joins, signature kernels) would
+    # re-execute once per round per job
     sym = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-    )
+    ).localCheckpoint()
     labels = (
         sym.select(F.col("u").alias("node")).distinct().withColumn("lbl", F.col("node"))
     ).localCheckpoint()
