@@ -177,3 +177,78 @@ def test_late_rows_dropped_across_restart(spark, raw, tmp_path):
     early.write.mode("append").parquet(src)
     n2 = run_phase().count()
     assert n2 == n1
+
+
+def test_rolling_stats_state_carries_across_micro_batches(spark, tmp_path):
+    """The applyInPandasWithState rolling operator must produce rows in
+    batch N whose frame reaches back into values delivered in batch
+    N−1 — i.e. the bounded state tail genuinely carries.  Two files,
+    maxFilesPerTrigger=1 → ≥2 micro-batches; expected output is the
+    batch ROWS-frame window over the union."""
+    from pyspark.sql import Window
+
+    from vectorsearch_scylla_spark.streaming.pipeline import rolling_stats_stream
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rows1 = [("D1", float(i), i) for i in range(6)]           # t = 0..5
+    rows2 = [("D1", float(10 + i), 6 + i) for i in range(6)]  # t = 6..11
+    src, ck = str(tmp_path / "rsrc"), str(tmp_path / "rck")
+
+    def to_df(rows):
+        return spark.createDataFrame(
+            rows, "device_id string, metric_value double, sec int"
+        ).select(
+            "device_id",
+            F.timestamp_seconds(F.col("sec")).alias("timestamp"),
+            F.lit("m").alias("metric_name"),
+            "metric_value",
+            F.col("sec").cast("long").alias("event_id"),
+        )
+
+    # one file per batch, earlier timestamps in the file listed first
+    to_df(rows1).coalesce(1).write.parquet(src + "/f=1")
+    to_df(rows2).coalesce(1).write.parquet(src + "/f=2")
+    schema = to_df(rows1).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f=*")
+    )
+    q = (
+        rolling_stats_stream(stream, frame=10)
+        .writeStream.format("memory")
+        .queryName("t_roll_state")
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r["event_id"]: (r["rolling_avg"], r["rolling_max"], r["n_in_frame"])
+        for r in spark.table("t_roll_state").collect()
+    }
+    assert len(got) == 12
+    # event 11's frame spans both batches: values t=2..11
+    union = to_df(rows1).unionByName(to_df(rows2))
+    w = (
+        Window.partitionBy("device_id", "metric_name")
+        .orderBy("timestamp", "event_id")
+        .rowsBetween(-9, 0)
+    )
+    expected = {
+        r["event_id"]: (r["a"], r["m"], r["n"])
+        for r in union.select(
+            "event_id",
+            F.floor(F.avg("metric_value").over(w) * 1e4 + 0.5 + 1e-6).cast("double")
+            .alias("a"),
+            F.max("metric_value").over(w).alias("m"),
+            F.count("*").over(w).alias("n"),
+        ).collect()
+    }
+    for eid, (a, m, n) in got.items():
+        ea, em, en = expected[eid]
+        assert abs(a * 1e4 - ea) < 1e-6 and m == em and n == en, (eid, got[eid], expected[eid])
+    # the cross-batch row really used state: frame size 10 > batch size 6
+    assert got[11][2] == 10

@@ -3434,3 +3434,67 @@ def q_streaming_detect_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "path1_triggered",
         "path2_triggered",
     )
+
+
+@query(
+    "streaming_rolling_stats",
+    RAW_CTE
+    + f"""
+    SELECT device_id, metric_name, event_id,
+           CAST(floor(epoch(timestamp)) AS BIGINT) AS ts_epoch,
+           {Q("avg(metric_value) OVER w")} AS rolling_avg,
+           round(max(metric_value) OVER w, 2) AS rolling_max,
+           CAST(count(*) OVER w AS BIGINT) AS n_in_frame
+    FROM raw
+    WINDOW w AS (PARTITION BY device_id, metric_name
+                 ORDER BY timestamp, event_id
+                 ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+    """,
+    ["W4", "T1", "T5", "STATEFUL-CUSTOM"],
+    "CUSTOM STATEFUL streaming operator (``applyInPandasWithState``): "
+    "per-(device, metric) rolling last-10 stats emitted PER EVENT from "
+    "a real streaming query — the one shape Spark's built-in windowed "
+    "aggregates cannot express (they emit per window, not per event "
+    "with a trailing frame).  State per group is the bounded last-9 "
+    "value tail; each micro-batch extends it and emits one row per "
+    "input row (streaming/pipeline.py:rolling_stats_stream).  The "
+    "oracle is the BATCH ROWS-frame window over the same data, so the "
+    "green row certifies the stateful operator reproduces the batch "
+    "window semantics exactly; a pytest drives it across multiple "
+    "maxFilesPerTrigger=1 micro-batches to prove the state tail "
+    "actually carries between batches.",
+)
+def q_streaming_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from vectorsearch_scylla_spark.streaming.pipeline import rolling_stats_stream
+
+    # pandas sees session-local wall times: pin UTC so ts_epoch is
+    # timezone-independent on any caller-provided session
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    raw = device_metrics_raw(spark, sf_dir).select(
+        "device_id", "timestamp", "metric_name", "metric_value", "event_id"
+    )
+    src = _stream_source_dir(raw, sf_dir)
+    ck = tempfile.mkdtemp(prefix="vss_stream_ck_")
+    name = f"roll_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(raw.schema).parquet(src)
+    q = (
+        rolling_stats_stream(stream, frame=10)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        shutil.rmtree(ck, ignore_errors=True)
+        raise RuntimeError(
+            "streaming_rolling_stats: availableNow query did not drain within 600s"
+        )
+    shutil.rmtree(ck, ignore_errors=True)
+    return spark.table(name)

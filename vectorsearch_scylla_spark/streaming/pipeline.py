@@ -183,6 +183,89 @@ def windowed_snapshot_stream(
     )
 
 
+def rolling_stats_stream(metrics: DataFrame, frame: int = 10) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator via ``applyInPandasWithState``:
+    per-(device, metric) rolling last-``frame`` stats over an event
+    stream — the streaming twin of the batch ``ROWS BETWEEN 9 PRECEDING
+    AND CURRENT ROW`` window (``rolling_metric_stats``, W4; the
+    simulator's per-metric history deque,
+    ``iot_simulator/iot_simulator.py:41-52``).
+
+    This is the one operator family Spark's built-in streaming
+    aggregates genuinely cannot express (windowed aggs emit one row per
+    window; this emits one row PER EVENT with a trailing frame), so it
+    uses the custom-state escape hatch: state per group is just the
+    last ``frame − 1`` values (a bounded array — no unbounded growth,
+    no timeout needed), each micro-batch sorts its group's new rows by
+    (timestamp, event_id), extends the carried tail, and emits one
+    output row per input row.  Arrow-batched both ways; state size is
+    independent of batch size.
+
+    Ordering contract: rows must arrive in (timestamp, event_id) order
+    ACROSS batches for the result to equal the batch window (within a
+    batch they are sorted here).  File-replay sources deliver that; a
+    live out-of-order source would need a watermark-buffered reorder
+    stage first — the same contract the reference's deque has.
+
+    Determinism note: the rolling average is a left-to-right slice sum
+    — the same fold order as the SQL twins, so the shared quantize
+    (floor(x·1e4 + 0.5 + 1e-6)/1e4) collapses both engines to equal
+    doubles.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "device_id string, metric_name string, event_id bigint, "
+        "ts_epoch bigint, rolling_avg double, rolling_max double, "
+        "n_in_frame bigint"
+    )
+    state_schema = "vals array<double>"
+    keep = frame - 1
+
+    def roll(key, pdf_iter, state):
+        tail = list(state.get[0]) if state.exists else []
+        device_id, metric_name = key
+        for pdf in pdf_iter:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["timestamp", "event_id"], kind="mergesort")
+            vals = tail + [float(v) for v in pdf["metric_value"]]
+            n_prev = len(tail)
+            avgs, maxs, counts = [], [], []
+            for j in range(len(pdf)):
+                lo = max(0, n_prev + j - keep)
+                win = vals[lo : n_prev + j + 1]
+                s = 0.0
+                for v in win:  # left-to-right fold — matches SQL avg
+                    s += v
+                avgs.append(math.floor(s / len(win) * 1e4 + 0.5 + 1e-6) / 1e4)
+                maxs.append(max(win))
+                counts.append(len(win))
+            tail = vals[-keep:] if keep > 0 else []
+            ts_epoch = (
+                pdf["timestamp"].map(lambda t: t.value // 1_000_000_000).astype("int64")
+            )
+            yield pd.DataFrame(
+                {
+                    "device_id": device_id,
+                    "metric_name": metric_name,
+                    "event_id": pdf["event_id"].astype("int64").values,
+                    "ts_epoch": ts_epoch.values,
+                    "rolling_avg": avgs,
+                    "rolling_max": maxs,
+                    "n_in_frame": counts,
+                }
+            )
+        state.update((tail,))
+
+    return metrics.groupBy("device_id", "metric_name").applyInPandasWithState(
+        roll, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def detect_paths12(
     snapshots: DataFrame,
     profiles: DataFrame,
