@@ -434,3 +434,37 @@ def test_connected_components_long_chain_pointer_jump(spark):
         r["node"]: r["component"] for r in connected_components(edges).collect()
     }
     assert got == {i: 0 for i in range(41)}
+
+
+def test_embed_texts_inference_shape(spark, sf_dir):
+    """V2 inference-shaped embedding generation: the mapInPandas
+    vectorizer must be deterministic across runs, partitionings, and
+    Arrow batch sizes (per-worker lazy model init must not leak into
+    results), emit unit-norm float32 vectors, and zero-embed null/empty
+    text."""
+    import math
+
+    from vectorsearch_scylla_spark.functions.embed import embed_texts
+    from vectorsearch_scylla_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(200)
+    a = {r["doc_id"]: r["emb"] for r in embed_texts(docs, out_col="emb").collect()}
+    b = {
+        r["doc_id"]: r["emb"]
+        for r in embed_texts(docs.repartition(7), out_col="emb").collect()
+    }
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "13")
+    try:
+        c = {
+            r["doc_id"]: r["emb"]
+            for r in embed_texts(docs.repartition(3), out_col="emb").collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    assert a == b == c
+    assert len(a) == 200 and all(len(v) == 64 for v in a.values())
+    norms = [math.sqrt(sum(x * x for x in v)) for v in a.values()]
+    assert all(abs(n - 1.0) < 1e-3 or n == 0.0 for n in norms)
+    nulls = spark.createDataFrame([(1, None), (2, "")], "doc_id long, text string")
+    z = {r["doc_id"]: r["emb"] for r in embed_texts(nulls, out_col="emb").collect()}
+    assert all(all(x == 0.0 for x in v) for v in z.values())
