@@ -57,6 +57,10 @@ HEADLINE = [
     "stratified_sample",
     "benchmark_decontam",
     "token_packing",
+    "doc_chunking",
+    "pii_redaction",
+    "source_mix_summary",
+    "dedup_incremental",
     "media_byte_features",
     # LAST: a completed streaming query leaves residue in the shared
     # local JVM that intermittently slows later heavy batch queries

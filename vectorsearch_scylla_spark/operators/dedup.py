@@ -113,10 +113,21 @@ def simhash_near_dup_pairs(
     max_hamming: int = SIMHASH_BANDS - 1,
     id_col: str = "doc_id",
     text_col: str = "text",
+    against: DataFrame | None = None,
 ) -> DataFrame:
-    """All pairs (id_a < id_b) with SimHash Hamming distance ≤
-    ``max_hamming`` — EXACT for max_hamming ≤ bands−1 (pigeonhole: see
-    module docstring), LSH-approximate above that.
+    """All pairs with SimHash Hamming distance ≤ ``max_hamming`` —
+    EXACT for max_hamming ≤ bands−1 (pigeonhole: see module
+    docstring), LSH-approximate above that.
+
+    Self-join mode (``against=None``): pairs within ``docs``,
+    constrained ``id_a < id_b``.
+
+    Incremental mode (``against`` given): pairs (docs × against) — the
+    daily-increment shape at 100 TB: the NEW batch fingerprints and
+    band-joins against the (already fingerprinted) BASE corpus without
+    ever re-pairing the base against itself, so the join is
+    |new|·bands probe rows against the base's band index, not
+    |base|².  Caller guarantees disjoint id spaces.
 
     Plan shape: one fingerprint pass per join side, bands unpivoted to
     (id, band_idx, band_val) rows, per-band hash equi-join, Hamming
@@ -130,20 +141,28 @@ def simhash_near_dup_pairs(
             f"{SIMHASH_BANDS - 1}; results would silently miss pairs"
         )
     sigs = simhash128(docs, id_col=id_col, text_col=text_col)
-    banded = sigs.select(
-        id_col,
-        *[f"s{m}" for m in range(SIG_WORDS)],
-        F.posexplode(F.array(*[f"b{k}" for k in range(SIMHASH_BANDS)])).alias(
-            "band_idx", "band_val"
-        ),
+    sigs_b = (
+        simhash128(against, id_col=id_col, text_col=text_col)
+        if against is not None
+        else sigs
     )
-    a = banded.select(
+
+    def _banded(s: DataFrame) -> DataFrame:
+        return s.select(
+            id_col,
+            *[f"s{m}" for m in range(SIG_WORDS)],
+            F.posexplode(F.array(*[f"b{k}" for k in range(SIMHASH_BANDS)])).alias(
+                "band_idx", "band_val"
+            ),
+        )
+
+    a = _banded(sigs).select(
         F.col(id_col).alias("id_a"),
         *[F.col(f"s{m}").alias(f"a_s{m}") for m in range(SIG_WORDS)],
         "band_idx",
         "band_val",
     )
-    b = banded.select(
+    b = _banded(sigs_b).select(
         F.col(id_col).alias("id_b"),
         *[F.col(f"s{m}").alias(f"b_s{m}") for m in range(SIG_WORDS)],
         F.col("band_idx").alias("band_idx_b"),
@@ -152,13 +171,13 @@ def simhash_near_dup_pairs(
     hamming = F.expr(
         " + ".join(f"bit_count(a_s{m} ^ b_s{m})" for m in range(SIG_WORDS))
     ).cast("long")
+    pair_cond = (F.col("band_idx") == F.col("band_idx_b")) & (
+        F.col("band_val") == F.col("band_val_b")
+    )
+    if against is None:
+        pair_cond = pair_cond & (F.col("id_a") < F.col("id_b"))
     return (
-        a.join(
-            b,
-            (F.col("band_idx") == F.col("band_idx_b"))
-            & (F.col("band_val") == F.col("band_val_b"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
+        a.join(b, pair_cond)
         .select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()

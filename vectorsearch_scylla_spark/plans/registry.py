@@ -2655,6 +2655,244 @@ def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# chunking geometry: 64-word chunks, 16-word overlap → stride 48
+_CHUNK, _CHUNK_OVERLAP = 64, 16
+_CHUNK_STRIDE = _CHUNK - _CHUNK_OVERLAP
+
+
+@query(
+    "doc_chunking",
+    f"""
+    WITH dw AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               len(string_split(text, ' ')) AS wc
+        FROM documents WHERE text IS NOT NULL
+    ),
+    chunks AS (
+        SELECT doc_id, w, wc,
+               unnest(range(0, CAST(greatest(1.0, ceil((wc - {_CHUNK_OVERLAP}) / {_CHUNK_STRIDE}.0)) AS BIGINT))) AS i
+        FROM dw
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           array_to_string(w[i*{_CHUNK_STRIDE}+1 : i*{_CHUNK_STRIDE}+{_CHUNK}], ' ') AS chunk_text,
+           CAST(least({_CHUNK}, wc - i*{_CHUNK_STRIDE}) AS BIGINT) AS n_words
+    FROM chunks
+    """,
+    ["PIPELINE-CHUNK"],
+    "Document chunking: overlapping fixed-size word windows (64-word "
+    "chunks, 16-word overlap) — the standard pre-embedding split for "
+    "RAG/pretraining when documents exceed the model context.  Pure "
+    "map-side explode (chunk count per doc is derived arithmetic, the "
+    "word array is built once per doc) — linear in corpus tokens, no "
+    "shuffle, output rows ≈ tokens/stride.",
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    dw = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+        F.size(F.split("text", " ")).alias("wc"),
+    )
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("wc") - _CHUNK_OVERLAP) / float(_CHUNK_STRIDE)),
+    ).cast("long")
+    chunks = dw.withColumn(
+        "chunk_idx", F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1))
+    )
+    start = F.col("chunk_idx") * _CHUNK_STRIDE
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.concat_ws(
+            " ", F.slice("w", (start + 1).cast("int"), _CHUNK)
+        ).alias("chunk_text"),
+        F.least(F.lit(_CHUNK).cast("long"), F.col("wc") - start).alias("n_words"),
+    )
+
+
+# regexes kept to constructs with identical semantics in Java regex
+# (Spark) and RE2-ish DuckDB: char classes, \\d, bounded repetition
+_PII_EMAIL = "[a-z0-9._]+@[a-z0-9]+[.][a-z]+"
+_PII_PHONE = "[0-9]{3}-[0-9]{4}"
+
+# planted PII: the fixture corpus carries none (it is synthetic word
+# soup), so both engines derive the same augmented rows in-query —
+# every 50th-offset-37 doc gains one email and one phone number
+_PLANTED_PII_SQL = f"""
+    pdocs AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 50 = 37
+                    THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com or 555-0' || CAST(doc_id % 10 AS VARCHAR)
+                         || '00 now'
+                    ELSE text END AS text
+        FROM documents WHERE text IS NOT NULL
+    )
+"""
+
+
+@query(
+    "pii_redaction",
+    f"""
+    WITH {_PLANTED_PII_SQL.strip()}
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                              '{_PII_PHONE}', '<PHONE>', 'g')) AS redacted_hash
+    FROM pdocs
+    WHERE len(regexp_extract_all(text, '{_PII_EMAIL}')) > 0
+       OR len(regexp_extract_all(text, '{_PII_PHONE}')) > 0
+    """,
+    ["PIPELINE-PII"],
+    "PII scrubbing: detect and redact email/phone patterns, emit "
+    "per-doc match counts and the hash of the redacted text (hash "
+    "equality across engines proves the REDACTED CONTENT matches, not "
+    "just the counts).  Regexes restricted to constructs with "
+    "identical Java/RE2 semantics.  Planted PII rows (both engines "
+    "derive the same augmentation) make the positive path non-vacuous. "
+    " Pure scan-side projection+filter — linear, no shuffle.",
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    text = F.when(
+        F.col("doc_id") % 50 == 37,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-0"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit("00 now"),
+        ),
+    ).otherwise(F.col("text"))
+    pdocs = docs.select("doc_id", text.alias("text"))
+    n_emails = F.size(F.regexp_extract_all("text", F.lit(_PII_EMAIL), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all("text", F.lit(_PII_PHONE), F.lit(0)))
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+    )
+    return (
+        pdocs.select(
+            "doc_id",
+            n_emails.cast("long").alias("n_emails"),
+            n_phones.cast("long").alias("n_phones"),
+            F.md5(redacted.cast("binary")).alias("redacted_hash"),
+        )
+        .filter((F.col("n_emails") > 0) | (F.col("n_phones") > 0))
+    )
+
+
+# target corpus-mix weights by source bucket (uniform fixture sources
+# get a deliberately non-uniform target so the rebalance factor is
+# non-trivial); sources absent from the map default to weight 1
+_MIX_TARGETS = {"src0": 3.0, "src1": 2.0, "src2": 2.0, "src3": 0.5}
+_MIX_CASE = (
+    "CASE source "
+    + " ".join(f"WHEN '{s}' THEN {w}" for s, w in _MIX_TARGETS.items())
+    + " ELSE 1.0 END"
+)
+
+
+@query(
+    "source_mix_summary",
+    f"""
+    WITH per_src AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum({_WC}) AS BIGINT) AS total_tokens
+        FROM documents WHERE text IS NOT NULL
+        GROUP BY source
+    )
+    SELECT source, n_docs, total_tokens,
+           {Q("CAST(total_tokens AS DOUBLE) / sum(total_tokens) OVER ()")} AS token_share,
+           {Q(_MIX_CASE)} AS target_weight,
+           {Q(f"({_MIX_CASE}) * sum(total_tokens) OVER () / (CAST(total_tokens AS DOUBLE) * count(*) OVER ())")} AS upsample_factor
+    FROM per_src
+    """,
+    ["PIPELINE-MIX", "A6", "A13"],
+    "Corpus mixing report: per-source token shares and the "
+    "upsample/downsample factor needed to hit a target mix — the "
+    "planning step before weighted sampling in every pretraining data "
+    "recipe.  One partial-aggregated groupBy over the corpus; the "
+    "share/factor windows run on |sources| rows.",
+)
+def q_source_mix_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    wc = (
+        F.length("text")
+        - F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+        + 1
+    )
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum(wc).cast("long").alias("total_tokens")
+    )
+    target = F.lit(1.0)
+    for s, wgt in _MIX_TARGETS.items():
+        target = F.when(F.col("source") == s, F.lit(wgt)).otherwise(target)
+    all_w = Window.partitionBy()
+    tot = F.sum("total_tokens").over(all_w)
+    n_src = F.count("*").over(all_w)
+    return per_src.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        quantize(F.col("total_tokens").cast("double") / tot).alias("token_share"),
+        quantize(target).alias("target_weight"),
+        quantize(
+            target * tot / (F.col("total_tokens").cast("double") * n_src)
+        ).alias("upsample_factor"),
+    )
+
+
+@query(
+    "dedup_incremental",
+    f"""
+    WITH {_PLANTED_DOCS_SQL.strip()},
+    {_simhash128_sigs_sql("planted")},
+    banded AS (
+        SELECT doc_id, s0, s1, s2, s3, k AS band_idx,
+               CASE k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2
+                      WHEN 3 THEN b3 WHEN 4 THEN b4 ELSE b5 END AS band_val
+        FROM sigs, (SELECT unnest(range(0,6)) AS k) bands
+    )
+    SELECT DISTINCT a.doc_id AS new_doc_id, b.doc_id AS base_doc_id,
+           CAST(bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1))
+              + bit_count(xor(a.s2, b.s2)) + bit_count(xor(a.s3, b.s3)) AS BIGINT) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id >= 1000000 AND b.doc_id < 1000000
+    WHERE bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1))
+        + bit_count(xor(a.s2, b.s2)) + bit_count(xor(a.s3, b.s3)) <= 5
+    """,
+    ["DEDUP-INCREMENTAL", "DEDUP-SIMHASH"],
+    "INCREMENTAL dedup — the daily-increment shape at 100 TB: the new "
+    "batch (the planted id ≥ 1M docs) fingerprints and band-joins "
+    "against the BASE corpus only, never re-pairing the base against "
+    "itself, so the join is |new|·bands probe rows against the base's "
+    "band index instead of |base|².  Exact for Hamming ≤ 5 "
+    "(pigeonhole over 6 bands).  Spark side runs the asymmetric "
+    "``against=`` mode of simhash_near_dup_pairs; the oracle builds "
+    "one signature set and applies the side filters in the join.",
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectorsearch_scylla_spark.operators.dedup import simhash_near_dup_pairs
+
+    base = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    ).select("doc_id", "text")
+    increment = _docs_with_planted_dups(
+        load_table(spark, sf_dir, "documents")
+    ).filter(F.col("text").isNotNull() & (F.col("doc_id") >= 1000000))
+    pairs = simhash_near_dup_pairs(increment, max_hamming=5, against=base)
+    return pairs.select(
+        F.col("id_a").alias("new_doc_id"),
+        F.col("id_b").alias("base_doc_id"),
+        "hamming",
+    )
+
+
 @query(
     "metric_delta_top3",
     RAW_CTE
