@@ -55,12 +55,18 @@ _PINNED = [
     "dedup_exact",
     "minhash_dup_buckets",
     "simhash_dup_pairs",
+    "dedup_incremental",
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",
     "text_quality",
     "language_id",
     "media_byte_features",
     "fleet_simulator",
+    "benchmark_decontam",
+    "token_packing",
+    "doc_chunking",
+    "pii_redaction",
+    "source_mix_summary",
 ]
 
 _NEARDUP_PAIR_QUERIES = [
@@ -68,6 +74,7 @@ _NEARDUP_PAIR_QUERIES = [
     "embedding_neardup_pairs",
     "ngram_jaccard_pairs",
     "minhash_dup_buckets",
+    "dedup_incremental",
 ]
 
 
@@ -109,6 +116,14 @@ def test_bounded_collect_list_only(plans, name):
     if name in _COLLECT_LIST_OK:
         return
     assert "collect_list" not in plans[name], name
+
+
+@pytest.mark.parametrize("name", ["doc_chunking", "pii_redaction"])
+def test_map_only_queries_never_shuffle(plans, name):
+    """Chunking and PII scrubbing are pure scan-side map stages — any
+    Exchange appearing here means a silent plan regression that would
+    shuffle the full corpus at 100 TB."""
+    assert "Exchange" not in plans[name], name
 
 
 def test_range_scan_filter_pushdown(plans):
