@@ -468,3 +468,49 @@ def test_embed_texts_inference_shape(spark, sf_dir):
     nulls = spark.createDataFrame([(1, None), (2, "")], "doc_id long, text string")
     z = {r["doc_id"]: r["emb"] for r in embed_texts(nulls, out_col="emb").collect()}
     assert all(all(x == 0.0 for x in v) for v in z.values())
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Randomized spec test for the distributed CC: 30 random graphs
+    (disjoint id spaces) folded into ONE edge frame and clustered in a
+    single job, compared against an independent pure-python union-find
+    per graph."""
+    import random
+
+    rng = random.Random(7)
+    all_edges, expected = [], {}
+    for g in range(30):
+        base = g * 10_000
+        n = rng.randint(2, 40)
+        m = rng.randint(1, 60)
+        edges = [
+            (base + rng.randrange(n), base + rng.randrange(n)) for _ in range(m)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            edges = [(base, base + 1)]
+        all_edges.extend(edges)
+        # union-find ground truth (path compression)
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        for node in parent:
+            expected[node] = find(node)
+
+    from vectorsearch_scylla_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(all_edges, "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"] for r in connected_components(df).collect()
+    }
+    assert got == expected
