@@ -46,7 +46,7 @@ def main() -> None:
     from vectorsearch_scylla_spark.functions.hyperplane import hyperplane_near_dup_pairs
     from vectorsearch_scylla_spark.operators.dedup import simhash_near_dup_pairs
     from vectorsearch_scylla_spark.operators.ivf import (
-        assign_clusters,
+        assign_clusters_np,
         lloyd_kmeans,
         probe_clusters,
     )
@@ -143,7 +143,10 @@ def main() -> None:
         )
 
         def ivf_probe() -> None:
-            members = assign_clusters(emb, cents).select(
+            # corpus assignment is INDEX-BUILD work (materialized once in
+            # the registry's build_ivf_index); use the scale kernel here
+            # so the probe timing isn't dominated by interpreted folds
+            members = assign_clusters_np(emb, cents).select(
                 F.col("vec_id").alias("corpus_id"),
                 F.col("embedding").alias("corpus_vec"),
                 "cluster_id",
