@@ -62,6 +62,8 @@ HEADLINE = [
     "source_mix_summary",
     "dedup_incremental",
     "media_byte_features",
+    "event_sessionization",
+    "tfidf_top_terms",
     # LAST: a completed streaming query leaves residue in the shared
     # local JVM that intermittently slows later heavy batch queries
     # (observed 10-50x); keep batch timings clean by running them last

@@ -23,8 +23,9 @@ import pytest
 
 from vectorsearch_scylla_spark.plans.registry import REGISTRY
 
-# BNLJ allowed: build side is a literal VALUES/range (bounded, tiny).
-_BNLJ_OK = {"fleet_simulator"}
+# BNLJ allowed: build side is a literal VALUES/range (bounded, tiny)
+# or a 1-row broadcast scalar (tfidf's corpus-size cross join).
+_BNLJ_OK = {"fleet_simulator", "tfidf_top_terms"}
 # collect_list allowed: per-group cardinality is structurally bounded
 # (device_profile_build folds ≤ |METRICS| entries per group).
 _COLLECT_LIST_OK = {"device_profile_build"}
@@ -67,6 +68,8 @@ _PINNED = [
     "doc_chunking",
     "pii_redaction",
     "source_mix_summary",
+    "event_sessionization",
+    "tfidf_top_terms",
 ]
 
 _NEARDUP_PAIR_QUERIES = [
@@ -139,3 +142,11 @@ def test_range_scan_filter_pushdown(plans):
 
     assert re.search(r"PushedFilters:[^\n]*GreaterThanOrEqual\(ts", p), p
     assert re.search(r"PushedFilters:[^\n]*LessThan\(ts", p), p
+
+
+def test_sessionization_single_partitioning(plans):
+    """Both window passes (lag + running sum) and the final session
+    aggregate must reuse ONE hash partitioning on user_id — a second
+    Exchange would re-shuffle the full event stream at 100 TB."""
+    p = plans["event_sessionization"]
+    assert p.count("hashpartitioning(") == 1, p

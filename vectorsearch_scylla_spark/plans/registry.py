@@ -3432,6 +3432,135 @@ def q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "event_sessionization",
+    f"""
+    WITH ev AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS es, value
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, es, value,
+               CASE WHEN lag(es) OVER w IS NULL
+                         OR es - lag(es) OVER w > 1800
+                    THEN 1 ELSE 0 END AS is_new
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)
+    ),
+    sessioned AS (
+        SELECT user_id, es, value,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY es, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_idx AS BIGINT)      AS session_idx,
+           min(es)                          AS session_start,
+           max(es)                          AS session_end,
+           max(es) - min(es)                AS duration_s,
+           CAST(count(*) AS BIGINT)         AS n_events,
+           {Q("sum(value)", 2)}             AS total_value
+    FROM sessioned
+    GROUP BY user_id, session_idx
+    """,
+    ["W1", "W4", "F3", "SESSION"],
+    "Gap-based SESSIONIZATION (session windows, 30 min inactivity gap): "
+    "lag over (user, event-time) marks session starts, a running sum "
+    "assigns per-user session ordinals, then one aggregate per session "
+    "(start/end/duration/count/value).  The reference has no session "
+    "windows (SURVEY §2.8 T9 n/a) — this is the training-pipeline "
+    "extra every clickstream corpus needs before per-session document "
+    "assembly.  Scale shape: both window passes and the final aggregate "
+    "share ONE hash partitioning on user_id (no re-shuffle between "
+    "them), and event-time ties order on event_id so the session "
+    "ordinals are deterministic in both engines.",
+)
+def q_event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("es"), "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    is_new = (
+        F.lag("es").over(w).isNull() | (F.col("es") - F.lag("es").over(w) > 1800)
+    ).cast("long")
+    sessioned = ev.withColumn(
+        "session_idx",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sessioned.groupBy("user_id", "session_idx").agg(
+        F.min("es").alias("session_start"),
+        F.max("es").alias("session_end"),
+        (F.max("es") - F.min("es")).alias("duration_s"),
+        F.count("*").alias("n_events"),
+        quantize(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    f"""
+    WITH docs AS (
+        SELECT doc_id, lang, text FROM documents WHERE text IS NOT NULL
+    ),
+    total AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM docs),
+    tok AS (
+        SELECT doc_id, lang, t AS term
+        FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t FROM docs)
+        WHERE t <> ''
+    ),
+    tfl AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS tf
+            FROM tok GROUP BY 1, 2),
+    dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM tok GROUP BY 1)
+    SELECT lang, term, tf, df, score, rnk FROM (
+        SELECT tfl.lang, tfl.term, tfl.tf, dft.df,
+               {Q("tfl.tf * ln(CAST(n_docs AS DOUBLE) / dft.df)", 6)} AS score,
+               CAST(row_number() OVER (
+                   PARTITION BY tfl.lang
+                   ORDER BY {Q("tfl.tf * ln(CAST(n_docs AS DOUBLE) / dft.df)", 6)} DESC,
+                            tfl.term ASC) AS INT) AS rnk
+        FROM tfl JOIN dft USING (term), total
+    ) WHERE rnk <= 5
+    """,
+    ["A6", "A13", "W2", "TEXT-TFIDF"],
+    "TF-IDF top terms per language: tokenize once, aggregate term "
+    "frequency per (lang, term) and document frequency per term from "
+    "the SAME exploded pass (two partial-aggregated shuffles over "
+    "token rows, no second scan of the text), idf = ln(N/df) with the "
+    "corpus size joined in as a broadcast scalar, top-5 per language "
+    "by quantized score (tie-break term ASC so ranking is "
+    "deterministic across engines).  The vocabulary-sized df table "
+    "broadcasts to the tf side at any corpus scale.",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    total = docs.agg(F.count("*").alias("n_docs"))
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tfl = tok.groupBy("lang", "term").agg(F.count("*").alias("tf"))
+    dft = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    score = quantize(
+        F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+    )
+    ranked = (
+        tfl.join(F.broadcast(dft), "term")
+        .crossJoin(F.broadcast(total))
+        .withColumn("score", score)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(
+                    F.col("score").desc(), F.col("term").asc()
+                )
+            ),
+        )
+        .filter(F.col("rnk") <= 5)
+    )
+    return ranked.select("lang", "term", "tf", "df", "score", "rnk")
+
+
 # =====================================================================
 # Structured Streaming end-to-end — registered LAST: a completed
 # streaming query leaves residue in the shared local JVM that
