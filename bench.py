@@ -34,6 +34,7 @@ HEADLINE = [
     "knn_same_label",
     "ivf_knn",
     "lsh_knn",
+    "pq_knn",
     "path3_novelty_flags",
     "window_pivot_snapshot",
     "tumbling_window_counts",

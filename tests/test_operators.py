@@ -514,3 +514,79 @@ def test_connected_components_random_graphs_vs_union_find(spark):
         r["node"]: r["component"] for r in connected_components(df).collect()
     }
     assert got == expected
+
+
+def test_pq_adc_matches_numpy_reference(spark, sf_dir):
+    """Independent 3rd implementation of the PQ pipeline: recompute
+    encode + ADC ranking in NumPy from the SAME codebooks and require
+    identical (query, neighbor, rank) triples — catches any silent
+    drift in the Spark LUT-join/aggregation path that the SQL oracle
+    (a 4th implementation) would attribute ambiguously."""
+    import numpy as np
+
+    from vectorsearch_scylla_spark.operators.pq import (
+        encode_pq,
+        pq_adc_topk,
+        train_pq,
+    )
+    from vectorsearch_scylla_spark.sources.tables import load_table
+
+    m, ksub, iters, dsub = 4, 4, 2, 16
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_pq(emb, m=m, ksub=ksub, iters=iters, dsub=dsub)
+    codes = encode_pq(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        books,
+        dsub=dsub,
+    )
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    got = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in pq_adc_topk(
+            queries, codes, books, k=5, dsub=dsub, exclude_self=True
+        ).collect()
+    }
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    # encode: per subspace, argmax cosine to codebook (tie-break lowest
+    # code — np.argmax takes the first maximum over id-sorted books)
+    cw = []  # per subspace: (code ids, centroid matrix)
+    for book in books:
+        bids = np.array([c for c, _ in sorted(book)])
+        C = np.array([v for _, v in sorted(book)], dtype=np.float64)
+        cw.append((bids, C))
+    code_idx = np.empty((len(ids), m), dtype=int)
+    for s in range(m):
+        sub = V[:, s * dsub : (s + 1) * dsub]
+        bids, C = cw[s]
+        num = sub @ C.T
+        den = np.linalg.norm(sub, axis=1)[:, None] * np.linalg.norm(C, axis=1)[None, :]
+        sims = np.divide(num, den, out=np.zeros_like(num), where=den != 0)
+        code_idx[:, s] = np.argmax(sims, axis=1)
+    rnorm = np.sqrt(
+        sum(np.linalg.norm(cw[s][1][code_idx[:, s]], axis=1) ** 2 for s in range(m))
+    )
+    qmask = ids % 25 == 0
+    eps, scale = 1e-6, 1e4
+    for qi in np.nonzero(qmask)[0]:
+        q = V[qi]
+        qnorm = np.linalg.norm(q)
+        dots = sum(
+            q[s * dsub : (s + 1) * dsub] @ cw[s][1][code_idx[:, s]].T
+            for s in range(m)
+        )
+        with np.errstate(invalid="ignore"):
+            approx = np.where(
+                (qnorm == 0) | (rnorm == 0), 0.0, dots / (qnorm * rnorm)
+            )
+        approx = np.floor(approx * scale + 0.5 + eps) / scale  # registry quantize
+        order = sorted(
+            (j for j in range(len(ids)) if ids[j] != ids[qi]),
+            key=lambda j: (-approx[j], ids[j]),
+        )[:5]
+        for rank, j in enumerate(order, start=1):
+            assert got[(ids[qi], rank)] == ids[j], (ids[qi], rank)

@@ -23,9 +23,10 @@ import pytest
 
 from vectorsearch_scylla_spark.plans.registry import REGISTRY
 
-# BNLJ allowed: build side is a literal VALUES/range (bounded, tiny)
-# or a 1-row broadcast scalar (tfidf's corpus-size cross join).
-_BNLJ_OK = {"fleet_simulator", "tfidf_top_terms"}
+# BNLJ allowed: build side is a literal VALUES/range (bounded, tiny),
+# a 1-row broadcast scalar (tfidf's corpus-size cross join), or the PQ
+# LUT build (queries × m·ksub codebook entries, bounded broadcast).
+_BNLJ_OK = {"fleet_simulator", "tfidf_top_terms", "pq_knn"}
 # collect_list allowed: per-group cardinality is structurally bounded
 # (device_profile_build folds ≤ |METRICS| entries per group).
 _COLLECT_LIST_OK = {"device_profile_build"}
@@ -52,6 +53,7 @@ _PINNED = [
     "knn_same_label",
     "ivf_knn",
     "lsh_knn",
+    "pq_knn",
     "path3_novelty_flags",
     "dedup_exact",
     "minhash_dup_buckets",

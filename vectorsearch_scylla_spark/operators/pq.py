@@ -1,0 +1,193 @@
+"""Product quantization (PQ): per-subspace k-means codebooks + an
+asymmetric-distance (ADC) scan — the memory-side half of a scale ANN
+index (IVF-PQ), complementing the IVF partition pruning in
+``operators/ivf.py``.
+
+The reference's ANN index is an in-database HNSW build
+(scylladb_setup/create_iot_schema.py:137-155) whose value proposition
+is approximate retrieval without touching full vectors per candidate.
+PQ is the Spark-expressible equivalent of the "compressed residency"
+half: the corpus is stored as ``m`` small codes per vector (here
+4 × 16-dim subspaces → 4 bytes/vector vs 256 bytes raw, a 64×
+compression), and query scoring reads ONLY the codes plus a
+query-specific lookup table (LUT) of size m × ksub — the corpus's
+full vectors are never touched during the scan.
+
+Determinism contract (shared with the DuckDB oracle in
+``plans/registry.py``): each subspace trains the SAME deterministic
+Lloyd's k-means as the IVF coarse quantizer (``operators/ivf.py`` —
+md5-seeded init over vec_id, argmax-cosine assignment with
+lowest-cluster-id tie-break, per-(cluster, position) quantized-mean
+update), so both engines hold bit-identical codebooks.  ADC sums the
+per-subspace dots in fixed subspace order, normalizes by query norm ×
+reconstructed-codeword norm, and ranks on the QUANTIZED score
+(tie-break corpus id): equal code tuples produce exactly equal scores,
+so ranking is reproducible across engines.
+
+Scale shape: codebooks are tiny driver-side literals; encoding is a
+pure map stage; the ADC scan is a broadcast hash join (LUT ≤ Q·m·ksub
+rows) against the exploded code table followed by a partial-aggregated
+groupBy — no shuffle of vectors, no driver collect of the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vectorsearch_scylla_spark.operators.ivf import (
+    _best_cluster_struct,
+    lloyd_kmeans,
+)
+
+_EPS = 1e-6
+
+
+def _quantize(c: Column, n: int) -> Column:
+    scale = float(10**n)
+    return F.floor(c.cast("double") * scale + F.lit(0.5 + _EPS)) / scale
+
+
+def train_pq(
+    df: DataFrame,
+    m: int,
+    ksub: int,
+    iters: int,
+    dsub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> list[list[tuple[int, list[float]]]]:
+    """Train ``m`` per-subspace codebooks of ``ksub`` centroids each
+    over ``dsub``-wide vector slices.  Returns one ``[(code, centroid)]``
+    list per subspace (codes are the surviving k-means cluster ids).
+
+    Each subspace runs the deterministic Lloyd trainer on the SAME
+    md5-seeded row draw (the seed order depends only on ``id_col``), so
+    the full train is ``m × (iters + 1)`` Spark jobs and only
+    ``m × ksub × dsub`` floats ever reach the driver.
+    """
+    vecs = df.select(id_col, F.col(vec_col).cast("array<double>").alias("__full"))
+    books = []
+    for s in range(m):
+        sub = vecs.select(id_col, F.slice("__full", s * dsub + 1, dsub).alias("__v"))
+        books.append(
+            lloyd_kmeans(
+                sub, k=ksub, iters=iters, id_col=id_col, vec_col="__v",
+                decimals=decimals,
+            )
+        )
+    return books
+
+
+def encode_pq(
+    df: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    dsub: int,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Attach ``code0..code{m-1}`` (nearest codeword per subspace:
+    argmax cosine, tie-break lowest code) and ``rnorm`` (the
+    reconstructed codeword's L2 norm, used as the ADC denominator).
+    Pure projection — codebooks ride along as literals, no shuffle."""
+    out = df
+    full = F.col(vec_col).cast("array<double>")
+    for s, book in enumerate(books):
+        best = _best_cluster_struct(F.slice(full, s * dsub + 1, dsub), book)
+        out = out.withColumn(f"code{s}", (-best["nc"]).cast("int"))
+    nsq = {
+        (s, code): float(sum(v * v for v in cvec))
+        for s, book in enumerate(books)
+        for code, cvec in book
+    }
+    rnorm_sq = None
+    for s, book in enumerate(books):
+        term = F.lit(None).cast("double")
+        branch = None
+        for code, _ in book:
+            cond = F.col(f"code{s}") == code
+            val = F.lit(nsq[(s, code)])
+            branch = F.when(cond, val) if branch is None else branch.when(cond, val)
+        term = branch
+        rnorm_sq = term if rnorm_sq is None else rnorm_sq + term
+    return out.withColumn("rnorm", F.sqrt(rnorm_sq))
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    k: int,
+    dsub: int,
+    query_id: str = "query_id",
+    corpus_id: str = "neighbor_id",
+    query_vec: str = "query_vec",
+    exclude_self: bool = False,
+    decimals: int = 4,
+) -> DataFrame:
+    """ADC top-k: for each query, rank the whole code table by
+    approximate cosine ``Σ_s dot(q_s, codeword_s) / (|q|·|x̂|)`` and
+    keep the top ``k`` (quantized-score DESC, corpus id ASC).
+
+    Plan: LUT = queries × codebook entries (bounded broadcast build
+    side of m·ksub rows), exploded codes hash-join the broadcast LUT
+    on (subspace, code), and per-subspace conditional sums re-add the
+    dots in FIXED subspace order so equal code tuples score exactly
+    equally in both engines.  ``exclude_self`` assumes query ids live
+    in the corpus id space.
+    """
+    from vectorsearch_scylla_spark.functions.vector import dot, l2_norm
+
+    m = len(books)
+    spark = queries.sparkSession
+    cb = spark.createDataFrame(
+        [(s, code, [float(x) for x in cvec]) for s, book in enumerate(books)
+         for code, cvec in book],
+        schema="s int, code int, cvec array<double>",
+    )
+    qn = queries.select(
+        query_id,
+        F.col(query_vec).cast("array<double>").alias("__q"),
+    ).withColumn("qnorm", l2_norm("__q"))
+    lut = (
+        qn.join(F.broadcast(cb))
+        .select(
+            query_id,
+            "qnorm",
+            "s",
+            "code",
+            dot(F.slice("__q", F.col("s") * dsub + 1, dsub), F.col("cvec")).alias("d"),
+        )
+    )
+    exploded = codes.select(
+        corpus_id,
+        "rnorm",
+        F.posexplode(F.array(*[f"code{s}" for s in range(m)])).alias("s", "code"),
+    )
+    per_s = [
+        F.sum(F.when(F.col("s") == s, F.col("d"))).alias(f"d{s}") for s in range(m)
+    ]
+    scored = (
+        exploded.join(F.broadcast(lut), ["s", "code"])
+        .groupBy(query_id, corpus_id, "rnorm", "qnorm")
+        .agg(*per_s)
+    )
+    dotsum = None
+    for s in range(m):
+        dotsum = F.col(f"d{s}") if dotsum is None else dotsum + F.col(f"d{s}")
+    approx = F.when(
+        (F.col("qnorm") == 0.0) | (F.col("rnorm") == 0.0), F.lit(0.0)
+    ).otherwise(dotsum / (F.col("qnorm") * F.col("rnorm")))
+    scored = scored.withColumn("approx_sim", _quantize(approx, decimals))
+    if exclude_self:
+        scored = scored.filter(F.col(corpus_id) != F.col(query_id))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("approx_sim").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "approx_sim", F.col("rank").cast("int").alias("rank"))
+    )
