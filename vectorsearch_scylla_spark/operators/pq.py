@@ -113,6 +113,60 @@ def encode_pq(
     return out.withColumn("rnorm", F.sqrt(rnorm_sq))
 
 
+def build_pq_index(
+    df: DataFrame,
+    cache_token: str,
+    m: int,
+    ksub: int,
+    iters: int,
+    dsub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    decimals: int = 6,
+) -> tuple[list[list[tuple[int, list[float]]]], str]:
+    """Build-once PQ index: train the codebooks AND materialize the
+    encoded code table (id, code0..code{m-1}, rnorm) as parquet, both
+    cached on disk keyed by ``cache_token`` (caller folds in source
+    fingerprints + hyperparameters).  Returns ``(books, codes_path)``.
+
+    Encoding is index-BUILD work, not query work (the reference's HNSW
+    analog: the index is constructed once, queries only read it) — the
+    16 interpreted cosine folds per row run once per corpus, and every
+    subsequent ADC scan reads 4 ints + 1 double per vector instead of
+    re-deriving them.  Concurrent builders race safely: staging dir +
+    atomic rename, loser deletes its copy.
+    """
+    import json
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    path = os.path.join(tempfile.gettempdir(), f"vss_pq_idx_{cache_token}")
+    books_file = os.path.join(path, "codebooks.json")
+    codes_path = os.path.join(path, "codes")
+    if os.path.isfile(books_file):
+        with open(books_file) as f:
+            books = [[(int(c), v) for c, v in book] for book in json.load(f)]
+        return books, codes_path
+    books = train_pq(
+        df, m=m, ksub=ksub, iters=iters, dsub=dsub,
+        id_col=id_col, vec_col=vec_col, decimals=decimals,
+    )
+    staging = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
+    os.makedirs(staging, exist_ok=True)
+    encode_pq(df.select(id_col, vec_col), books, dsub=dsub, vec_col=vec_col).drop(
+        vec_col
+    ).write.parquet(os.path.join(staging, "codes"))
+    with open(os.path.join(staging, "codebooks.json"), "w") as f:
+        json.dump(books, f)
+    try:
+        os.rename(staging, path)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+    return books, codes_path
+
+
 def pq_adc_topk(
     queries: DataFrame,
     codes: DataFrame,

@@ -1202,32 +1202,28 @@ def _pq_cte(m: int, ksub: int, iters: int, dsub: int, querymod: int) -> str:
     "scylladb_setup/create_iot_schema.py:137-155.)",
 )
 def q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import json
-    import os
-    import tempfile
-
     from vectorsearch_scylla_spark.operators.pq import (
-        encode_pq,
+        build_pq_index,
         pq_adc_topk,
-        train_pq,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    token = _sf_cache_token(sf_dir, "pq", PQ_M, PQ_KSUB, PQ_ITERS, PQ_DSUB)
-    cb_path = os.path.join(tempfile.gettempdir(), f"vss_pq_cb_{token}.json")
-    if os.path.isfile(cb_path):
-        with open(cb_path) as f:
-            books = [[(int(c), v) for c, v in book] for book in json.load(f)]
-    else:
-        books = train_pq(emb, m=PQ_M, ksub=PQ_KSUB, iters=PQ_ITERS, dsub=PQ_DSUB)
-        tmp = f"{cb_path}.tmp.{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(books, f)
-        os.replace(tmp, cb_path)
-    codes = encode_pq(
-        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
-        books,
+    # index build runs ONCE per (sf_dir contents, hyperparams): train
+    # codebooks + materialize the encoded code table; repeat
+    # invocations only run the ADC scan over 4 ints + 1 double per
+    # corpus vector
+    books, codes_path = build_pq_index(
+        emb,
+        _sf_cache_token(sf_dir, "pq", PQ_M, PQ_KSUB, PQ_ITERS, PQ_DSUB),
+        m=PQ_M,
+        ksub=PQ_KSUB,
+        iters=PQ_ITERS,
         dsub=PQ_DSUB,
+    )
+    codes = spark.read.parquet(codes_path).select(
+        F.col("vec_id").alias("neighbor_id"),
+        *[f"code{s}" for s in range(PQ_M)],
+        "rnorm",
     )
     queries = emb.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
