@@ -35,6 +35,7 @@ HEADLINE = [
     "ivf_knn",
     "lsh_knn",
     "pq_knn",
+    "ivfpq_knn",
     "path3_novelty_flags",
     "window_pivot_snapshot",
     "tumbling_window_counts",

@@ -165,6 +165,49 @@ def main() -> None:
 
         timed("ivf_probe_topk", ivf_probe)
 
+        # --- PQ: train / encode (index build) / ADC scan (query path)
+        from vectorsearch_scylla_spark.operators.pq import (
+            encode_pq_np,
+            pq_adc_topk_np,
+            train_pq,
+        )
+
+        books: list = []
+
+        def pq_train() -> None:
+            # numpy assignment kernel: the documented scale build path
+            books.extend(
+                train_pq(emb, m=4, ksub=4, iters=2, dsub=16, kernel="numpy")
+            )
+
+        timed("pq_train", pq_train)
+
+        codes_path = os.path.join(base, "pq_codes")
+
+        def pq_encode() -> None:
+            # encode is index-BUILD work: materialize the code table the
+            # way the registry's build_pq_index does
+            encode_pq_np(
+                emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+                books,
+                dsub=16,
+            ).drop("embedding").write.parquet(codes_path)
+
+        timed("pq_encode_np", pq_encode)
+
+        def pq_scan() -> None:
+            # blocked NumPy ADC (the scale kernel; the registry query
+            # keeps the declarative LUT join for oracle parity)
+            codes = spark.read.parquet(codes_path)
+            noop(
+                pq_adc_topk_np(
+                    queries, codes, books, k=5, dsub=16,
+                    corpus_id="neighbor_id", exclude_self=True,
+                )
+            )
+
+        timed("pq_adc_scan_np", pq_scan)
+
         total = round(sum(times.values()), 3)
         print(
             json.dumps(

@@ -590,3 +590,69 @@ def test_pq_adc_matches_numpy_reference(spark, sf_dir):
         )[:5]
         for rank, j in enumerate(order, start=1):
             assert got[(ids[qi], rank)] == ids[j], (ids[qi], rank)
+
+
+def test_encode_pq_np_matches_expr_kernel(spark, sf_dir):
+    """The blocked NumPy encode (scale build path) must agree with the
+    oracle-parity expression kernel on the fixture corpus — codes AND
+    the reconstructed norm."""
+    from vectorsearch_scylla_spark.operators.pq import (
+        encode_pq,
+        encode_pq_np,
+        train_pq,
+    )
+    from vectorsearch_scylla_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = train_pq(emb, m=4, ksub=4, iters=2, dsub=16)
+    expr_rows = {
+        r["vec_id"]: (r["code0"], r["code1"], r["code2"], r["code3"], r["rnorm"])
+        for r in encode_pq(emb, books, dsub=16).collect()
+    }
+    np_rows = {
+        r["vec_id"]: (r["code0"], r["code1"], r["code2"], r["code3"], r["rnorm"])
+        for r in encode_pq_np(emb, books, dsub=16, dtype="float64").collect()
+    }
+    assert set(expr_rows) == set(np_rows)
+    for vid, (c0, c1, c2, c3, rn) in expr_rows.items():
+        n0, n1, n2, n3, rn2 = np_rows[vid]
+        assert (c0, c1, c2, c3) == (n0, n1, n2, n3), vid
+        assert abs(rn - rn2) < 1e-9, vid
+
+
+def test_pq_adc_topk_np_matches_expr(spark, sf_dir):
+    """The blocked NumPy ADC kernel (scale swap-in) must produce the
+    identical top-k (ids, ranks, quantized scores) as the declarative
+    LUT-join path on the fixture corpus."""
+    from vectorsearch_scylla_spark.operators.pq import (
+        encode_pq,
+        pq_adc_topk,
+        pq_adc_topk_np,
+        train_pq,
+    )
+    from vectorsearch_scylla_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = train_pq(emb, m=4, ksub=4, iters=2, dsub=16)
+    codes = encode_pq(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        books,
+        dsub=16,
+    ).drop("embedding")
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    a = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["approx_sim"])
+        for r in pq_adc_topk(
+            queries, codes, books, k=5, dsub=16, exclude_self=True
+        ).collect()
+    }
+    b = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["approx_sim"])
+        for r in pq_adc_topk_np(
+            queries, codes, books, k=5, dsub=16, exclude_self=True,
+            dtype="float64",
+        ).collect()
+    }
+    assert a == b

@@ -26,7 +26,7 @@ from vectorsearch_scylla_spark.plans.registry import REGISTRY
 # BNLJ allowed: build side is a literal VALUES/range (bounded, tiny),
 # a 1-row broadcast scalar (tfidf's corpus-size cross join), or the PQ
 # LUT build (queries × m·ksub codebook entries, bounded broadcast).
-_BNLJ_OK = {"fleet_simulator", "tfidf_top_terms", "pq_knn"}
+_BNLJ_OK = {"fleet_simulator", "tfidf_top_terms", "pq_knn", "ivfpq_knn"}
 # collect_list allowed: per-group cardinality is structurally bounded
 # (device_profile_build folds ≤ |METRICS| entries per group).
 _COLLECT_LIST_OK = {"device_profile_build"}
@@ -54,6 +54,7 @@ _PINNED = [
     "ivf_knn",
     "lsh_knn",
     "pq_knn",
+    "ivfpq_knn",
     "path3_novelty_flags",
     "dedup_exact",
     "minhash_dup_buckets",
@@ -152,3 +153,36 @@ def test_sessionization_single_partitioning(plans):
     Exchange would re-shuffle the full event stream at 100 TB."""
     p = plans["event_sessionization"]
     assert p.count("hashpartitioning(") == 1, p
+
+
+def test_sessionization_gap_boundary(spark):
+    """Events exactly 1800 s apart stay in ONE session (the gap test is
+    strictly greater-than); 1801 s starts a new one.  Pinned here
+    because the oracle would agree with either convention as long as
+    both sides drift together — this nails the intended semantics."""
+    from vectorsearch_scylla_spark.plans.registry import REGISTRY
+    import pyspark.sql.functions as F
+
+    rows = [
+        (1, 100, "2024-01-01 00:00:00", 1.0),
+        (2, 100, "2024-01-01 00:30:00", 1.0),  # +1800s: same session
+        (3, 100, "2024-01-01 01:00:01", 1.0),  # +1801s: new session
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="vss_sess_fixture_")
+    try:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        out = {
+            (r["user_id"], r["session_idx"]): r["n_events"]
+            for r in REGISTRY["event_sessionization"].fn(spark, d).collect()
+        }
+    finally:
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+    assert out == {(100, 1): 2, (100, 2): 1}

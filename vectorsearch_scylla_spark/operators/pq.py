@@ -57,6 +57,7 @@ def train_pq(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     decimals: int = 6,
+    kernel: str = "expr",
 ) -> list[list[tuple[int, list[float]]]]:
     """Train ``m`` per-subspace codebooks of ``ksub`` centroids each
     over ``dsub``-wide vector slices.  Returns one ``[(code, centroid)]``
@@ -65,7 +66,10 @@ def train_pq(
     Each subspace runs the deterministic Lloyd trainer on the SAME
     md5-seeded row draw (the seed order depends only on ``id_col``), so
     the full train is ``m × (iters + 1)`` Spark jobs and only
-    ``m × ksub × dsub`` floats ever reach the driver.
+    ``m × ksub × dsub`` floats ever reach the driver.  ``kernel``
+    passes through to :func:`~vectorsearch_scylla_spark.operators.ivf.
+    lloyd_kmeans` — ``'expr'`` (bit-exact with the SQL oracle) or
+    ``'numpy'`` (blocked BLAS assignment, the 100 TB build path).
     """
     vecs = df.select(id_col, F.col(vec_col).cast("array<double>").alias("__full"))
     books = []
@@ -74,7 +78,7 @@ def train_pq(
         books.append(
             lloyd_kmeans(
                 sub, k=ksub, iters=iters, id_col=id_col, vec_col="__v",
-                decimals=decimals,
+                decimals=decimals, kernel=kernel,
             )
         )
     return books
@@ -111,6 +115,69 @@ def encode_pq(
         term = branch
         rnorm_sq = term if rnorm_sq is None else rnorm_sq + term
     return out.withColumn("rnorm", F.sqrt(rnorm_sq))
+
+
+def encode_pq_np(
+    df: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    dsub: int,
+    vec_col: str = "embedding",
+    dtype: str = "float32",
+) -> DataFrame:
+    """Blocked NumPy encode kernel — the documented scale swap-in for
+    :func:`encode_pq` when bit-exact oracle parity is not required
+    (the expression kernel's m·ksub interpreted cosine folds per row
+    become one BLAS matmul per subspace per Arrow batch).
+
+    Semantics match :func:`encode_pq` (argmax cosine, tie-break lowest
+    code, zero subvectors land in the lowest code); only the fp
+    reduction order differs, which matters only on exact cosine ties.
+    ``dtype='float32'`` is the 100 TB default.
+    """
+    import numpy as np
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    m = len(books)
+    cw = []
+    for book in books:
+        ordered = sorted(book)
+        ids = np.array([c for c, _ in ordered], dtype=np.int64)
+        C = np.asarray([v for _, v in ordered], dtype=dtype)
+        cn = np.linalg.norm(C, axis=1)
+        cn[cn == 0.0] = 1.0
+        cw.append((ids, (C / cn[:, None]).T, np.sum(C.astype(np.float64) ** 2, axis=1)))
+
+    schema = StructType(
+        list(df.schema.fields)
+        + [StructField(f"code{s}", IntegerType(), False) for s in range(m)]
+        + [StructField("rnorm", DoubleType(), False)]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            V = np.asarray(list(pdf[vec_col]), dtype=dtype)
+            pdf = pdf.copy()
+            nsq = np.zeros(len(pdf), dtype=np.float64)
+            for s in range(m):
+                ids, Cn, cns = cw[s]
+                sub = V[:, s * dsub : (s + 1) * dsub]
+                vn = np.linalg.norm(sub, axis=1)
+                zero = vn == 0.0
+                vn[zero] = 1.0
+                sims = (sub / vn[:, None]) @ Cn
+                sims[zero, :] = 0.0
+                idx = np.argmax(sims, axis=1)
+                pdf[f"code{s}"] = ids[idx].astype("int32")
+                nsq += cns[idx]
+            pdf["rnorm"] = np.sqrt(nsq)
+            yield pdf
+
+    return df.mapInPandas(encode, schema)
 
 
 def build_pq_index(
@@ -178,10 +245,11 @@ def pq_adc_topk(
     query_vec: str = "query_vec",
     exclude_self: bool = False,
     decimals: int = 4,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
-    """ADC top-k: for each query, rank the whole code table by
-    approximate cosine ``Σ_s dot(q_s, codeword_s) / (|q|·|x̂|)`` and
-    keep the top ``k`` (quantized-score DESC, corpus id ASC).
+    """ADC top-k: for each query, rank the code table by approximate
+    cosine ``Σ_s dot(q_s, codeword_s) / (|q|·|x̂|)`` and keep the top
+    ``k`` (quantized-score DESC, corpus id ASC).
 
     Plan: LUT = queries × codebook entries (bounded broadcast build
     side of m·ksub rows), exploded codes hash-join the broadcast LUT
@@ -189,6 +257,12 @@ def pq_adc_topk(
     dots in FIXED subspace order so equal code tuples score exactly
     equally in both engines.  ``exclude_self`` assumes query ids live
     in the corpus id space.
+
+    ``pairs`` (query_id, corpus_id) restricts scoring to an explicit
+    candidate set — the IVF-PQ composition: the coarse quantizer's
+    probes prune candidates to nprobe/C of the corpus, and ADC scores
+    only those (the LUT join then also keys on query_id, so each
+    candidate row scores against exactly its own query).
     """
     from vectorsearch_scylla_spark.functions.vector import dot, l2_norm
 
@@ -213,7 +287,9 @@ def pq_adc_topk(
             dot(F.slice("__q", F.col("s") * dsub + 1, dsub), F.col("cvec")).alias("d"),
         )
     )
-    exploded = codes.select(
+    side = codes if pairs is None else pairs.join(codes, corpus_id)
+    exploded = side.select(
+        *([query_id] if pairs is not None else []),
         corpus_id,
         "rnorm",
         F.posexplode(F.array(*[f"code{s}" for s in range(m)])).alias("s", "code"),
@@ -221,8 +297,9 @@ def pq_adc_topk(
     per_s = [
         F.sum(F.when(F.col("s") == s, F.col("d"))).alias(f"d{s}") for s in range(m)
     ]
+    join_keys = ["s", "code"] if pairs is None else [query_id, "s", "code"]
     scored = (
-        exploded.join(F.broadcast(lut), ["s", "code"])
+        exploded.join(F.broadcast(lut), join_keys)
         .groupBy(query_id, corpus_id, "rnorm", "qnorm")
         .agg(*per_s)
     )
@@ -242,6 +319,113 @@ def pq_adc_topk(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "approx_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def pq_adc_topk_np(
+    queries: DataFrame,
+    codes: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    k: int,
+    dsub: int,
+    query_id: str = "query_id",
+    corpus_id: str = "neighbor_id",
+    query_vec: str = "query_vec",
+    exclude_self: bool = False,
+    decimals: int = 4,
+    dtype: str = "float32",
+) -> DataFrame:
+    """Blocked NumPy ADC kernel — the documented scale swap-in for
+    :func:`pq_adc_topk` when bit-exact oracle parity is not required.
+
+    The per-query LUT becomes one (Q × m × ksub) ndarray broadcast to
+    every task; each Arrow batch of the code table scores all queries
+    with m gather-adds (no join, no per-pair aggregation rows), keeps
+    each query's batch-local top-k (plus a spare under ``exclude_self``
+    and all boundary ties, so global rank-k stays exact), and a final
+    small global re-rank merges the per-batch candidates — the same
+    candidate-retention contract as
+    ``operators.knn.topk_similarity_join_blocked``.  Driver memory is
+    O(Q × d) for the collected query side (callers bound Q), shuffle is
+    candidates-only (≤ (k+2) rows per query per batch).
+    """
+    import numpy as np
+    from pyspark.sql import Window
+
+    m = len(books)
+    qrows = queries.select(query_id, query_vec).collect()
+    qids = np.array([r[query_id] for r in qrows])
+    Qv = np.asarray([list(r[query_vec]) for r in qrows], dtype=dtype)
+    qn = np.linalg.norm(Qv, axis=1).astype(np.float64)
+    code_maps = []  # per subspace: (sorted code ids, LUT slice (Q, ksub), nsq)
+    lut = np.zeros((len(qids), m, max(len(b) for b in books)), dtype=np.float64)
+    for s, book in enumerate(books):
+        ordered = sorted(book)
+        bids = np.array([c for c, _ in ordered], dtype=np.int64)
+        C = np.asarray([v for _, v in ordered], dtype=dtype)
+        lut[:, s, : len(bids)] = (Qv[:, s * dsub : (s + 1) * dsub] @ C.T).astype(
+            np.float64
+        )
+        code_maps.append(bids)
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast((qids, qn, lut, code_maps))
+    keep = k + (1 if exclude_self else 0) + 1  # spare + boundary-tie probe
+    eps, scale = 1e-6, float(10**decimals)
+    qid_dt = queries.schema[query_id].dataType.simpleString()
+    cid_dt = codes.schema[corpus_id].dataType.simpleString()
+
+    def kernel(batches):
+        import pandas as pd
+
+        qids_b, qn_b, lut_b, maps_b = bc.value
+        nq = len(qids_b)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            nb = len(pdf)
+            rnorm = pdf["rnorm"].to_numpy(dtype=np.float64)
+            scores = np.zeros((nq, nb), dtype=np.float64)
+            for s in range(m):
+                idx = np.searchsorted(maps_b[s], pdf[f"code{s}"].to_numpy())
+                scores += lut_b[:, s, :][:, idx]
+            denom = qn_b[:, None] * rnorm[None, :]
+            zero = denom == 0.0
+            denom[zero] = 1.0
+            scores /= denom
+            scores[zero] = 0.0
+            scores = np.floor(scores * scale + 0.5 + eps) / scale
+            nids = pdf[corpus_id].to_numpy()
+            take = min(keep, nb)
+            out_q, out_n, out_s = [], [], []
+            part = np.argpartition(-scores, take - 1, axis=1)[:, :take]
+            for qi in range(nq):
+                cand = part[qi]
+                cutoff = scores[qi, cand].min()
+                cand = np.nonzero(scores[qi] >= cutoff)[0]
+                out_q.append(np.full(len(cand), qids_b[qi]))
+                out_n.append(nids[cand])
+                out_s.append(scores[qi, cand])
+            yield pd.DataFrame(
+                {
+                    query_id: np.concatenate(out_q),
+                    corpus_id: np.concatenate(out_n),
+                    "approx_sim": np.concatenate(out_s),
+                }
+            )
+
+    cands = codes.mapInPandas(
+        kernel,
+        schema=f"{query_id} {qid_dt}, {corpus_id} {cid_dt}, approx_sim double",
+    )
+    if exclude_self:
+        cands = cands.filter(F.col(corpus_id) != F.col(query_id))
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("approx_sim").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "approx_sim", F.col("rank").cast("int").alias("rank"))
     )

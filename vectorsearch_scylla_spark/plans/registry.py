@@ -1080,13 +1080,19 @@ PQ_ITERS = 2
 PQ_DSUB = 16  # 4 × 16 = 64-dim embeddings
 
 
-def _pq_cte(m: int, ksub: int, iters: int, dsub: int, querymod: int) -> str:
+def _pq_cte(
+    m: int, ksub: int, iters: int, dsub: int, querymod: int,
+    include_vecs: bool = True,
+) -> str:
     """Unrolled per-subspace Lloyd's k-means + encode + ADC scoring —
     the SQL twin of ``operators/pq.train_pq``/``encode_pq``/
     ``pq_adc_topk`` (same seeds, tie-breaks, per-iteration
-    quantization, fixed subspace summation order)."""
-    parts = [
+    quantization, fixed subspace summation order).  ``include_vecs``
+    lets a caller that already defined the identical ``vecs`` CTE
+    (the IVF chain) splice both chains into one WITH."""
+    parts = ([
         "vecs AS (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings)",
+    ] if include_vecs else []) + [
         f"""seeds AS (
         SELECT CAST(rn - 1 AS INT) AS cluster_id, embedding FROM (
             SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn,
@@ -1233,6 +1239,125 @@ def q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     va = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qa"))
     vb = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__vb")
+    )
+    return (
+        topk.join(va, "query_id")
+        .join(vb, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "approx_sim",
+            quantize(cosine_similarity("__qa", "__vb")).alias("exact_sim"),
+            "rank",
+        )
+    )
+
+
+_IVFPQ_DOTS = " + ".join(
+    f"list_inner_product(q.embedding[{s * PQ_DSUB + 1}:{(s + 1) * PQ_DSUB}], b{s}.cvec)"
+    for s in range(PQ_M)
+)
+_IVFPQ_CB_JOINS = " ".join(
+    f"JOIN cbn_{s} b{s} ON b{s}.cluster_id = pc.code{s}" for s in range(PQ_M)
+)
+
+
+@query(
+    "ivfpq_knn",
+    f"""
+    WITH {_ivf_kmeans_cte(IVF_K, IVF_ITERS, IVF_NPROBE, 25)},
+    {_pq_cte(PQ_M, PQ_KSUB, PQ_ITERS, PQ_DSUB, 25, include_vecs=False)},
+    ivfpq_scored AS (
+        SELECT p.query_id, m.vec_id AS neighbor_id,
+               {Q(f"CASE WHEN q.qnorm = 0 OR pc.rnorm = 0 THEN 0.0 ELSE ({_IVFPQ_DOTS}) / (q.qnorm * pc.rnorm) END")} AS approx_sim
+        FROM probes p
+        JOIN pq_queries q ON q.query_id = p.query_id
+        JOIN members m ON m.cluster_id = p.cluster_id AND m.vec_id <> p.query_id
+        JOIN pq_codes pc ON pc.vec_id = m.vec_id
+        {_IVFPQ_CB_JOINS}
+    )
+    SELECT r.query_id, r.neighbor_id, r.approx_sim,
+           {Q(_cos_sql("a.embedding", "b.embedding"))} AS exact_sim,
+           CAST(r.rank AS INT) AS rank
+    FROM (
+        SELECT query_id, neighbor_id, approx_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY approx_sim DESC, neighbor_id ASC) AS rank
+        FROM ivfpq_scored
+    ) r
+    JOIN vecs a ON a.vec_id = r.query_id
+    JOIN vecs b ON b.vec_id = r.neighbor_id
+    WHERE r.rank <= 5
+    """,
+    ["V3", "V4", "V6", "J3", "W2", "ANN-IVFPQ"],
+    "IVF-PQ — the COMPLETE canonical scale-ANN composition: the trained "
+    "coarse quantizer prunes candidates to the nprobe=2 probed "
+    "partitions (nprobe/C of the corpus bytes via partition pruning of "
+    "the materialized inverted lists), and the PQ code table scores "
+    "ONLY those candidates via the ADC LUT join (4 ints + 1 double "
+    "per candidate — full vectors are read for exactly the 5 "
+    "survivors).  Both index halves are built once per corpus "
+    "fingerprint and reused; the oracle splices the IVF and PQ "
+    "k-means CTE chains into one WITH and reproduces probe, prune, "
+    "encode, and ADC bit-for-bit.  exact_sim exposes end-to-end "
+    "approximation error.  (The full replacement for the reference's "
+    "HNSW ANN serving path, scylladb_setup/create_iot_schema.py:137-155, "
+    "docs/SCYLLADB_VECTOR_SEARCH_REFERENCE.md:49-58.)",
+)
+def q_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectorsearch_scylla_spark.operators.ivf import (
+        build_ivf_index,
+        probe_clusters,
+    )
+    from vectorsearch_scylla_spark.operators.pq import (
+        build_pq_index,
+        pq_adc_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    cents, lists_path = build_ivf_index(
+        vecs, _sf_cache_token(sf_dir, "ivf", IVF_K, IVF_ITERS), k=IVF_K, iters=IVF_ITERS
+    )
+    books, codes_path = build_pq_index(
+        emb,
+        _sf_cache_token(sf_dir, "pq", PQ_M, PQ_KSUB, PQ_ITERS, PQ_DSUB),
+        m=PQ_M,
+        ksub=PQ_KSUB,
+        iters=PQ_ITERS,
+        dsub=PQ_DSUB,
+    )
+    queries = vecs.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    probes = probe_clusters(queries, cents, nprobe=IVF_NPROBE, vec_col="query_vec")
+    # prune the inverted-list scan to probed clusters (partition pruning
+    # at scale), then fan candidates out per probe — each corpus vector
+    # lives in exactly one cluster, so probe unions stay duplicate-free
+    probed = [r["cluster_id"] for r in probes.select("cluster_id").distinct().collect()]
+    members = (
+        spark.read.parquet(lists_path)
+        .filter(F.col("cluster_id").isin(probed))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cluster_id").cast("int").alias("cluster_id"),
+        )
+    )
+    pairs = (
+        probes.select("query_id", "cluster_id")
+        .join(members, "cluster_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    codes = spark.read.parquet(codes_path).select(
+        F.col("vec_id").alias("neighbor_id"),
+        *[f"code{s}" for s in range(PQ_M)],
+        "rnorm",
+    )
+    topk = pq_adc_topk(queries, codes, books, k=5, dsub=PQ_DSUB, pairs=pairs)
+    va = vecs.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qa"))
+    vb = vecs.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__vb")
     )
     return (
