@@ -66,6 +66,8 @@ HEADLINE = [
     "media_byte_features",
     "event_sessionization",
     "tfidf_top_terms",
+    "approx_distinct_check",
+    "source_lang_rollup",
     # LAST: a completed streaming query leaves residue in the shared
     # local JVM that intermittently slows later heavy batch queries
     # (observed 10-50x); keep batch timings clean by running them last

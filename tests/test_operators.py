@@ -656,3 +656,70 @@ def test_pq_adc_topk_np_matches_expr(spark, sf_dir):
         ).collect()
     }
     assert a == b
+
+
+def test_sessionization_random_events_vs_python_reference(spark):
+    """Property test: random event sets (duplicate timestamps, ragged
+    users, gap edge values) sessionized by the registry query must
+    match a pure-python fold — the same independent-implementation
+    strategy as the connected-components test."""
+    import os
+    import random
+    import shutil
+    import tempfile
+
+    from vectorsearch_scylla_spark.plans.registry import REGISTRY
+
+    rng = random.Random(20260813)
+    rows = []
+    eid = 0
+    for user in range(12):
+        t = 1_700_000_000 + rng.randrange(0, 3600)
+        for _ in range(rng.randrange(1, 40)):
+            # gaps cluster around the 1800 s boundary on purpose
+            t += rng.choice([0, 1, 60, 1799, 1800, 1801, 5400])
+            eid += 1
+            rows.append((eid, user, t, round(rng.uniform(0, 10), 2)))
+    rng.shuffle(rows)
+
+    # pure-python reference: sort by (es, event_id), fold session starts
+    expected = {}
+    by_user: dict[int, list] = {}
+    for e, u, t, v in rows:
+        by_user.setdefault(u, []).append((t, e, v))
+    for u, evs in by_user.items():
+        evs.sort()
+        sid, prev = 0, None
+        sessions: dict[int, list] = {}
+        for t, e, v in evs:
+            if prev is None or t - prev > 1800:
+                sid += 1
+            sessions.setdefault(sid, []).append((t, v))
+            prev = t
+        for sid, members in sessions.items():
+            ts = [t for t, _ in members]
+            tot = sum(v for _, v in members)
+            expected[(u, sid)] = (
+                min(ts), max(ts), max(ts) - min(ts), len(members),
+                int(tot * 100 + 0.5 + 1e-6) / 100,
+            )
+
+    df = spark.createDataFrame(
+        [(e, u, t, v) for e, u, t, v in rows],
+        "event_id long, user_id long, es long, value double",
+    ).select(
+        "event_id", "user_id", F.timestamp_seconds("es").alias("ts"), "value"
+    )
+    d = tempfile.mkdtemp(prefix="vss_sess_prop_")
+    try:
+        df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        got = {
+            (r["user_id"], r["session_idx"]): (
+                r["session_start"], r["session_end"], r["duration_s"],
+                r["n_events"], r["total_value"],
+            )
+            for r in REGISTRY["event_sessionization"].fn(spark, d).collect()
+        }
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    assert got == expected

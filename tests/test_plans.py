@@ -73,6 +73,8 @@ _PINNED = [
     "source_mix_summary",
     "event_sessionization",
     "tfidf_top_terms",
+    "approx_distinct_check",
+    "source_lang_rollup",
 ]
 
 _NEARDUP_PAIR_QUERIES = [

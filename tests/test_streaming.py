@@ -252,3 +252,44 @@ def test_rolling_stats_state_carries_across_micro_batches(spark, tmp_path):
         assert abs(a * 1e4 - ea) < 1e-6 and m == em and n == en, (eid, got[eid], expected[eid])
     # the cross-batch row really used state: frame size 10 > batch size 6
     assert got[11][2] == 10
+
+
+def test_kafka_message_shape_round_trips(spark, raw):
+    """S1 sink shape → S2 parse round trip, broker-free: the producer
+    transform and the consumer parser are pure DataFrame stages, so the
+    (key = device_id, value = JSON) contract is verifiable in batch.
+    Checks key partitioning semantics (per-device ordering key), JSON
+    field fidelity including ISO8601 timestamps (F2), and that parse ∘
+    serialize is the identity on the metric columns."""
+    from vectorsearch_scylla_spark.streaming.pipeline import (
+        parse_metric_messages,
+        to_kafka_messages,
+    )
+
+    src = raw.select(
+        "device_id",
+        F.date_format("timestamp", "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").alias(
+            "timestamp"
+        ),
+        "metric_name",
+        "metric_value",
+    ).limit(200)
+    msgs = to_kafka_messages(src)
+    assert msgs.columns == ["key", "value"]
+    # every message's key is its row's device_id (per-device ordering)
+    assert (
+        msgs.filter(
+            F.get_json_object("value", "$.device_id") != F.col("key")
+        ).count()
+        == 0
+    )
+    back = parse_metric_messages(msgs.select("key", F.col("value").cast("binary").alias("value")))
+    got = {
+        (r["device_id"], r["metric_name"], r["timestamp"]): r["metric_value"]
+        for r in back.collect()
+    }
+    exp = {
+        (r["device_id"], r["metric_name"], r["timestamp"]): r["metric_value"]
+        for r in src.withColumn("timestamp", F.to_timestamp("timestamp")).collect()
+    }
+    assert got == exp and len(got) > 0

@@ -3736,6 +3736,79 @@ def q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "approx_distinct_check",
+    """
+    SELECT event_type AS metric_name,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS approx_within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+    ["A6", "A13", "SKETCH-DISTINCT"],
+    "Approximate distinct counting, VALUE-CHECKED: per metric, Spark "
+    "computes BOTH the exact count(DISTINCT user_id) and the "
+    "approx_count_distinct HLL++ sketch (rsd 2%), and emits "
+    "approx_within_5pct = |approx − exact|/exact ≤ 0.05.  The oracle "
+    "recomputes the exact count and asserts TRUE — any sketch drifting "
+    "past the bound is a hash mismatch, so the green row certifies the "
+    "sketch's accuracy contract, not just that it ran.  At 100 TB the "
+    "sketch is the only viable path (fixed ~KB state per group, "
+    "map-side partial merge, no shuffle of distinct values); the exact "
+    "count here doubles as the certification harness.",
+)
+def q_approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy(F.col("event_type").alias("metric_name")).agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("__approx"),
+    )
+    err = F.abs(F.col("__approx") - F.col("exact_users")) / F.col("exact_users")
+    return agg.select(
+        "metric_name", "exact_users", (err <= 0.05).alias("approx_within_5pct")
+    )
+
+
+@query(
+    "source_lang_rollup",
+    f"""
+    SELECT CASE WHEN GROUPING(source) = 1 THEN 'ALL' ELSE source END AS source,
+           CASE WHEN GROUPING(lang) = 1 THEN 'ALL' ELSE lang END AS lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE text IS NOT NULL
+    GROUP BY GROUPING SETS ((source, lang), (source), ())
+    """,
+    ["A6", "A13", "ROLLUP"],
+    "Multi-level rollup in ONE pass: per-(source, lang), per-source, "
+    "and grand-total document/char counts via GROUPING SETS — the "
+    "corpus-composition dashboard query.  One shuffle computes all "
+    "three levels (Spark expands grouping sets into a single "
+    "aggregate); NULL group keys from the rollup are disambiguated "
+    "with GROUPING() so genuinely-null data values could never "
+    "collide with subtotal rows.",
+)
+def q_source_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    rolled = docs.groupingSets(
+        [["source", "lang"], ["source"], []], "source", "lang"
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        # grouping() is only resolvable inside the aggregate itself —
+        # carry the subtotal markers out as columns
+        F.grouping("source").alias("__gs"),
+        F.grouping("lang").alias("__gl"),
+    )
+    return rolled.select(
+        F.when(F.col("__gs") == 1, F.lit("ALL")).otherwise(F.col("source")).alias("source"),
+        F.when(F.col("__gl") == 1, F.lit("ALL")).otherwise(F.col("lang")).alias("lang"),
+        "n_docs",
+        "total_chars",
+    )
+
+
+@query(
     "event_sessionization",
     f"""
     WITH ev AS (
