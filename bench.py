@@ -68,6 +68,8 @@ HEADLINE = [
     "tfidf_top_terms",
     "approx_distinct_check",
     "source_lang_rollup",
+    "metric_percentiles",
+    "resample_daily_locf",
     # LAST: a completed streaming query leaves residue in the shared
     # local JVM that intermittently slows later heavy batch queries
     # (observed 10-50x); keep batch timings clean by running them last

@@ -75,6 +75,8 @@ _PINNED = [
     "tfidf_top_terms",
     "approx_distinct_check",
     "source_lang_rollup",
+    "metric_percentiles",
+    "resample_daily_locf",
 ]
 
 _NEARDUP_PAIR_QUERIES = [
@@ -155,6 +157,16 @@ def test_sessionization_single_partitioning(plans):
     Exchange would re-shuffle the full event stream at 100 TB."""
     p = plans["event_sessionization"]
     assert p.count("hashpartitioning(") == 1, p
+
+
+def test_locf_single_scan(plans):
+    """The lead+sequence gap-fill must read the events table ONCE — a
+    second scan means the grid regressed to the bounds-join
+    formulation that evaluates the LWW downsample twice.  (Each scan
+    node prints one numbered detail header in formatted explain.)"""
+    import re
+
+    assert len(re.findall(r"\(\d+\) Scan parquet", plans["resample_daily_locf"])) == 1
 
 
 def test_sessionization_gap_boundary(spark):

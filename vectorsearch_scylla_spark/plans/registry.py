@@ -3736,6 +3736,124 @@ def q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "metric_percentiles",
+    RAW_CTE
+    + f"""
+    SELECT metric_name,
+           {Q("quantile_cont(metric_value, 0.50)")} AS p50,
+           {Q("quantile_cont(metric_value, 0.95)")} AS p95,
+           {Q("quantile_cont(metric_value, 0.99)")} AS p99,
+           CAST(count(*) AS BIGINT) AS n
+    FROM raw
+    GROUP BY metric_name
+    """,
+    ["A5", "A6", "PERCENTILES"],
+    "Exact interpolated percentiles (p50/p95/p99) per metric — the "
+    "latency-dashboard aggregate.  Both engines use the same linear "
+    "interpolation at rank q·(n−1); quantization absorbs the fp "
+    "reduction-order noise.  At 100 TB swap to approx_percentile "
+    "(t-digest sketch, mergeable map-side state) — the exact form here "
+    "doubles as that sketch's certification harness, the same pattern "
+    "as approx_distinct_check.",
+)
+def q_metric_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = device_metrics_raw(spark, sf_dir)
+    pcts = F.percentile("metric_value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)))
+    agg = raw.groupBy("metric_name").agg(
+        pcts.alias("__p"), F.count("*").alias("n")
+    )
+    return agg.select(
+        "metric_name",
+        quantize(F.col("__p")[0]).alias("p50"),
+        quantize(F.col("__p")[1]).alias("p95"),
+        quantize(F.col("__p")[2]).alias("p99"),
+        "n",
+    )
+
+
+@query(
+    "resample_daily_locf",
+    RAW_CTE
+    + """
+    , daily AS (
+        SELECT device_id, metric_name, day, metric_value AS v_day FROM (
+            SELECT device_id, metric_name,
+                   CAST(floor(epoch(timestamp) / 86400) * 86400 AS BIGINT) AS day,
+                   metric_value,
+                   row_number() OVER (PARTITION BY device_id, metric_name,
+                                      floor(epoch(timestamp) / 86400)
+                                      ORDER BY timestamp DESC, event_id DESC) AS rn
+            FROM raw
+        ) WHERE rn = 1
+    ),
+    bounds AS (
+        SELECT device_id, metric_name, min(day) AS d0, max(day) AS d1
+        FROM daily GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT device_id, metric_name, unnest(generate_series(d0, d1, 86400)) AS day
+        FROM bounds
+    )
+    SELECT g.device_id, g.metric_name, g.day,
+           last_value(d.v_day IGNORE NULLS) OVER (
+               PARTITION BY g.device_id, g.metric_name ORDER BY g.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+           d.v_day IS NULL AS is_gap
+    FROM grid g
+    LEFT JOIN daily d
+      ON d.device_id = g.device_id AND d.metric_name = g.metric_name
+     AND d.day = g.day
+    """,
+    ["A9", "W4", "F3", "RESAMPLE-LOCF"],
+    "Hypertable gap-fill: daily LWW downsample (last write per "
+    "(device, metric, day), event_id tie-break) → dense daily grid + "
+    "forward-fill in ONE pass: each observation explodes into "
+    "sequence(day, next_day − 1d) via lead(), carrying its value "
+    "across the gap — TimescaleDB's locf/time_bucket_gapfill with no "
+    "calendar table, no grid self-join, and a single scan of the raw "
+    "events (the oracle spells the equivalent grid + last_value "
+    "IGNORE NULLS formulation).  Output is bounded by series × "
+    "extent-days regardless of raw event density.",
+)
+def q_resample_daily_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = device_metrics_raw(spark, sf_dir)
+    day = (F.floor(F.unix_timestamp("timestamp") / 86400) * 86400).cast("long")
+    wlww = Window.partitionBy("device_id", "metric_name", "day").orderBy(
+        F.col("timestamp").desc(), F.col("event_id").desc()
+    )
+    daily = (
+        raw.withColumn("day", day)
+        .withColumn("rn", F.row_number().over(wlww))
+        .filter(F.col("rn") == 1)
+        .select("device_id", "metric_name", "day", F.col("metric_value").alias("v_day"))
+    )
+    wseries = Window.partitionBy("device_id", "metric_name").orderBy("day")
+    return (
+        daily.withColumn("next_day", F.lead("day").over(wseries))
+        .select(
+            "device_id",
+            "metric_name",
+            "v_day",
+            "day",
+            F.explode(
+                F.sequence(
+                    "day",
+                    F.coalesce(F.col("next_day") - 86400, F.col("day")),
+                    F.lit(86400),
+                )
+            ).alias("day_out"),
+        )
+        .select(
+            "device_id",
+            "metric_name",
+            F.col("day_out").alias("day"),
+            F.col("v_day").alias("value"),
+            (F.col("day_out") != F.col("day")).alias("is_gap"),
+        )
+    )
+
+
+@query(
     "approx_distinct_check",
     """
     SELECT event_type AS metric_name,
