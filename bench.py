@@ -70,6 +70,7 @@ HEADLINE = [
     "source_lang_rollup",
     "metric_percentiles",
     "resample_daily_locf",
+    "customer_order_coverage",
     # LAST: a completed streaming query leaves residue in the shared
     # local JVM that intermittently slows later heavy batch queries
     # (observed 10-50x); keep batch timings clean by running them last

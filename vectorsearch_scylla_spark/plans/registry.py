@@ -3736,6 +3736,41 @@ def q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "customer_order_coverage",
+    """
+    SELECT c.c_custkey, c.c_name, TRUE AS has_orders
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT c.c_custkey, c.c_name, FALSE AS has_orders
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    ["SEMI-ANTI"],
+    "LEFT SEMI + LEFT ANTI join as first-class primitives (EXISTS / "
+    "NOT EXISTS): customers partitioned into with-orders and "
+    "without-orders sets.  Semi/anti joins never materialize the "
+    "probe side's payload — at 100 TB the orders side streams through "
+    "the join as bare keys (and Spark rewrites both branches to one "
+    "shuffle of each input under AQE).  Fills the semi/anti gap "
+    "SURVEY §2.5 notes as absent from the reference but free in "
+    "Spark.",
+)
+def q_customer_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    semi = cust.join(orders, "c_custkey", "left_semi").withColumn(
+        "has_orders", F.lit(True)
+    )
+    anti = cust.join(orders, "c_custkey", "left_anti").withColumn(
+        "has_orders", F.lit(False)
+    )
+    return semi.unionByName(anti)
+
+
+@query(
     "metric_percentiles",
     RAW_CTE
     + f"""
