@@ -723,3 +723,48 @@ def test_sessionization_random_events_vs_python_reference(spark):
     finally:
         shutil.rmtree(d, ignore_errors=True)
     assert got == expected
+
+
+def test_quantize_cross_engine_property(spark):
+    """The floor-based quantizer is the foundation of every float
+    hash-match — drive it with adversarial doubles (exact decimal
+    halves, ±1 ulp around the shifted boundary, negative zeros, large
+    magnitudes, random noise) and require bit-identical output from
+    Spark's quantize() and DuckDB's Q() on every value."""
+    import math
+    import random
+    import struct
+
+    import duckdb
+
+    from vectorsearch_scylla_spark.plans.registry import Q, quantize
+
+    def ulp_neighbors(x):
+        b = struct.unpack("<q", struct.pack("<d", x))[0]
+        return [struct.unpack("<d", struct.pack("<q", b + d))[0] for d in (-1, 0, 1)]
+
+    rng = random.Random(13)
+    vals = []
+    for k in range(-3, 4):
+        for frac in (0.5, 0.49995, 0.50005):
+            for base in (0.0, 1.0, 7.32, 123.0, 9999.25):
+                vals.extend(ulp_neighbors((base + frac * 10**-4) * 10**k))
+    vals += [0.0, -0.0, 1e-12, -1e-12, 1e9 + 0.00005, -(1e9 + 0.00005)]
+    vals += [rng.uniform(-1e6, 1e6) for _ in range(5000)]
+    vals = [v for v in vals if math.isfinite(v)]
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i long, v double")
+    got = {r["i"]: r["q"] for r in df.select("i", quantize(F.col("v")).alias("q")).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (i BIGINT, v DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", [(i, v) for i, v in enumerate(vals)])
+    exp = dict(con.execute(f"SELECT i, {Q('v')} FROM t").fetchall())
+    con.close()
+
+    mismatches = [
+        (i, vals[i], got[i], exp[i])
+        for i in got
+        if struct.pack("<d", got[i]) != struct.pack("<d", exp[i])
+    ]
+    assert not mismatches, mismatches[:5]

@@ -78,6 +78,7 @@ _PINNED = [
     "metric_percentiles",
     "resample_daily_locf",
     "customer_order_coverage",
+    "bpe_token_estimate",
 ]
 
 _NEARDUP_PAIR_QUERIES = [
@@ -129,11 +130,13 @@ def test_bounded_collect_list_only(plans, name):
     assert "collect_list" not in plans[name], name
 
 
-@pytest.mark.parametrize("name", ["doc_chunking", "pii_redaction"])
+@pytest.mark.parametrize(
+    "name", ["doc_chunking", "pii_redaction", "bpe_token_estimate"]
+)
 def test_map_only_queries_never_shuffle(plans, name):
-    """Chunking and PII scrubbing are pure scan-side map stages — any
-    Exchange appearing here means a silent plan regression that would
-    shuffle the full corpus at 100 TB."""
+    """Chunking, PII scrubbing, and token counting are pure scan-side
+    map stages — any Exchange appearing here means a silent plan
+    regression that would shuffle the full corpus at 100 TB."""
     assert "Exchange" not in plans[name], name
 
 

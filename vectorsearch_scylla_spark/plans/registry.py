@@ -3735,6 +3735,46 @@ def q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer proxy: ≤4-char alpha chunks + single digits +
+# single punctuation marks — the match COUNT approximates a subword
+# vocabulary's token count without shipping a tokenizer model.  The
+# pattern uses only constructs with identical leftmost/greedy semantics
+# in Java regex (Spark) and RE2 (DuckDB).
+_BPE_RE = "[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9 ]"
+
+
+@query(
+    "bpe_token_estimate",
+    f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) - len(list_filter(string_split(text, ' '), t -> t = '')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS bpe_tokens,
+           {Q(f"len(regexp_extract_all(text, '{_BPE_RE}')) / len(string_split(text, ' '))")} AS tokens_per_word
+    FROM documents
+    WHERE text IS NOT NULL
+    """,
+    ["TEXT-TOKENS", "F10"],
+    "Token counting, BOTH mandate variants per document: whitespace "
+    "tokens (empty-safe) and a BPE-ish regex estimate (≤4-char alpha "
+    "chunks + digit + punctuation matches — the subword-count proxy "
+    "when no tokenizer model ships with the engine), plus their ratio. "
+    "Pure scan-side projection; the regex uses only constructs with "
+    "identical semantics in Java regex and RE2 so both engines count "
+    "the same matches.",
+)
+def q_bpe_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = F.split("text", " ")
+    ws = F.size(words) - F.size(F.filter(words, lambda t: t == ""))
+    bpe = F.size(F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0)))
+    return docs.select(
+        "doc_id",
+        ws.cast("long").alias("ws_tokens"),
+        bpe.cast("long").alias("bpe_tokens"),
+        quantize(bpe.cast("double") / F.size(words)).alias("tokens_per_word"),
+    )
+
+
 @query(
     "customer_order_coverage",
     """
