@@ -72,6 +72,7 @@ HEADLINE = [
     "resample_daily_locf",
     "customer_order_coverage",
     "bpe_token_estimate",
+    "event_props_stats",
     # LAST: a completed streaming query leaves residue in the shared
     # local JVM that intermittently slows later heavy batch queries
     # (observed 10-50x); keep batch timings clean by running them last

@@ -79,6 +79,7 @@ _PINNED = [
     "resample_daily_locf",
     "customer_order_coverage",
     "bpe_token_estimate",
+    "event_props_stats",
 ]
 
 _NEARDUP_PAIR_QUERIES = [

@@ -3735,6 +3735,46 @@ def q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "event_props_stats",
+    f"""
+    SELECT event_type AS metric_name,
+           CAST(count(k) AS BIGINT)  AS n_with_k,
+           CAST(min(k) AS BIGINT)    AS min_k,
+           CAST(max(k) AS BIGINT)    AS max_k,
+           {Q("avg(k)")}             AS avg_k,
+           CAST(sum(CASE WHEN k > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_gt50
+    FROM (
+        SELECT event_type, CAST(props->>'k' AS BIGINT) AS k FROM events
+    )
+    GROUP BY 1
+    """,
+    ["A6", "A8", "JSON-EXTRACT"],
+    "Semi-structured extraction: the events.props JSON payload parsed "
+    "in-flight (get_json_object / ->> path extraction, no schema "
+    "migration) and aggregated per metric — the add-a-field-without-"
+    "reloading pattern every telemetry store needs.  Path extraction "
+    "is a scan-side projection; at 100 TB promote hot JSON fields to "
+    "columns via the same expression in a materialization job.",
+)
+def q_event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select(F.col("event_type").alias("metric_name"), k.alias("k"))
+        .groupBy("metric_name")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            quantize(F.avg("k")).alias("avg_k"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0))
+            .cast("long")
+            .alias("n_gt50"),
+        )
+    )
+
+
 # BPE-ish pre-tokenizer proxy: ≤4-char alpha chunks + single digits +
 # single punctuation marks — the match COUNT approximates a subword
 # vocabulary's token count without shipping a tokenizer model.  The
