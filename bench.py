@@ -78,6 +78,7 @@ HEADLINE = [
     # (observed 10-50x); keep batch timings clean by running them last
     "streaming_window_pivot",
     "streaming_detect_e2e",
+    "streaming_novelty_e2e",
     "streaming_rolling_stats",
 ]
 

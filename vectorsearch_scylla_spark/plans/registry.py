@@ -4295,6 +4295,122 @@ def q_streaming_window_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# snapshot-vs-snapshot cosine between SQL aliases s and h over the
+# fixed metric order (zero-guarded, same fold order as the fused Spark
+# expression so both engines produce bit-identical doubles)
+_SN_DOT = " + ".join(f"s.m_{m} * h.m_{m}" for m in METRICS)
+_SN_NS = " + ".join(f"s.m_{m} * s.m_{m}" for m in METRICS)
+_SN_NH = " + ".join(f"h.m_{m} * h.m_{m}" for m in METRICS)
+_SN_COS = (
+    f"CASE WHEN ({_SN_NS}) = 0 OR ({_SN_NH}) = 0 THEN 0.0 "
+    f"ELSE ({_SN_DOT}) / (sqrt({_SN_NS}) * sqrt({_SN_NH})) END"
+)
+
+# 60 s LWW pivot CTE chain shared by the streaming e2e oracles
+_LWW_SNAP_CTES = f"""
+    , wm AS (SELECT epoch(max(timestamp)) - 120 AS w FROM raw),
+    lww AS (
+        SELECT device_id, ws, metric_name, metric_value FROM (
+            SELECT device_id,
+                   CAST(floor(epoch(timestamp) / 60) * 60 AS BIGINT) AS ws,
+                   metric_name, metric_value,
+                   row_number() OVER (PARTITION BY device_id,
+                                      floor(epoch(timestamp) / 60), metric_name
+                                      ORDER BY timestamp DESC, event_id DESC) AS rn
+            FROM raw) WHERE rn = 1
+    ),
+    snap AS (
+        SELECT device_id, ws AS window_start,
+               {", ".join(f"coalesce(max(CASE WHEN metric_name = '{m}' THEN metric_value END), 0.0) AS m_{m}" for m in METRICS)}
+        FROM lww GROUP BY 1, 2
+    ),
+    emitted AS (SELECT s.* FROM snap s, wm WHERE s.window_start + 60 <= wm.w)
+"""
+
+
+@query(
+    "streaming_novelty_e2e",
+    RAW_CTE
+    + _LWW_SNAP_CTES
+    + f"""
+    , neigh AS (
+        SELECT s.device_id, s.window_start, {_SN_COS} AS sim
+        FROM emitted s
+        JOIN snap h ON h.device_id = s.device_id
+                   AND h.window_start <> s.window_start
+    ),
+    cnt AS (
+        -- count of top-10 neighbors at ≥ 0.90 ≡ least(count(≥ 0.90), 10):
+        -- above-threshold neighbors outrank below-threshold ones, so no
+        -- rank/sort is needed in either engine
+        SELECT device_id, window_start,
+               CAST(least(sum(CASE WHEN sim >= 0.90 THEN 1 ELSE 0 END), 10) AS BIGINT) AS similar_count
+        FROM neigh GROUP BY 1, 2
+    )
+    SELECT e.device_id, e.window_start,
+           coalesce(c.similar_count, 0) AS similar_count,
+           coalesce(c.similar_count, 0) < 7 AS path3_triggered
+    FROM emitted e
+    LEFT JOIN cnt c ON c.device_id = e.device_id
+                   AND c.window_start = e.window_start
+    """,
+    ["S7", "T1", "T2", "P7", "V3", "V7", "J6", "STREAM-NOVELTY"],
+    "STREAMING PATH-3 ANN NOVELTY end-to-end — the third detection "
+    "path completing the streaming hot path (paths 1+2 live in "
+    "streaming_detect_e2e): watermarked LWW window pivot → foreachBatch "
+    "kNN of each emitted snapshot against the broadcast MATERIALIZED "
+    "snapshot history (same-device candidates only, bounded per key) → "
+    "fewer than 7 of the top-10 neighbors at cosine ≥ 0.90 ⇒ novel "
+    "state → epoch-overwrite novelty sink (exactly-once).  The oracle "
+    "recomputes pivot, watermark emission, per-snapshot neighbor "
+    "ranking and the novelty vote in SQL "
+    "(pipeline/path3_vector_search.py:119-170; SURVEY §3.1/§3.3).",
+)
+def q_streaming_novelty_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from vectorsearch_scylla_spark.streaming.pipeline import (
+        novelty_sink,
+        windowed_snapshot_stream,
+    )
+
+    raw = device_metrics_raw(spark, sf_dir).select(
+        "device_id", "timestamp", "metric_name", "metric_value", "event_id"
+    )
+    src = _stream_source_dir(raw, sf_dir)
+    # the "earlier batch job": full-history 60 s LWW snapshot table,
+    # persisted once per corpus fingerprint (the history the reference's
+    # Path-3 poller queries via ANN, path3_vector_search.py:119-160)
+    lww = raw.groupBy(
+        "device_id", window_start("timestamp", 60).alias("ws"), "metric_name"
+    ).agg(F.max_by("metric_value", F.struct("timestamp", "event_id")).alias("v"))
+    snapb = lww.groupBy("device_id", "ws").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("metric_name") == m, F.col("v"))), F.lit(0.0)
+            ).alias(f"m_{m}")
+            for m in METRICS
+        ]
+    )
+    history = spark.read.parquet(_materialize_once(snapb, "vss_snaphist", sf_dir))
+    base = tempfile.mkdtemp(prefix="vss_novelty_e2e_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    stream = spark.readStream.schema(raw.schema).parquet(src)
+    snaps = windowed_snapshot_stream(stream, window_seconds=60, watermark_windows=2)
+    q = novelty_sink(snaps, history, METRICS, base)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(
+            "streaming_novelty_e2e: availableNow query did not drain within 600s"
+        )
+    return spark.read.parquet(os.path.join(base, "novelty")).select(
+        "device_id", "window_start", "similar_count", "path3_triggered"
+    )
+
+
 # streaming_detect_e2e oracle fragments: the 60 s LWW pivot (0-filled)
 # exposes s.m_* / st.mean_* / st.std_* so the _CS_* detection fragments
 # apply unchanged; profile stats cover ALL windows (the batch profile

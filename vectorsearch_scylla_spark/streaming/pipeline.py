@@ -332,6 +332,124 @@ def detect_paths12(
     )
 
 
+def detect_path3_batch(
+    snapdf: DataFrame,
+    history: DataFrame,
+    metrics_order: list[str],
+    sim_threshold: float = 0.90,
+    k: int = 10,
+    min_similar: int = 7,
+) -> DataFrame:
+    """Path-3 ANN novelty over ONE micro-batch of snapshots — the
+    streaming completion of the consumer's third detection path
+    (``pipeline/path3_vector_search.py:119-170``): a state is NOVEL
+    when fewer than ``min_similar`` of its top-``k`` same-device
+    historical neighbors reach ``sim_threshold`` cosine.
+
+    Meant for ``foreachBatch`` (the general top-k shape needs a
+    non-time window, which streaming queries cannot express inline):
+    ``history`` is the STATIC materialized snapshot table the earlier
+    batch job wrote (device_id, ws epoch, m_<metric> 0-filled columns)
+    and broadcasts to the stream — the same stream-static join shape
+    as the profile cache in :func:`detect_paths12`.  Per batch row the
+    candidate set is the device's own history (bounded per key), never
+    the corpus.  All float math folds in ``metrics_order`` so the SQL
+    oracle's spelled-out term order matches bit-for-bit.
+
+    No ranking is computed: the count of top-``k`` neighbors at ≥
+    threshold equals ``least(count(sim ≥ threshold), k)`` — every
+    above-threshold neighbor outranks every below-threshold one, so
+    the vote reduces to a capped conditional COUNT and the |batch| ×
+    |history/device| pair set never needs a sort.
+    """
+
+    v = {
+        m: F.coalesce(F.element_at("metrics", F.lit(m)), F.lit(0.0))
+        for m in metrics_order
+    }
+    s = snapdf.select(
+        "device_id",
+        F.unix_timestamp("window_start").cast("long").alias("ws_epoch"),
+        *[v[m].alias(f"__s_{m}") for m in metrics_order],
+    )
+    h = history.select(
+        "device_id",
+        F.col("ws").alias("__hws"),
+        *[F.col(f"m_{m}").alias(f"__h_{m}") for m in metrics_order],
+    )
+    # fixed metric columns → the cosine is PLAIN scalar arithmetic
+    # (whole-stage codegen), not an interpreted array fold: ~50× faster
+    # on the |snapshots| × |per-device history| pair set, and the
+    # left-associated term order matches the SQL oracle bit-for-bit
+    def _lsum(terms):
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = acc + t
+        return acc
+
+    dot = _lsum([F.col(f"__s_{m}") * F.col(f"__h_{m}") for m in metrics_order])
+    ns = _lsum([F.col(f"__s_{m}") * F.col(f"__s_{m}") for m in metrics_order])
+    nh = _lsum([F.col(f"__h_{m}") * F.col(f"__h_{m}") for m in metrics_order])
+    sim = F.when((ns == 0.0) | (nh == 0.0), F.lit(0.0)).otherwise(
+        dot / (F.sqrt(ns) * F.sqrt(nh))
+    )
+    counts = (
+        s.join(F.broadcast(h), "device_id")
+        .filter(F.col("__hws") != F.col("ws_epoch"))
+        .groupBy("device_id", "ws_epoch")
+        .agg(
+            F.least(
+                F.sum(F.when(sim >= sim_threshold, 1).otherwise(0)), F.lit(k)
+            )
+            .cast("long")
+            .alias("similar_count")
+        )
+    )
+    return (
+        s.select("device_id", "ws_epoch")
+        .join(counts, ["device_id", "ws_epoch"], "left")
+        .select(
+            "device_id",
+            F.col("ws_epoch").alias("window_start"),
+            F.coalesce("similar_count", F.lit(0)).alias("similar_count"),
+            (F.coalesce("similar_count", F.lit(0)) < min_similar).alias(
+                "path3_triggered"
+            ),
+        )
+    )
+
+
+def novelty_sink(
+    snapshots: DataFrame,
+    history: DataFrame,
+    metrics_order: list[str],
+    base_dir: str,
+    available_now: bool = True,
+    **detect_kwargs,
+):
+    """S7 for Path 3: ``foreachBatch`` novelty detection + epoch-
+    overwrite parquet sink (same exactly-once idempotence contract as
+    :func:`detection_sinks`)."""
+    import os
+
+    events_dir = os.path.join(base_dir, "novelty")
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        out = detect_path3_batch(df, history, metrics_order, **detect_kwargs)
+        out.write.mode("overwrite").parquet(
+            os.path.join(events_dir, f"batch={epoch_id}")
+        )
+
+    writer = (
+        snapshots.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", os.path.join(base_dir, "checkpoint"))
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def detection_sinks(detected: DataFrame, base_dir: str, available_now: bool = True):
     """S4/S6/S7: ``foreachBatch`` fan-out to BOTH persistent sinks —
     every snapshot appends under ``<base>/snapshots``, anomalous rows
