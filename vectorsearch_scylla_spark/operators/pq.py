@@ -106,14 +106,12 @@ def encode_pq(
     }
     rnorm_sq = None
     for s, book in enumerate(books):
-        term = F.lit(None).cast("double")
         branch = None
         for code, _ in book:
             cond = F.col(f"code{s}") == code
             val = F.lit(nsq[(s, code)])
             branch = F.when(cond, val) if branch is None else branch.when(cond, val)
-        term = branch
-        rnorm_sq = term if rnorm_sq is None else rnorm_sq + term
+        rnorm_sq = branch if rnorm_sq is None else rnorm_sq + branch
     return out.withColumn("rnorm", F.sqrt(rnorm_sq))
 
 
