@@ -51,6 +51,7 @@ HEADLINE = [
     "minhash_dup_buckets",
     "simhash_dup_pairs",
     "dedup_clusters",
+    "dedup_pipeline_funnel",
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",
     "text_quality",

@@ -2508,6 +2508,89 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_pipeline_funnel",
+    _DEDUP_COMPONENTS_CTES
+    + f"""
+    , base AS (SELECT doc_id, text FROM planted WHERE text IS NOT NULL),
+    dup_nodes AS (SELECT DISTINCT doc_id FROM comp),
+    keepers AS (SELECT DISTINCT canonical_id AS doc_id FROM comp),
+    survivors AS (
+        SELECT b.doc_id, b.text FROM base b
+        WHERE b.doc_id NOT IN (SELECT doc_id FROM dup_nodes)
+           OR b.doc_id IN (SELECT doc_id FROM keepers)
+    ),
+    scored AS (
+        SELECT doc_id,
+               {Q(f"least(1.0, {_WC} / 100.0) * (1.0 - CAST({_THE_CHARS} AS DOUBLE) / 3.0 / {_WC})")} AS q
+        FROM survivors
+    )
+    SELECT CAST(1 AS INT) AS stage_no, 'raw_docs' AS stage,
+           CAST(count(*) AS BIGINT) AS n_docs FROM base
+    UNION ALL SELECT 2, 'in_dup_cluster', CAST(count(*) AS BIGINT) FROM dup_nodes
+    UNION ALL SELECT 3, 'dup_clusters', CAST(count(*) AS BIGINT) FROM keepers
+    UNION ALL SELECT 4, 'after_dedup', CAST(count(*) AS BIGINT) FROM survivors
+    UNION ALL SELECT 5, 'after_quality_filter',
+              CAST(sum(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) FROM scored
+    """,
+    ["DEDUP-EXACT", "DEDUP-SIMHASH", "DEDUP-CLUSTERS", "DEDUP-CANONICAL",
+     "PIPELINE-FILTER", "PIPELINE-E2E"],
+    "The COMPLETE dedup pipeline as ONE declarative plan, reported as a "
+    "curation funnel: raw corpus → docs caught in any exact/near-dup "
+    "cluster → cluster count → corpus after keeping one canonical doc "
+    "per cluster → corpus after the quality gate.  Every stage reuses "
+    "the shared machinery (materialized pair edges, distributed "
+    "connected components, quality scorer), so the funnel is what a "
+    "real curation run would log per snapshot; the oracle recomputes "
+    "all five stages from the recursive-CTE clustering.  At 100 TB "
+    "only stage 1 touches the full corpus — everything after pair "
+    "generation runs on the edge subgraph.",
+)
+def q_dedup_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectorsearch_scylla_spark.operators.graph import connected_components
+
+    docs = _docs_with_planted_dups(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    comp = connected_components(_dedup_component_edges(docs, sf_dir))
+    dup_nodes = comp.select(F.col("node").alias("doc_id")).distinct()
+    keepers = comp.select(F.col("component").alias("doc_id")).distinct()
+    survivors = docs.select("doc_id", "text").join(
+        dup_nodes, "doc_id", "left_anti"
+    ).unionByName(
+        docs.select("doc_id", "text").join(keepers, "doc_id", "left_semi")
+    )
+    ln = F.length("text")
+    wc = ln - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1
+    the_chars = ln - F.length(F.replace(F.col("text"), F.lit("the"), F.lit("")))
+    quality = quantize(
+        F.least(F.lit(1.0), wc / 100.0) * (1.0 - the_chars.cast("double") / 3.0 / wc)
+    )
+
+    def stage(no: int, name: str, df: DataFrame, agg: Column) -> DataFrame:
+        return df.agg(agg.alias("n_docs")).select(
+            F.lit(no).cast("int").alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.col("n_docs").cast("long"),
+        )
+
+    cnt = F.count("*")
+    return (
+        stage(1, "raw_docs", docs, cnt)
+        .unionByName(stage(2, "in_dup_cluster", dup_nodes, cnt))
+        .unionByName(stage(3, "dup_clusters", keepers, cnt))
+        .unionByName(stage(4, "after_dedup", survivors, cnt))
+        .unionByName(
+            stage(
+                5,
+                "after_quality_filter",
+                survivors.select(quality.alias("q")),
+                F.sum(F.when(F.col("q") >= 0.5, 1).otherwise(0)),
+            )
+        )
+    )
+
+
+@query(
     "ngram_jaccard_pairs",
     f"""
     WITH sigs AS (
