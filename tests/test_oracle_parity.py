@@ -78,3 +78,22 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()).issubset(set(e.queries()))
+
+def test_driver_window_exposure_order():
+    """Pin the driver-window contract: the external harness checks only
+    the first 50 entries of queries()/oracle_sql(), so those slots must
+    hold exactly DRIVER_WINDOW (the never-driver-checked + changed +
+    flagship set), and the full exposure must cover the registry with
+    no duplicates."""
+    from vectorsearch_scylla_spark.plans.registry import (
+        DRIVER_WINDOW,
+        spark_queries,
+    )
+
+    missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
+    assert not missing, f"DRIVER_WINDOW names not in REGISTRY: {missing}"
+    assert len(DRIVER_WINDOW) == len(set(DRIVER_WINDOW)) == 50
+
+    exposed = list(spark_queries())
+    assert exposed[:50] == DRIVER_WINDOW
+    assert sorted(exposed) == sorted(REGISTRY)

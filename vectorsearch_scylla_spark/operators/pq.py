@@ -229,6 +229,13 @@ def build_pq_index(
         os.rename(staging, path)
     except OSError:
         shutil.rmtree(staging, ignore_errors=True)
+        # The swallowed OSError is only benign if it means we LOST the
+        # build race (the winner's index is in place).  If the target
+        # never materialized (permissions, bad tmpdir, ...), surface
+        # the real failure now instead of an opaque parquet-read error
+        # at the caller.
+        if not os.path.isfile(books_file):
+            raise
     return books, codes_path
 
 
