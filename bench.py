@@ -139,18 +139,25 @@ def main() -> None:
     raw_times = {n: round(raw_times[n], 3) for n in times}
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_time",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "queries_raw_first_run": raw_times,
-                "sf": sf,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_query_wall_time",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "queries_raw_first_run": raw_times,
+            "sf": sf,
+        }
     )
+    # also persist to a file: the driver captures stdout via a log tail
+    # that has truncated this (long) line before, losing the per-query
+    # dict — the committed file is the lossless round artifact
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
+    )
+    with open(out_path, "w") as f:
+        f.write(payload + "\n")
+    print(payload)
 
 
 if __name__ == "__main__":

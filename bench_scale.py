@@ -165,6 +165,66 @@ def main() -> None:
 
         timed("ivf_probe_topk", ivf_probe)
 
+        # --- IVF at a REALISTIC cluster count: K ≈ √N, nprobe scaled to
+        # keep ~1 % of the corpus per query.  The k=8/nprobe=2 point
+        # above keeps the oracle-pinned toy constants (each probe covers
+        # ¼ of the corpus, so probe fan-out DOUBLES work vs brute
+        # force); this one shows the pruning payoff those constants
+        # hide: the cogrouped per-cluster scan does Q·N·(nprobe/K) dot
+        # products with no driver collect on either side.
+        from vectorsearch_scylla_spark.operators.ivf import (
+            ivf_probe_topk_grouped,
+            probe_clusters_np,
+        )
+
+        ivf_k = max(8, int(round(n_vecs**0.5)))
+        nprobe = max(2, ivf_k // 100)
+        cents_sqrt: list = []
+        timed(
+            f"ivf_kmeans_build_np_k{ivf_k}",
+            lambda: cents_sqrt.extend(
+                lloyd_kmeans(emb, k=ivf_k, iters=2, kernel="numpy")
+            ),
+        )
+
+        grouped_out: list = []
+
+        def ivf_probe_sqrt() -> None:
+            members = assign_clusters_np(emb, cents_sqrt).select(
+                F.col("vec_id").alias("corpus_id"),
+                F.col("embedding").alias("corpus_vec"),
+                "cluster_id",
+            )
+            probes = probe_clusters_np(
+                queries, cents_sqrt, nprobe=nprobe, vec_col="query_vec"
+            )
+            out = ivf_probe_topk_grouped(
+                probes, members, k=5, exclude_self=True, dtype="float32"
+            )
+            out.cache()
+            noop(out)
+            grouped_out.append(out)
+
+        timed(f"ivf_probe_topk_grouped_k{ivf_k}_np{nprobe}", ivf_probe_sqrt)
+
+        # recall@5 of the pruned scan vs the exact blocked sweep — a
+        # speed row without its recall is not a result
+        exact = topk_similarity_join_blocked(
+            queries, corpus, k=5, exclude_self=True, dtype="float32"
+        ).select("query_id", F.col("corpus_id").alias("exact_id"))
+        approx = grouped_out[0].select(
+            "query_id", F.col("corpus_id").alias("approx_id")
+        )
+        hit = exact.join(
+            approx,
+            (exact["query_id"] == approx["query_id"])
+            & (exact["exact_id"] == approx["approx_id"]),
+            "left_semi",
+        ).count()
+        denom = exact.count()
+        ivf_recall = round(hit / denom, 4) if denom else None
+        grouped_out[0].unpersist()
+
         # --- PQ: train / encode (index build) / ADC scan (query path)
         from vectorsearch_scylla_spark.operators.pq import (
             encode_pq_np,
@@ -219,6 +279,11 @@ def main() -> None:
                     "scale": scale,
                     "n_docs": n_docs,
                     "n_vecs": n_vecs,
+                    "ivf_sqrtn": {
+                        "k": ivf_k,
+                        "nprobe": nprobe,
+                        "recall_at_5": ivf_recall,
+                    },
                 }
             )
         )

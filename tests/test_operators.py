@@ -156,6 +156,73 @@ def test_assign_clusters_np_matches_expr_kernel(spark, emb):
     assert expr_out == np_out
 
 
+def test_probe_clusters_np_matches_expr_kernel(spark, emb):
+    """The blocked NumPy multi-probe kernel (scale swap-in for a
+    realistic K ≈ √N cluster count) must emit the same (row, probed
+    cluster) fan-out as the expression kernel at float64."""
+    from vectorsearch_scylla_spark.operators.ivf import (
+        lloyd_kmeans,
+        probe_clusters,
+        probe_clusters_np,
+    )
+
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = lloyd_kmeans(vecs, k=8, iters=2)
+    expr_out = {
+        (r["vec_id"], r["cluster_id"])
+        for r in probe_clusters(vecs, cents, nprobe=2).collect()
+    }
+    np_out = {
+        (r["vec_id"], r["cluster_id"])
+        for r in probe_clusters_np(vecs, cents, nprobe=2, dtype="float64").collect()
+    }
+    assert expr_out == np_out
+
+
+def test_ivf_probe_topk_grouped_matches_masked_blocked_join(spark, emb):
+    """The cogrouped per-cluster IVF scan (no driver collect on either
+    side, Q·N·(nprobe/K) dot products) must return exactly the same
+    (query, neighbor, rank) set as the driver-collected masked blocked
+    join over the same probes and inverted lists."""
+    from vectorsearch_scylla_spark.operators.ivf import (
+        assign_clusters_np,
+        ivf_probe_topk_grouped,
+        lloyd_kmeans,
+        probe_clusters_np,
+    )
+
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = lloyd_kmeans(vecs, k=8, iters=2)
+    members = assign_clusters_np(vecs, cents, dtype="float64").select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("corpus_vec"),
+        "cluster_id",
+    )
+    queries = vecs.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    probes = probe_clusters_np(queries, cents, nprobe=2, vec_col="query_vec",
+                               dtype="float64")
+    grouped = ivf_probe_topk_grouped(
+        probes, members, k=5, exclude_self=True, dtype="float64"
+    )
+    masked = topk_similarity_join_blocked(
+        probes,
+        members,
+        k=5,
+        exclude_self=True,
+        dtype="float64",
+        join_keys=["cluster_id"],
+    )
+    g = {(r["query_id"], r["corpus_id"], r["rank"]) for r in grouped.collect()}
+    m = {(r["query_id"], r["corpus_id"], r["rank"]) for r in masked.collect()}
+    assert g == m and len(g) > 0
+
+
 def test_cosine_pairs_blocked_threshold(spark, emb):
     pairs = cosine_pairs_blocked(emb, threshold=0.9).collect()
     assert all(r["similarity"] > 0.9 and r["id_a"] < r["id_b"] for r in pairs)

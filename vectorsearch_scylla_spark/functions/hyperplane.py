@@ -87,6 +87,129 @@ def hyperplane_signatures(
     return df.select(id_col, vec_col).mapInPandas(kernel, schema=schema)
 
 
+def hyperplane_topk_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    query_vec: str = "query_vec",
+    corpus_vec: str = "corpus_vec",
+    n_bands: int = 16,
+    band_bits: int = 16,
+    seed: int = 42,
+    dim: int | None = None,
+    threshold: float | None = None,
+    exclude_self: bool = False,
+) -> DataFrame:
+    """Approximate top-k cosine join via seeded hyperplane band
+    candidates + EXACT float64 re-rank — the build-free ANN retrieval
+    path (replaces the per-call MLlib ``BucketedRandomProjectionLSH``
+    fit+transform+approxSimilarityJoin, which re-trained the hash model
+    on every invocation).
+
+    Both sides are signed against the SAME fixed-seed plane matrix, so
+    collisions are a pure equi-join on (band_idx, band_val): corpus
+    band keys on one side, query band keys on the other — no model
+    object, no fit step, nothing driver-side.  A pair at cosine s
+    collides in ≥1 of ``n_bands`` bands with prob
+    1 − (1 − (1 − θ/π)^band_bits)^n_bands: with 16×16 bands a 0.995
+    neighbor is missed with prob ~5e-7, while unrelated pairs
+    (s ≲ 0.6) almost never collide, so the candidate set stays
+    output-bound.  Exact copies share every band key and are recalled
+    with certainty.
+
+    Candidates dedup on (query, corpus) id, re-attach both vectors by
+    hash join, and an Arrow-batched float64 kernel computes exact
+    cosine (zero-norm → 0.0) for the final ``row_number`` rank —
+    similarity DESC, corpus id ASC, matching every other kNN operator.
+    ``threshold`` prunes candidates below a similarity floor before the
+    rank (the reference's 0.85 floor,
+    ``pipeline/find_similar_states.py:106-134``).
+
+    Scale: per-band bucket sizes are N/2^band_bits in expectation; a
+    skewed bucket is an AQE skew join.  Q never collects to the driver
+    (contrast ``topk_similarity_join_blocked``) — both sides stay
+    distributed end-to-end, so this is also the large-Q shape.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if dim is None:
+        dim = len(corpus.select(corpus_vec).first()[0])
+    sig_q = hyperplane_signatures(
+        queries, vec_col=query_vec, id_col=query_id,
+        n_bands=n_bands, band_bits=band_bits, seed=seed, dim=dim,
+    ).select(
+        query_id,
+        F.posexplode(F.array(*[f"b{i}" for i in range(n_bands)])).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    sig_c = hyperplane_signatures(
+        corpus, vec_col=corpus_vec, id_col=corpus_id,
+        n_bands=n_bands, band_bits=band_bits, seed=seed, dim=dim,
+    ).select(
+        corpus_id,
+        F.posexplode(F.array(*[f"b{i}" for i in range(n_bands)])).alias(
+            "__bi", "__bv"
+        ),
+    )
+    cond = (F.col("band_idx") == F.col("__bi")) & (
+        F.col("band_val") == F.col("__bv")
+    )
+    if exclude_self:
+        cond = cond & (F.col(query_id) != F.col(corpus_id))
+    cand = (
+        sig_q.join(sig_c, cond).select(query_id, corpus_id).distinct()
+    )
+    vq = queries.select(query_id, F.col(query_vec).alias("__vq"))
+    vc = corpus.select(corpus_id, F.col(corpus_vec).alias("__vc"))
+    paired = cand.join(vq, query_id).join(vc, corpus_id)
+
+    qid_dt = queries.schema[query_id].dataType.simpleString()
+    cid_dt = corpus.schema[corpus_id].dataType.simpleString()
+
+    def cosine_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ma = np.asarray(list(pdf["__vq"]), dtype=np.float64)
+            mb = np.asarray(list(pdf["__vc"]), dtype=np.float64)
+            na = np.linalg.norm(ma, axis=1)
+            nb = np.linalg.norm(mb, axis=1)
+            denom = na * nb
+            zero = denom == 0.0
+            denom[zero] = 1.0
+            sims = np.einsum("ij,ij->i", ma, mb) / denom
+            sims[zero] = 0.0
+            out = pd.DataFrame(
+                {
+                    query_id: pdf[query_id],
+                    corpus_id: pdf[corpus_id],
+                    "similarity": sims,
+                }
+            )
+            if threshold is not None:
+                out = out[out["similarity"] >= threshold]
+            yield out
+
+    scored = paired.mapInPandas(
+        cosine_kernel,
+        schema=f"{query_id} {qid_dt}, {corpus_id} {cid_dt}, similarity double",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("similarity").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "similarity", "rank")
+    )
+
+
 def hyperplane_near_dup_pairs(
     df: DataFrame,
     threshold: float,

@@ -170,6 +170,163 @@ def probe_clusters(
     ).drop("__probe")
 
 
+def probe_clusters_np(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int,
+    vec_col: str = "embedding",
+    out_col: str = "cluster_id",
+    dtype: str = "float32",
+) -> DataFrame:
+    """Blocked NumPy multi-probe fan-out — the scale twin of
+    :func:`probe_clusters`.  The expression version embeds every
+    centroid as a literal struct, which is fine at the oracle-pinned
+    k=8 but produces an O(k·d)-node expression tree at a realistic
+    k ≈ √N (1000 clusters × 64 dims); here the centroid matrix is one
+    broadcast ndarray and each Arrow batch ranks all k centroids with
+    a single BLAS matmul.
+
+    Semantics match :func:`probe_clusters`: cosine DESC, tie-break
+    LOWEST cluster id (centroid columns are sorted by id; a stable
+    argsort on -sims breaks ties by lower column index = lower id),
+    zero vectors get similarity 0.0 everywhere and probe the nprobe
+    lowest cluster ids.
+    """
+    import numpy as np
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    ordered = sorted(centroids)
+    ids = np.array([cid for cid, _ in ordered], dtype=np.int64)
+    C = np.asarray([v for _, v in ordered], dtype=dtype)
+    cn = np.linalg.norm(C, axis=1)
+    cn[cn == 0.0] = 1.0
+    Cn = (C / cn[:, None]).T  # d × k, normalized
+    np_ = min(nprobe, len(ids))
+
+    schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, IntegerType(), False)]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            V = np.asarray(list(pdf[vec_col]), dtype=dtype)
+            vn = np.linalg.norm(V, axis=1)
+            zero = vn == 0.0
+            vn[zero] = 1.0
+            sims = (V / vn[:, None]) @ Cn
+            sims[zero, :] = 0.0
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :np_]
+            rep = pdf.loc[pdf.index.repeat(np_)].reset_index(drop=True)
+            rep[out_col] = ids[top].ravel().astype("int32")
+            yield rep
+
+    return df.mapInPandas(kernel, schema)
+
+
+def ivf_probe_topk_grouped(
+    probes: DataFrame,
+    members: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    query_vec: str = "query_vec",
+    corpus_vec: str = "corpus_vec",
+    cluster_col: str = "cluster_id",
+    exclude_self: bool = False,
+    dtype: str = "float32",
+) -> DataFrame:
+    """Fully distributed IVF probe scan: cogroup the probe fan-out and
+    the inverted lists on ``cluster_col`` and run one blocked matmul
+    PER CLUSTER, so total dot products are Σ_c |queries probing c|·|c|
+    ≈ Q·N·(nprobe/K) — the real compute pruning an inverted file buys.
+
+    Contrast ``topk_similarity_join_blocked(join_keys=[cluster_col])``,
+    which collects the probe fan-out to the driver and multiplies every
+    corpus batch against EVERY probe row before masking: correct, and
+    fine at the oracle-pinned K=8, but its matmul work is
+    Q·nprobe·N — MORE than brute force.  Here neither side touches the
+    driver (the probe side may itself be huge), the only shuffle is the
+    cogroup on cluster id, and each task's working set is one cluster's
+    members plus the queries probing it — at K ≈ √N both are O(√N)
+    rows, so skew is bounded by the quantizer's balance rather than by
+    data volume.
+
+    Per-cluster candidates keep ``k`` rows per query (+1 spare under
+    ``exclude_self``, + boundary ties so the global rank-k stays exact
+    over the probed candidate set); the global re-rank window runs over
+    Q·nprobe·k candidate rows only.  Ranking: similarity DESC, corpus
+    id ASC — identical to every other kNN operator.  Results are exact
+    over the probed clusters; recall vs the unpruned scan is the
+    standard IVF nprobe/K trade, measured in ``bench_scale.py``.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+
+    keep = k + (1 if exclude_self else 0)
+    qdt = probes.schema[query_id].dataType.simpleString()
+    cdt = members.schema[corpus_id].dataType.simpleString()
+    out_schema = f"{query_id} {qdt}, {corpus_id} {cdt}, similarity double"
+    empty = pd.DataFrame({query_id: [], corpus_id: [], "similarity": []})
+
+    def score(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return empty
+        Qm = np.asarray(list(left[query_vec]), dtype=dtype)
+        Cm = np.asarray(list(right[corpus_vec]), dtype=dtype)
+        qn = np.linalg.norm(Qm, axis=1)
+        qz = qn == 0.0
+        qn[qz] = 1.0
+        cn = np.linalg.norm(Cm, axis=1)
+        cz = cn == 0.0
+        cn[cz] = 1.0
+        sims = ((Qm / qn[:, None]) @ (Cm / cn[:, None]).T).astype(np.float64)
+        sims[qz, :] = 0.0
+        sims[:, cz] = 0.0
+        nb = sims.shape[1]
+        take = min(keep, nb)
+        qids = left[query_id].to_numpy()
+        cids = right[corpus_id].to_numpy()
+        part = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+        out_q, out_c, out_s = [], [], []
+        for qi in range(len(qids)):
+            cutoff = sims[qi, part[qi]].min()
+            cand = np.nonzero(sims[qi] >= cutoff)[0]  # boundary ties
+            out_q.append(np.full(len(cand), qids[qi]))
+            out_c.append(cids[cand])
+            out_s.append(sims[qi, cand])
+        return pd.DataFrame(
+            {
+                query_id: np.concatenate(out_q),
+                corpus_id: np.concatenate(out_c),
+                "similarity": np.concatenate(out_s),
+            }
+        )
+
+    cands = (
+        probes.groupBy(cluster_col)
+        .cogroup(members.groupBy(cluster_col))
+        .applyInPandas(score, schema=out_schema)
+    )
+    if exclude_self:
+        cands = cands.filter(F.col(corpus_id) != F.col(query_id))
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("similarity").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            query_id,
+            corpus_id,
+            "similarity",
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
+
+
 def build_ivf_index(
     df: DataFrame,
     cache_token: str,

@@ -148,6 +148,26 @@ def topk_similarity_join_blocked(
 
     This is strategy (1)+(2) of SURVEY §4.4: block matmul in
     ``mapInPandas``, top-k per block, re-rank global top-k.
+
+    **Large-Q / no-driver-collect variant**: when Q is itself corpus-
+    sized (a full self-join, 100 TB query stream), the driver collect
+    here is the wrong shape.  The repo's distributed alternative is
+    ``functions.hyperplane.hyperplane_topk_join``: both sides are
+    signed against the same fixed-seed hyperplane matrix (a map-only
+    matmul, no fit, no collect), candidates come from a (band_idx,
+    band_val) equi-join — a plain shuffle join Spark scales
+    horizontally, AQE handling any skewed bucket — and an Arrow
+    float64 kernel re-ranks exactly over candidates only.  Trade-off:
+    it is approximate (recall is a function of n_bands × band_bits vs
+    the similarity floor; 16×16 bands miss a 0.995-cosine neighbor
+    with prob ~5e-7), so this blocked exact sweep remains the path for
+    small-Q / exactness; the hyperplane join is the path when Q no
+    longer fits a driver.  A two-sided *exact* block join (query
+    chunks × corpus chunks as a cross of mapInPandas blocks) would
+    cost |Q|·|C| dot products regardless of distribution — at that
+    point banding is not an optimization but the only admissible
+    shape, which is why the distributed variant is LSH-first rather
+    than a distributed rewrite of this kernel.
     """
     import math
 

@@ -341,9 +341,13 @@ def pq_adc_topk_np(
     exclude_self: bool = False,
     decimals: int = 4,
     dtype: str = "float32",
+    probes: DataFrame | None = None,
+    probe_col: str = "cluster_id",
 ) -> DataFrame:
-    """Blocked NumPy ADC kernel — the documented scale swap-in for
-    :func:`pq_adc_topk` when bit-exact oracle parity is not required.
+    """Blocked NumPy ADC kernel — the shipped-quality ADC path (the
+    declarative LUT-join twin :func:`pq_adc_topk` is retained as its
+    cross-engine agreement oracle; with ``dtype="float64"`` the two are
+    quantize-identical, pinned by tests).
 
     The per-query LUT becomes one (Q × m × ksub) ndarray broadcast to
     every task; each Arrow batch of the code table scores all queries
@@ -355,6 +359,15 @@ def pq_adc_topk_np(
     ``operators.knn.topk_similarity_join_blocked``.  Driver memory is
     O(Q × d) for the collected query side (callers bound Q), shuffle is
     candidates-only (≤ (k+2) rows per query per batch).
+
+    ``probes`` (query_id, ``probe_col``) restricts each query's
+    candidates to code rows whose ``probe_col`` value is among that
+    query's probed keys — the IVF-PQ composition.  The restriction is
+    a boolean mask INSIDE the kernel (a (Q × probed_keys) bit matrix
+    broadcast with the LUT), so per-batch top-k stays exact and no
+    per-pair candidate rows ever materialize; callers should also
+    pre-filter ``codes`` to probed members so unprobed partitions are
+    pruned at the scan.
     """
     import numpy as np
     from pyspark.sql import Window
@@ -374,8 +387,19 @@ def pq_adc_topk_np(
             np.float64
         )
         code_maps.append(bids)
+    if probes is not None:
+        prows = probes.select(query_id, probe_col).collect()
+        pkeys = np.array(sorted({r[probe_col] for r in prows}))
+        qpos = {qid: i for i, qid in enumerate(qids.tolist())}
+        probemat = np.zeros((len(qids), len(pkeys)), dtype=bool)
+        for r in prows:
+            qi = qpos.get(r[query_id])
+            if qi is not None:
+                probemat[qi, np.searchsorted(pkeys, r[probe_col])] = True
+    else:
+        pkeys = probemat = None
     spark = queries.sparkSession
-    bc = spark.sparkContext.broadcast((qids, qn, lut, code_maps))
+    bc = spark.sparkContext.broadcast((qids, qn, lut, code_maps, pkeys, probemat))
     keep = k + (1 if exclude_self else 0) + 1  # spare + boundary-tie probe
     eps, scale = 1e-6, float(10**decimals)
     qid_dt = queries.schema[query_id].dataType.simpleString()
@@ -384,7 +408,7 @@ def pq_adc_topk_np(
     def kernel(batches):
         import pandas as pd
 
-        qids_b, qn_b, lut_b, maps_b = bc.value
+        qids_b, qn_b, lut_b, maps_b, pkeys_b, probemat_b = bc.value
         nq = len(qids_b)
         for pdf in batches:
             if pdf.empty:
@@ -401,6 +425,13 @@ def pq_adc_topk_np(
             scores /= denom
             scores[zero] = 0.0
             scores = np.floor(scores * scale + 0.5 + eps) / scale
+            if probemat_b is not None:
+                ck = pdf[probe_col].to_numpy()
+                kidx = np.searchsorted(pkeys_b, ck)
+                kidx_c = np.clip(kidx, 0, len(pkeys_b) - 1)
+                known = pkeys_b[kidx_c] == ck
+                mask = probemat_b[:, kidx_c] & known[None, :]
+                scores = np.where(mask, scores, -np.inf)
             nids = pdf[corpus_id].to_numpy()
             take = min(keep, nb)
             out_q, out_n, out_s = [], [], []
@@ -408,10 +439,19 @@ def pq_adc_topk_np(
             for qi in range(nq):
                 cand = part[qi]
                 cutoff = scores[qi, cand].min()
-                cand = np.nonzero(scores[qi] >= cutoff)[0]
+                if cutoff == -np.inf:
+                    # fewer unmasked candidates than `take` in this
+                    # batch — emit only the real ones
+                    cand = np.nonzero(scores[qi] > -np.inf)[0]
+                else:
+                    cand = np.nonzero(scores[qi] >= cutoff)[0]
+                if not len(cand):
+                    continue
                 out_q.append(np.full(len(cand), qids_b[qi]))
                 out_n.append(nids[cand])
                 out_s.append(scores[qi, cand])
+            if not out_q:
+                continue
             yield pd.DataFrame(
                 {
                     query_id: np.concatenate(out_q),
