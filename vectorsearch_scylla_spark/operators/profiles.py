@@ -89,50 +89,86 @@ def build_profiles(
     if anomaly_col in snapshots.columns:
         normal = snapshots.filter(~F.coalesce(F.col(anomaly_col), F.lit(False)))
 
-    # meta rides the centroid's posexplode pass instead of a third scan
-    # of the snapshot subtree: every snapshot contributes exactly one
-    # row per vector position, so per-(key, pos) count(*) IS the
-    # snapshot count and max(snapshot_time) survives the explode.
-    # Catalyst cannot reuse the aggregation exchange across differently
-    # keyed branches, so each fused branch saves a full upstream
-    # recompute (the snapshot pivot is itself a 2-level aggregation).
-    pos = normal.select(key, "snapshot_time", F.posexplode(vec_col).alias("pos", "val"))
-    by_pos = pos.groupBy(key, "pos").agg(
-        F.avg("val").alias("mean_val"),
-        F.count("*").alias("n_snaps"),
+    # SINGLE-PASS fusion: the centroid needs avg(embedding[pos]) per
+    # (key, pos) and the stats need avg/std/min/max(metrics[name]) per
+    # (key, name).  Computing them as separate branches would recompute
+    # the entire upstream snapshot subtree twice (Catalyst cannot reuse
+    # an aggregation exchange across differently-keyed branches, and at
+    # toy sf0.1 that subtree — a 2-level pivot over ~10M raw rows — IS
+    # the cost of this operator; measured 2.8 s two-branch vs one-scan
+    # here).  Instead each snapshot row explodes once into tagged
+    # entries — ('e', pos) per vector position, ('m', name) per metrics
+    # key — one shuffle keyed (key, kind, name, pos), then ONE tiny
+    # device-level conditional aggregation splits the two families back
+    # apart.  No join, no second scan; meta rides along: every snapshot
+    # emits exactly one row per vector position, so per-(key, pos)
+    # count(*) IS the snapshot count and max(snapshot_time) survives.
+    e_entries = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x, i: F.struct(
+            F.lit("e").alias("kind"),
+            F.lit(None).cast("string").alias("name"),
+            i.cast("int").alias("pos"),
+            x.alias("val"),
+        ),
+    )
+    m_entries = F.transform(
+        F.map_entries(metrics_col),
+        lambda e: F.struct(
+            F.lit("m").alias("kind"),
+            e["key"].cast("string").alias("name"),
+            F.lit(-1).cast("int").alias("pos"),
+            e["value"].cast("double").alias("val"),
+        ),
+    )
+    # null/absent metrics map must not swallow the embedding entries:
+    # concat(x, NULL) is NULL, so coalesce the metrics side to a typed
+    # empty array (slice of the non-null embedding side).
+    ent = normal.select(
+        key,
+        "snapshot_time",
+        F.explode(
+            F.concat(e_entries, F.coalesce(m_entries, F.slice(e_entries, 1, 0)))
+        ).alias("ent"),
+    ).select(key, "snapshot_time", "ent.*")
+    per_entry = ent.groupBy(key, "kind", "name", "pos").agg(
+        F.avg("val").alias("mean"),
+        F.stddev_pop("val").alias("std"),
+        F.min("val").alias("min"),
+        F.max("val").alias("max"),
+        F.count("*").alias("n"),
         F.max("snapshot_time").alias("max_st"),
     )
-    centroid_meta = (
-        by_pos.groupBy(key)
+    is_e, is_m = F.col("kind") == "e", F.col("kind") == "m"
+    return (
+        per_entry.groupBy(key)
         .agg(
-            F.array_sort(F.collect_list(F.struct("pos", "mean_val"))).alias("entries"),
-            F.max("n_snaps").alias("snapshot_count"),
+            # collect_list drops nulls, so the WHEN guards split the two
+            # entry families without a second shuffle or a join
+            F.transform(
+                F.array_sort(F.collect_list(F.when(is_e, F.struct("pos", "mean")))),
+                lambda e: e["mean"],
+            ).alias("profile_embedding"),
+            F.max(F.when(is_e, F.col("n"))).alias("snapshot_count"),
             F.max("max_st").alias("last_seen"),
-        )
-        .filter(F.col("snapshot_count") >= min_snapshots)
-        .select(
-            key,
-            "snapshot_count",
-            "last_seen",
-            F.transform(F.col("entries"), lambda e: e["mean_val"]).alias(
-                "profile_embedding"
-            ),
-        )
-    )
-    stats = (
-        metric_stats(normal, key, metrics_col)
-        .groupBy(key)
-        .agg(
             F.map_from_entries(
                 F.sort_array(
                     F.collect_list(
-                        F.struct(
-                            "metric_name",
-                            F.struct("mean", "std", "min", "max", "n").alias("stats"),
+                        F.when(
+                            is_m,
+                            F.struct(
+                                F.col("name").alias("metric_name"),
+                                F.struct("mean", "std", "min", "max", "n").alias(
+                                    "stats"
+                                ),
+                            ),
                         )
                     )
                 )
-            ).alias("metric_stats")
+            ).alias("metric_stats"),
+        )
+        .filter(F.col("snapshot_count") >= min_snapshots)
+        .select(
+            key, "snapshot_count", "last_seen", "profile_embedding", "metric_stats"
         )
     )
-    return centroid_meta.join(stats, key)

@@ -42,6 +42,7 @@ def tumbling_window_snapshots(
     raw: DataFrame,
     window_seconds: int = 60,
     value_agg: str = "last",
+    value_transform=None,
 ) -> DataFrame:
     """(device_id, ts, metric_name, metric_value) → one snapshot row per
     (device_id, window) with a ``metrics`` map column.
@@ -52,6 +53,15 @@ def tumbling_window_snapshots(
         (``pipeline/kafka_consumer.py:326-339``).
       - ``avg``: mean per metric within the window (useful when ticks
         are irregular).
+
+    value_transform: optional ``Column -> Column`` applied to the
+    aggregated per-metric value BEFORE the map is assembled.  Callers
+    that need transformed map values (e.g. quantized doubles for
+    cross-engine parity) must apply it here rather than rebuilding the
+    map afterwards: a post-hoc ``map_from_arrays(map_keys(m),
+    transform(map_values(m), f))`` is re-evaluated by Catalyst at every
+    downstream ``element_at``/``map_entries`` reference — measured 4×
+    the cost of this whole operator at sf0.1.
     """
     w = window_start("timestamp", window_seconds).alias("window_start")
     if value_agg == "last":
@@ -61,6 +71,8 @@ def tumbling_window_snapshots(
     else:  # pragma: no cover
         raise ValueError(f"unknown value_agg {value_agg!r}")
 
+    if value_transform is not None:
+        per_metric_value = value_transform(per_metric_value)
     per_metric = raw.groupBy(F.col("device_id"), w, F.col("metric_name")).agg(
         per_metric_value.alias("metric_value"),
         F.max("timestamp").alias("last_ts"),

@@ -1661,14 +1661,12 @@ def q_device_profile_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     raw = device_metrics_raw(spark, sf_dir)
-    snaps = tumbling_window_snapshots(raw, window_seconds=60, value_agg="avg")
-    # quantize the per-window metric values so downstream stats start
-    # from bit-identical doubles in both engines
-    snaps = snaps.withColumn(
-        "metrics", F.map_from_arrays(
-            F.map_keys("metrics"),
-            F.transform(F.map_values("metrics"), lambda v: quantize(v)),
-        )
+    # quantize the per-window metric values INSIDE the pivot so
+    # downstream stats start from bit-identical doubles in both engines
+    # (rebuilding the map post-hoc re-evaluates the transform at every
+    # downstream map reference — see tumbling_window_snapshots doc)
+    snaps = tumbling_window_snapshots(
+        raw, window_seconds=60, value_agg="avg", value_transform=quantize
     )
     # deterministic featurizer (V2 test impl): fixed metric order → vector
     vec = F.array(
