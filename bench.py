@@ -74,6 +74,10 @@ HEADLINE = [
     "customer_order_coverage",
     "bpe_token_estimate",
     "event_props_stats",
+    "metric_percentiles_approx",
+    "domain_doc_cap",
+    "doc_repetition_stats",
+    "semantic_dedup_keepers",
     # LAST: a completed streaming query leaves residue in the shared
     # local JVM that intermittently slows later heavy batch queries
     # (observed 10-50x); keep batch timings clean by running them last
@@ -81,6 +85,7 @@ HEADLINE = [
     "streaming_detect_e2e",
     "streaming_novelty_e2e",
     "streaming_rolling_stats",
+    "streaming_dedup_e2e",
 ]
 
 

@@ -80,6 +80,9 @@ _PINNED = [
     "customer_order_coverage",
     "bpe_token_estimate",
     "event_props_stats",
+    "domain_doc_cap",
+    "doc_repetition_stats",
+    "semantic_dedup_keepers",
 ]
 
 _NEARDUP_PAIR_QUERIES = [
@@ -88,6 +91,7 @@ _NEARDUP_PAIR_QUERIES = [
     "ngram_jaccard_pairs",
     "minhash_dup_buckets",
     "dedup_incremental",
+    "semantic_dedup_keepers",
 ]
 
 
@@ -132,13 +136,25 @@ def test_bounded_collect_list_only(plans, name):
 
 
 @pytest.mark.parametrize(
-    "name", ["doc_chunking", "pii_redaction", "bpe_token_estimate"]
+    "name",
+    ["doc_chunking", "pii_redaction", "bpe_token_estimate", "doc_repetition_stats"],
 )
 def test_map_only_queries_never_shuffle(plans, name):
-    """Chunking, PII scrubbing, and token counting are pure scan-side
-    map stages — any Exchange appearing here means a silent plan
-    regression that would shuffle the full corpus at 100 TB."""
+    """Chunking, PII scrubbing, token counting, and intra-doc
+    repetition stats are pure scan-side map stages — any Exchange
+    appearing here means a silent plan regression that would shuffle
+    the full corpus at 100 TB (repetition stats in particular must
+    never regress to the explode-the-token-stream formulation)."""
     assert "Exchange" not in plans[name], name
+
+
+def test_domain_cap_single_partitioning(plans):
+    """Both window functions (rank + domain size) must share ONE hash
+    partitioning on source — a second Exchange would re-shuffle the
+    corpus at 100 TB."""
+    assert plans["domain_doc_cap"].count("hashpartitioning(") == 1, plans[
+        "domain_doc_cap"
+    ]
 
 
 def test_range_scan_filter_pushdown(plans):
@@ -232,3 +248,44 @@ def test_date_partitioned_layout_prunes(spark, sf_dir, tmp_path):
     stats = pruned.select(F.count("*")).collect()[0][0]
     full = df.count()
     assert 0 < stats < full
+
+
+def test_bucketed_join_colocates_without_shuffle(spark, tmp_path):
+    """The 100 TB co-located-join claim made executable: two tables
+    bucketed on the join key join with NO Exchange on either side
+    (bucket layout IS the partitioning), vs the same unbucketed join
+    which must shuffle both.  This is the layout the engine prescribes
+    for repeated big-big joins (snapshot ⋈ profile at full history
+    scale) where neither side broadcasts."""
+    import pyspark.sql.functions as F
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(0, 10_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+        )
+        b = spark.range(0, 10_000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+        )
+        for name, df in [("vss_bkt_a", a), ("vss_bkt_b", b)]:
+            (
+                df.write.bucketBy(8, "k")
+                .sortBy("k")
+                .option("path", str(tmp_path / name))
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+        joined = spark.table("vss_bkt_a").join(spark.table("vss_bkt_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert joined.count() == 10_000
+        # control: the same join without bucketing shuffles both sides
+        unbucketed = a.join(b, "k")
+        uplan = unbucketed._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in uplan, uplan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql("DROP TABLE IF EXISTS vss_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS vss_bkt_b")

@@ -141,6 +141,9 @@ DRIVER_WINDOW: list[str] = [
     "tfidf_top_terms",
     # -- new in round 4 ------------------------------------------------
     "metric_percentiles_approx",
+    "domain_doc_cap",
+    "doc_repetition_stats",
+    "semantic_dedup_keepers",
     # -- implementation changed in round 4 (must re-certify) -----------
     "pq_knn",
     "ivfpq_knn",
@@ -161,17 +164,17 @@ DRIVER_WINDOW: list[str] = [
     "retention_sweep",
     "fleet_simulator",
     "device_statistics",
-    "lww_window_snapshot",
-    "rolling_metric_stats",
+    # (rotated out round 4, still parity-suite-covered: lww_window_snapshot,
+    #  rolling_metric_stats, asof_event_snapshot_join, tumbling_window_counts
+    #  — each driver-green three straight rounds)
     "asof_nearest_join",
-    "asof_event_snapshot_join",
-    "tumbling_window_counts",
     "dedup_clusters",
     "dedup_pipeline_funnel",
     # -- streaming e2e LAST: a completed Structured Streaming query
     # leaves residue in the shared local JVM that intermittently slows
     # later heavy batch queries 10-50x (see .claude/skills/verify) —
     # so every batch query must run before the first stream starts.
+    "streaming_dedup_e2e",
     "streaming_novelty_e2e",
     "streaming_detect_e2e",
     "streaming_rolling_stats",
@@ -3002,6 +3005,147 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "domain_doc_cap",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               {Q(f"least(1.0, {_WC} / 100.0) * (1.0 - CAST({_THE_CHARS} AS DOUBLE) / 3.0 / {_WC})")} AS quality_score
+        FROM documents WHERE text IS NOT NULL
+    ),
+    ranked AS (
+        SELECT doc_id, source, quality_score,
+               CAST(row_number() OVER (PARTITION BY source
+                                       ORDER BY quality_score DESC, doc_id ASC) AS BIGINT) AS domain_rank,
+               CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS domain_total
+        FROM scored
+    )
+    SELECT doc_id, source, quality_score, domain_rank, domain_total
+    FROM ranked WHERE domain_rank <= 10
+    """,
+    ["PIPELINE-DOMAIN-CAP", "W2", "W3", "TEXT-QUALITY"],
+    "Per-domain document cap — the standard web-corpus curation move "
+    "(cap each domain's contribution so no single source dominates the "
+    "mix): rank docs within their source by quality score (ties break "
+    "on doc_id so the kept set is deterministic cross-engine) and keep "
+    "the top 10 per domain, carrying the domain's pre-cap size for "
+    "mix accounting.  Scale shape: ONE hash shuffle on source shared "
+    "by both window functions; output is bounded by sources × cap "
+    "regardless of corpus size.  Rank runs on the QUANTIZED score in "
+    "both engines so fp noise can never reorder the boundary.",
+)
+def q_domain_doc_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ln = F.length("text")
+    wc = ln - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1
+    the_chars = ln - F.length(F.replace(F.col("text"), F.lit("the"), F.lit("")))
+    quality = quantize(
+        F.least(F.lit(1.0), wc / 100.0) * (1.0 - the_chars.cast("double") / 3.0 / wc)
+    )
+    scored = docs.select("doc_id", "source", quality.alias("quality_score"))
+    w = Window.partitionBy("source")
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "quality_score",
+        F.row_number()
+        .over(w.orderBy(F.col("quality_score").desc(), F.col("doc_id").asc()))
+        .cast("long")
+        .alias("domain_rank"),
+        F.count("*").over(w).cast("long").alias("domain_total"),
+    )
+    return ranked.filter(F.col("domain_rank") <= 10)
+
+
+# Longest run of equal adjacent elements in a SORTED array = the count
+# of the most frequent element — computed per row in one fold, no
+# token-stream shuffle.  SQL-text lambda (F.expr) so the fold variables
+# are scoped per-expression (registry-wide HOF rule, SKILL.md).
+def _max_run_expr(sorted_arr: str) -> str:
+    return (
+        f"aggregate({sorted_arr}, "
+        "struct(CAST(NULL AS STRING) AS prev, 0L AS run, 0L AS best), "
+        "(acc, x) -> struct(x AS prev, "
+        "  IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1L, 1L) AS run, "
+        "  greatest(acc.best, IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1L, 1L)) AS best), "
+        "acc -> acc.best)"
+    )
+
+
+@query(
+    "doc_repetition_stats",
+    f"""
+    WITH docs AS (
+        SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+    ),
+    tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM docs),
+    uni AS (SELECT doc_id, max(c) AS top_uni
+            FROM (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2)
+            GROUP BY 1),
+    big AS (SELECT doc_id, max(c) AS top_big
+            FROM (SELECT doc_id, b, count(*) AS c
+                  FROM (SELECT doc_id,
+                               unnest(list_transform(range(1, len(string_split(text, ' '))),
+                                                     i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS b
+                        FROM docs)
+                  GROUP BY 1, 2)
+            GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS word_count,
+           {Q("len(list_distinct(string_split(d.text, ' '))) * 1.0 / len(string_split(d.text, ' '))")} AS distinct_token_ratio,
+           CAST(u.top_uni AS BIGINT) AS top_unigram_count,
+           {Q("u.top_uni * 1.0 / len(string_split(d.text, ' '))")} AS top_unigram_frac,
+           CAST(coalesce(b.top_big, 0) AS BIGINT) AS top_bigram_count,
+           {Q("coalesce(b.top_big, 0) * 1.0 / greatest(len(string_split(d.text, ' ')) - 1, 1)")} AS top_bigram_frac,
+           ({Q("u.top_uni * 1.0 / len(string_split(d.text, ' '))")} > 0.15
+            OR {Q("len(list_distinct(string_split(d.text, ' '))) * 1.0 / len(string_split(d.text, ' '))")} < 0.45) AS is_repetitive
+    FROM docs d
+    JOIN uni u USING (doc_id)
+    LEFT JOIN big b USING (doc_id)
+    """,
+    ["TEXT-REPETITION", "TEXT-QUALITY", "F7"],
+    "Intra-document repetition signals (the Gopher-rule family): "
+    "distinct-token ratio, most-frequent-unigram and -bigram counts "
+    "and fractions, and the keep/reject repetition flag.  Spark side "
+    "is SHUFFLE-FREE: per-doc folds over the sorted token / bigram "
+    "arrays (longest equal-adjacent run in a sorted array = count of "
+    "the most frequent element) — the token stream never leaves its "
+    "partition, so the operator is embarrassingly parallel at any "
+    "corpus size.  The oracle recomputes the same counts the explicit "
+    "way (explode → group → max).  Thresholds (top-unigram > 0.15, "
+    "distinct ratio < 0.45) fire both ways on the fixture corpus.",
+)
+def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    toks = "split(text, ' ')"
+    bigrams = (
+        f"IF(size({toks}) >= 2, "
+        f"transform(sequence(0, size({toks}) - 2), "
+        f"i -> concat({toks}[i], ' ', {toks}[i+1])), "
+        "CAST(array() AS ARRAY<STRING>))"
+    )
+    wc = F.expr(f"size({toks})").cast("long")
+    top_uni = F.expr(_max_run_expr(f"array_sort({toks})"))
+    top_big = F.expr(_max_run_expr(f"array_sort({bigrams})"))
+    distinct_ratio = quantize(
+        F.expr(f"size(array_distinct({toks}))") * 1.0 / F.expr(f"size({toks})")
+    )
+    uni_frac = quantize(top_uni * 1.0 / F.expr(f"size({toks})"))
+    big_frac = quantize(
+        top_big * 1.0 / F.greatest(F.expr(f"size({toks})") - 1, F.lit(1))
+    )
+    return docs.select(
+        "doc_id",
+        wc.alias("word_count"),
+        distinct_ratio.alias("distinct_token_ratio"),
+        top_uni.cast("long").alias("top_unigram_count"),
+        uni_frac.alias("top_unigram_frac"),
+        top_big.cast("long").alias("top_bigram_count"),
+        big_frac.alias("top_bigram_frac"),
+        ((uni_frac > 0.15) | (distinct_ratio < 0.45)).alias("is_repetitive"),
+    )
+
+
+@query(
     "benchmark_decontam",
     """
     WITH docs_w AS (
@@ -3922,6 +4066,50 @@ def q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "query_id", "neighbor_id", quantize(F.col("similarity")).alias("similarity")
+    )
+
+
+@query(
+    "semantic_dedup_keepers",
+    f"""
+    WITH {_PLANTED_EMB_SQL.strip()},
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {KNN_COS} AS similarity
+        FROM planted_emb a JOIN planted_emb b ON a.vec_id < b.vec_id
+        WHERE {KNN_COS} > 0.92
+    )
+    SELECT id_b AS dropped_id,
+           min(id_a) AS kept_id,
+           CAST(count(*) AS BIGINT) AS n_partners,
+           {Q("max(similarity)")} AS max_similarity
+    FROM pairs GROUP BY id_b
+    """,
+    ["DEDUP-EMBED", "DEDUP-CANONICAL", "V1", "A9"],
+    "SemDeDup-style semantic keep/drop decision over the planted "
+    "embedding corpus: hyperplane-LSH band candidates → exact cosine "
+    "over candidates only (> 0.92) → drop every vector that has an "
+    "above-threshold partner with a smaller id, reporting its kept "
+    "representative (min partner id), partner count and max "
+    "similarity.  Completes DEDUP-EMBED from pair DISCOVERY "
+    "(embedding_neardup_pairs) into the curation DECISION the "
+    "training pipeline actually applies.  The oracle derives the same "
+    "keep set from the exhaustive O(N²) join, so a green row also "
+    "re-certifies LSH recall on every dropped vector.  Scale shape "
+    "matches embedding_neardup_pairs: banded equi-join candidates, "
+    "nothing collects to the driver, output bounded by the true "
+    "near-dup count.",
+)
+def q_semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectorsearch_scylla_spark.functions.hyperplane import (
+        hyperplane_near_dup_pairs,
+    )
+
+    emb = _emb_with_planted_dups(load_table(spark, sf_dir, "embeddings"))
+    pairs = hyperplane_near_dup_pairs(emb, threshold=0.92, dim=64)
+    return pairs.groupBy(F.col("id_b").alias("dropped_id")).agg(
+        F.min("id_a").alias("kept_id"),
+        F.count("*").alias("n_partners"),
+        quantize(F.max("similarity")).alias("max_similarity"),
     )
 
 
@@ -4852,3 +5040,52 @@ def q_streaming_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     shutil.rmtree(ck, ignore_errors=True)
     return spark.table(name)
+
+
+@query(
+    "streaming_dedup_e2e",
+    f"""
+    WITH {_PLANTED_DOCS_SQL.strip()}
+    SELECT md5(text) AS text_hash,
+           min(doc_id) AS keeper_doc_id,
+           CAST(count(*) AS BIGINT) AS dup_count
+    FROM planted WHERE text IS NOT NULL
+    GROUP BY md5(text)
+    """,
+    ["DEDUP-EXACT", "T5", "S6", "STREAM-DEDUP"],
+    "STREAMING EXACT DEDUP end-to-end — ingestion-time duplicate "
+    "removal as a real Structured Streaming query over the planted "
+    "corpus arriving as files: content-hash running aggregation "
+    "(streaming/pipeline.py:exact_dedup_stream) drained with "
+    "availableNow into a complete-mode foreachBatch state sink, then "
+    "the final materialized state is returned.  min/count are "
+    "order-independent, so the result is deterministic however the "
+    "source splits into micro-batches — which is exactly what lets "
+    "the batch GROUP BY oracle certify the streaming pipeline.  The "
+    "full keep/drop state (one row per distinct hash, dup groups "
+    "carrying dup_count > 1) is the deliverable, complementing "
+    "dedup_exact's dups-only batch view.",
+)
+def q_streaming_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from vectorsearch_scylla_spark.streaming.pipeline import (
+        dedup_state_sink,
+        exact_dedup_stream,
+    )
+
+    docs = _docs_with_planted_dups(load_table(spark, sf_dir, "documents"))
+    src = _materialize_once(docs, "vss_docstream_src", sf_dir)
+    base = tempfile.mkdtemp(prefix="vss_dedup_e2e_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = dedup_state_sink(exact_dedup_stream(stream), base)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(
+            "streaming_dedup_e2e: availableNow query did not drain within 600s"
+        )
+    return spark.read.parquet(os.path.join(base, "dedup_state"))

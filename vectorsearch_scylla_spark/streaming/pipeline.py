@@ -485,6 +485,57 @@ def detection_sinks(detected: DataFrame, base_dir: str, available_now: bool = Tr
     return writer.start()
 
 
+def exact_dedup_stream(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Streaming exact-dedup state: running ``groupBy(content hash)``
+    with the min-id keeper and duplicate count — the ingestion-time
+    dedup every training-data pipeline runs before anything else.
+
+    The aggregation is order-independent (min/count), so the final
+    state is deterministic no matter how the source files are split
+    into micro-batches — which is what makes it oracle-checkable
+    against the batch GROUP BY.
+
+    Scale posture: state is one tiny row per DISTINCT hash (the
+    standard streaming-dedup state shape).  For a truly unbounded
+    stream, bound it with ``dropDuplicatesWithinWatermark`` (dedup
+    only within the late-data horizon); the complete-mode aggregation
+    here is the bounded-corpus backfill shape, where the whole state
+    is the deliverable.
+    """
+    return (
+        docs.filter(F.col(text_col).isNotNull())
+        .groupBy(F.md5(F.col(text_col).cast("binary")).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias("keeper_doc_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def dedup_state_sink(state: DataFrame, base_dir: str, available_now: bool = True):
+    """Complete-mode ``foreachBatch`` sink for :func:`exact_dedup_stream`:
+    every trigger rewrites the full dedup state, so the final parquet
+    IS the keep/drop decision for everything ingested (idempotent under
+    epoch replay — a replayed epoch rewrites the same complete state)."""
+    import os
+
+    out_dir = os.path.join(base_dir, "dedup_state")
+
+    def write_batch(df: DataFrame, epoch_id: int) -> None:
+        df.write.mode("overwrite").parquet(out_dir)
+
+    writer = (
+        state.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", os.path.join(base_dir, "checkpoint"))
+        .outputMode("complete")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def snapshot_sink(
     snapshots: DataFrame,
     path: str,
