@@ -78,6 +78,7 @@ HEADLINE = [
     "domain_doc_cap",
     "doc_repetition_stats",
     "semantic_dedup_keepers",
+    "unigram_logprob_score",
     # LAST: a completed streaming query leaves residue in the shared
     # local JVM that intermittently slows later heavy batch queries
     # (observed 10-50x); keep batch timings clean by running them last

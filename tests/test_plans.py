@@ -26,7 +26,13 @@ from vectorsearch_scylla_spark.plans.registry import REGISTRY
 # BNLJ allowed: build side is a literal VALUES/range (bounded, tiny),
 # a 1-row broadcast scalar (tfidf's corpus-size cross join), or the PQ
 # LUT build (queries × m·ksub codebook entries, bounded broadcast).
-_BNLJ_OK = {"fleet_simulator", "tfidf_top_terms", "pq_knn", "ivfpq_knn"}
+_BNLJ_OK = {
+    "fleet_simulator",
+    "tfidf_top_terms",
+    "unigram_logprob_score",
+    "pq_knn",
+    "ivfpq_knn",
+}
 # collect_list allowed: per-group cardinality is structurally bounded
 # (device_profile_build folds ≤ |METRICS| entries per group).
 _COLLECT_LIST_OK = {"device_profile_build"}
@@ -83,6 +89,7 @@ _PINNED = [
     "domain_doc_cap",
     "doc_repetition_stats",
     "semantic_dedup_keepers",
+    "unigram_logprob_score",
 ]
 
 _NEARDUP_PAIR_QUERIES = [

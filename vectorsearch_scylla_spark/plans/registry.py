@@ -144,6 +144,7 @@ DRIVER_WINDOW: list[str] = [
     "domain_doc_cap",
     "doc_repetition_stats",
     "semantic_dedup_keepers",
+    "unigram_logprob_score",
     # -- implementation changed in round 4 (must re-certify) -----------
     "pq_knn",
     "ivfpq_knn",
@@ -166,8 +167,8 @@ DRIVER_WINDOW: list[str] = [
     "device_statistics",
     # (rotated out round 4, still parity-suite-covered: lww_window_snapshot,
     #  rolling_metric_stats, asof_event_snapshot_join, tumbling_window_counts
-    #  — each driver-green three straight rounds)
-    "asof_nearest_join",
+    #  — each driver-green three straight rounds; asof_nearest_join
+    #  likewise in favor of unigram_logprob_score)
     "dedup_clusters",
     "dedup_pipeline_funnel",
     # -- streaming e2e LAST: a completed Structured Streaming query
@@ -4613,6 +4614,66 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
     )
     return ranked.select("lang", "term", "tf", "df", "score", "rnk")
+
+
+@query(
+    "unigram_logprob_score",
+    f"""
+    WITH docs AS (
+        SELECT doc_id, text FROM documents WHERE text IS NOT NULL
+    ),
+    tok AS (
+        SELECT doc_id, t AS term
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM docs)
+        WHERE t <> ''
+    ),
+    freq AS (SELECT term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1),
+    total AS (SELECT CAST(count(*) AS BIGINT) AS n_tok FROM tok)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           {Q("avg(-ln(CAST(freq.tf AS DOUBLE) / n_tok))")} AS avg_neg_logprob,
+           ({Q("avg(-ln(CAST(freq.tf AS DOUBLE) / n_tok))")} > 3.42) AS high_surprise
+    FROM tok JOIN freq USING (term), total
+    GROUP BY doc_id
+    """,
+    ["TEXT-LM-QUALITY", "A12", "J1"],
+    "Unigram language-model scoring — the CCNet-family perplexity "
+    "proxy every corpus-quality pipeline runs: corpus unigram "
+    "frequencies (one vocabulary-sized aggregate), then each doc "
+    "scored by the mean negative log-probability of its tokens; "
+    "above-threshold surprise flags statistically atypical documents "
+    "(3.42 splits the fixture non-vacuously).  Scale shape: the "
+    "vocabulary table BROADCASTS to the token stream (a real corpus "
+    "truncates to top-K vocab + OOV smoothing first — same join "
+    "shape), the per-doc mean partial-aggregates map-side, and the "
+    "corpus token count rides along as a 1-row broadcast scalar, so "
+    "the only full shuffles are the two aggregations.  avg order "
+    "differs between engines; the quantizer absorbs the ~1e-14 fp "
+    "noise (docs are ≤ a few hundred tokens).",
+)
+def q_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term")).filter(
+        F.col("term") != ""
+    )
+    freq = tok.groupBy("term").agg(F.count("*").alias("tf"))
+    total = tok.agg(F.count("*").alias("n_tok"))
+    neg_lp = -F.log(F.col("tf").cast("double") / F.col("n_tok"))
+    scored = (
+        tok.join(F.broadcast(freq), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            quantize(F.avg(neg_lp)).alias("avg_neg_logprob"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "avg_neg_logprob",
+        (F.col("avg_neg_logprob") > 3.42).alias("high_surprise"),
+    )
 
 
 # =====================================================================
