@@ -293,3 +293,87 @@ def test_kafka_message_shape_round_trips(spark, raw):
         for r in src.withColumn("timestamp", F.to_timestamp("timestamp")).collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_exact_dedup_stream_state_accumulates_across_micro_batches(spark, tmp_path):
+    """The complete-mode dedup aggregation must merge duplicate groups
+    whose members arrive in DIFFERENT micro-batches (the whole point of
+    running it as a stream): two files, maxFilesPerTrigger=1 → ≥2
+    micro-batches, a dup pair split across them.  The final state must
+    equal the batch GROUP BY over the union — min-id keeper chosen even
+    though the keeper arrived in the earlier batch."""
+    import os
+
+    from vectorsearch_scylla_spark.streaming.pipeline import (
+        dedup_state_sink,
+        exact_dedup_stream,
+    )
+
+    rows1 = [(1, "alpha beta"), (2, "gamma delta")]
+    rows2 = [(3, "alpha beta"), (4, "epsilon zeta"), (5, "gamma delta")]
+    src = str(tmp_path / "dsrc")
+    base = str(tmp_path / "dbase")
+
+    def to_df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    to_df(rows1).coalesce(1).write.parquet(src + "/f=1")
+    to_df(rows2).coalesce(1).write.parquet(src + "/f=2")
+
+    stream = (
+        spark.readStream.schema(to_df(rows1).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f=*")
+    )
+    q = dedup_state_sink(exact_dedup_stream(stream), base)
+    assert q.awaitTermination(300)
+    got = {
+        r["keeper_doc_id"]: r["dup_count"]
+        for r in spark.read.parquet(os.path.join(base, "dedup_state")).collect()
+    }
+    # dup groups split across batches resolved to the min-id keeper
+    assert got == {1: 2, 2: 2, 4: 1}
+
+
+def test_drop_duplicates_within_watermark_bounds_state(spark, tmp_path):
+    """The documented unbounded-stream dedup path
+    (``dropDuplicatesWithinWatermark``): duplicates arriving within the
+    watermark horizon are dropped, and rows later than the horizon are
+    the state-eviction trade documented in exact_dedup_stream.  Pinned
+    so the swap-in recipe in the docstring stays executable."""
+    import os
+
+    rows1 = [(1, "alpha", 100), (2, "beta", 110)]
+    # doc 3 duplicates doc 1's content inside the 60 s horizon → dropped
+    rows2 = [(3, "alpha", 120), (4, "gamma", 130)]
+    src = str(tmp_path / "wsrc")
+    out = str(tmp_path / "wout")
+    ck = str(tmp_path / "wck")
+
+    def to_df(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, sec int"
+        ).select("doc_id", "text", F.timestamp_seconds(F.col("sec")).alias("ts"))
+
+    to_df(rows1).coalesce(1).write.parquet(src + "/f=1")
+    to_df(rows2).coalesce(1).write.parquet(src + "/f=2")
+
+    stream = (
+        spark.readStream.schema(to_df(rows1).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f=*")
+    )
+    deduped = stream.withWatermark("ts", "60 seconds").dropDuplicatesWithinWatermark(
+        ["text"]
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert kept == [1, 2, 4]
