@@ -835,3 +835,39 @@ def test_quantize_cross_engine_property(spark):
         if struct.pack("<d", got[i]) != struct.pack("<d", exp[i])
     ]
     assert not mismatches, mismatches[:5]
+
+
+def test_max_run_fold_equals_counter(spark):
+    """doc_repetition_stats' per-doc fold (longest equal-adjacent run in
+    a sorted array = count of the most frequent element) against the
+    obvious Counter reference, over seeded random token streams
+    covering the edge shapes: single token, all-same, all-distinct,
+    ties, and multi-char tokens that embed the separator."""
+    import random
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from vectorsearch_scylla_spark.plans.registry import _max_run_expr
+
+    rng = random.Random(42)
+    vocab = ["a", "bb", "a b", "z", "q q q", ""]
+    cases = [
+        ["solo"],
+        ["x"] * 7,
+        ["u1", "u2", "u3", "u4"],
+        ["t", "t", "s", "s"],  # tie
+    ] + [
+        [rng.choice(vocab) for _ in range(rng.randint(1, 40))] for _ in range(60)
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "case_id long, toks array<string>"
+    )
+    got = {
+        r["case_id"]: r["best"]
+        for r in df.select(
+            "case_id", F.expr(_max_run_expr("array_sort(toks)")).alias("best")
+        ).collect()
+    }
+    for i, c in enumerate(cases):
+        assert got[i] == max(Counter(c).values()), (i, c)
