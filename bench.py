@@ -30,6 +30,7 @@ HEADLINE = [
     "path2_anomaly",
     "detect_consensus",
     "knn_bruteforce",
+    "knn_distributed",
     "knn_label_purity",
     "knn_same_label",
     "ivf_knn",

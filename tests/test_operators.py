@@ -871,3 +871,38 @@ def test_max_run_fold_equals_counter(spark):
     }
     for i, c in enumerate(cases):
         assert got[i] == max(Counter(c).values()), (i, c)
+
+
+def test_cogrouped_knn_agrees_with_blocked(spark, sf_dir):
+    """The no-driver-collect two-sided block join must return exactly
+    the blocked kernel's result set (ids, ranks, and float64 sims) —
+    same queries, multiple block cells so cross-cell candidate merging
+    is actually exercised."""
+    from pyspark.sql import functions as F
+
+    from vectorsearch_scylla_spark.operators.knn import (
+        topk_similarity_join_blocked,
+        topk_similarity_join_cogrouped,
+    )
+    from vectorsearch_scylla_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec")
+    )
+    kw = dict(k=5, exclude_self=True, dtype="float64")
+    blocked = topk_similarity_join_blocked(queries, corpus, **kw)
+    cogrouped = topk_similarity_join_cogrouped(
+        queries, corpus, n_query_blocks=3, n_corpus_blocks=5, **kw
+    )
+
+    def key(df):
+        return sorted(
+            (r["query_id"], r["corpus_id"], r["rank"], round(r["similarity"], 9))
+            for r in df.collect()
+        )
+
+    assert key(cogrouped) == key(blocked)

@@ -56,6 +56,7 @@ _PINNED = [
     "metric_delta_top3",
     "similar_state_metric_diff",
     "knn_bruteforce",
+    "knn_distributed",
     "knn_same_label",
     "ivf_knn",
     "lsh_knn",

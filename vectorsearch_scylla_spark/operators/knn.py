@@ -162,12 +162,13 @@ def topk_similarity_join_blocked(
     the similarity floor; 16×16 bands miss a 0.995-cosine neighbor
     with prob ~5e-7), so this blocked exact sweep remains the path for
     small-Q / exactness; the hyperplane join is the path when Q no
-    longer fits a driver.  A two-sided *exact* block join (query
-    chunks × corpus chunks as a cross of mapInPandas blocks) would
-    cost |Q|·|C| dot products regardless of distribution — at that
-    point banding is not an optimization but the only admissible
-    shape, which is why the distributed variant is LSH-first rather
-    than a distributed rewrite of this kernel.
+    longer fits a driver.  When EXACTNESS must also survive large Q,
+    ``topk_similarity_join_cogrouped`` (below) is the two-sided block
+    join: no collect on either side, same |Q|·|C| dot products (the
+    cost exactness admits nothing less than), shuffle volume
+    Q·CB + N·QB replica rows.  Banding remains the only way to beat
+    that product, which is why the distributed default stays
+    LSH-first.
     """
     import math
 
@@ -286,6 +287,116 @@ def topk_similarity_join_blocked(
     )
     return (
         joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, corpus_id, "similarity", "rank")
+    )
+
+
+def topk_similarity_join_cogrouped(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    query_vec: str = "query_vec",
+    corpus_vec: str = "corpus_vec",
+    exclude_self: bool = False,
+    dtype: str = "float32",
+    n_query_blocks: int = 8,
+    n_corpus_blocks: int = 8,
+) -> DataFrame:
+    """Exact top-k cosine with NO driver collect on EITHER side — the
+    large-Q shape ``topk_similarity_join_blocked``'s docstring reserves
+    for when the query set no longer fits a driver.
+
+    Two-sided block join: each query gets a deterministic block id
+    ``pmod(xxhash64(id), QB)`` and is replicated once per corpus block
+    (CB copies); each corpus row symmetrically gets ``pmod(xxhash64(id),
+    CB)`` and QB copies.  A cogrouped ``applyInPandas`` then runs the
+    same BLAS matmul + per-group top-k (boundary ties kept, one spare
+    candidate under exclude_self) on every (qb, cb) cell, and the global
+    re-rank merges Q·k·CB candidate rows.  Exactness argument is the
+    per-batch one: every global top-k neighbor is inside its (qb, cb)
+    cell's top-k because the cell's corpus is a subset of the corpus.
+
+    Cost model vs the blocked sweep: total dot products are identical
+    (|Q|·|C| — exactness admits nothing less); what changes is WHERE
+    the query side lives.  Shuffle volume is Q·CB + N·QB rows instead
+    of a driver collect + ceil(Q/4096) broadcast corpus scans, so both
+    sides stream through executors and Q is unbounded.  Choose
+    QB ≈ |Q|/4096, CB ≈ |C|/4096 so each cell's matmul fits an Arrow
+    working set; at fixed cell size the cell count grows with Q·N — at
+    which point the banded ``hyperplane_topk_join`` remains the
+    recommended escape from exactness (see the blocked docstring).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    np_dtype = np.dtype(dtype)
+    qb_n, cb_n = int(n_query_blocks), int(n_corpus_blocks)
+    kk = k + 1 if exclude_self else k
+
+    qrep = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(query_vec).alias("__qvec"),
+        F.pmod(F.xxhash64(F.col(query_id)), F.lit(qb_n)).cast("int").alias("__qb"),
+    ).withColumn("__cb", F.explode(F.array(*[F.lit(i) for i in range(cb_n)])))
+    crep = corpus.select(
+        F.col(corpus_id).alias("__cid"),
+        F.col(corpus_vec).alias("__cvec"),
+        F.pmod(F.xxhash64(F.col(corpus_id)), F.lit(cb_n)).cast("int").alias("__cb"),
+    ).withColumn("__qb", F.explode(F.array(*[F.lit(i) for i in range(qb_n)])))
+
+    out_schema = T.StructType(
+        [
+            T.StructField(query_id, queries.schema[query_id].dataType, True),
+            T.StructField(corpus_id, corpus.schema[corpus_id].dataType, True),
+            T.StructField("similarity", T.DoubleType(), False),
+        ]
+    )
+
+    def block_topk(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame({query_id: [], corpus_id: [], "similarity": []})
+        qmat = np.asarray(list(left["__qvec"]), dtype=np_dtype)
+        qnorm = np.linalg.norm(qmat, axis=1, keepdims=True)
+        qnorm[qnorm == 0.0] = 1.0
+        qunit = qmat / qnorm
+        cmat = np.asarray(list(right["__cvec"]), dtype=np_dtype)
+        cnorm = np.linalg.norm(cmat, axis=1, keepdims=True)
+        cnorm[cnorm == 0.0] = 1.0
+        sims = (cmat / cnorm) @ qunit.T  # (n_corpus, n_queries)
+        cids = right["__cid"].to_numpy()
+        qids = left["__qid"].to_numpy()
+        kk_eff = min(kk, sims.shape[0])
+        idx = np.argpartition(-sims, kk_eff - 1, axis=0)[:kk_eff, :]
+        out_q: list = []
+        out_c: list = []
+        out_s: list = []
+        for qi in range(sims.shape[1]):
+            # keep every candidate tied with the kth value — the global
+            # re-rank breaks ties by corpus_id ASC, and argpartition's
+            # arbitrary boundary choice must not drop the winner
+            kth = sims[idx[:, qi], qi].min()
+            sel = np.nonzero(sims[:, qi] >= kth)[0]
+            out_q.extend([qids[qi]] * len(sel))
+            out_c.extend(cids[sel])
+            out_s.extend(sims[sel, qi].astype(np.float64))
+        return pd.DataFrame({query_id: out_q, corpus_id: out_c, "similarity": out_s})
+
+    cand = (
+        qrep.groupby("__qb", "__cb")
+        .cogroup(crep.groupby("__qb", "__cb"))
+        .applyInPandas(block_topk, schema=out_schema)
+    )
+    if exclude_self:
+        cand = cand.filter(F.col(query_id) != F.col(corpus_id))
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("similarity").desc(), F.col(corpus_id).asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "similarity", "rank")
     )

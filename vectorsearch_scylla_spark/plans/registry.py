@@ -1072,6 +1072,61 @@ def _ivf_kmeans_cte(k: int, iters: int, nprobe: int, querymod: int) -> str:
 
 
 @query(
+    "knn_distributed",
+    f"""
+    SELECT query_id, neighbor_id, {Q("similarity")} AS similarity, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {KNN_COS} AS similarity,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {KNN_COS} DESC, b.vec_id ASC) AS rank
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id % 50 = 0
+    ) WHERE rank <= 5
+    """,
+    ["V3", "J3", "W2", "J6"],
+    "Exact kNN with NO driver collect on either side — the large-Q "
+    "100 TB shape: two-sided block join (queries and corpus each "
+    "hash-assigned to blocks and replicated across the other side's "
+    "blocks), cogrouped applyInPandas BLAS matmul + per-cell top-k "
+    "with boundary ties kept, global re-rank over Q·k·CB candidate "
+    "rows (operators/knn.py:topk_similarity_join_cogrouped).  Same "
+    "oracle and result set as knn_bruteforce, so the green row "
+    "certifies the distributed kernel is exactly the blocked kernel "
+    "minus the driver bottleneck.  Block counts 4×4 here so the "
+    "fixture genuinely exercises the multi-cell candidate merge.",
+)
+def q_knn_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectorsearch_scylla_spark.operators.knn import (
+        topk_similarity_join_cogrouped,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("corpus_vec")
+    )
+    out = topk_similarity_join_cogrouped(
+        queries,
+        corpus,
+        k=5,
+        corpus_id="neighbor_id",
+        exclude_self=True,
+        dtype="float64",
+        n_query_blocks=4,
+        n_corpus_blocks=4,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        quantize(F.col("similarity")).alias("similarity"),
+        "rank",
+    )
+
+
+@query(
     "ivf_knn",
     f"""
     WITH {_ivf_kmeans_cte(IVF_K, IVF_ITERS, IVF_NPROBE, 25)}
