@@ -128,6 +128,28 @@ def main() -> None:
             ),
         )
 
+        # the no-driver-collect two-sided twin: same |Q|x|C| dot
+        # products; measures what the Q*CB + N*QB replica shuffle costs
+        # relative to the driver-broadcast sweep at this scale
+        from vectorsearch_scylla_spark.operators.knn import (
+            topk_similarity_join_cogrouped,
+        )
+
+        timed(
+            "knn_bruteforce_cogrouped",
+            lambda: noop(
+                topk_similarity_join_cogrouped(
+                    queries,
+                    corpus,
+                    k=5,
+                    exclude_self=True,
+                    dtype="float32",
+                    n_query_blocks=max(1, scale // 8),
+                    n_corpus_blocks=8,
+                )
+            ),
+        )
+
         cents: list = []
 
         def ivf_build() -> None:
