@@ -154,10 +154,10 @@ DRIVER_WINDOW: list[str] = [
     "device_profile_build",
     "profile_rebuild_after_feedback",
     "knn_bruteforce",
+    "knn_distributed",
     "ivf_knn",
     "path3_novelty_flags",
     "knn_label_purity",
-    "window_pivot_snapshot",
     "zscore_outliers",
     "threshold_rules",
     "relationship_rules",
@@ -167,8 +167,10 @@ DRIVER_WINDOW: list[str] = [
     "device_statistics",
     # (rotated out round 4, still parity-suite-covered: lww_window_snapshot,
     #  rolling_metric_stats, asof_event_snapshot_join, tumbling_window_counts
-    #  — each driver-green three straight rounds; asof_nearest_join
-    #  likewise in favor of unigram_logprob_score)
+    #  — each driver-green three straight rounds; asof_nearest_join in
+    #  favor of unigram_logprob_score; window_pivot_snapshot in favor of
+    #  knn_distributed — its pivot mechanism stays in-window via
+    #  path2_anomaly and streaming_window_pivot)
     "dedup_clusters",
     "dedup_pipeline_funnel",
     # -- streaming e2e LAST: a completed Structured Streaming query
