@@ -77,6 +77,7 @@ HEADLINE = [
     "event_props_stats",
     "metric_percentiles_approx",
     "domain_doc_cap",
+    "token_budget_sample",
     "doc_repetition_stats",
     "semantic_dedup_keepers",
     "unigram_logprob_score",

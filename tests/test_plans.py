@@ -88,6 +88,7 @@ _PINNED = [
     "bpe_token_estimate",
     "event_props_stats",
     "domain_doc_cap",
+    "token_budget_sample",
     "doc_repetition_stats",
     "semantic_dedup_keepers",
     "unigram_logprob_score",

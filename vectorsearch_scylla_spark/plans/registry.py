@@ -3114,6 +3114,63 @@ def q_domain_doc_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("domain_rank") <= 10)
 
 
+@query(
+    "token_budget_sample",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               CAST({_WC} AS BIGINT) AS word_count,
+               {Q(f"least(1.0, {_WC} / 100.0) * (1.0 - CAST({_THE_CHARS} AS DOUBLE) / 3.0 / {_WC})")} AS quality_score
+        FROM documents WHERE text IS NOT NULL
+    )
+    SELECT doc_id, source, word_count, quality_score,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           cum_tokens <= 400 AS kept
+    FROM (
+        SELECT *, sum(word_count) OVER (PARTITION BY source
+                                        ORDER BY quality_score DESC, doc_id ASC
+                                        ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM scored
+    )
+    """,
+    ["PIPELINE-TOKEN-BUDGET", "W4", "TEXT-TOKENS"],
+    "Token-budget sampling — 'take the best N tokens per domain', the "
+    "curation move that fills a per-source token quota instead of a "
+    "doc-count cap: greedy by quality (ties on doc_id), running token "
+    "sum per source, keep while the budget (400 here; fills partway "
+    "through every fixture source) is not exhausted.  Same single "
+    "hash-shuffle-on-source shape as domain_doc_cap; the running sum "
+    "rides the same sort.  Quality is ranked QUANTIZED so the greedy "
+    "order — and therefore the kept set — is identical cross-engine.",
+)
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    ln = F.length("text")
+    wc = (ln - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1).cast(
+        "long"
+    )
+    the_chars = ln - F.length(F.replace(F.col("text"), F.lit("the"), F.lit("")))
+    quality = quantize(
+        F.least(F.lit(1.0), wc / 100.0) * (1.0 - the_chars.cast("double") / 3.0 / wc)
+    )
+    scored = docs.select(
+        "doc_id", "source", wc.alias("word_count"), quality.alias("quality_score")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality_score").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return scored.select(
+        "doc_id",
+        "source",
+        "word_count",
+        "quality_score",
+        F.sum("word_count").over(w).cast("long").alias("cum_tokens"),
+        (F.sum("word_count").over(w) <= 400).alias("kept"),
+    )
+
+
 # Longest run of equal adjacent elements in a SORTED array = the count
 # of the most frequent element — computed per row in one fold, no
 # token-stream shuffle.  SQL-text lambda (F.expr) so the fold variables
