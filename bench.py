@@ -31,6 +31,7 @@ HEADLINE = [
     "detect_consensus",
     "knn_bruteforce",
     "knn_distributed",
+    "sq8_knn",
     "knn_label_purity",
     "knn_same_label",
     "ivf_knn",

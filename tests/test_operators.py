@@ -906,3 +906,28 @@ def test_cogrouped_knn_agrees_with_blocked(spark, sf_dir):
         )
 
     assert key(cogrouped) == key(blocked)
+
+
+def test_sq8_recall_vs_exact(spark, sf_dir):
+    """SQ8's quality claim made concrete: top-1 neighbors under the
+    int8-dequantized corpus match the exact full-precision top-1 for
+    nearly every query (int8 max-abs quantization perturbs cosines by
+    ~1e-3 on this corpus; PQ at the same k loses far more)."""
+    from pyspark.sql import functions as F
+
+    from vectorsearch_scylla_spark.plans.registry import REGISTRY
+
+    sq8 = {
+        r["query_id"]: r["neighbor_id"]
+        for r in REGISTRY["sq8_knn"].fn(spark, sf_dir).filter("rank = 1").collect()
+    }
+    exact = {
+        r["query_id"]: r["neighbor_id"]
+        for r in REGISTRY["knn_bruteforce"]
+        .fn(spark, sf_dir)
+        .filter("rank = 1")
+        .collect()
+    }
+    assert set(sq8) == set(exact)
+    hits = sum(1 for q in exact if sq8[q] == exact[q])
+    assert hits / len(exact) >= 0.9, (hits, len(exact))

@@ -57,6 +57,7 @@ _PINNED = [
     "similar_state_metric_diff",
     "knn_bruteforce",
     "knn_distributed",
+    "sq8_knn",
     "knn_same_label",
     "ivf_knn",
     "lsh_knn",

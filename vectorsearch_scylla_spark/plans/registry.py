@@ -1128,6 +1128,89 @@ def q_knn_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQ8_COS = (
+    "CASE WHEN list_sum(list_transform(a.embedding::DOUBLE[], x -> x*x)) = 0 "
+    "  OR list_sum(list_transform(b.rvec, x -> x*x)) = 0 THEN 0.0 "
+    "ELSE list_cosine_similarity(a.embedding::DOUBLE[], b.rvec) END"
+)
+
+
+@query(
+    "sq8_knn",
+    f"""
+    WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings),
+    sc AS (
+        SELECT vec_id, embedding,
+               greatest(list_max(list_transform(embedding, x -> abs(x))), 1e-12) / 127.0 AS scale
+        FROM vecs
+    ),
+    recon AS (
+        SELECT vec_id,
+               list_transform(embedding,
+                              x -> CAST(CAST(floor(x / scale + 0.5) AS TINYINT) AS DOUBLE) * scale) AS rvec
+        FROM sc
+    )
+    SELECT query_id, neighbor_id, {Q("similarity")} AS similarity, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {_SQ8_COS} AS similarity,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_SQ8_COS} DESC, b.vec_id ASC) AS rank
+        FROM vecs a JOIN recon b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id % 50 = 0
+    ) WHERE rank <= 5
+    """,
+    ["V3", "V6", "W2", "ANN-SQ8"],
+    "Scalar-quantized (SQ8) ANN — the third compression lever beside "
+    "IVF partition pruning and PQ's 64×: each corpus vector stored as "
+    "int8 codes + one per-vector scale (max-abs / 127), 4× fewer "
+    "bytes than float32 with far higher recall than PQ; queries stay "
+    "full-precision and score against the dequantized corpus "
+    "(asymmetric, like ADC).  Quantization is floor(x/scale + 0.5) "
+    "through an actual TINYINT cast on BOTH engines, so the codes — "
+    "and therefore every similarity — are bit-identical and the SQL "
+    "twin certifies the whole quantize→dequantize→rank path.  Scale "
+    "shape: quantization is a map-only projection; ranking reuses the "
+    "blocked BLAS kernel (corpus never shuffles).  A production "
+    "deployment materializes the code table once like build_pq_index "
+    "and composes with IVF probes exactly as ivfpq_knn does.",
+)
+def q_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    scale = (
+        F.greatest(
+            F.expr("array_max(transform(embedding, x -> abs(x)))"), F.lit(1e-12)
+        )
+        / 127.0
+    )
+    recon = vecs.withColumn("scale", scale).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(
+            "transform(embedding, x -> CAST(CAST(floor(x / scale + 0.5) AS TINYINT) AS DOUBLE) * scale)"
+        ).alias("corpus_vec"),
+    )
+    queries = vecs.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = topk_similarity_join_blocked(
+        queries,
+        recon,
+        k=5,
+        corpus_id="neighbor_id",
+        exclude_self=True,
+        dtype="float64",
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        quantize(F.col("similarity")).alias("similarity"),
+        "rank",
+    )
+
+
 @query(
     "ivf_knn",
     f"""
