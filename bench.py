@@ -66,6 +66,7 @@ HEADLINE = [
     "pii_redaction",
     "source_mix_summary",
     "dedup_incremental",
+    "chunk_dedup",
     "media_byte_features",
     "event_sessionization",
     "tfidf_top_terms",

@@ -68,6 +68,7 @@ _PINNED = [
     "minhash_dup_buckets",
     "simhash_dup_pairs",
     "dedup_incremental",
+    "chunk_dedup",
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",
     "text_quality",

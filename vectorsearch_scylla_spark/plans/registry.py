@@ -3500,6 +3500,32 @@ _CHUNK, _CHUNK_OVERLAP = 64, 16
 _CHUNK_STRIDE = _CHUNK - _CHUNK_OVERLAP
 
 
+def _chunk_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → overlapping fixed-size word chunks (shared by
+    doc_chunking and chunk_dedup; map-side explode, no shuffle)."""
+    dw = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+        F.size(F.split("text", " ")).alias("wc"),
+    )
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("wc") - _CHUNK_OVERLAP) / float(_CHUNK_STRIDE)),
+    ).cast("long")
+    chunks = dw.withColumn(
+        "chunk_idx", F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1))
+    )
+    start = F.col("chunk_idx") * _CHUNK_STRIDE
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        F.concat_ws(
+            " ", F.slice("w", (start + 1).cast("int"), _CHUNK)
+        ).alias("chunk_text"),
+        F.least(F.lit(_CHUNK).cast("long"), F.col("wc") - start).alias("n_words"),
+    )
+
+
 @query(
     "doc_chunking",
     f"""
@@ -3528,26 +3554,62 @@ _CHUNK_STRIDE = _CHUNK - _CHUNK_OVERLAP
 )
 def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    dw = docs.select(
-        "doc_id",
-        F.split("text", " ").alias("w"),
-        F.size(F.split("text", " ")).alias("wc"),
+    return _chunk_docs(docs)
+
+
+@query(
+    "chunk_dedup",
+    f"""
+    WITH {_PLANTED_DOCS_SQL.strip()},
+    dw AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               len(string_split(text, ' ')) AS wc
+        FROM planted WHERE text IS NOT NULL
+    ),
+    chunks AS (
+        SELECT doc_id, w, wc,
+               unnest(range(0, CAST(greatest(1.0, ceil((wc - {_CHUNK_OVERLAP}) / {_CHUNK_STRIDE}.0)) AS BIGINT))) AS i
+        FROM dw
+    ),
+    ct AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+               array_to_string(w[i*{_CHUNK_STRIDE}+1 : i*{_CHUNK_STRIDE}+{_CHUNK}], ' ') AS chunk_text
+        FROM chunks
     )
-    n_chunks = F.greatest(
-        F.lit(1),
-        F.ceil((F.col("wc") - _CHUNK_OVERLAP) / float(_CHUNK_STRIDE)),
-    ).cast("long")
-    chunks = dw.withColumn(
-        "chunk_idx", F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1))
+    SELECT md5(chunk_text) AS chunk_hash,
+           CAST(count(*) AS BIGINT) AS dup_count,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           min(doc_id) AS keeper_doc_id,
+           min(chunk_idx) AS min_chunk_idx
+    FROM ct
+    GROUP BY md5(chunk_text)
+    HAVING count(*) > 1
+    """,
+    ["PIPELINE-CHUNK", "DEDUP-EXACT", "PIPELINE-CHUNK-DEDUP"],
+    "Chunk-level (paragraph-level) exact dedup — the C4-style pass "
+    "that catches PARTIAL overlap document-level dedup misses: chunk "
+    "the planted corpus into the standard overlapping word windows, "
+    "hash-group the chunk texts, keep min-id survivors.  Non-vacuous "
+    "on the fixture both ways: exact-copy docs duplicate every chunk, "
+    "while near-dup docs (one appended word) share all chunks except "
+    "the trailing one — exactly the partial-overlap case.  Scale "
+    "shape: map-side chunk explode + ONE hash shuffle on chunk hash; "
+    "output bounded by true duplicate chunks.",
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_planted_dups(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
     )
-    start = F.col("chunk_idx") * _CHUNK_STRIDE
-    return chunks.select(
-        "doc_id",
-        "chunk_idx",
-        F.concat_ws(
-            " ", F.slice("w", (start + 1).cast("int"), _CHUNK)
-        ).alias("chunk_text"),
-        F.least(F.lit(_CHUNK).cast("long"), F.col("wc") - start).alias("n_words"),
+    ct = _chunk_docs(docs)
+    return (
+        ct.groupBy(F.md5(F.col("chunk_text").cast("binary")).alias("chunk_hash"))
+        .agg(
+            F.count("*").alias("dup_count"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.min("chunk_idx").alias("min_chunk_idx"),
+        )
+        .filter(F.col("dup_count") > 1)
     )
 
 
