@@ -102,6 +102,21 @@ def main() -> None:
                 .filter(F.col("c") > 1)
             ),
         )
+
+        # chunk-level dedup: map-side chunk explode + one hash shuffle;
+        # replica groups duplicate every chunk, so output tracks the
+        # replica factor times chunks/doc
+        from vectorsearch_scylla_spark.plans.registry import _chunk_docs
+
+        timed(
+            "chunk_dedup",
+            lambda: noop(
+                _chunk_docs(docs.filter(F.col("text").isNotNull()))
+                .groupBy(F.md5(F.col("chunk_text").cast("binary")).alias("h"))
+                .agg(F.count("*").alias("c"), F.min("doc_id").alias("keeper"))
+                .filter(F.col("c") > 1)
+            ),
+        )
         timed(
             "simhash_near_dup_pairs",
             lambda: noop(simhash_near_dup_pairs(docs, max_hamming=5)),
@@ -146,6 +161,32 @@ def main() -> None:
                     dtype="float32",
                     n_query_blocks=max(1, scale // 8),
                     n_corpus_blocks=8,
+                )
+            ),
+        )
+
+        # SQ8: int8 codes + per-vector scale derived in-query (map-only
+        # projection), full-precision queries vs dequantized corpus
+        # through the same blocked kernel — 4x fewer stored bytes
+        sq8_corpus = emb.select(
+            F.col("vec_id").alias("corpus_id"),
+            # scale captured as a lambda var (1-element array) so the
+            # array_max evaluates once per row, not per element
+            F.expr(
+                "element_at(transform("
+                "  array(greatest(array_max(transform(cast(embedding as array<double>),"
+                " y -> abs(y))), 1e-12d) / 127.0d),"
+                "  s -> transform(cast(embedding as array<double>),"
+                " x -> CAST(CAST(floor(x / s + 0.5d) AS TINYINT) AS DOUBLE) * s)"
+                "), 1)"
+            ).alias("corpus_vec"),
+        )
+        timed(
+            "sq8_knn_blocked",
+            lambda: noop(
+                topk_similarity_join_blocked(
+                    queries, sq8_corpus, k=5, corpus_id="corpus_id",
+                    exclude_self=True, dtype="float32",
                 )
             ),
         )

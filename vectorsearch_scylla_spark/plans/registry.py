@@ -1180,16 +1180,18 @@ def q_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    scale = (
-        F.greatest(
-            F.expr("array_max(transform(embedding, x -> abs(x)))"), F.lit(1e-12)
-        )
-        / 127.0
-    )
-    recon = vecs.withColumn("scale", scale).select(
+    # the scale is CAPTURED as a lambda variable via a 1-element array
+    # so it evaluates once per row — referencing a projected `scale`
+    # column inside the per-element lambda gets collapse-inlined by
+    # Catalyst and re-computes the array_max per element (O(d²)/row,
+    # the r4 expression-reevaluation trap)
+    recon = vecs.select(
         F.col("vec_id").alias("neighbor_id"),
         F.expr(
-            "transform(embedding, x -> CAST(CAST(floor(x / scale + 0.5) AS TINYINT) AS DOUBLE) * scale)"
+            "element_at(transform("
+            "  array(greatest(array_max(transform(embedding, y -> abs(y))), 1e-12d) / 127.0d),"
+            "  s -> transform(embedding, x -> CAST(CAST(floor(x / s + 0.5d) AS TINYINT) AS DOUBLE) * s)"
+            "), 1)"
         ).alias("corpus_vec"),
     )
     queries = vecs.filter(F.col("vec_id") % 50 == 0).select(
