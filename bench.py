@@ -91,6 +91,7 @@ HEADLINE = [
     "streaming_novelty_e2e",
     "streaming_rolling_stats",
     "streaming_dedup_e2e",
+    "streaming_neardup_e2e",
 ]
 
 

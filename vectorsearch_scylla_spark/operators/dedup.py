@@ -114,6 +114,7 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     against: DataFrame | None = None,
+    against_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs with SimHash Hamming distance ≤ ``max_hamming`` —
     EXACT for max_hamming ≤ bands−1 (pigeonhole: see module
@@ -141,11 +142,16 @@ def simhash_near_dup_pairs(
             f"{SIMHASH_BANDS - 1}; results would silently miss pairs"
         )
     sigs = simhash128(docs, id_col=id_col, text_col=text_col)
-    sigs_b = (
-        simhash128(against, id_col=id_col, text_col=text_col)
-        if against is not None
-        else sigs
-    )
+    # against_sigs: a PRE-FINGERPRINTED base (simhash128 output shape)
+    # — the streaming/incremental caller materializes the base
+    # signature table once instead of re-fingerprinting it per call
+    # (per micro-batch, in the streaming case)
+    if against_sigs is not None:
+        sigs_b = against_sigs
+    elif against is not None:
+        sigs_b = simhash128(against, id_col=id_col, text_col=text_col)
+    else:
+        sigs_b = sigs
 
     def _banded(s: DataFrame) -> DataFrame:
         return s.select(
@@ -174,7 +180,10 @@ def simhash_near_dup_pairs(
     pair_cond = (F.col("band_idx") == F.col("band_idx_b")) & (
         F.col("band_val") == F.col("band_val_b")
     )
-    if against is None:
+    if against is None and against_sigs is None:
+        # self-join mode only: the id_a < id_b constraint dedups the
+        # symmetric pair; incremental mode guarantees disjoint id
+        # spaces instead (and the new side's ids may be larger)
         pair_cond = pair_cond & (F.col("id_a") < F.col("id_b"))
     return (
         a.join(b, pair_cond)

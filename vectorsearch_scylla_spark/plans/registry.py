@@ -5415,3 +5415,84 @@ def q_streaming_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "streaming_dedup_e2e: availableNow query did not drain within 600s"
         )
     return spark.read.parquet(os.path.join(base, "dedup_state"))
+
+
+@query(
+    "streaming_neardup_e2e",
+    f"""
+    WITH {_PLANTED_DOCS_SQL.strip()},
+    {_simhash128_sigs_sql("planted")},
+    banded AS (
+        SELECT doc_id, s0, s1, s2, s3, k AS band_idx,
+               CASE k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2
+                      WHEN 3 THEN b3 WHEN 4 THEN b4 ELSE b5 END AS band_val
+        FROM sigs, (SELECT unnest(range(0,6)) AS k) bands
+    )
+    SELECT DISTINCT a.doc_id AS new_doc_id, b.doc_id AS base_doc_id,
+           CAST(bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1))
+              + bit_count(xor(a.s2, b.s2)) + bit_count(xor(a.s3, b.s3)) AS BIGINT) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id >= 1000000 AND b.doc_id < 1000000
+    WHERE bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1))
+        + bit_count(xor(a.s2, b.s2)) + bit_count(xor(a.s3, b.s3)) <= 5
+    """,
+    ["DEDUP-INCREMENTAL", "DEDUP-SIMHASH", "STREAM-DEDUP", "T5"],
+    "STREAMING NEAR-DUP detection end-to-end — dedup_incremental's "
+    "streaming twin, the ingestion-time near-dup gate: the base "
+    "corpus's 128-bit SimHash SIGNATURE table is materialized once "
+    "(the per-micro-batch re-fingerprint trap avoided the same way "
+    "streaming_detect_e2e materializes profiles), new documents "
+    "stream in as files, and each micro-batch band-joins its "
+    "fingerprints against the base signature index via foreachBatch "
+    "(epoch-dir overwrite, exactly-once).  Per-doc output is "
+    "independent of the micro-batch split, so the batch incremental "
+    "oracle certifies the full streaming pipeline.",
+)
+def q_streaming_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from vectorsearch_scylla_spark.operators.dedup import (
+        simhash128,
+        simhash_near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    base_sigs = spark.read.parquet(
+        _materialize_once(simhash128(docs.select("doc_id", "text")), "vss_basesigs", sf_dir)
+    )
+    increment = _docs_with_planted_dups(docs).filter(F.col("doc_id") >= 1000000)
+    src = _materialize_once(increment, "vss_neardup_src", sf_dir)
+    base = tempfile.mkdtemp(prefix="vss_neardup_e2e_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    out_dir = os.path.join(base, "pairs")
+
+    def detect_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        pairs = simhash_near_dup_pairs(
+            batch_df, max_hamming=5, against_sigs=base_sigs
+        )
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={epoch_id}")
+        )
+
+    stream = spark.readStream.schema(increment.schema).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(detect_batch)
+        .option("checkpointLocation", os.path.join(base, "checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(
+            "streaming_neardup_e2e: availableNow query did not drain within 600s"
+        )
+    return spark.read.parquet(out_dir).select(
+        F.col("id_a").alias("new_doc_id"),
+        F.col("id_b").alias("base_doc_id"),
+        "hamming",
+    )
