@@ -145,6 +145,9 @@ DRIVER_WINDOW: list[str] = [
     "doc_repetition_stats",
     "semantic_dedup_keepers",
     "unigram_logprob_score",
+    "token_budget_sample",
+    "sq8_knn",
+    "chunk_dedup",
     # -- implementation changed in round 4 (must re-certify) -----------
     "pq_knn",
     "ivfpq_knn",
@@ -157,26 +160,26 @@ DRIVER_WINDOW: list[str] = [
     "knn_distributed",
     "ivf_knn",
     "path3_novelty_flags",
-    "knn_label_purity",
     "zscore_outliers",
     "threshold_rules",
-    "relationship_rules",
     "anomaly_events_build",
     "retention_sweep",
-    "fleet_simulator",
-    "device_statistics",
     # (rotated out round 4, still parity-suite-covered: lww_window_snapshot,
     #  rolling_metric_stats, asof_event_snapshot_join, tumbling_window_counts
     #  — each driver-green three straight rounds; asof_nearest_join in
     #  favor of unigram_logprob_score; window_pivot_snapshot in favor of
     #  knn_distributed — its pivot mechanism stays in-window via
-    #  path2_anomaly and streaming_window_pivot)
+    #  path2_anomaly and streaming_window_pivot; knn_label_purity,
+    #  relationship_rules, fleet_simulator in favor of the round-4
+    #  newest: token_budget_sample, sq8_knn, chunk_dedup,
+    #  streaming_neardup_e2e; device_statistics likewise)
     "dedup_clusters",
     "dedup_pipeline_funnel",
     # -- streaming e2e LAST: a completed Structured Streaming query
     # leaves residue in the shared local JVM that intermittently slows
     # later heavy batch queries 10-50x (see .claude/skills/verify) —
     # so every batch query must run before the first stream starts.
+    "streaming_neardup_e2e",
     "streaming_dedup_e2e",
     "streaming_novelty_e2e",
     "streaming_detect_e2e",
