@@ -10,11 +10,10 @@ strategy).
 
 from __future__ import annotations
 
-import math
-
 import duckdb
 import pytest
 
+from vectorsearch_scylla_spark.oracle import compare_results
 from vectorsearch_scylla_spark.plans.registry import REGISTRY
 from vectorsearch_scylla_spark.sources.tables import TABLES
 
@@ -26,24 +25,6 @@ def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
     return con
-
-
-def _norm(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        # collapse -0.0 and re-round to absorb 1-ulp printing differences
-        return round(v + 0.0, 9)
-    if isinstance(v, bool):
-        return bool(v)
-    return v
-
-
-def _multiset(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    return sorted(
-        tuple(_norm(r[i]) for i in order) for r in rows
-    )
 
 
 @pytest.mark.parametrize("name", [n for n, q in REGISTRY.items() if q.oracle])
@@ -59,17 +40,10 @@ def test_query_matches_oracle(spark, sf_dir, name):
     duck_rows = res.fetchall()
     con.close()
 
-    assert sorted(spark_cols) == sorted(duck_cols), (
-        f"{name}: column mismatch {spark_cols} vs {duck_cols}"
-    )
-    assert len(spark_rows) == len(duck_rows), (
-        f"{name}: row count {len(spark_rows)} vs {len(duck_rows)}"
-    )
-    ms_s = _multiset(spark_rows, spark_cols)
-    ms_d = _multiset(duck_rows, duck_cols)
-    if ms_s != ms_d:
-        diff = [(a, b) for a, b in zip(ms_s, ms_d) if a != b][:5]
-        raise AssertionError(f"{name}: value mismatch, first diffs: {diff}")
+    # the SHARED gate (vectorsearch_scylla_spark.oracle) — same helper
+    # the CLI --check uses, so the two local gates cannot drift
+    ok, reason = compare_results(spark_cols, spark_rows, duck_cols, duck_rows)
+    assert ok, f"{name}: {reason}"
 
 
 def test_entry_smoke(spark):
@@ -78,6 +52,45 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()).issubset(set(e.queries()))
+
+def test_window_rotation_policy():
+    """Pin the r5 rotation policy: the committed manifest
+    plans/window_history.json records the last round each query sat
+    inside the driver's 50-slot window, and NO registered query may go
+    more than one round without a hard driver row — i.e. every entry
+    is `round` (in DRIVER_WINDOW now) or `round - 1` (sat out exactly
+    this round).  A query slipping to round-2 staleness, a manifest
+    drifting from the registry, or a window edit without a manifest
+    update all fail here."""
+    import json
+    import os
+
+    from vectorsearch_scylla_spark.plans import registry
+
+    path = os.path.join(
+        os.path.dirname(registry.__file__), "window_history.json"
+    )
+    with open(path) as f:
+        hist = json.load(f)
+    rnd = hist["round"]
+    last = hist["last_in_window"]
+
+    assert set(last) == set(REGISTRY), (
+        "manifest/registry drift: "
+        f"manifest-only={sorted(set(last) - set(REGISTRY))} "
+        f"registry-only={sorted(set(REGISTRY) - set(last))}"
+    )
+    in_window = set(registry.DRIVER_WINDOW)
+    for name, r in last.items():
+        if name in in_window:
+            assert r == rnd, f"{name} is in DRIVER_WINDOW but manifest says {r} != {rnd}"
+        else:
+            assert r == rnd - 1, (
+                f"{name} last had a driver row in round {r}; with current "
+                f"round {rnd} it would go {rnd - r} rounds unchecked — "
+                "rotate it into DRIVER_WINDOW"
+            )
+
 
 def test_driver_window_exposure_order():
     """Pin the driver-window contract: the external harness checks only

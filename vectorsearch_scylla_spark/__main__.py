@@ -37,6 +37,20 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="also run the DuckDB oracle and compare (the correctness gate)",
     )
+    ann = ap.add_argument_group(
+        "ANN tuning",
+        "recall/cost knobs for the kNN queries (knn_bruteforce, "
+        "knn_distributed, lsh_knn, ivf_knn, ivf_grouped_knn, sq8_knn, "
+        "sq8_ivf_knn, pq_knn, ivfpq_knn); each flag is passed through "
+        "only if the query's function accepts it",
+    )
+    ann.add_argument("--k", type=int, help="neighbors per query (top-k)")
+    ann.add_argument(
+        "--nprobe", type=int, help="IVF clusters probed per query"
+    )
+    ann.add_argument(
+        "--bands", type=int, help="LSH band count (lsh_knn)"
+    )
     args = ap.parse_args(argv)
 
     if args.list or not args.query:
@@ -50,27 +64,69 @@ def main(argv: list[str] | None = None) -> int:
 
     from vectorsearch_scylla_spark.session import get_spark
 
+    # ANN knob pass-through: forward only the flags the query's
+    # function actually accepts (inspect the signature), and refuse
+    # --check under overrides — the SQL oracle is pinned to the
+    # registered defaults, so a tuned run has nothing to compare to
+    import inspect
+
+    fn = REGISTRY[args.query].fn
+    accepted = inspect.signature(fn).parameters
+    requested = {"k": args.k, "nprobe": args.nprobe, "n_bands": args.bands}
+    overrides = {
+        name: v
+        for name, v in requested.items()
+        if v is not None and name in accepted
+    }
+    ignored = [
+        flag
+        for flag, (name, v) in zip(
+            ["--k", "--nprobe", "--bands"], requested.items()
+        )
+        if v is not None and name not in accepted
+    ]
+    if ignored:
+        print(
+            f"note: {', '.join(ignored)} not supported by {args.query}; ignored",
+            file=sys.stderr,
+        )
+    if overrides and args.check:
+        print(
+            "--check is pinned to the registered defaults; drop the "
+            "tuning flags to oracle-compare",
+            file=sys.stderr,
+        )
+        return 2
+
     spark = get_spark(f"vss-cli-{args.query}")
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.perf_counter()
-    df = REGISTRY[args.query].fn(spark, args.sf_dir)
+    df = fn(spark, args.sf_dir, **overrides)
     if args.explain:
         df.explain("formatted")
-    df.show(args.show, truncate=False)
-    n = df.count()
-    print(f"{args.query}: {n} rows in {time.perf_counter() - t0:.2f}s")
+    # ONE execution: collect once, reuse for show / count / --check —
+    # show+count+collect as separate actions would recompute the whole
+    # plan up to three times and the printed timing would cover only
+    # the first
+    rows = df.collect()
+    elapsed = time.perf_counter() - t0
+    spark.createDataFrame(rows[: args.show], df.schema).show(
+        args.show, truncate=False
+    )
+    print(f"{args.query}: {len(rows)} rows in {elapsed:.2f}s")
     if args.check:
-        return _check(df, REGISTRY[args.query].oracle, args)
+        return _check(df.columns, rows, REGISTRY[args.query].oracle, args)
     return 0
 
 
-def _check(df, oracle_sql: str | None, args) -> int:
-    """Run the DuckDB oracle and compare (sorted columns, normalized
-    floats, order-insensitive value multiset) — the same gate the
-    external driver and tests/test_oracle_parity.py apply."""
-    import math
-
+def _check(spark_cols, spark_rows, oracle_sql: str | None, args) -> int:
+    """Run the DuckDB oracle and compare via the SHARED gate helper
+    (vectorsearch_scylla_spark.oracle) — the same normalization
+    tests/test_oracle_parity.py applies, so the two gates cannot
+    drift."""
     import duckdb
+
+    from vectorsearch_scylla_spark.oracle import compare_results
 
     if oracle_sql is None:
         print("no SQL oracle registered for this query (rows-only check)")
@@ -84,25 +140,15 @@ def _check(df, oracle_sql: str | None, args) -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(args.sf_dir, t)}.parquet'"
         )
-
-    def norm(v):
-        if isinstance(v, float):
-            return "NaN" if math.isnan(v) else round(v + 0.0, 9)
-        return v
-
     res = con.execute(oracle_sql)
     dcols = [d[0] for d in res.description]
     drows = res.fetchall()
-    scols = df.columns
-    srows = [tuple(r) for r in df.collect()]
-    o_s = sorted(range(len(scols)), key=lambda i: scols[i])
-    o_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
-    ms = sorted(tuple(norm(r[i]) for i in o_s) for r in srows)
-    md = sorted(tuple(norm(r[i]) for i in o_d) for r in drows)
-    ok = sorted(scols) == sorted(dcols) and ms == md
+    srows = [tuple(r) for r in spark_rows]
+    ok, reason = compare_results(spark_cols, srows, dcols, drows)
     print(
         f"oracle check: {'MATCH' if ok else 'MISMATCH'} "
         f"(spark {len(srows)} rows vs duckdb {len(drows)})"
+        + (f" — {reason}" if reason else "")
     )
     return 0 if ok else 1
 
