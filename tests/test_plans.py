@@ -53,13 +53,14 @@ _PINNED = [
     "path2_anomaly",
     "detect_consensus",
     "device_profile_build",
-    "metric_delta_top3",
     "similar_state_metric_diff",
     "knn_bruteforce",
     "knn_distributed",
     "sq8_knn",
+    "sq8_ivf_knn",
     "knn_same_label",
     "ivf_knn",
+    "ivf_grouped_knn",
     "lsh_knn",
     "pq_knn",
     "ivfpq_knn",

@@ -121,14 +121,24 @@ def build_profiles(
             e["value"].cast("double").alias("val"),
         ),
     )
-    # null/absent metrics map must not swallow the embedding entries:
-    # concat(x, NULL) is NULL, so coalesce the metrics side to a typed
-    # empty array (slice of the non-null embedding side).
+    # concat(x, NULL) is NULL and explode drops NULL rows, so BOTH
+    # sides coalesce to a typed empty array — a null metrics map must
+    # not swallow the embedding entries, and a null embedding (contract
+    # violation, but cheap to be safe against) must not silently drop
+    # that snapshot's metric entries.  NB: a null-embedding snapshot
+    # still contributes no per-pos rows, so it is excluded from
+    # snapshot_count (derived from per-(key, pos) counts).
+    empty_entries = F.array().cast(
+        "array<struct<kind:string,name:string,pos:int,val:double>>"
+    )
     ent = normal.select(
         key,
         "snapshot_time",
         F.explode(
-            F.concat(e_entries, F.coalesce(m_entries, F.slice(e_entries, 1, 0)))
+            F.concat(
+                F.coalesce(e_entries, empty_entries),
+                F.coalesce(m_entries, empty_entries),
+            )
         ).alias("ent"),
     ).select(key, "snapshot_time", "ent.*")
     per_entry = ent.groupBy(key, "kind", "name", "pos").agg(

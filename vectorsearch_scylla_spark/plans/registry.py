@@ -109,82 +109,83 @@ def query(name: str, oracle: str | None, survey_ids: list[str], doc: str = ""):
 # entries of ``queries()``/``oracle_sql()`` (registration order).  The
 # registry has outgrown that window, so exposure order is decoupled
 # from source order: DRIVER_WINDOW pins the 50 queries that get a hard
-# driver row this round — everything never driver-checked before
-# (r03 registration slots 51-74: the streaming e2e family, lsh_knn,
-# tfidf, percentiles, sessionization, ...) plus the queries whose
-# implementation changed this round (pq_knn/ivfpq_knn fast-ADC swap,
-# lsh_knn rewrite) plus the flagship detection/ANN core.  Rotated-out
-# queries (3-rounds-green relational core and dedup family) keep full
+# driver row this round.
+#
+# ROTATION POLICY (instituted r5): no registered query's latest hard
+# driver row may age past ONE round.  Each round's window leads with
+# every query whose last in-window round is round-1 (the stalest
+# half), then the queries added or changed this round, then flagship
+# re-certifications; the remainder sit out exactly one round.  The
+# committed manifest ``plans/window_history.json`` records each
+# query's last in-window round and ``tests/test_oracle_parity.py::
+# test_window_rotation_policy`` pins the invariant (every query ≥
+# round-1, window entries == round).  Rotated-out queries keep full
 # verification via tests/test_oracle_parity.py, which replicates the
 # driver gate over the ENTIRE registry at sf0.001.
 DRIVER_WINDOW: list[str] = [
-    # -- never driver-checked before round 4 (r03 slots 51-74) --------
-    "pii_redaction",
-    "source_mix_summary",
-    "dedup_incremental",
-    "metric_delta_top3",
-    "similar_state_metric_diff",
-    "embedding_input_text",
-    "fleet_config_source",
-    "media_byte_features",
-    "media_frame_sample",
+    # -- stale first: every query whose last driver row is r01-r03 ----
+    "pricing_summary",
+    "latest_event_per_user",
+    "top_orders_per_customer",
+    "market_share",
+    "conditional_counts",
+    "range_scan",
+    "asof_event_snapshot_join",
+    "lww_window_snapshot",
+    "rolling_metric_stats",
+    "asof_nearest_join",
+    "tumbling_window_counts",
+    "window_pivot_snapshot",
+    "knn_label_purity",
+    "knn_same_label",
+    "relationship_rules",
+    "device_statistics",
+    "fleet_simulator",
+    "dedup_exact",
+    "text_quality",
+    "token_stats_by_lang",
+    "minhash_signatures",
+    "minhash_dup_buckets",
+    "simhash_fingerprints",
+    "simhash_dup_pairs",
+    "dedup_canonical",
+    "ngram_jaccard_pairs",
+    "language_id",
+    "doc_fingerprint",
+    "corpus_quality_filter",
+    "stratified_sample",
+    "benchmark_decontam",
+    "token_packing",
+    "doc_chunking",
+    # -- new in round 5 ------------------------------------------------
+    "ivf_grouped_knn",
+    "sq8_ivf_knn",
+    # -- implementation changed in round 5 (must re-certify): profiles
+    # fused-explode null-coalesce (device_profile_build), hyperplane
+    # n_bands 8→16 (embedding_neardup_pairs, semantic_dedup_keepers),
+    # re-materialized derived caches (dedup_clusters/funnel edges,
+    # streaming_neardup_e2e base signatures), folded-superset role
+    # (similar_state_metric_diff absorbs metric_delta_top3) -----------
+    "device_profile_build",
     "embedding_neardup_pairs",
-    "lsh_knn",
-    "event_props_stats",
-    "bpe_token_estimate",
-    "customer_order_coverage",
-    "metric_percentiles",
-    "resample_daily_locf",
-    "approx_distinct_check",
-    "source_lang_rollup",
-    "event_sessionization",
-    "tfidf_top_terms",
-    # -- new in round 4 ------------------------------------------------
-    "metric_percentiles_approx",
-    "domain_doc_cap",
-    "doc_repetition_stats",
     "semantic_dedup_keepers",
-    "unigram_logprob_score",
-    "token_budget_sample",
-    "sq8_knn",
-    "chunk_dedup",
-    # -- implementation changed in round 4 (must re-certify) -----------
-    "pq_knn",
-    "ivfpq_knn",
-    # -- flagship detection / ANN / streaming-twin core -----------------
+    "similar_state_metric_diff",
+    "dedup_clusters",
+    "dedup_pipeline_funnel",
+    # -- flagship detection / ANN core (fresh re-certification) --------
     "path2_anomaly",
     "detect_consensus",
-    "device_profile_build",
-    "profile_rebuild_after_feedback",
     "knn_bruteforce",
     "knn_distributed",
     "ivf_knn",
-    "path3_novelty_flags",
-    "zscore_outliers",
-    "threshold_rules",
-    "anomaly_events_build",
-    "retention_sweep",
-    # (rotated out round 4, still parity-suite-covered: lww_window_snapshot,
-    #  rolling_metric_stats, asof_event_snapshot_join, tumbling_window_counts
-    #  — each driver-green three straight rounds; asof_nearest_join in
-    #  favor of unigram_logprob_score; window_pivot_snapshot in favor of
-    #  knn_distributed — its pivot mechanism stays in-window via
-    #  path2_anomaly and streaming_window_pivot; knn_label_purity,
-    #  relationship_rules, fleet_simulator in favor of the round-4
-    #  newest: token_budget_sample, sq8_knn, chunk_dedup,
-    #  streaming_neardup_e2e; device_statistics likewise)
-    "dedup_clusters",
-    "dedup_pipeline_funnel",
+    "sq8_knn",
+    "pq_knn",
+    "ivfpq_knn",
     # -- streaming e2e LAST: a completed Structured Streaming query
     # leaves residue in the shared local JVM that intermittently slows
     # later heavy batch queries 10-50x (see .claude/skills/verify) —
     # so every batch query must run before the first stream starts.
     "streaming_neardup_e2e",
-    "streaming_dedup_e2e",
-    "streaming_novelty_e2e",
-    "streaming_detect_e2e",
-    "streaming_rolling_stats",
-    "streaming_window_pivot",
 ]
 
 
@@ -673,32 +674,10 @@ def q_window_pivot_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pivot_spark(spark, sf_dir, 86400)
 
 
-@query(
-    "metric_stats_profile",
-    RAW_CTE
-    + f"""
-    SELECT device_id, metric_name,
-           {Q("avg(metric_value)")}        AS mean,
-           {Q("stddev_pop(metric_value)")} AS std,
-           round(min(metric_value), 2)     AS min_value,
-           round(max(metric_value), 2)     AS max_value,
-           CAST(count(*) AS BIGINT)        AS n
-    FROM raw
-    GROUP BY device_id, metric_name
-    """,
-    ["A5"],
-    "Per-(device, metric) profile stats; population std matches np.std "
-    "(pipeline/build_profiles.py:131, SURVEY §7.5).",
-)
-def q_metric_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    raw = device_metrics_raw(spark, sf_dir)
-    return raw.groupBy("device_id", "metric_name").agg(
-        quantize(F.avg("metric_value")).alias("mean"),
-        quantize(F.stddev_pop("metric_value")).alias("std"),
-        F.round(F.min("metric_value"), 2).alias("min_value"),
-        F.round(F.max("metric_value"), 2).alias("max_value"),
-        F.count("*").alias("n"),
-    )
+# (metric_stats_profile was folded into device_profile_build in r5:
+# its per-(device, metric) avg/stddev_pop/min/max surface is a strict
+# subset of device_profile_build's checked columns, which flow through
+# the REAL operator stack rather than a standalone groupBy.)
 
 
 # =====================================================================
@@ -807,28 +786,12 @@ def q_threshold_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Vector layer (SURVEY §2.6) — embeddings table
 # =====================================================================
 
-@query(
-    "centroid_by_label",
-    f"""
-    WITH exploded AS (
-        SELECT label,
-               unnest(generate_series(1, len(embedding))) - 1 AS pos,
-               unnest(embedding) AS val
-        FROM embeddings
-    )
-    SELECT label, CAST(pos AS INT) AS pos, {Q("avg(val)")} AS mean_val
-    FROM exploded
-    GROUP BY label, pos
-    """,
-    ["A4", "V5"],
-    "Element-wise embedding centroid per label, exploded to (label, pos, "
-    "mean_val) rows so the value hash is array-layout-free. Parity: "
-    "pipeline/build_profiles.py:90-105 (np.mean axis=0).",
-)
-def q_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    pos = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
-    return pos.groupBy("label", "pos").agg(quantize(F.avg("val")).alias("mean_val"))
+# (centroid_by_label was folded into device_profile_build in r5: the
+# posexplode → groupBy(key, pos) → avg centroid is the identical code
+# path device_profile_build certifies per device — and ivf_knn's
+# trained quantizer certifies quantized centroid means per cluster —
+# so a second standalone centroid oracle added rotation pressure
+# without adding checked surface.)
 
 
 # cosine with zero-norm guard, DuckDB side (double precision)
@@ -857,7 +820,9 @@ KNN_COS = (
     "k` replacement (pipeline/path3_vector_search.py:117-127) with "
     "self-exclusion in the join predicate.",
 )
-def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_knn_bruteforce(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -872,7 +837,7 @@ def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = topk_similarity_join_blocked(
         queries,
         corpus,
-        k=5,
+        k=k,
         query_id="query_id",
         corpus_id="neighbor_id",
         exclude_self=True,
@@ -1101,7 +1066,9 @@ def _ivf_kmeans_cte(k: int, iters: int, nprobe: int, querymod: int) -> str:
     "minus the driver bottleneck.  Block counts 4×4 here so the "
     "fixture genuinely exercises the multi-cell candidate merge.",
 )
-def q_knn_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_knn_distributed(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> DataFrame:
     from vectorsearch_scylla_spark.operators.knn import (
         topk_similarity_join_cogrouped,
     )
@@ -1116,7 +1083,7 @@ def q_knn_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = topk_similarity_join_cogrouped(
         queries,
         corpus,
-        k=5,
+        k=k,
         corpus_id="neighbor_id",
         exclude_self=True,
         dtype="float64",
@@ -1135,6 +1102,21 @@ _SQ8_COS = (
     "CASE WHEN list_sum(list_transform(a.embedding::DOUBLE[], x -> x*x)) = 0 "
     "  OR list_sum(list_transform(b.rvec, x -> x*x)) = 0 THEN 0.0 "
     "ELSE list_cosine_similarity(a.embedding::DOUBLE[], b.rvec) END"
+)
+
+# SQ8 quantize→dequantize as ONE Spark SQL expression over a DOUBLE
+# array column named `embedding`: per-vector max-abs/127 scale, int8
+# code via an actual TINYINT cast (bit-identical to the DuckDB twin),
+# dequantized back to DOUBLE.  The scale is captured as a lambda
+# variable via a 1-element array so it evaluates once per row —
+# referencing a projected `scale` column inside the per-element lambda
+# gets collapse-inlined by Catalyst and re-computes the array_max per
+# element (O(d²)/row, the r4 expression-reevaluation trap).
+_SQ8_DEQUANT_EXPR = (
+    "element_at(transform("
+    "  array(greatest(array_max(transform(embedding, y -> abs(y))), 1e-12d) / 127.0d),"
+    "  s -> transform(embedding, x -> CAST(CAST(floor(x / s + 0.5d) AS TINYINT) AS DOUBLE) * s)"
+    "), 1)"
 )
 
 
@@ -1176,26 +1158,20 @@ _SQ8_COS = (
     "shape: quantization is a map-only projection; ranking reuses the "
     "blocked BLAS kernel (corpus never shuffles).  A production "
     "deployment materializes the code table once like build_pq_index "
-    "and composes with IVF probes exactly as ivfpq_knn does.",
+    "and composes with IVF probes — sq8_ivf_knn below IS that "
+    "composition (probe-pruned grouped scan over the quantized "
+    "inverted lists), certified by its own oracle row.",
 )
-def q_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_sq8_knn(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    # the scale is CAPTURED as a lambda variable via a 1-element array
-    # so it evaluates once per row — referencing a projected `scale`
-    # column inside the per-element lambda gets collapse-inlined by
-    # Catalyst and re-computes the array_max per element (O(d²)/row,
-    # the r4 expression-reevaluation trap)
     recon = vecs.select(
         F.col("vec_id").alias("neighbor_id"),
-        F.expr(
-            "element_at(transform("
-            "  array(greatest(array_max(transform(embedding, y -> abs(y))), 1e-12d) / 127.0d),"
-            "  s -> transform(embedding, x -> CAST(CAST(floor(x / s + 0.5d) AS TINYINT) AS DOUBLE) * s)"
-            "), 1)"
-        ).alias("corpus_vec"),
+        F.expr(_SQ8_DEQUANT_EXPR).alias("corpus_vec"),
     )
     queries = vecs.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -1203,7 +1179,7 @@ def q_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = topk_similarity_join_blocked(
         queries,
         recon,
-        k=5,
+        k=k,
         corpus_id="neighbor_id",
         exclude_self=True,
         dtype="float64",
@@ -1247,7 +1223,9 @@ def q_sq8_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(Replaces the reference's HNSW index build, "
     "scylladb_setup/create_iot_schema.py:137-155.)",
 )
-def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ivf_knn(
+    spark: SparkSession, sf_dir: str, k: int = 5, nprobe: int = IVF_NPROBE
+) -> DataFrame:
     from vectorsearch_scylla_spark.operators.ivf import (
         build_ivf_index,
         probe_clusters,
@@ -1269,7 +1247,7 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
         ),
         cents,
-        nprobe=IVF_NPROBE,
+        nprobe=nprobe,
         vec_col="query_vec",
     )
     # prune the inverted-list scan to the probed clusters — with k=8
@@ -1288,7 +1266,7 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = topk_similarity_join_blocked(
         queries.select("query_id", "query_vec", "cluster_id"),
         corpus,
-        k=5,
+        k=k,
         query_id="query_id",
         corpus_id="neighbor_id",
         exclude_self=True,
@@ -1301,6 +1279,195 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         "neighbor_id",
         "cluster_id",
+        quantize(F.col("similarity")).alias("similarity"),
+        "rank",
+    )
+
+
+# Realistic-K IVF: K ≈ √N at the fixture corpus (√500 ≈ 22), nprobe
+# scaled so each query scans ~3/22 ≈ 14 % of the corpus — the
+# configuration you'd actually ship (bench_scale.py measures this same
+# code path 18.6× faster than exact at the 100× point, recall@5 0.89).
+IVF_GK = 22
+IVF_GITERS = 2
+IVF_GNPROBE = 3
+
+
+@query(
+    "ivf_grouped_knn",
+    f"""
+    WITH {_ivf_kmeans_cte(IVF_GK, IVF_GITERS, IVF_GNPROBE, 25)}
+    SELECT query_id, neighbor_id, {Q("similarity")} AS similarity,
+           CAST(rank AS INT) AS rank
+    FROM (
+        SELECT p.query_id, m.vec_id AS neighbor_id,
+               {_cos_sql("a.embedding", "m.embedding")} AS similarity,
+               row_number() OVER (PARTITION BY p.query_id
+                                  ORDER BY {_cos_sql("a.embedding", "m.embedding")} DESC,
+                                           m.vec_id ASC) AS rank
+        FROM probes p
+        JOIN vecs a ON a.vec_id = p.query_id
+        JOIN members m ON m.cluster_id = p.cluster_id AND m.vec_id <> p.query_id
+    ) WHERE rank <= 5
+    """,
+    ["V3", "V4", "A4", "J3", "W2", "ANN-IVF"],
+    "IVF kNN at the PRODUCTION configuration — K ≈ √N (22 at the "
+    "fixture's 500 vectors), nprobe=3, fully distributed grouped probe "
+    "scan: probe fan-out and inverted lists COGROUPED on cluster_id "
+    "(operators/ivf.py:ivf_probe_topk_grouped), one blocked BLAS "
+    "matmul per cluster, so total dot products are Q·N·(nprobe/K) and "
+    "NEITHER side ever collects to the driver (contrast ivf_knn's "
+    "toy-constant path, whose K=8/nprobe=2 means each probe scans ¼ "
+    "of the corpus and whose blocked kernel broadcasts the probe rows "
+    "driver-side).  Same trained quantizer contract as ivf_knn "
+    "(deterministic Lloyd, md5-seeded init, per-iteration quantized "
+    "centroids) so the unrolled-CTE oracle is bit-identical at K=22, "
+    "and the result is EXACT over the probed clusters — the green row "
+    "certifies the configuration bench_scale.py measures at 18.6× "
+    "over exact search at the 100× point (recall@5 0.89, the standard "
+    "nprobe/K trade).  Replaces the reference's HNSW serving path at "
+    "the brief's scale (scylladb_setup/create_iot_schema.py:137-155).",
+)
+def q_ivf_grouped_knn(
+    spark: SparkSession, sf_dir: str, k: int = 5, nprobe: int = IVF_GNPROBE
+) -> DataFrame:
+    from vectorsearch_scylla_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_probe_topk_grouped,
+        probe_clusters,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents, lists_path = build_ivf_index(
+        vecs,
+        _sf_cache_token(sf_dir, "ivfg", IVF_GK, IVF_GITERS),
+        k=IVF_GK,
+        iters=IVF_GITERS,
+    )
+    members = spark.read.parquet(lists_path).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("corpus_vec"),
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+    )
+    probes = probe_clusters(
+        vecs.filter(F.col("vec_id") % 25 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        ),
+        cents,
+        nprobe=nprobe,
+        vec_col="query_vec",
+    )
+    out = ivf_probe_topk_grouped(
+        probes,
+        members,
+        k=k,
+        query_id="query_id",
+        corpus_id="neighbor_id",
+        exclude_self=True,
+        dtype="float64",
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        quantize(F.col("similarity")).alias("similarity"),
+        "rank",
+    )
+
+
+@query(
+    "sq8_ivf_knn",
+    f"""
+    WITH {_ivf_kmeans_cte(IVF_GK, IVF_GITERS, IVF_GNPROBE, 50)},
+    recon AS (
+        SELECT vec_id, cluster_id,
+               list_transform(embedding,
+                              x -> CAST(CAST(floor(x / scale + 0.5) AS TINYINT) AS DOUBLE) * scale) AS rvec
+        FROM (
+            SELECT vec_id, cluster_id, embedding,
+                   greatest(list_max(list_transform(embedding, x -> abs(x))), 1e-12) / 127.0 AS scale
+            FROM members
+        )
+    )
+    SELECT query_id, neighbor_id, {Q("similarity")} AS similarity,
+           CAST(rank AS INT) AS rank
+    FROM (
+        SELECT p.query_id, r.vec_id AS neighbor_id,
+               {_cos_sql("a.embedding", "r.rvec")} AS similarity,
+               row_number() OVER (PARTITION BY p.query_id
+                                  ORDER BY {_cos_sql("a.embedding", "r.rvec")} DESC,
+                                           r.vec_id ASC) AS rank
+        FROM probes p
+        JOIN vecs a ON a.vec_id = p.query_id
+        JOIN recon r ON r.cluster_id = p.cluster_id AND r.vec_id <> p.query_id
+    ) WHERE rank <= 5
+    """,
+    ["V3", "V4", "J3", "W2", "ANN-SQ8", "ANN-IVF"],
+    "IVF × SQ8 composition — the actually-shipped FAISS `IVF,SQ8` "
+    "shape: the realistic-K coarse quantizer (K≈√N, shared with "
+    "ivf_grouped_knn's build-once index, so the lists materialize "
+    "ONCE for both queries), inverted lists stored as int8 codes + "
+    "one per-vector scale (4× fewer bytes at rest), probes pruned to "
+    "nprobe clusters, and the grouped per-cluster kernel ranks "
+    "full-precision queries against the DEQUANTIZED candidates "
+    "(asymmetric scoring).  Both compression levers compose: scanned "
+    "bytes drop by nprobe/K × 4.  The TINYINT-cast quantize path is "
+    "bit-identical across engines (sq8_knn's contract), so the "
+    "unrolled-CTE oracle certifies train → assign → quantize → "
+    "dequantize → probe-pruned rank end-to-end.  Delivers the "
+    "composition sq8_knn's docstring promises.",
+)
+def q_sq8_ivf_knn(
+    spark: SparkSession, sf_dir: str, k: int = 5, nprobe: int = IVF_GNPROBE
+) -> DataFrame:
+    from vectorsearch_scylla_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_probe_topk_grouped,
+        probe_clusters,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    # SAME cache token as ivf_grouped_knn: one index build serves both
+    cents, lists_path = build_ivf_index(
+        vecs,
+        _sf_cache_token(sf_dir, "ivfg", IVF_GK, IVF_GITERS),
+        k=IVF_GK,
+        iters=IVF_GITERS,
+    )
+    # the quantized code table: in production this projection is
+    # materialized once next to the lists (4× smaller than the floats);
+    # here it stays an expression over the list parquet so the oracle
+    # certifies the exact quantize math rather than a stored artifact
+    codes = spark.read.parquet(lists_path).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+        F.expr(_SQ8_DEQUANT_EXPR).alias("corpus_vec"),
+    )
+    probes = probe_clusters(
+        vecs.filter(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        ),
+        cents,
+        nprobe=nprobe,
+        vec_col="query_vec",
+    )
+    out = ivf_probe_topk_grouped(
+        probes,
+        codes,
+        k=k,
+        query_id="query_id",
+        corpus_id="neighbor_id",
+        exclude_self=True,
+        dtype="float64",
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
         quantize(F.col("similarity")).alias("similarity"),
         "rank",
     )
@@ -1448,7 +1615,9 @@ def _pq_cte(
     "directly.  (Compressed ANN residency replaces the reference's "
     "in-database HNSW, scylladb_setup/create_iot_schema.py:137-155.)",
 )
-def q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_pq_knn(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> DataFrame:
     from vectorsearch_scylla_spark.operators.pq import (
         build_pq_index,
         pq_adc_topk_np,
@@ -1476,7 +1645,7 @@ def q_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     topk = pq_adc_topk_np(
-        queries, codes, books, k=5, dsub=PQ_DSUB, exclude_self=True,
+        queries, codes, books, k=k, dsub=PQ_DSUB, exclude_self=True,
         dtype="float64",  # quantize-identical to the DuckDB oracle CTE
     )
     va = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qa"))
@@ -1550,7 +1719,9 @@ _IVFPQ_CB_JOINS = " ".join(
     "HNSW ANN serving path, scylladb_setup/create_iot_schema.py:137-155, "
     "docs/SCYLLADB_VECTOR_SEARCH_REFERENCE.md:49-58.)",
 )
-def q_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ivfpq_knn(
+    spark: SparkSession, sf_dir: str, k: int = 5, nprobe: int = IVF_NPROBE
+) -> DataFrame:
     from vectorsearch_scylla_spark.operators.ivf import (
         build_ivf_index,
         probe_clusters,
@@ -1576,7 +1747,7 @@ def q_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = vecs.filter(F.col("vec_id") % 25 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    probes = probe_clusters(queries, cents, nprobe=IVF_NPROBE, vec_col="query_vec")
+    probes = probe_clusters(queries, cents, nprobe=nprobe, vec_col="query_vec")
     # prune the inverted-list scan to probed clusters (partition pruning
     # at scale), then fan candidates out per probe — each corpus vector
     # lives in exactly one cluster, so probe unions stay duplicate-free
@@ -1602,7 +1773,7 @@ def q_ivfpq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(members, "neighbor_id")
     )
     topk = pq_adc_topk_np(
-        queries, codes, books, k=5, dsub=PQ_DSUB,
+        queries, codes, books, k=k, dsub=PQ_DSUB,
         exclude_self=True, dtype="float64",
         probes=probes.select("query_id", "cluster_id"),
     )
@@ -1794,14 +1965,18 @@ def q_path2_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN meta me ON st.device_id = me.device_id
     JOIN centroid c ON c.device_id = st.device_id AND c.metric_name = st.metric_name
     """,
-    ["A4", "A5", "A9", "P9", "V5", "V2"],
+    ["A4", "A5", "A9", "P9", "V5", "V2", "F12"],
     "Behavior-profile build end-to-end through the REAL operator stack "
     "(operators/profiles.py:build_profiles over "
     "operators/window_pivot.py:tumbling_window_snapshots): 60 s map "
     "snapshots → deterministic metric-vector featurizer → per-device "
     "embedding centroid (posexplode path) + per-metric population-std "
     "stats + last_seen/snapshot_count, devices with ≥5 snapshots only "
-    "(pipeline/build_profiles.py:173-232).",
+    "(pipeline/build_profiles.py:173-232).  Absorbs the folded r1-r4 "
+    "queries metric_stats_profile (its per-metric stats surface is a "
+    "subset of these columns) and centroid_by_label (same posexplode "
+    "centroid path, here checked per device); the map explode + "
+    "element_at featurizer also covers F12's map-op surface.",
 )
 def q_device_profile_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectorsearch_scylla_spark.operators.profiles import build_profiles
@@ -2647,7 +2822,7 @@ def _dedup_component_edges(docs: DataFrame, sf_dir: str) -> DataFrame:
     )
     edges = near.union(exact).distinct()
     return docs.sparkSession.read.parquet(
-        _materialize_once(edges, "vss_dedup_edges", sf_dir)
+        _materialize_once(edges, "vss_dedup_edges", sf_dir, logic="simhash-exact-edges-v1")
     )
 
 
@@ -3800,72 +3975,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "metric_delta_top3",
-    RAW_CTE
-    + f"""
-    , snap AS (
-        SELECT device_id,
-               CAST(floor(epoch(timestamp) / 86400) * 86400 AS BIGINT) AS window_start,
-               metric_name, {Q("avg(metric_value)")} AS v
-        FROM raw GROUP BY 1, 2, 3
-    )
-    SELECT device_id, window_start, metric_name, v, prev_v, delta, pct_change, rnk
-    FROM (
-        SELECT cur.device_id, cur.window_start, cur.metric_name,
-               cur.v, prev.v AS prev_v,
-               {Q("cur.v - prev.v")} AS delta,
-               {Q("CASE WHEN prev.v <> 0 THEN (cur.v - prev.v) / prev.v * 100.0 END")} AS pct_change,
-               CAST(row_number() OVER (
-                   PARTITION BY cur.device_id, cur.window_start
-                   ORDER BY abs(CASE WHEN prev.v <> 0 THEN (cur.v - prev.v) / prev.v * 100.0 ELSE 0 END) DESC,
-                            cur.metric_name ASC) AS INT) AS rnk
-        FROM snap cur JOIN snap prev
-          ON cur.device_id = prev.device_id
-         AND cur.window_start = prev.window_start + 86400
-         AND cur.metric_name = prev.metric_name
-    ) WHERE rnk <= 3
-    """,
-    ["V8", "W3", "F11", "F12"],
-    "Metric-delta comparison: each daily snapshot vs the previous day's, "
-    "top-3 metrics by |% change| with ÷0 guard — the find-similar-states "
-    "drill-down (pipeline/find_similar_states.py:152-170,276-289).",
-)
-def q_metric_delta_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    raw = device_metrics_raw(spark, sf_dir)
-    snap = raw.groupBy(
-        "device_id",
-        window_start("timestamp", 86400).alias("window_start"),
-        "metric_name",
-    ).agg(quantize(F.avg("metric_value")).alias("v"))
-    cur, prev = snap.alias("cur"), snap.alias("prev")
-    j = cur.join(
-        prev,
-        (F.col("cur.device_id") == F.col("prev.device_id"))
-        & (F.col("cur.window_start") == F.col("prev.window_start") + 86400)
-        & (F.col("cur.metric_name") == F.col("prev.metric_name")),
-    )
-    pct = F.when(
-        F.col("prev.v") != 0,
-        (F.col("cur.v") - F.col("prev.v")) / F.col("prev.v") * 100.0,
-    )
-    w = Window.partitionBy("cur.device_id", "cur.window_start").orderBy(
-        F.abs(F.coalesce(pct, F.lit(0.0))).desc(), F.col("cur.metric_name").asc()
-    )
-    return (
-        j.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 3)
-        .select(
-            F.col("cur.device_id").alias("device_id"),
-            F.col("cur.window_start").alias("window_start"),
-            F.col("cur.metric_name").alias("metric_name"),
-            F.col("cur.v").alias("v"),
-            F.col("prev.v").alias("prev_v"),
-            quantize(F.col("cur.v") - F.col("prev.v")).alias("delta"),
-            quantize(pct).alias("pct_change"),
-            "rnk",
-        )
-    )
+# (metric_delta_top3 was folded into similar_state_metric_diff in r5:
+# its previous-day stand-in for the V8 metric-delta drill-down was
+# superseded by the neighbor-relative diff below, which exercises the
+# same ÷0-guarded pct-change + top-3-by-|pct| ranking against the
+# ACTUAL most-similar historical state the reference diffs against.)
 
 
 # similar_state_metric_diff: 5-dim q/s cosine + per-metric unpivot SQL
@@ -4259,13 +4373,20 @@ def _emb_with_planted_dups(emb: DataFrame) -> DataFrame:
     """,
     ["DEDUP-EMBED", "V1", "V3"],
     "Embedding-cosine near-duplicate pairs over the planted corpus — "
-    "the 100 TB path: seeded random-hyperplane LSH signatures (8 bands "
-    "× 16 bits), per-band equi-join candidates, exact float64 cosine "
-    "kernel over candidates only, threshold 0.92.  Nothing collects to "
-    "the driver and the corpus never self-joins at full width "
-    "(functions/hyperplane.py); the oracle is the exhaustive O(N²) "
-    "pair join, so the green row also certifies LSH recall = 1.0 on "
-    "every above-threshold pair.",
+    "the 100 TB path: seeded random-hyperplane LSH signatures (16 "
+    "bands × 16 bits), per-band equi-join candidates, exact float64 "
+    "cosine kernel over candidates only, threshold 0.92.  Nothing "
+    "collects to the driver and the corpus never self-joins at full "
+    "width (functions/hyperplane.py); the oracle is the exhaustive "
+    "O(N²) pair join, so the green row also certifies LSH recall = "
+    "1.0 on every above-threshold pair.  Band count note: 0.92 is a "
+    "LOOSE threshold for hyperplane LSH — a pair at exactly 0.92 "
+    "collides in one 16-bit band with prob ~0.11, so 8 bands would "
+    "miss it ~39% of the time; 16 bands cut that to ~15%, and the "
+    "planted pairs sit at ≥0.99 where the miss prob is <1e-4.  At a "
+    "tighter operating point, spend bands (linear cost) or shrink "
+    "band_bits (more candidates) until the boundary-miss bound fits "
+    "the recall budget.",
 )
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectorsearch_scylla_spark.functions.hyperplane import (
@@ -4273,7 +4394,7 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _emb_with_planted_dups(load_table(spark, sf_dir, "embeddings"))
-    pairs = hyperplane_near_dup_pairs(emb, threshold=0.92, dim=64)
+    pairs = hyperplane_near_dup_pairs(emb, threshold=0.92, dim=64, n_bands=16)
     return pairs.select("id_a", "id_b", quantize(F.col("similarity")).alias("similarity"))
 
 
@@ -4310,7 +4431,9 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "floor — pipeline/find_similar_states.py:106-134, "
     "docs/SCYLLADB_VECTOR_SEARCH_REFERENCE.md:49-58).",
 )
-def q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_lsh_knn(
+    spark: SparkSession, sf_dir: str, k: int = 1, n_bands: int = 16
+) -> DataFrame:
     from vectorsearch_scylla_spark.functions.hyperplane import hyperplane_topk_join
 
     emb = _emb_with_planted_dups(load_table(spark, sf_dir, "embeddings"))
@@ -4323,10 +4446,10 @@ def q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = hyperplane_topk_join(
         queries,
         corpus,
-        k=1,
+        k=k,
         query_id="query_id",
         corpus_id="neighbor_id",
-        n_bands=16,
+        n_bands=n_bands,
         band_bits=16,
         seed=42,
         dim=64,
@@ -4361,12 +4484,21 @@ def q_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "representative (min partner id), partner count and max "
     "similarity.  Completes DEDUP-EMBED from pair DISCOVERY "
     "(embedding_neardup_pairs) into the curation DECISION the "
-    "training pipeline actually applies.  The oracle derives the same "
-    "keep set from the exhaustive O(N²) join, so a green row also "
-    "re-certifies LSH recall on every dropped vector.  Scale shape "
-    "matches embedding_neardup_pairs: banded equi-join candidates, "
-    "nothing collects to the driver, output bounded by the true "
-    "near-dup count.",
+    "training pipeline actually applies.  KEEPER SEMANTICS ARE "
+    "NON-TRANSITIVE BY DESIGN (SemDeDup's own greedy rule): kept_id "
+    "= min direct partner id, and in a chain A~B, B~C with A≁C the "
+    "reported keeper of C (=B) is itself dropped — kept_id names the "
+    "evidence pair, not a canonical cluster survivor.  For a "
+    "transitive canonical representative, feed these pairs through "
+    "dedup_clusters' connected components and take the cluster min "
+    "(dedup_canonical does exactly that).  Band count: 16 bands × 16 "
+    "bits — at the loose 0.92 threshold a boundary pair collides with "
+    "prob ~0.85 (vs ~0.61 at 8 bands); the planted pairs sit ≥0.99 "
+    "where the miss prob is <1e-4, and the exhaustive oracle turns "
+    "any real miss into a red row rather than silent recall loss.  "
+    "Scale shape matches embedding_neardup_pairs: banded equi-join "
+    "candidates, nothing collects to the driver, output bounded by "
+    "the true near-dup count.",
 )
 def q_semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectorsearch_scylla_spark.functions.hyperplane import (
@@ -4374,7 +4506,7 @@ def q_semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _emb_with_planted_dups(load_table(spark, sf_dir, "embeddings"))
-    pairs = hyperplane_near_dup_pairs(emb, threshold=0.92, dim=64)
+    pairs = hyperplane_near_dup_pairs(emb, threshold=0.92, dim=64, n_bands=16)
     return pairs.groupBy(F.col("id_b").alias("dropped_id")).agg(
         F.min("id_a").alias("kept_id"),
         F.count("*").alias("n_partners"),
@@ -4960,14 +5092,23 @@ def _stream_source_dir(raw: DataFrame, sf_dir: str) -> str:
     rather than silently reusing a stale one, and the copy is staged in
     a unique temp dir then atomically renamed into place so concurrent
     runs never observe (or destroy) a half-written source."""
-    return _materialize_once(raw, "vss_stream_src", sf_dir)
+    return _materialize_once(raw, "vss_stream_src", sf_dir, logic="raw-proj-v1")
 
 
-def _materialize_once(df: DataFrame, prefix: str, sf_dir: str) -> str:
+def _materialize_once(
+    df: DataFrame, prefix: str, sf_dir: str, logic: str = ""
+) -> str:
     """Write ``df`` to a reusable parquet dir keyed by (sf_dir source
-    fingerprints, df dtypes); concurrent/repeat-safe via staging dir +
-    atomic rename.  The disk twin of a persisted table: what a real
-    deployment's earlier batch job would have left behind."""
+    fingerprints, df dtypes, ``logic`` version token); concurrent/
+    repeat-safe via staging dir + atomic rename.  The disk twin of a
+    persisted table: what a real deployment's earlier batch job would
+    have left behind.
+
+    ``logic`` MUST be bumped whenever the transform that computes
+    ``df`` changes (kernel rewrite, planting tweak, parameter change):
+    source stats + dtypes alone cannot see a logic change, and a stale
+    cache would silently feed old derived rows to every later run
+    until the temp dir is cleared."""
     import glob
     import hashlib
     import os
@@ -4984,7 +5125,9 @@ def _materialize_once(df: DataFrame, prefix: str, sf_dir: str) -> str:
     # TIMESTAMP vs TIMESTAMP_NTZ depending on the source generation,
     # and readStream.schema(raw.schema) must match the staged files
     cols = [f"{c}:{t}" for c, t in df.dtypes]
-    key = hashlib.md5(("|".join([sf_dir, *cols, *stats])).encode()).hexdigest()[:12]
+    key = hashlib.md5(
+        ("|".join([sf_dir, logic, *cols, *stats])).encode()
+    ).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"{prefix}_{key}")
     if not os.path.isdir(path):
         staging = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
@@ -5165,7 +5308,7 @@ def q_streaming_novelty_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in METRICS
         ]
     )
-    history = spark.read.parquet(_materialize_once(snapb, "vss_snaphist", sf_dir))
+    history = spark.read.parquet(_materialize_once(snapb, "vss_snaphist", sf_dir, logic="lww-pivot-v1"))
     base = tempfile.mkdtemp(prefix="vss_novelty_e2e_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     stream = spark.readStream.schema(raw.schema).parquet(src)
@@ -5276,7 +5419,7 @@ def q_streaming_detect_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     profiles = spark.read.parquet(
-        _materialize_once(profiles_plan, "vss_profiles", sf_dir)
+        _materialize_once(profiles_plan, "vss_profiles", sf_dir, logic="mean-std-v1")
     )
     import atexit
 
@@ -5407,7 +5550,7 @@ def q_streaming_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs_with_planted_dups(load_table(spark, sf_dir, "documents"))
-    src = _materialize_once(docs, "vss_docstream_src", sf_dir)
+    src = _materialize_once(docs, "vss_docstream_src", sf_dir, logic="planted-dups-v1")
     base = tempfile.mkdtemp(prefix="vss_dedup_e2e_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     stream = spark.readStream.schema(docs.schema).parquet(src)
@@ -5465,10 +5608,15 @@ def q_streaming_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     base_sigs = spark.read.parquet(
-        _materialize_once(simhash128(docs.select("doc_id", "text")), "vss_basesigs", sf_dir)
+        _materialize_once(
+            simhash128(docs.select("doc_id", "text")),
+            "vss_basesigs",
+            sf_dir,
+            logic="simhash128-v1",
+        )
     )
     increment = _docs_with_planted_dups(docs).filter(F.col("doc_id") >= 1000000)
-    src = _materialize_once(increment, "vss_neardup_src", sf_dir)
+    src = _materialize_once(increment, "vss_neardup_src", sf_dir, logic="planted-dups-v1")
     base = tempfile.mkdtemp(prefix="vss_neardup_e2e_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     out_dir = os.path.join(base, "pairs")
