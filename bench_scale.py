@@ -326,6 +326,104 @@ def main() -> None:
 
         timed("pq_encode_np", pq_encode)
 
+        # --- Streaming pipeline at 1× and scale×: the batch twins
+        # scale-bench cleanly above; this isolates what the Structured
+        # Streaming MACHINERY costs by running streaming_detect_e2e's
+        # exact pipeline (file source → watermarked LWW pivot →
+        # broadcast-profile Path-1/2 detection → foreachBatch dual
+        # sink, availableNow) on the fixture events and on a scale×
+        # replica (devices replicated with distinct ids, so state
+        # cardinality scales too).  Runs LAST: completed streaming
+        # queries leave JVM residue that slows later batch queries.
+        from vectorsearch_scylla_spark.plans.registry import (
+            METRICS,
+            quantize,
+        )
+        from vectorsearch_scylla_spark.sources.tables import device_metrics_raw
+        from vectorsearch_scylla_spark.operators.window_pivot import window_start
+
+        def stream_detect_point(tag: str, raw_df) -> None:
+            sdir = os.path.join(base, f"stream_{tag}")
+            raw_df.write.parquet(os.path.join(sdir, "src"))
+            raw_m = spark.read.parquet(os.path.join(sdir, "src"))
+            lww = raw_m.groupBy(
+                "device_id",
+                window_start("timestamp", 60).alias("ws"),
+                "metric_name",
+            ).agg(
+                F.max_by(
+                    "metric_value", F.struct("timestamp", "event_id")
+                ).alias("v")
+            )
+            snapb = lww.groupBy("device_id", "ws").agg(
+                *[
+                    F.coalesce(
+                        F.max(F.when(F.col("metric_name") == m, F.col("v"))),
+                        F.lit(0.0),
+                    ).alias(f"m_{m}")
+                    for m in METRICS
+                ]
+            )
+            prof_plan = snapb.groupBy("device_id").agg(
+                *[
+                    a
+                    for m in METRICS
+                    for a in (
+                        quantize(F.avg(f"m_{m}")).alias(f"mean_{m}"),
+                        quantize(F.stddev_pop(f"m_{m}")).alias(f"std_{m}"),
+                    )
+                ]
+            )
+            prof_plan.write.parquet(os.path.join(sdir, "profiles"))
+            profiles = spark.read.parquet(os.path.join(sdir, "profiles"))
+
+            from vectorsearch_scylla_spark.streaming.pipeline import (
+                detect_paths12,
+                detection_sinks,
+                windowed_snapshot_stream,
+            )
+
+            def drain() -> None:
+                stream = spark.readStream.schema(raw_m.schema).parquet(
+                    os.path.join(sdir, "src")
+                )
+                snaps = windowed_snapshot_stream(
+                    stream, window_seconds=60, watermark_windows=2
+                )
+                detected = detect_paths12(
+                    snaps, profiles, METRICS, sim_threshold=0.90
+                )
+                q = detection_sinks(detected, os.path.join(sdir, "out"))
+                if not q.awaitTermination(600):
+                    q.stop()
+                    raise RuntimeError(f"stream_{tag} did not drain in 600s")
+
+            # timed section = the streaming drain only (profile build is
+            # the "earlier batch job" in the registry query too)
+            timed(f"streaming_detect_pipeline_{tag}", drain)
+
+        raw1 = device_metrics_raw(spark, sf_dir).select(
+            "device_id", "timestamp", "metric_name", "metric_value", "event_id"
+        )
+        rawN = raw1.crossJoin(F.broadcast(reps)).select(
+            F.concat(
+                F.col("device_id"), F.lit("-r"), F.col("rep").cast("string")
+            ).alias("device_id"),
+            "timestamp",
+            "metric_name",
+            "metric_value",
+            (F.col("event_id") + F.col("rep").cast("long") * 100_000_000).alias(
+                "event_id"
+            ),
+        )
+
+        def streaming_points() -> None:
+            stream_detect_point("1x", raw1)
+            stream_detect_point(f"{scale}x", rawN)
+
+        # (PQ ADC scan continues here; the streaming closures above are
+        # invoked only AFTER it — JVM residue rule.)
+
         def pq_scan() -> None:
             # blocked NumPy ADC (the scale kernel; the registry query
             # keeps the declarative LUT join for oracle parity)
@@ -338,6 +436,9 @@ def main() -> None:
             )
 
         timed("pq_adc_scan_np", pq_scan)
+
+        # streaming LAST (see comment above stream_detect_point)
+        streaming_points()
 
         total = round(sum(times.values()), 3)
         print(
