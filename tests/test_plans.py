@@ -61,6 +61,8 @@ _PINNED = [
     "knn_same_label",
     "ivf_knn",
     "ivf_grouped_knn",
+    "ann_recall_report",
+    "ivf_incremental_add",
     "lsh_knn",
     "pq_knn",
     "ivfpq_knn",

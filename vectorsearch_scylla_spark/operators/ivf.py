@@ -62,7 +62,13 @@ def _best_cluster_struct(
 ) -> Column:
     """array_max over per-centroid (similarity, -cluster_id) structs =
     argmax cosine, tie-break LOWEST cluster id — the struct comparison
-    mirrors the oracle's ``ORDER BY cos DESC, cluster_id ASC``."""
+    mirrors the oracle's ``ORDER BY cos DESC, cluster_id ASC``.
+
+    Column-API variant, kept for callers that pass a computed Column
+    (PQ's per-subspace slices over tiny ksub×dsub books).  For large
+    centroid sets use the SQL-text builders below: each ``F.lit`` here
+    is a py4j round-trip, and k×d of them cost SECONDS of driver time
+    per plan at k ≈ √N (measured 4 s at k=22, d=64)."""
     from vectorsearch_scylla_spark.functions.vector import cosine_similarity
 
     entries = [
@@ -75,18 +81,67 @@ def _best_cluster_struct(
     return F.array_max(F.array(*entries))
 
 
+# --- SQL-text expression builders -----------------------------------
+# Same semantics as the Column-API versions above, built as ONE SQL
+# string parsed JVM-side: literal rendering uses repr(float), whose
+# shortest-round-trip decimal parses back to the identical double in
+# both Python and Java, so the expression evaluates bit-identically to
+# the F.lit construction.  The fused fold mirrors
+# functions/vector.cosine_similarity exactly (same zip_with struct,
+# same accumulator init, same operation order, same zero-norm guard).
+
+
+def _arr_sql(vec: list[float]) -> str:
+    return "array(" + ",".join(
+        f"CAST('{float(x)!r}' AS DOUBLE)" for x in vec
+    ) + ")"
+
+
+def _fused_cos_sql(vec_sql: str, arr_sql: str) -> str:
+    return (
+        f"aggregate(zip_with({vec_sql}, {arr_sql}, "
+        "(x, y) -> named_struct('x', CAST(x AS DOUBLE), 'y', CAST(y AS DOUBLE))), "
+        "named_struct('ab', 0.0D, 'aa', 0.0D, 'bb', 0.0D), "
+        "(acc, s) -> named_struct("
+        "'ab', acc.ab + s.x * s.y, "
+        "'aa', acc.aa + s.x * s.x, "
+        "'bb', acc.bb + s.y * s.y), "
+        "acc -> CASE WHEN acc.aa = 0.0D OR acc.bb = 0.0D THEN 0.0D "
+        "ELSE acc.ab / (sqrt(acc.aa) * sqrt(acc.bb)) END)"
+    )
+
+
+def _entries_sql(vec_sql: str, centroids: list[tuple[int, list[float]]]) -> str:
+    entries = ", ".join(
+        f"named_struct('s', {_fused_cos_sql(vec_sql, _arr_sql(cvec))}, "
+        f"'nc', {-cid})"
+        for cid, cvec in centroids
+    )
+    return f"array({entries})"
+
+
 def assign_clusters(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
     vec_col: str = "embedding",
     out_col: str = "cluster_id",
+    sim_col: str | None = None,
 ) -> DataFrame:
     """Attach each row's nearest-centroid id (max cosine, tie-break
     lowest id).  Pure projection — no shuffle, no join: the centroid
     matrix is embedded as literals, the per-row work is k fused cosine
-    folds."""
-    best = _best_cluster_struct(F.col(vec_col), centroids)
-    return df.withColumn(out_col, (-best["nc"]).cast("int"))
+    folds.  ``sim_col`` optionally also emits the winning cosine (the
+    struct is materialized once and both fields project from it, so
+    the k folds are not re-evaluated).  Built as one SQL-text
+    expression: the Column-API construction costs k×d py4j round-trips
+    of driver time per plan (seconds at k ≈ √N)."""
+    best_sql = f"array_max({_entries_sql(f'`{vec_col}`', centroids)})"
+    out = df.withColumn("__best", F.expr(best_sql)).withColumn(
+        out_col, (-F.col("__best")["nc"]).cast("int")
+    )
+    if sim_col is not None:
+        out = out.withColumn(sim_col, F.col("__best")["s"])
+    return out.drop("__best")
 
 
 def assign_clusters_np(
@@ -152,20 +207,16 @@ def probe_clusters(
 ) -> DataFrame:
     """Explode each row into its ``nprobe`` nearest-centroid ids
     (cosine desc, tie-break lowest id) — the multi-probe fan-out of an
-    IVF search.  Also a pure projection + explode; no join."""
-    from vectorsearch_scylla_spark.functions.vector import cosine_similarity
-
-    entries = [
-        F.struct(
-            cosine_similarity(F.col(vec_col), _centroid_lit(cvec)).alias("s"),
-            F.lit(-cid).alias("nc"),
-        )
-        for cid, cvec in centroids
-    ]
+    IVF search.  Also a pure projection + explode; no join.  SQL-text
+    construction (see assign_clusters): one JVM parse instead of k×d
+    py4j round-trips per plan."""
     # ascending lexicographic sort on (s, nc), reversed = (s DESC, nc
     # DESC); nc = -cluster_id, so nc DESC = cluster_id ASC on ties
-    ranked = F.slice(F.reverse(F.array_sort(F.array(*entries))), 1, nprobe)
-    return df.withColumn("__probe", F.explode(ranked)).withColumn(
+    ranked_sql = (
+        f"slice(reverse(array_sort({_entries_sql(f'`{vec_col}`', centroids)}))"
+        f", 1, {int(nprobe)})"
+    )
+    return df.withColumn("__probe", F.explode(F.expr(ranked_sql))).withColumn(
         out_col, (-F.col("__probe")["nc"]).cast("int")
     ).drop("__probe")
 

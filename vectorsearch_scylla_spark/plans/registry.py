@@ -160,6 +160,8 @@ DRIVER_WINDOW: list[str] = [
     # -- new in round 5 ------------------------------------------------
     "ivf_grouped_knn",
     "sq8_ivf_knn",
+    "ann_recall_report",
+    "ivf_incremental_add",
     # -- implementation changed in round 5 (must re-certify): profiles
     # fused-explode null-coalesce (device_profile_build), hyperplane
     # n_bands 8→16 (embedding_neardup_pairs, semantic_dedup_keepers),
@@ -179,8 +181,8 @@ DRIVER_WINDOW: list[str] = [
     "knn_distributed",
     "ivf_knn",
     "sq8_knn",
-    "pq_knn",
-    "ivfpq_knn",
+    # (pq_knn / ivfpq_knn yield their slots to the two extra round-5
+    #  queries; both were r4-green and rotate back in next round)
     # -- streaming e2e LAST: a completed Structured Streaming query
     # leaves residue in the shared local JVM that intermittently slows
     # later heavy batch queries 10-50x (see .claude/skills/verify) —
@@ -995,10 +997,14 @@ def _sf_cache_token(sf_dir: str, *extra: object) -> str:
     ).hexdigest()[:12]
 
 
-def _ivf_kmeans_cte(k: int, iters: int, nprobe: int, querymod: int) -> str:
+def _ivf_kmeans_cte(
+    k: int, iters: int, nprobe: int, querymod: int, vecs_where: str = ""
+) -> str:
     """Unrolled Lloyd's k-means + membership + multi-probe CTE chain —
     the SQL twin of ``operators/ivf.lloyd_kmeans`` (same init, same
-    tie-breaks, same per-iteration quantization)."""
+    tie-breaks, same per-iteration quantization).  ``vecs_where``
+    optionally restricts the training/member corpus (the incremental
+    index-maintenance query trains on the base only)."""
     cos_vc = _cos_sql("v.embedding", "c.cvec")
     assign = (
         "SELECT vec_id, embedding, cluster_id FROM ("
@@ -1007,8 +1013,10 @@ def _ivf_kmeans_cte(k: int, iters: int, nprobe: int, querymod: int) -> str:
         "c.cluster_id ASC) AS rn "
         "FROM vecs v CROSS JOIN cent{src} c) WHERE rn = 1"
     )
+    where = f" WHERE {vecs_where}" if vecs_where else ""
     parts = [
-        "vecs AS (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings)",
+        "vecs AS (SELECT vec_id, embedding::DOUBLE[] AS embedding "
+        f"FROM embeddings{where})",
         f"""cent0 AS (
         SELECT CAST(rn - 1 AS INT) AS cluster_id, embedding AS cvec FROM (
             SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn,
@@ -1470,6 +1478,177 @@ def q_sq8_ivf_knn(
         "neighbor_id",
         quantize(F.col("similarity")).alias("similarity"),
         "rank",
+    )
+
+
+@query(
+    "ann_recall_report",
+    f"""
+    WITH {_ivf_kmeans_cte(IVF_GK, IVF_GITERS, IVF_GNPROBE, 25)},
+    ivf_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, m.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY p.query_id
+                                      ORDER BY {_cos_sql("a.embedding", "m.embedding")} DESC,
+                                               m.vec_id ASC) AS rank
+            FROM probes p
+            JOIN vecs a ON a.vec_id = p.query_id
+            JOIN members m ON m.cluster_id = p.cluster_id AND m.vec_id <> p.query_id
+        ) WHERE rank <= 5
+    ),
+    exact_top AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY a.vec_id
+                                      ORDER BY {KNN_COS} DESC, b.vec_id ASC) AS rank
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            WHERE a.vec_id % 25 = 0
+        ) WHERE rank <= 5
+    )
+    SELECT e.query_id,
+           CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+           {Q("count(i.neighbor_id) / 5.0")} AS recall_at_5
+    FROM exact_top e
+    LEFT JOIN ivf_top i
+      ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+    ["V3", "V6", "ANN-IVF"],
+    "Recall@5 of the production IVF configuration vs exact ground "
+    "truth, per query, as a REGISTERED QUERY — the recall/cost trade "
+    "bench_scale.py reports is now itself an oracle-certified "
+    "computation rather than a bench-side script: the exact top-5 "
+    "(the recall baseline every ANN query cites) left-joins the "
+    "grouped-IVF top-5 (same K≈√N/nprobe constants and shared "
+    "build-once index as ivf_grouped_knn) and counts hits.  Both "
+    "rankings, the join, and the recall fractions are recomputed "
+    "independently by the SQL twin, so the green row certifies the "
+    "measurement methodology end-to-end — a deterministic-fixture "
+    "recall mismatch of even one neighbor is a hash mismatch.  NB the "
+    "fixture-scale recall values are intentionally modest (mean ~0.5 "
+    "at nprobe=3/K=22 over 500 near-uniform vectors — true neighbors "
+    "spread across clusters when nothing is actually near): the row "
+    "certifies the MEASUREMENT; the realistic-corpus numbers live in "
+    "BENCH_SCALE.md (0.89–1.0 at 10×–100× where near-duplicates "
+    "cluster).  Scale shape: exact side is the O(Q·N) baseline you'd "
+    "only run on an audit sample at 100 TB (sampled recall audits are "
+    "exactly how production ANN recall is monitored); IVF side is the "
+    "pruned scan.",
+)
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = vecs.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = vecs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("corpus_vec")
+    )
+    exact = topk_similarity_join_blocked(
+        queries,
+        corpus,
+        k=5,
+        corpus_id="neighbor_id",
+        exclude_self=True,
+        dtype="float64",
+    ).select("query_id", "neighbor_id")
+    approx = (
+        q_ivf_grouped_knn(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hits"),
+            quantize(
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))) / F.lit(5.0)
+            ).alias("recall_at_5"),
+        )
+    )
+
+
+@query(
+    "ivf_incremental_add",
+    f"""
+    WITH {_ivf_kmeans_cte(IVF_GK, IVF_GITERS, 1, 1, vecs_where="vec_id % 10 <> 7")},
+    inc AS (
+        SELECT vec_id, embedding::DOUBLE[] AS embedding
+        FROM embeddings WHERE vec_id % 10 = 7
+    ),
+    sizes AS (SELECT cluster_id, count(*) AS n_base FROM members GROUP BY 1),
+    routed AS (
+        SELECT vec_id, cluster_id, s FROM (
+            SELECT i.vec_id, c.cluster_id,
+                   {_cos_sql("i.embedding", "c.cvec")} AS s,
+                   row_number() OVER (PARTITION BY i.vec_id
+                                      ORDER BY {_cos_sql("i.embedding", "c.cvec")} DESC,
+                                               c.cluster_id ASC) AS rn
+            FROM inc i CROSS JOIN cent{IVF_GITERS} c
+        ) WHERE rn = 1
+    )
+    SELECT r.vec_id AS new_vec_id, r.cluster_id,
+           {Q("r.s")} AS centroid_sim,
+           CAST(coalesce(z.n_base, 0) AS BIGINT) AS n_base_members
+    FROM routed r LEFT JOIN sizes z ON z.cluster_id = r.cluster_id
+    """,
+    ["ANN-IVF", "V4", "A4"],
+    "Incremental IVF index MAINTENANCE: a new vector batch (10 % of "
+    "the corpus) routed through the FROZEN coarse quantizer trained "
+    "on the base only — each new vector gets its nearest-centroid "
+    "cluster id + centroid similarity, joined with the base inverted "
+    "lists' sizes (the list it would append to).  This is the "
+    "operational story the build-once index needs at 100 TB: daily "
+    "increments APPEND to cluster-partitioned lists (one map-only "
+    "assignment pass over the increment + a partitioned append, never "
+    "a retrain or a base rescan — the same asymmetry "
+    "dedup_incremental certifies for near-dup state), with periodic "
+    "retrains only on drift.  The oracle re-trains the base-only "
+    "quantizer in the unrolled CTE and re-routes the increment, so "
+    "the green row certifies both that training EXCLUDED the "
+    "increment and that routing matches the trained centroids "
+    "bit-exactly.  (Replaces HNSW's incremental insert, "
+    "scylladb_setup/create_iot_schema.py:137-155 — Spark-side the "
+    "insert is an append to the probed partition, not a graph "
+    "mutation.)",
+)
+def q_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectorsearch_scylla_spark.operators.ivf import (
+        assign_clusters,
+        build_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = vecs.filter(F.col("vec_id") % 10 != 7)
+    inc = vecs.filter(F.col("vec_id") % 10 == 7)
+    cents, lists_path = build_ivf_index(
+        base,
+        _sf_cache_token(sf_dir, "ivfinc", IVF_GK, IVF_GITERS),
+        k=IVF_GK,
+        iters=IVF_GITERS,
+    )
+    sizes = (
+        spark.read.parquet(lists_path)
+        .groupBy(F.col("cluster_id").cast("int").alias("cluster_id"))
+        .agg(F.count("*").alias("n_base_members"))
+    )
+    routed = assign_clusters(inc, cents, sim_col="__sim")
+    return (
+        routed.join(F.broadcast(sizes), "cluster_id", "left")
+        .select(
+            F.col("vec_id").alias("new_vec_id"),
+            "cluster_id",
+            quantize(F.col("__sim")).alias("centroid_sim"),
+            F.coalesce(F.col("n_base_members"), F.lit(0))
+            .cast("long")
+            .alias("n_base_members"),
+        )
     )
 
 
