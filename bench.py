@@ -37,6 +37,8 @@ HEADLINE = [
     "ivf_knn",
     "ivf_grouped_knn",
     "sq8_ivf_knn",
+    "ann_recall_report",
+    "ivf_incremental_add",
     "lsh_knn",
     "pq_knn",
     "ivfpq_knn",
