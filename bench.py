@@ -96,6 +96,7 @@ HEADLINE = [
     "streaming_rolling_stats",
     "streaming_dedup_e2e",
     "streaming_neardup_e2e",
+    "streaming_ivf_add_e2e",
 ]
 
 

@@ -180,14 +180,16 @@ DRIVER_WINDOW: list[str] = [
     "knn_bruteforce",
     "knn_distributed",
     "ivf_knn",
-    "sq8_knn",
-    # (pq_knn / ivfpq_knn yield their slots to the two extra round-5
-    #  queries; both were r4-green and rotate back in next round)
+    # (pq_knn / ivfpq_knn / sq8_knn yield their slots to the three
+    #  extra round-5 queries; all were r4-green and rotate back next
+    #  round — sq8_knn's quantize path is also re-certified this round
+    #  through sq8_ivf_knn's TINYINT-cast twin)
     # -- streaming e2e LAST: a completed Structured Streaming query
     # leaves residue in the shared local JVM that intermittently slows
     # later heavy batch queries 10-50x (see .claude/skills/verify) —
     # so every batch query must run before the first stream starts.
     "streaming_neardup_e2e",
+    "streaming_ivf_add_e2e",
 ]
 
 
@@ -1318,7 +1320,7 @@ IVF_GNPROBE = 3
         JOIN members m ON m.cluster_id = p.cluster_id AND m.vec_id <> p.query_id
     ) WHERE rank <= 5
     """,
-    ["V3", "V4", "A4", "J3", "W2", "ANN-IVF"],
+    ["V3", "V4", "A4", "J3", "W2", "ANN-IVF", "ANN-IVF-GROUPED"],
     "IVF kNN at the PRODUCTION configuration — K ≈ √N (22 at the "
     "fixture's 500 vectors), nprobe=3, fully distributed grouped probe "
     "scan: probe fan-out and inverted lists COGROUPED on cluster_id "
@@ -1412,7 +1414,7 @@ def q_ivf_grouped_knn(
         JOIN recon r ON r.cluster_id = p.cluster_id AND r.vec_id <> p.query_id
     ) WHERE rank <= 5
     """,
-    ["V3", "V4", "J3", "W2", "ANN-SQ8", "ANN-IVF"],
+    ["V3", "V4", "J3", "W2", "ANN-SQ8", "ANN-IVF", "ANN-SQ8-IVF"],
     "IVF × SQ8 composition — the actually-shipped FAISS `IVF,SQ8` "
     "shape: the realistic-K coarse quantizer (K≈√N, shared with "
     "ivf_grouped_knn's build-once index, so the lists materialize "
@@ -1513,7 +1515,7 @@ def q_sq8_ivf_knn(
       ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
     GROUP BY e.query_id
     """,
-    ["V3", "V6", "ANN-IVF"],
+    ["V3", "V6", "ANN-IVF", "ANN-RECALL"],
     "Recall@5 of the production IVF configuration vs exact ground "
     "truth, per query, as a REGISTERED QUERY — the recall/cost trade "
     "bench_scale.py reports is now itself an oracle-certified "
@@ -1595,7 +1597,7 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(coalesce(z.n_base, 0) AS BIGINT) AS n_base_members
     FROM routed r LEFT JOIN sizes z ON z.cluster_id = r.cluster_id
     """,
-    ["ANN-IVF", "V4", "A4"],
+    ["ANN-IVF", "IVF-INCREMENTAL", "V4", "A4"],
     "Incremental IVF index MAINTENANCE: a new vector batch (10 % of "
     "the corpus) routed through the FROZEN coarse quantizer trained "
     "on the base only — each new vector gets its nearest-centroid "
@@ -5825,4 +5827,122 @@ def q_streaming_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").alias("new_doc_id"),
         F.col("id_b").alias("base_doc_id"),
         "hamming",
+    )
+
+
+@query(
+    "streaming_ivf_add_e2e",
+    f"""
+    WITH {_ivf_kmeans_cte(IVF_GK, IVF_GITERS, 1, 1, vecs_where="vec_id % 10 <> 7")},
+    inc AS (
+        SELECT vec_id, embedding::DOUBLE[] AS embedding
+        FROM embeddings WHERE vec_id % 10 = 7
+    ),
+    sizes AS (SELECT cluster_id, count(*) AS n_base FROM members GROUP BY 1),
+    routed AS (
+        SELECT vec_id, cluster_id, s FROM (
+            SELECT i.vec_id, c.cluster_id,
+                   {_cos_sql("i.embedding", "c.cvec")} AS s,
+                   row_number() OVER (PARTITION BY i.vec_id
+                                      ORDER BY {_cos_sql("i.embedding", "c.cvec")} DESC,
+                                               c.cluster_id ASC) AS rn
+            FROM inc i CROSS JOIN cent{IVF_GITERS} c
+        ) WHERE rn = 1
+    )
+    SELECT r.vec_id AS new_vec_id, r.cluster_id,
+           {Q("r.s")} AS centroid_sim,
+           CAST(coalesce(z.n_base, 0) AS BIGINT) AS n_base_members
+    FROM routed r LEFT JOIN sizes z ON z.cluster_id = r.cluster_id
+    """,
+    ["ANN-IVF", "STREAM-IVF-ADD", "IVF-INCREMENTAL", "V4", "T5", "S6"],
+    "STREAMING IVF index maintenance end-to-end — ivf_incremental_add's "
+    "streaming twin: new vectors arrive as a file-source stream in "
+    "MULTIPLE micro-batches (maxFilesPerTrigger) and each batch is "
+    "routed through the FROZEN base-trained coarse quantizer (the "
+    "build-once index shared with ivf_incremental_add via the same "
+    "cache token — never re-trained per batch, the same "
+    "materialize-once discipline as streaming_neardup_e2e's signature "
+    "index) then appended to the cluster-routed code/list store via "
+    "foreachBatch epoch-dir overwrite (exactly-once across restarts).  "
+    "Routing is per-row, so the final appended state is independent of "
+    "the micro-batch split — the batch oracle (base-only unrolled "
+    "k-means CTE + re-routed increment) certifies the whole streaming "
+    "pipeline including that training EXCLUDED the streamed rows.  "
+    "This is the ingest path a 100 TB vector store actually runs: "
+    "inserts land in their probed partition as appends "
+    "(scylladb_setup/create_iot_schema.py:137-155's HNSW insert, "
+    "re-expressed as partitioned appends).",
+)
+def q_streaming_ivf_add_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    from vectorsearch_scylla_spark.operators.ivf import (
+        assign_clusters,
+        build_ivf_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base_corpus = vecs.filter(F.col("vec_id") % 10 != 7)
+    inc = vecs.filter(F.col("vec_id") % 10 == 7)
+    # SAME cache token as ivf_incremental_add: the frozen index builds
+    # once and serves the batch query, this stream, and reruns
+    cents, lists_path = build_ivf_index(
+        base_corpus,
+        _sf_cache_token(sf_dir, "ivfinc", IVF_GK, IVF_GITERS),
+        k=IVF_GK,
+        iters=IVF_GITERS,
+    )
+    sizes = (
+        spark.read.parquet(lists_path)
+        .groupBy(F.col("cluster_id").cast("int").alias("cluster_id"))
+        .agg(F.count("*").alias("n_base_members"))
+    )
+    src = _materialize_once(inc, "vss_ivfadd_src", sf_dir, logic="mod10-7-v1")
+    base = tempfile.mkdtemp(prefix="vss_ivfadd_e2e_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    out_dir = os.path.join(base, "added")
+
+    def route_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        routed = assign_clusters(batch_df, cents, sim_col="__sim")
+        # production: .partitionBy("cluster_id") append onto the list
+        # store; here each epoch lands in its own overwrite dir so a
+        # replayed epoch replaces rather than duplicates (T5)
+        routed.select("vec_id", "cluster_id", "__sim").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(out_dir, f"batch={epoch_id}"))
+
+    stream = (
+        spark.readStream.schema(inc.schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(route_batch)
+        .option("checkpointLocation", os.path.join(base, "checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError(
+            "streaming_ivf_add_e2e: availableNow query did not drain within 600s"
+        )
+    return (
+        spark.read.parquet(out_dir)
+        .join(F.broadcast(sizes), "cluster_id", "left")
+        .select(
+            F.col("vec_id").alias("new_vec_id"),
+            "cluster_id",
+            quantize(F.col("__sim")).alias("centroid_sim"),
+            F.coalesce(F.col("n_base_members"), F.lit(0))
+            .cast("long")
+            .alias("n_base_members"),
+        )
     )
