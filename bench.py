@@ -42,6 +42,7 @@ HEADLINE = [
     "lsh_knn",
     "pq_knn",
     "ivfpq_knn",
+    "ivfpq_residual_knn",
     "path3_novelty_flags",
     "window_pivot_snapshot",
     "tumbling_window_counts",

@@ -66,6 +66,7 @@ _PINNED = [
     "lsh_knn",
     "pq_knn",
     "ivfpq_knn",
+    "ivfpq_residual_knn",
     "path3_novelty_flags",
     "dedup_exact",
     "minhash_dup_buckets",

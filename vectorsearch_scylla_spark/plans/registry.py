@@ -176,14 +176,16 @@ DRIVER_WINDOW: list[str] = [
     "dedup_pipeline_funnel",
     # -- flagship detection / ANN core (fresh re-certification) --------
     "path2_anomaly",
-    "detect_consensus",
     "knn_bruteforce",
     "knn_distributed",
     "ivf_knn",
-    # (pq_knn / ivfpq_knn / sq8_knn yield their slots to the three
-    #  extra round-5 queries; all were r4-green and rotate back next
-    #  round — sq8_knn's quantize path is also re-certified this round
-    #  through sq8_ivf_knn's TINYINT-cast twin)
+    "ivfpq_residual_knn",
+    # (pq_knn / ivfpq_knn / sq8_knn / detect_consensus yield their
+    #  slots to the four extra round-5 queries; all were r4-green and
+    #  rotate back next round — sq8_knn's quantize path is also
+    #  re-certified this round through sq8_ivf_knn's TINYINT-cast
+    #  twin, and detect_consensus's three paths stay partially
+    #  in-window via path2_anomaly + the streaming detect twins)
     # -- streaming e2e LAST: a completed Structured Streaming query
     # leaves residue in the shared local JVM that intermittently slows
     # later heavy batch queries 10-50x (see .claude/skills/verify) —
@@ -1667,13 +1669,18 @@ PQ_DSUB = 16  # 4 × 16 = 64-dim embeddings
 def _pq_cte(
     m: int, ksub: int, iters: int, dsub: int, querymod: int,
     include_vecs: bool = True,
+    vecs_name: str = "vecs",
+    with_scoring: bool = True,
 ) -> str:
     """Unrolled per-subspace Lloyd's k-means + encode + ADC scoring —
     the SQL twin of ``operators/pq.train_pq``/``encode_pq``/
     ``pq_adc_topk`` (same seeds, tie-breaks, per-iteration
     quantization, fixed subspace summation order).  ``include_vecs``
     lets a caller that already defined the identical ``vecs`` CTE
-    (the IVF chain) splice both chains into one WITH."""
+    (the IVF chain) splice both chains into one WITH; ``vecs_name``
+    retargets the train/encode corpus to another CTE (the residual
+    variant trains on residuals); ``with_scoring=False`` stops after
+    ``pq_codes`` for callers that score reconstructions directly."""
     parts = ([
         "vecs AS (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings)",
     ] if include_vecs else []) + [
@@ -1681,7 +1688,7 @@ def _pq_cte(
         SELECT CAST(rn - 1 AS INT) AS cluster_id, embedding FROM (
             SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn,
                    embedding
-            FROM vecs) WHERE rn <= {ksub})""",
+            FROM {vecs_name}) WHERE rn <= {ksub})""",
     ]
     for s in range(m):
         lo, hi = s * dsub + 1, (s + 1) * dsub
@@ -1694,7 +1701,7 @@ def _pq_cte(
             f"SELECT v.vec_id, {vsub} AS sub, c.cluster_id, "
             f"row_number() OVER (PARTITION BY v.vec_id ORDER BY "
             f"{{cos}} DESC, c.cluster_id ASC) AS rn "
-            f"FROM vecs v CROSS JOIN cent{{src}}_{s} c) WHERE rn = 1"
+            f"FROM {vecs_name} v CROSS JOIN cent{{src}}_{s} c) WHERE rn = 1"
         )
         for i in range(1, iters + 1):
             cos = _cos_sql(vsub, "c.cvec")
@@ -1716,7 +1723,7 @@ def _pq_cte(
             f"SELECT v.vec_id, c.cluster_id, "
             f"row_number() OVER (PARTITION BY v.vec_id ORDER BY {cos} DESC, "
             f"c.cluster_id ASC) AS rn "
-            f"FROM vecs v CROSS JOIN cent{iters}_{s} c) WHERE rn = 1)"
+            f"FROM {vecs_name} v CROSS JOIN cent{iters}_{s} c) WHERE rn = 1)"
         )
         parts.append(
             f"cbn_{s} AS (SELECT cluster_id, cvec, "
@@ -1736,6 +1743,8 @@ def _pq_cte(
         SELECT c0.vec_id, {code_cols}, sqrt({nsq_sum}) AS rnorm
         FROM codes_0 c0 {code_joins} {nsq_joins})"""
     )
+    if not with_scoring:
+        return ",\n    ".join(parts)
     parts.append(
         f"""pq_queries AS (
         SELECT vec_id AS query_id, embedding,
@@ -1969,6 +1978,182 @@ def q_ivfpq_knn(
             "query_id",
             "neighbor_id",
             "approx_sim",
+            quantize(cosine_similarity("__qa", "__vb")).alias("exact_sim"),
+            "rank",
+        )
+    )
+
+
+# Residual IVFPQ: PQ trained on RESIDUALS v − c(v) (the shipped FAISS
+# `IVF,PQ` shape — residuals have far less variance than raw vectors,
+# so the same codebook budget quantizes them much more accurately).
+# Scoring is cos(q, c + r̂): both engines score the reconstruction
+# directly, which is the semantic definition the ADC LUT decomposition
+# (dot(q,c) + Σ_s LUT_s[code_s]) merely optimizes.
+_RES_CENT_JOIN = f"JOIN cent{IVF_ITERS} c ON c.cluster_id = m.cluster_id"
+_RES_DECODE_CASE = (
+    " ".join(
+        f"WHEN i <= {(s + 1) * PQ_DSUB} THEN b{s}.cvec[i - {s * PQ_DSUB}]"
+        for s in range(PQ_M - 1)
+    )
+    + f" ELSE b{PQ_M - 1}.cvec[i - {(PQ_M - 1) * PQ_DSUB}] END"
+)
+
+
+@query(
+    "ivfpq_residual_knn",
+    f"""
+    WITH {_ivf_kmeans_cte(IVF_K, IVF_ITERS, IVF_NPROBE, 25)},
+    res AS (
+        SELECT m.vec_id,
+               list_transform(m.embedding, (x, i) -> x - c.cvec[i]) AS embedding
+        FROM members m {_RES_CENT_JOIN}
+    ),
+    {_pq_cte(PQ_M, PQ_KSUB, PQ_ITERS, PQ_DSUB, 25, include_vecs=False,
+             vecs_name="res", with_scoring=False)},
+    reconv AS (
+        SELECT pc.vec_id, m.cluster_id,
+               list_transform(c.cvec, (x, i) -> x +
+                   CASE {_RES_DECODE_CASE}) AS rvec
+        FROM pq_codes pc
+        JOIN members m ON m.vec_id = pc.vec_id
+        {_RES_CENT_JOIN}
+        {" ".join(f"JOIN cbn_{s} b{s} ON b{s}.cluster_id = pc.code{s}" for s in range(PQ_M))}
+    )
+    SELECT r.query_id, r.neighbor_id, {Q("r.sim")} AS approx_sim,
+           {Q(_cos_sql("a.embedding", "b.embedding"))} AS exact_sim,
+           CAST(r.rank AS INT) AS rank
+    FROM (
+        SELECT query_id, neighbor_id, sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id ASC) AS rank
+        FROM (
+            SELECT p.query_id, rc.vec_id AS neighbor_id,
+                   {_cos_sql("a.embedding", "rc.rvec")} AS sim
+            FROM probes p
+            JOIN vecs a ON a.vec_id = p.query_id
+            JOIN reconv rc ON rc.cluster_id = p.cluster_id
+                          AND rc.vec_id <> p.query_id
+        )
+    ) r
+    JOIN vecs a ON a.vec_id = r.query_id
+    JOIN vecs b ON b.vec_id = r.neighbor_id
+    WHERE r.rank <= 5
+    """,
+    ["V3", "V6", "J3", "W2", "ANN-IVFPQ", "ANN-IVFPQ-RES"],
+    "RESIDUAL IVF-PQ — the shipped FAISS `IVF,PQ` shape: per-subspace "
+    "codebooks trained on RESIDUALS v − c(v) against the coarse "
+    "quantizer (shared build-once index with ivf_knn), so the same "
+    "4×4 codebook budget spends its codewords on the within-cluster "
+    "variance instead of re-describing cluster means — compare "
+    "approx_sim↔exact_sim against ivfpq_knn's raw-vector codes on the "
+    "same fixtures.  Candidates are probe-pruned (nprobe/K of the "
+    "corpus), scored as cos(q, c + r̂) against the per-candidate "
+    "reconstruction decoded from cluster id + 4 int8 codes (the ADC "
+    "LUT split dot(q,c) + Σ_s LUT_s[code_s] is the execution "
+    "optimization of exactly this semantic, which the oracle pins).  "
+    "The whole chain — coarse train, residual computation, residual "
+    "codebook train, encode, decode, probe-pruned rank — is unrolled "
+    "in the SQL twin and bit-certified.  Scale shape: residuals and "
+    "codes are map-only projections over the cluster-partitioned "
+    "lists; at rest the lists store cluster id + m codes (64× fewer "
+    "bytes), decode happens inside the scan projection.",
+)
+def q_ivfpq_residual_knn(
+    spark: SparkSession, sf_dir: str, k: int = 5, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    from vectorsearch_scylla_spark.operators.ivf import (
+        _arr_sql,
+        build_ivf_index,
+        ivf_probe_topk_grouped,
+        probe_clusters,
+    )
+    from vectorsearch_scylla_spark.operators.pq import build_pq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    # coarse index: SAME cache token as ivf_knn — built once, shared
+    cents, lists_path = build_ivf_index(
+        vecs, _sf_cache_token(sf_dir, "ivf", IVF_K, IVF_ITERS), k=IVF_K, iters=IVF_ITERS
+    )
+    members = spark.read.parquet(lists_path).select(
+        "vec_id",
+        "embedding",
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+    )
+    cent_case = (
+        "CASE cluster_id "
+        + " ".join(f"WHEN {cid} THEN {_arr_sql(cvec)}" for cid, cvec in cents)
+        + " END"
+    )
+    # residuals: map-only zip_with against the row's cluster centroid
+    res = members.select(
+        "vec_id",
+        F.expr(
+            f"zip_with(embedding, {cent_case}, (x, y) -> x - y)"
+        ).alias("embedding"),
+    )
+    books, codes_path = build_pq_index(
+        res,
+        _sf_cache_token(
+            sf_dir, "pqres", IVF_K, IVF_ITERS, PQ_M, PQ_KSUB, PQ_ITERS, PQ_DSUB
+        ),
+        m=PQ_M,
+        ksub=PQ_KSUB,
+        iters=PQ_ITERS,
+        dsub=PQ_DSUB,
+    )
+    # decode: recon = centroid + concat(codewords) — a scan-side
+    # projection over (cluster_id, code0..3); the stored lists need
+    # only ids + codes (64× fewer bytes than the float corpus)
+    cw_cases = ", ".join(
+        "CASE code%d %s END"
+        % (s, " ".join(f"WHEN {code} THEN {_arr_sql(cvec)}" for code, cvec in book))
+        for s, book in enumerate(books)
+    )
+    recon_sql = (
+        f"zip_with({cent_case}, concat({cw_cases}), (x, y) -> x + y)"
+    )
+    codes = (
+        spark.read.parquet(codes_path)
+        .select("vec_id", *[f"code{s}" for s in range(PQ_M)])
+        .join(members.select("vec_id", "cluster_id"), "vec_id")
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "cluster_id",
+            F.expr(recon_sql).alias("corpus_vec"),
+        )
+    )
+    probes = probe_clusters(
+        vecs.filter(F.col("vec_id") % 25 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        ),
+        cents,
+        nprobe=nprobe,
+        vec_col="query_vec",
+    )
+    out = ivf_probe_topk_grouped(
+        probes,
+        codes,
+        k=k,
+        query_id="query_id",
+        corpus_id="neighbor_id",
+        exclude_self=True,
+        dtype="float64",
+    )
+    va = vecs.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("__qa"))
+    vb = vecs.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__vb")
+    )
+    return (
+        out.join(va, "query_id")
+        .join(vb, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            quantize(F.col("similarity")).alias("approx_sim"),
             quantize(cosine_similarity("__qa", "__vb")).alias("exact_sim"),
             "rank",
         )
