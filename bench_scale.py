@@ -437,6 +437,78 @@ def main() -> None:
 
         timed("pq_adc_scan_np", pq_scan)
 
+        # --- PQ vs RESIDUAL-PQ recall@5 at the same codebook budget
+        # (m=4, ksub=4): quantization recall isolated from probe recall
+        # by scanning the FULL corpus both ways.  Residual codebooks
+        # (FAISS `IVF,PQ`, registry query ivfpq_residual_knn) spend
+        # their codewords on within-cluster variance, so they should
+        # recover recall the raw-vector codes lose.
+        from vectorsearch_scylla_spark.operators.ivf import _arr_sql
+        from vectorsearch_scylla_spark.operators.pq import encode_pq_np
+
+        def _recall(approx_df) -> float:
+            hits = exact.join(
+                approx_df,
+                (exact["query_id"] == approx_df["query_id"])
+                & (exact["exact_id"] == approx_df["aid"]),
+                "left_semi",
+            ).count()
+            d = exact.count()
+            return round(hits / d, 4) if d else float("nan")
+
+        pq_recall: dict = {}
+
+        def pq_recall_eval() -> None:
+            codes_df = spark.read.parquet(codes_path)
+            raw_top = pq_adc_topk_np(
+                queries, codes_df, books, k=5, dsub=16,
+                corpus_id="neighbor_id", exclude_self=True,
+            ).select("query_id", F.col("neighbor_id").alias("aid"))
+            pq_recall["raw"] = _recall(raw_top)
+
+            members_np = assign_clusters_np(emb, cents).select(
+                F.col("vec_id").alias("corpus_id"),
+                "cluster_id",
+                F.col("embedding").cast("array<double>").alias("embedding"),
+            )
+            cent_case = (
+                "CASE cluster_id "
+                + " ".join(
+                    f"WHEN {cid} THEN {_arr_sql(cv)}" for cid, cv in cents
+                )
+                + " END"
+            )
+            res = members_np.select(
+                "corpus_id",
+                "cluster_id",
+                F.expr(
+                    f"zip_with(embedding, {cent_case}, (x, y) -> x - y)"
+                ).alias("embedding"),
+            )
+            from vectorsearch_scylla_spark.operators.pq import train_pq
+
+            rbooks = train_pq(
+                res, m=4, ksub=4, iters=2, dsub=16,
+                id_col="corpus_id", kernel="numpy",
+            )
+            cw_cases = ", ".join(
+                "CASE code%d %s END"
+                % (s, " ".join(f"WHEN {c} THEN {_arr_sql(cv)}" for c, cv in bk))
+                for s, bk in enumerate(rbooks)
+            )
+            recon = encode_pq_np(res, rbooks, dsub=16).select(
+                "corpus_id",
+                F.expr(
+                    f"zip_with({cent_case}, concat({cw_cases}), (x, y) -> x + y)"
+                ).alias("corpus_vec"),
+            )
+            res_top = topk_similarity_join_blocked(
+                queries, recon, k=5, exclude_self=True, dtype="float32"
+            ).select("query_id", F.col("corpus_id").alias("aid"))
+            pq_recall["residual"] = _recall(res_top)
+
+        timed("pq_recall_eval", pq_recall_eval)
+
         # streaming LAST (see comment above stream_detect_point)
         streaming_points()
 
@@ -456,6 +528,7 @@ def main() -> None:
                         "nprobe": nprobe,
                         "recall_at_5": ivf_recall,
                     },
+                    "pq_recall_at_5": pq_recall,
                 }
             )
         )
