@@ -931,3 +931,39 @@ def test_sq8_recall_vs_exact(spark, sf_dir):
     assert set(sq8) == set(exact)
     hits = sum(1 for q in exact if sq8[q] == exact[q])
     assert hits / len(exact) >= 0.9, (hits, len(exact))
+
+
+def test_sql_text_cosine_bit_equals_column_api(spark):
+    """The r5 SQL-text expression builders (operators/ivf._arr_sql /
+    _fused_cos_sql — one JVM parse instead of k×d py4j round-trips)
+    must be BIT-IDENTICAL to the Column-API construction they replace:
+    repr(float) literals round-trip exactly through both Python and
+    Java parsing, and the fused fold mirrors
+    functions.vector.cosine_similarity operation-for-operation.
+    Exercised with full-precision uniform doubles plus exotic reprs
+    (1e-300 subnormal-adjacent, -0.0, 1e-17) and the zero-norm guard;
+    equality is exact ==, never approx."""
+    import random
+
+    from vectorsearch_scylla_spark.functions.vector import cosine_similarity
+    from vectorsearch_scylla_spark.operators.ivf import (
+        _arr_sql,
+        _centroid_lit,
+        _fused_cos_sql,
+    )
+
+    rnd = random.Random(7)
+    dim = 16
+    cvec = [rnd.uniform(-1.0, 1.0) for _ in range(dim)]
+    cvec[3], cvec[5], cvec[7] = 1e-300, -0.0, 1e-17
+    rows = [([rnd.uniform(-100.0, 100.0) for _ in range(dim)],) for _ in range(50)]
+    rows.append(([0.0] * dim,))  # zero-norm guard: both must yield 0.0
+    df = spark.createDataFrame(rows, "v array<double>")
+    got = df.select(
+        F.expr(_fused_cos_sql("`v`", _arr_sql(cvec))).alias("sql"),
+        cosine_similarity(F.col("v"), _centroid_lit(cvec)).alias("col"),
+    ).collect()
+    assert all(r["sql"] == r["col"] for r in got), [
+        (r["sql"], r["col"]) for r in got if r["sql"] != r["col"]
+    ][:3]
+    assert got[-1]["sql"] == 0.0

@@ -1905,8 +1905,14 @@ _IVFPQ_CB_JOINS = " ".join(
     "fingerprint and reused; the oracle splices the IVF and PQ "
     "k-means CTE chains into one WITH and reproduces probe, prune, "
     "encode, and ADC bit-for-bit.  exact_sim exposes end-to-end "
-    "approximation error.  (The full replacement for the reference's "
-    "HNSW ANN serving path, scylladb_setup/create_iot_schema.py:137-155, "
+    "approximation error.  NB codes here quantize RAW vectors; "
+    "ivfpq_residual_knn below quantizes residuals v − c(v) instead — "
+    "same bytes, measured 4.6× the recall at the same codebook budget "
+    "(BENCH_SCALE.md pq_recall_eval) — kept both because raw-vector "
+    "codes are cluster-independent (re-clustering never re-encodes) "
+    "while residual codes are the recall-optimal shipped shape.  (The "
+    "full replacement for the reference's HNSW ANN serving path, "
+    "scylladb_setup/create_iot_schema.py:137-155, "
     "docs/SCYLLADB_VECTOR_SEARCH_REFERENCE.md:49-58.)",
 )
 def q_ivfpq_knn(
