@@ -1222,8 +1222,13 @@ def q_sq8_knn(
     ) WHERE rank <= 5
     """,
     ["V3", "V4", "A4", "J3", "W2", "ANN-IVF"],
-    "IVF approximate kNN with a TRAINED coarse quantizer — the 100 TB "
-    "path: deterministic distributed Lloyd's k-means (k=8, 3 fixed "
+    "IVF approximate kNN with a TRAINED coarse quantizer — the "
+    "MECHANISM certification at oracle-pinned toy constants (K=8, "
+    "nprobe=2: each probe covers ¼ of the corpus, so the pruning "
+    "factor is deliberately small here); ivf_grouped_knn below is the "
+    "PRODUCTION configuration (K≈√N, cogrouped, no driver collect) "
+    "and the one to bench at scale.  Mechanics: deterministic "
+    "distributed Lloyd's k-means (k=8, 3 fixed "
     "iterations, md5-seeded init, centroids re-quantized each iteration "
     "so the SQL oracle's unrolled-CTE twin stays bit-identical — "
     "operators/ivf.py), corpus materialized into inverted lists "
