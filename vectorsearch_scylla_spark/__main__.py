@@ -37,12 +37,17 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="also run the DuckDB oracle and compare (the correctness gate)",
     )
+    import inspect
+
+    tunable = sorted(
+        n
+        for n, q in REGISTRY.items()
+        if {"k", "nprobe", "n_bands"} & set(inspect.signature(q.fn).parameters)
+    )
     ann = ap.add_argument_group(
         "ANN tuning",
-        "recall/cost knobs for the kNN queries (knn_bruteforce, "
-        "knn_distributed, lsh_knn, ivf_knn, ivf_grouped_knn, sq8_knn, "
-        "sq8_ivf_knn, pq_knn, ivfpq_knn); each flag is passed through "
-        "only if the query's function accepts it",
+        "recall/cost knobs, passed through only if the query's function "
+        f"accepts them; tunable queries: {', '.join(tunable)}",
     )
     ann.add_argument("--k", type=int, help="neighbors per query (top-k)")
     ann.add_argument(
@@ -68,8 +73,6 @@ def main(argv: list[str] | None = None) -> int:
     # function actually accepts (inspect the signature), and refuse
     # --check under overrides — the SQL oracle is pinned to the
     # registered defaults, so a tuned run has nothing to compare to
-    import inspect
-
     fn = REGISTRY[args.query].fn
     accepted = inspect.signature(fn).parameters
     requested = {"k": args.k, "nprobe": args.nprobe, "n_bands": args.bands}
@@ -104,19 +107,30 @@ def main(argv: list[str] | None = None) -> int:
     df = fn(spark, args.sf_dir, **overrides)
     if args.explain:
         df.explain("formatted")
-    # ONE execution: collect once, reuse for show / count / --check —
-    # show+count+collect as separate actions would recompute the whole
-    # plan up to three times and the printed timing would cover only
-    # the first
-    rows = df.collect()
-    elapsed = time.perf_counter() - t0
-    spark.createDataFrame(rows[: args.show], df.schema).show(
-        args.show, truncate=False
-    )
-    print(f"{args.query}: {len(rows)} rows in {elapsed:.2f}s")
+    # ONE plan execution either way, and a bounded driver footprint
+    # when not checking: --check needs the full result driver-side
+    # (collect once, reuse for show/count/compare); without it the
+    # result stays distributed — persist, count (materializes the
+    # cache), then take the display rows from the cache.  Never
+    # show+count+collect as three separate plan executions.
     if args.check:
-        return _check(df.columns, rows, REGISTRY[args.query].oracle, args)
-    return 0
+        rows = df.collect()
+        elapsed = time.perf_counter() - t0
+        n = len(rows)
+        shown = rows[: args.show]
+    else:
+        df.persist()
+        n = df.count()
+        elapsed = time.perf_counter() - t0
+        shown = df.take(args.show)
+    spark.createDataFrame(shown, df.schema).show(args.show, truncate=False)
+    print(f"{args.query}: {n} rows in {elapsed:.2f}s")
+    rc = 0
+    if args.check:
+        rc = _check(df.columns, rows, REGISTRY[args.query].oracle, args)
+    else:
+        df.unpersist()
+    return rc
 
 
 def _check(spark_cols, spark_rows, oracle_sql: str | None, args) -> int:
@@ -127,16 +141,15 @@ def _check(spark_cols, spark_rows, oracle_sql: str | None, args) -> int:
     import duckdb
 
     from vectorsearch_scylla_spark.oracle import compare_results
+    from vectorsearch_scylla_spark.sources.tables import TABLES
 
     if oracle_sql is None:
         print("no SQL oracle registered for this query (rows-only check)")
         return 0
     con = duckdb.connect()
-    tables = [
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ]
-    for t in tables:
+    # the SAME table list the pytest parity gate registers — a literal
+    # copy here would let the two gates drift on view creation
+    for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{os.path.join(args.sf_dir, t)}.parquet'"
         )

@@ -30,10 +30,21 @@ def norm_value(v):
     return v
 
 
+def _sort_key(row: tuple) -> tuple:
+    # None is not orderable against floats/strs in Python 3 — a nullable
+    # column with mixed None/value rows would make plain sorted() raise
+    # TypeError instead of reporting a mismatch.  Sort None last via a
+    # tag; non-None ordering (and row EQUALITY, which uses the rows
+    # themselves) is unchanged.
+    return tuple((1, "") if v is None else (0, v) for v in row)
+
+
 def row_multiset(rows: Sequence[tuple], colnames: Sequence[str]) -> list[tuple]:
     """Sorted multiset of rows with columns reordered by column name."""
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    return sorted(tuple(norm_value(r[i]) for i in order) for r in rows)
+    return sorted(
+        (tuple(norm_value(r[i]) for i in order) for r in rows), key=_sort_key
+    )
 
 
 def compare_results(

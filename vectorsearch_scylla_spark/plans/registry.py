@@ -1580,9 +1580,12 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ivf_incremental_add",
-    f"""
+# Shared by ivf_incremental_add AND streaming_ivf_add_e2e: the
+# streaming query's whole correctness claim is "the batch oracle
+# certifies the streaming pipeline", so the two MUST stay one string —
+# a divergent edit to either twin's oracle would silently stop
+# checking the batch/streaming equivalence.
+_IVF_ADD_ORACLE = f"""
     WITH {_ivf_kmeans_cte(IVF_GK, IVF_GITERS, 1, 1, vecs_where="vec_id % 10 <> 7")},
     inc AS (
         SELECT vec_id, embedding::DOUBLE[] AS embedding
@@ -1603,7 +1606,12 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
            {Q("r.s")} AS centroid_sim,
            CAST(coalesce(z.n_base, 0) AS BIGINT) AS n_base_members
     FROM routed r LEFT JOIN sizes z ON z.cluster_id = r.cluster_id
-    """,
+    """
+
+
+@query(
+    "ivf_incremental_add",
+    _IVF_ADD_ORACLE,
     ["ANN-IVF", "IVF-INCREMENTAL", "V4", "A4"],
     "Incremental IVF index MAINTENANCE: a new vector batch (10 % of "
     "the corpus) routed through the FROZEN coarse quantizer trained "
@@ -6028,28 +6036,7 @@ def q_streaming_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "streaming_ivf_add_e2e",
-    f"""
-    WITH {_ivf_kmeans_cte(IVF_GK, IVF_GITERS, 1, 1, vecs_where="vec_id % 10 <> 7")},
-    inc AS (
-        SELECT vec_id, embedding::DOUBLE[] AS embedding
-        FROM embeddings WHERE vec_id % 10 = 7
-    ),
-    sizes AS (SELECT cluster_id, count(*) AS n_base FROM members GROUP BY 1),
-    routed AS (
-        SELECT vec_id, cluster_id, s FROM (
-            SELECT i.vec_id, c.cluster_id,
-                   {_cos_sql("i.embedding", "c.cvec")} AS s,
-                   row_number() OVER (PARTITION BY i.vec_id
-                                      ORDER BY {_cos_sql("i.embedding", "c.cvec")} DESC,
-                                               c.cluster_id ASC) AS rn
-            FROM inc i CROSS JOIN cent{IVF_GITERS} c
-        ) WHERE rn = 1
-    )
-    SELECT r.vec_id AS new_vec_id, r.cluster_id,
-           {Q("r.s")} AS centroid_sim,
-           CAST(coalesce(z.n_base, 0) AS BIGINT) AS n_base_members
-    FROM routed r LEFT JOIN sizes z ON z.cluster_id = r.cluster_id
-    """,
+    _IVF_ADD_ORACLE,
     ["ANN-IVF", "STREAM-IVF-ADD", "IVF-INCREMENTAL", "V4", "T5", "S6"],
     "STREAMING IVF index maintenance end-to-end — ivf_incremental_add's "
     "streaming twin: new vectors arrive as a file-source stream in "
