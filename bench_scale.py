@@ -279,10 +279,16 @@ def main() -> None:
         timed(f"ivf_probe_topk_grouped_k{ivf_k}_np{nprobe}", ivf_probe_sqrt)
 
         # recall@5 of the pruned scan vs the exact blocked sweep — a
-        # speed row without its recall is not a result
-        exact = topk_similarity_join_blocked(
-            queries, corpus, k=5, exclude_self=True, dtype="float32"
-        ).select("query_id", F.col("corpus_id").alias("exact_id"))
+        # speed row without its recall is not a result.  Persisted: the
+        # ground truth is reused by 3 recall evaluations × 2 actions
+        # each, and at 100× one exact sweep costs ~80 s.
+        exact = (
+            topk_similarity_join_blocked(
+                queries, corpus, k=5, exclude_self=True, dtype="float32"
+            )
+            .select("query_id", F.col("corpus_id").alias("exact_id"))
+            .persist()
+        )
         approx = grouped_out[0].select(
             "query_id", F.col("corpus_id").alias("approx_id")
         )
@@ -508,6 +514,7 @@ def main() -> None:
             pq_recall["residual"] = _recall(res_top)
 
         timed("pq_recall_eval", pq_recall_eval)
+        exact.unpersist()
 
         # streaming LAST (see comment above stream_detect_point)
         streaming_points()
