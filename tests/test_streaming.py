@@ -377,3 +377,73 @@ def test_drop_duplicates_within_watermark_bounds_state(spark, tmp_path):
     assert q.awaitTermination(300)
     kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
     assert kept == [1, 2, 4]
+
+
+def test_ivf_add_stream_exactly_once_and_batch_equivalent(spark, sf_dir, tmp_path):
+    """T5 for streaming_ivf_add_e2e's sink pattern: route an increment
+    through a FROZEN quantizer via foreachBatch epoch-dir overwrite in
+    MULTIPLE micro-batches, restart with the same checkpoint (no new
+    data ⇒ nothing may be added), and assert the final routed state
+    equals the single-pass batch assignment — micro-batch-split
+    independence is the property that lets the batch oracle certify
+    the streaming query."""
+    import os
+
+    from vectorsearch_scylla_spark.operators.ivf import (
+        assign_clusters,
+        lloyd_kmeans,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base_corpus = vecs.filter(F.col("vec_id") % 10 != 7)
+    inc = vecs.filter(F.col("vec_id") % 10 == 7)
+    cents = lloyd_kmeans(base_corpus, k=8, iters=1)
+
+    src, out_dir, ck = (
+        str(tmp_path / "inc_src"),
+        str(tmp_path / "added"),
+        str(tmp_path / "ck"),
+    )
+    inc.repartition(4).write.parquet(src)
+
+    def run_phase() -> int:
+        def route_batch(batch_df, epoch_id):
+            routed = assign_clusters(batch_df, cents, sim_col="__sim")
+            routed.select("vec_id", "cluster_id", "__sim").write.mode(
+                "overwrite"
+            ).parquet(os.path.join(out_dir, f"batch={epoch_id}"))
+
+        stream = (
+            spark.readStream.schema(inc.schema)
+            .option("maxFilesPerTrigger", 1)  # force ≥4 micro-batches
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(route_batch)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        return spark.read.parquet(out_dir).count()
+
+    n1 = run_phase()
+    assert n1 == inc.count()
+    # restart with the same checkpoint and no new files: a replayed /
+    # re-drained query must add nothing (epoch-dir overwrite, T5)
+    n2 = run_phase()
+    assert n2 == n1
+
+    # micro-batch-split independence: streamed routing == one-pass batch
+    streamed = {
+        (r["vec_id"], r["cluster_id"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    batch = {
+        (r["vec_id"], r["cluster_id"])
+        for r in assign_clusters(inc, cents).select("vec_id", "cluster_id").collect()
+    }
+    assert streamed == batch
