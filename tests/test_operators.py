@@ -967,3 +967,35 @@ def test_sql_text_cosine_bit_equals_column_api(spark):
         (r["sql"], r["col"]) for r in got if r["sql"] != r["col"]
     ][:3]
     assert got[-1]["sql"] == 0.0
+
+
+def test_arr_sql_literal_round_trip_property(spark):
+    """Property test for the SQL-text literal contract: for ANY finite
+    double, rendering via repr() into _arr_sql and parsing JVM-side
+    must reproduce the EXACT bits.  Hypothesis drives adversarial
+    values (subnormals, max-exponent, negative zero, long mantissas);
+    comparison is on the raw IEEE bit pattern via doubleToRawLongBits
+    semantics (struct pack), not float equality — so even a -0.0/0.0
+    swap would fail."""
+    import struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vectorsearch_scylla_spark.operators.ivf import _arr_sql
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        st.lists(
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+            min_size=1,
+            max_size=64,
+        )
+    )
+    def check(vals):
+        arr = spark.sql(f"SELECT {_arr_sql(vals)} AS a").collect()[0]["a"]
+        got = [struct.pack("<d", v) for v in arr]
+        want = [struct.pack("<d", float(v)) for v in vals]
+        assert got == want, list(zip(vals, arr))
+
+    check()

@@ -304,3 +304,14 @@ def test_bucketed_join_colocates_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql("DROP TABLE IF EXISTS vss_bkt_a")
         spark.sql("DROP TABLE IF EXISTS vss_bkt_b")
+
+
+def test_grouped_ivf_family_uses_cogroup_kernel(plans):
+    """The r5 production-configuration ANN queries must keep the
+    two-sided cogrouped kernel (ivf_probe_topk_grouped) — a
+    FlatMapCoGroupsInPandas node is the plan-level witness that
+    NEITHER side collects to the driver.  A regression to the blocked
+    kernel would silently reintroduce the driver-side query broadcast
+    the grouped path exists to remove."""
+    for name in ["ivf_grouped_knn", "sq8_ivf_knn", "ivfpq_residual_knn"]:
+        assert "FlatMapCoGroupsInPandas" in plans[name], name
