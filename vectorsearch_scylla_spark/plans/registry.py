@@ -5466,6 +5466,18 @@ def q_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 
+# Measured and rejected (r5): scoping spark.sql.shuffle.partitions down
+# to the fixture's state cardinality (8 instead of 32) for the stateful
+# streaming drains showed a ~30 % win in back-to-back A/B runs but
+# washed out (and partially reversed, e.g. streaming_rolling_stats with
+# 750 state keys) under bench-level host variance — the drain cost is
+# per-epoch machinery, not state-store count, at this scale (see
+# BENCH_SCALE.md "Streaming machinery": fixed ≈ 5 s per drain).  At
+# production scale the partition count IS a real knob — it is pinned
+# into the checkpoint at first batch, so size it like an index-build
+# decision — but a fixture-tuned override here bought noise, not speed.
+
+
 def _stream_source_dir(raw: DataFrame, sf_dir: str) -> str:
     """Deterministic, reusable parquet copy of ``raw`` for file-source
     streaming queries — keyed by (sf_dir contents, columns) so repeated
