@@ -315,3 +315,18 @@ def test_grouped_ivf_family_uses_cogroup_kernel(plans):
     the grouped path exists to remove."""
     for name in ["ivf_grouped_knn", "sq8_ivf_knn", "ivfpq_residual_knn"]:
         assert "FlatMapCoGroupsInPandas" in plans[name], name
+
+
+def test_ivf_probe_prune_is_semi_join_not_in_list(plans):
+    """r6: the toy-K certified IVF queries prune the inverted-list scan
+    with a broadcast LEFT SEMI join on the distinct probed cluster ids
+    — no driver collect, no literal IN-list (which at a realistic K
+    becomes a multi-thousand-element expression).  The plan-level
+    witness is a LeftSemi join; the regression would be a
+    `cluster_id... IN (...)` filter reappearing in the scan."""
+    import re
+
+    for name in ["ivf_knn", "ivfpq_knn"]:
+        p = plans[name]
+        assert "LeftSemi" in p, name
+        assert not re.search(r"cluster_id#\d+[^\n]* IN \(", p), name

@@ -87,6 +87,30 @@ def main() -> int:
         return 1 if (stale_now or new_queries or len(window) != 50) else 0
 
     rnd = args.write
+    # --write guards: a bad stamp silently rewrites history and the
+    # enforcement test only catches SOME of the damage, so refuse
+    # loudly here instead (r5 ADVICE items 1 and 4).
+    if rnd != cur_round + 1:
+        print(
+            f"refusing --write {rnd}: manifest round is {cur_round}, only "
+            f"--write {cur_round + 1} advances it (re-stamping the current "
+            "or a past round would rewrite history)"
+        )
+        return 1
+    if len(window) != 50:
+        print(
+            f"refusing --write: DRIVER_WINDOW has {len(window)} entries, "
+            "need exactly 50 — fix registry.DRIVER_WINDOW first"
+        )
+        return 1
+    missing_new = sorted(n for n in new_queries if n not in window)
+    if missing_new:
+        print(
+            "refusing --write: newly registered queries MUST enter the "
+            f"window on their first stamped round, but these are outside "
+            f"DRIVER_WINDOW: {missing_new}"
+        )
+        return 1
     out = {
         "round": rnd,
         "note": hist.get("note", ""),

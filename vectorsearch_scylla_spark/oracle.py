@@ -33,10 +33,19 @@ def norm_value(v):
 def _sort_key(row: tuple) -> tuple:
     # None is not orderable against floats/strs in Python 3 — a nullable
     # column with mixed None/value rows would make plain sorted() raise
-    # TypeError instead of reporting a mismatch.  Sort None last via a
-    # tag; non-None ordering (and row EQUALITY, which uses the rows
-    # themselves) is unchanged.
-    return tuple((1, "") if v is None else (0, v) for v in row)
+    # TypeError instead of reporting a mismatch.  Likewise the "NaN"
+    # string sentinel norm_value emits is unorderable against the
+    # floats in a column's other rows.  Sort None last and the NaN
+    # sentinel just before it via tags; non-tagged ordering (and row
+    # EQUALITY, which uses the rows themselves) is unchanged.
+    def key(v):
+        if v is None:
+            return (2, "")
+        if v == "NaN" and isinstance(v, str):
+            return (1, "")
+        return (0, v)
+
+    return tuple(key(v) for v in row)
 
 
 def row_multiset(rows: Sequence[tuple], colnames: Sequence[str]) -> list[tuple]:

@@ -1002,33 +1002,51 @@ def _sf_cache_token(sf_dir: str, *extra: object) -> str:
 
 
 def _ivf_kmeans_cte(
-    k: int, iters: int, nprobe: int, querymod: int, vecs_where: str = ""
+    k: int,
+    iters: int,
+    nprobe: int,
+    querymod: int,
+    vecs_where: str = "",
+    train_rows: int | None = None,
 ) -> str:
     """Unrolled Lloyd's k-means + membership + multi-probe CTE chain —
     the SQL twin of ``operators/ivf.lloyd_kmeans`` (same init, same
     tie-breaks, same per-iteration quantization).  ``vecs_where``
     optionally restricts the training/member corpus (the incremental
-    index-maintenance query trains on the base only)."""
+    index-maintenance query trains on the base only).
+
+    Training runs over the bounded md5-ordered sample ``train``
+    (default cap ``256·k``, matching ``build_ivf_index``); membership
+    and probes run over the full ``vecs``.  At every fixture SF the
+    cap exceeds the corpus, so the sample is the whole corpus and the
+    oracle certifies the SAME values the unbounded trainer produced —
+    while stating the true sampled-training semantics for any N."""
     cos_vc = _cos_sql("v.embedding", "c.cvec")
-    assign = (
-        "SELECT vec_id, embedding, cluster_id FROM ("
-        "SELECT v.vec_id, v.embedding, c.cluster_id, "
-        f"row_number() OVER (PARTITION BY v.vec_id ORDER BY {cos_vc} DESC, "
-        "c.cluster_id ASC) AS rn "
-        "FROM vecs v CROSS JOIN cent{src} c) WHERE rn = 1"
-    )
+
+    def assign(tbl: str, src: int) -> str:
+        return (
+            "SELECT vec_id, embedding, cluster_id FROM ("
+            "SELECT v.vec_id, v.embedding, c.cluster_id, "
+            f"row_number() OVER (PARTITION BY v.vec_id ORDER BY {cos_vc} DESC, "
+            "c.cluster_id ASC) AS rn "
+            f"FROM {tbl} v CROSS JOIN cent{src} c) WHERE rn = 1"
+        )
+
+    cap = 256 * k if train_rows is None else int(train_rows)
     where = f" WHERE {vecs_where}" if vecs_where else ""
     parts = [
         "vecs AS (SELECT vec_id, embedding::DOUBLE[] AS embedding "
         f"FROM embeddings{where})",
+        "train AS (SELECT vec_id, embedding FROM vecs "
+        f"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {cap})",
         f"""cent0 AS (
         SELECT CAST(rn - 1 AS INT) AS cluster_id, embedding AS cvec FROM (
             SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn,
                    embedding
-            FROM vecs) WHERE rn <= {k})""",
+            FROM train) WHERE rn <= {k})""",
     ]
     for i in range(1, iters + 1):
-        parts.append(f"asgn{i} AS ({assign.format(src=i - 1)})")
+        parts.append(f"asgn{i} AS ({assign('train', i - 1)})")
         parts.append(
             f"""cent{i} AS (
         SELECT cluster_id, list(avg_val ORDER BY pos) AS cvec FROM (
@@ -1040,7 +1058,7 @@ def _ivf_kmeans_cte(
             GROUP BY cluster_id, pos)
         GROUP BY cluster_id)"""
         )
-    parts.append(f"members AS ({assign.format(src=iters)})")
+    parts.append(f"members AS ({assign('vecs', iters)})")
     parts.append(
         f"""probes AS (
         SELECT query_id, cluster_id FROM (
@@ -1269,9 +1287,14 @@ def q_ivf_knn(
     )
     # prune the inverted-list scan to the probed clusters — with k=8
     # every cluster is probed at this query count, but at scale
-    # (C in the thousands) this is the partition-pruning payoff
-    probed = [r["cluster_id"] for r in queries.select("cluster_id").distinct().collect()]
-    corpus = members.filter(F.col("cluster_id").isin(probed)).select(
+    # (C in the thousands) this is the partition-pruning payoff.
+    # Broadcast SEMI-JOIN on the distinct probe keys, not a driver
+    # .isin(collect) list: at real K the literal IN-list becomes a
+    # multi-thousand-element expression and a driver round-trip, while
+    # the semi-join keeps the key set executor-side and Catalyst's
+    # dynamic partition pruning turns it into the same directory prune.
+    probed = queries.select("cluster_id").distinct()
+    corpus = members.join(F.broadcast(probed), "cluster_id", "left_semi").select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("corpus_vec"),
         "cluster_id",
@@ -1959,11 +1982,14 @@ def q_ivfpq_knn(
     probes = probe_clusters(queries, cents, nprobe=nprobe, vec_col="query_vec")
     # prune the inverted-list scan to probed clusters (partition pruning
     # at scale), then fan candidates out per probe — each corpus vector
-    # lives in exactly one cluster, so probe unions stay duplicate-free
-    probed = [r["cluster_id"] for r in probes.select("cluster_id").distinct().collect()]
+    # lives in exactly one cluster, so probe unions stay duplicate-free.
+    # Broadcast semi-join, not .isin(collect): no driver round-trip, no
+    # multi-thousand-element IN-list at real K; dynamic partition
+    # pruning gives the same directory prune (see ivf_knn).
+    probed = probes.select("cluster_id").distinct()
     members = (
         spark.read.parquet(lists_path)
-        .filter(F.col("cluster_id").isin(probed))
+        .join(F.broadcast(probed), "cluster_id", "left_semi")
         .select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("cluster_id").cast("int").alias("cluster_id"),
@@ -6098,7 +6124,13 @@ def q_streaming_ivf_add_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("cluster_id").cast("int").alias("cluster_id"))
         .agg(F.count("*").alias("n_base_members"))
     )
-    src = _materialize_once(inc, "vss_ivfadd_src", sf_dir, logic="mod10-7-v1")
+    # repartition(16) so the staged increment lands as MANY part files:
+    # with maxFilesPerTrigger=8 the registered run genuinely spans ≥2
+    # micro-batches, exercising the batch-split independence the
+    # docstring claims (r5 ADVICE; previously one part file = one batch)
+    src = _materialize_once(
+        inc.repartition(16), "vss_ivfadd_src", sf_dir, logic="mod10-7-v2"
+    )
     base = tempfile.mkdtemp(prefix="vss_ivfadd_e2e_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     out_dir = os.path.join(base, "added")
