@@ -58,6 +58,7 @@ HEADLINE = [
     "minhash_dup_buckets",
     "simhash_dup_pairs",
     "dedup_clusters",
+    "dedup_clusters_union",
     "dedup_pipeline_funnel",
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",

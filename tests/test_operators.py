@@ -1021,3 +1021,87 @@ def test_arr_sql_literal_round_trip_property(spark):
         assert got == want, list(zip(vals, arr))
 
     check()
+
+
+def test_residual_pq_recall_beats_raw_at_same_budget(spark, sf_dir):
+    """Pin the structural result BENCH_SCALE.md measures at 10x/30x/
+    100x: residual PQ codebooks (trained on v - c(v) against the
+    coarse quantizer, candidates scored as cos(q, c + r_hat)) recover
+    MORE recall@5 than raw-vector codebooks at the same byte budget.
+    Everything is deterministic (seeded trainers), so the ordering is
+    a stable assertion, not a flaky benchmark."""
+    import numpy as np
+
+    from vectorsearch_scylla_spark.operators.ivf import (
+        _arr_sql,
+        assign_clusters_np,
+        lloyd_kmeans,
+    )
+    from vectorsearch_scylla_spark.operators.pq import train_pq
+    from vectorsearch_scylla_spark.sources.tables import load_table
+
+    m, ksub, dsub = 4, 4, 16
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = lloyd_kmeans(emb, k=8, iters=2, kernel="numpy")
+    cent_case = (
+        "CASE cluster_id "
+        + " ".join(f"WHEN {cid} THEN {_arr_sql(cv)}" for cid, cv in cents)
+        + " END"
+    )
+    assigned = assign_clusters_np(emb, cents, dtype="float64")
+    res = assigned.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.expr(f"zip_with(embedding, {cent_case}, (x, y) -> x - y)").alias(
+            "embedding"
+        ),
+    )
+    braw = train_pq(emb, m=m, ksub=ksub, iters=2, dsub=dsub, kernel="numpy")
+    rbooks = train_pq(
+        res, m=m, ksub=ksub, iters=2, dsub=dsub, id_col="corpus_id", kernel="numpy"
+    )
+
+    rows = assigned.select("vec_id", "embedding", "cluster_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    cid_of = {c: np.asarray(v, dtype=np.float64) for c, v in cents}
+    C = np.stack([cid_of[r["cluster_id"]] for r in rows])
+
+    def encode_recon(X: np.ndarray, books) -> np.ndarray:
+        out = np.empty_like(X)
+        for s, book in enumerate(books):
+            sub = X[:, s * dsub : (s + 1) * dsub]
+            B = np.array([v for _, v in sorted(book)], dtype=np.float64)
+            num = sub @ B.T
+            den = (
+                np.linalg.norm(sub, axis=1)[:, None]
+                * np.linalg.norm(B, axis=1)[None, :]
+            )
+            sims = np.divide(num, den, out=np.zeros_like(num), where=den != 0)
+            out[:, s * dsub : (s + 1) * dsub] = B[np.argmax(sims, axis=1)]
+        return out
+
+    recon_raw = encode_recon(V, braw)
+    recon_res = C + encode_recon(V - C, rbooks)
+
+    def topk_ids(M: np.ndarray, qi: int, k: int = 5) -> set:
+        q = V[qi]
+        num = M @ q
+        den = np.linalg.norm(M, axis=1) * np.linalg.norm(q)
+        sims = np.divide(num, den, out=np.zeros_like(num), where=den != 0)
+        order = sorted(
+            (j for j in range(len(ids)) if j != qi),
+            key=lambda j: (-sims[j], ids[j]),
+        )[:k]
+        return {ids[j] for j in order}
+
+    qidx = np.nonzero(ids % 25 == 0)[0]
+    hits_raw = hits_res = total = 0
+    for qi in qidx:
+        truth = topk_ids(V, qi)
+        hits_raw += len(truth & topk_ids(recon_raw, qi))
+        hits_res += len(truth & topk_ids(recon_res, qi))
+        total += 5
+    recall_raw, recall_res = hits_raw / total, hits_res / total
+    assert recall_res > recall_raw, (recall_raw, recall_res)

@@ -123,75 +123,74 @@ def query(name: str, oracle: str | None, survey_ids: list[str], doc: str = ""):
 # verification via tests/test_oracle_parity.py, which replicates the
 # driver gate over the ENTIRE registry at sf0.001.
 DRIVER_WINDOW: list[str] = [
-    # -- stale first: every query whose last driver row is r01-r03 ----
-    "pricing_summary",
-    "latest_event_per_user",
-    "top_orders_per_customer",
-    "market_share",
-    "conditional_counts",
-    "range_scan",
-    "asof_event_snapshot_join",
-    "lww_window_snapshot",
-    "rolling_metric_stats",
-    "asof_nearest_join",
-    "tumbling_window_counts",
-    "window_pivot_snapshot",
-    "knn_label_purity",
-    "knn_same_label",
-    "relationship_rules",
-    "device_statistics",
-    "fleet_simulator",
-    "dedup_exact",
-    "text_quality",
-    "token_stats_by_lang",
-    "minhash_signatures",
-    "minhash_dup_buckets",
-    "simhash_fingerprints",
-    "simhash_dup_pairs",
-    "dedup_canonical",
-    "ngram_jaccard_pairs",
-    "language_id",
-    "doc_fingerprint",
-    "corpus_quality_filter",
-    "stratified_sample",
-    "benchmark_decontam",
-    "token_packing",
-    "doc_chunking",
-    # -- new in round 5 ------------------------------------------------
+    # -- r6 must-rotate set: every query whose last driver row is r4
+    # (the full set tools/rotate_window.py printed; ≤1 round stale is
+    # the pinned policy maximum, so all 38 lead the window) ----------
+    "anomaly_events_build",
+    "approx_distinct_check",
+    "bpe_token_estimate",
+    "chunk_dedup",
+    "customer_order_coverage",
+    "dedup_incremental",
+    "detect_consensus",
+    "doc_repetition_stats",
+    "domain_doc_cap",
+    "embedding_input_text",
+    "event_props_stats",
+    "event_sessionization",
+    "fleet_config_source",
+    "ivfpq_knn",
+    "lsh_knn",
+    "media_byte_features",
+    "media_frame_sample",
+    "metric_percentiles",
+    "metric_percentiles_approx",
+    "path3_novelty_flags",
+    "pii_redaction",
+    "pq_knn",
+    "profile_rebuild_after_feedback",
+    "resample_daily_locf",
+    "retention_sweep",
+    "source_lang_rollup",
+    "source_mix_summary",
+    "sq8_knn",
+    "tfidf_top_terms",
+    "threshold_rules",
+    "token_budget_sample",
+    "unigram_logprob_score",
+    "zscore_outliers",
+    # -- new in round 6 ----------------------------------------------
+    "dedup_clusters_union",
+    # -- implementation changed in round 6 (must re-certify):
+    # bounded-sample quantizer training + NumPy materialized-list
+    # assignment touch every build_ivf_index consumer; semi-join probe
+    # pruning touches ivf_knn (ivfpq_knn is in the must-rotate set
+    # above); dedup_clusters shares the clustering/edge machinery the
+    # union query extends -------------------------------------------
+    "ivf_knn",
     "ivf_grouped_knn",
     "sq8_ivf_knn",
-    "ann_recall_report",
-    "ivf_incremental_add",
-    # -- implementation changed in round 5 (must re-certify): profiles
-    # fused-explode null-coalesce (device_profile_build), hyperplane
-    # n_bands 8→16 (embedding_neardup_pairs, semantic_dedup_keepers),
-    # re-materialized derived caches (dedup_clusters/funnel edges,
-    # streaming_neardup_e2e base signatures), folded-superset role
-    # (similar_state_metric_diff absorbs metric_delta_top3) -----------
-    "device_profile_build",
-    "embedding_neardup_pairs",
-    "semantic_dedup_keepers",
-    "similar_state_metric_diff",
-    "dedup_clusters",
-    "dedup_pipeline_funnel",
-    # -- flagship detection / ANN core (fresh re-certification) --------
-    "path2_anomaly",
-    "knn_bruteforce",
-    "knn_distributed",
-    "ivf_knn",
     "ivfpq_residual_knn",
-    # (pq_knn / ivfpq_knn / sq8_knn / detect_consensus yield their
-    #  slots to the four extra round-5 queries; all were r4-green and
-    #  rotate back next round — sq8_knn's quantize path is also
-    #  re-certified this round through sq8_ivf_knn's TINYINT-cast
-    #  twin, and detect_consensus's three paths stay partially
-    #  in-window via path2_anomaly + the streaming detect twins)
+    "ivf_incremental_add",
+    "ann_recall_report",
+    "dedup_clusters",
+    # -- flagship re-certification (reduces r7's must-rotate load) ----
+    "knn_bruteforce",
+    "path2_anomaly",
+    "device_profile_build",
     # -- streaming e2e LAST: a completed Structured Streaming query
     # leaves residue in the shared local JVM that intermittently slows
     # later heavy batch queries 10-50x (see .claude/skills/verify) —
     # so every batch query must run before the first stream starts.
-    "streaming_neardup_e2e",
+    # streaming_ivf_add_e2e re-certifies the r6 multi-micro-batch
+    # increment staging; streaming_window_pivot stays last (bench
+    # convention).
+    "streaming_detect_e2e",
+    "streaming_novelty_e2e",
+    "streaming_rolling_stats",
+    "streaming_dedup_e2e",
     "streaming_ivf_add_e2e",
+    "streaming_window_pivot",
 ]
 
 
@@ -4771,6 +4770,236 @@ def _emb_with_planted_dups(emb: DataFrame) -> DataFrame:
         ),
     )
     return base.unionByName(exact).unionByName(near)
+
+
+# --- Union-evidence duplicate clustering ----------------------------
+# Production dedup merges EVIDENCE CLASSES before clustering: a pair
+# caught only by content hashing, only by SimHash, only by verified
+# n-gram Jaccard, or only by embedding cosine must still land in one
+# cluster.  The node space is shared by construction: documents and
+# embeddings use the same id scheme (base i; exact copy i+1e6; near
+# copy i+2e6), i.e. vec_id i is doc i's embedding — the usual layout
+# when the embedding table is derived from the document table.  At the
+# fixture SFs the evidence classes genuinely diverge (e.g. sf0.01 has
+# 12 ngram-only and 1 embedding-only pairs), so the green row
+# certifies cross-evidence merging, not four copies of the same edge.
+_UNION_EVIDENCE_CTES = f"""
+    WITH RECURSIVE {_PLANTED_DOCS_SQL.strip()},
+    {_PLANTED_EMB_SQL.strip()},
+    {{simhash_sigs}},
+    banded AS (
+        SELECT doc_id, s0, s1, s2, s3, k AS band_idx,
+               CASE k WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2
+                      WHEN 3 THEN b3 WHEN 4 THEN b4 ELSE b5 END AS band_val
+        FROM sigs, (SELECT unnest(range(0,6)) AS k) bands
+    ),
+    sim_e AS (
+        SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        FROM banded a JOIN banded b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1))
+            + bit_count(xor(a.s2, b.s2)) + bit_count(xor(a.s3, b.s3)) <= 5
+    ),
+    exact_e AS (
+        SELECT m AS a, doc_id AS b FROM (
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS m
+            FROM planted WHERE text IS NOT NULL)
+        WHERE doc_id <> m
+    ),
+    msigs AS (
+        SELECT doc_id, {", ".join(_minhash_sql_one(s) for s in _MINHASH_SEEDS[:2])}
+        FROM planted WHERE text IS NOT NULL
+    ),
+    shingled AS (
+        SELECT d.doc_id, s.sig_0, s.sig_1,
+               list_distinct(CASE WHEN len(string_split(d.text, ' ')) >= 3 THEN
+                   list_transform(range(1, len(string_split(d.text, ' ')) - 1),
+                       i -> string_split(d.text, ' ')[i] || ' ' ||
+                            string_split(d.text, ' ')[i+1] || ' ' ||
+                            string_split(d.text, ' ')[i+2])
+               ELSE [d.text] END) AS shingles
+        FROM planted d JOIN msigs s ON d.doc_id = s.doc_id WHERE d.text IS NOT NULL
+    ),
+    ngram_e AS (
+        SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+        FROM shingled a JOIN shingled b
+          ON a.sig_0 = b.sig_0 AND a.sig_1 = b.sig_1 AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
+              (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.6
+    ),
+    emb_e AS (
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM planted_emb a JOIN planted_emb b ON a.vec_id < b.vec_id
+        WHERE {{knn_cos}} > 0.92
+    ),
+    all_e AS (
+        SELECT a, b, 'exact' AS cls FROM exact_e
+        UNION ALL SELECT a, b, 'simhash' FROM sim_e
+        UNION ALL SELECT a, b, 'ngram' FROM ngram_e
+        UNION ALL SELECT a, b, 'embedding' FROM emb_e
+    ),
+    edges AS (SELECT DISTINCT a, b FROM all_e),
+    sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+    reach(node, r) AS (
+        SELECT DISTINCT a AS node, a AS r FROM sym
+        UNION
+        SELECT rc.node, s.b AS r FROM reach rc JOIN sym s ON s.a = rc.r
+    ),
+    comp AS (SELECT node AS doc_id, min(r) AS canonical_id FROM reach GROUP BY node)
+"""
+
+
+def _union_evidence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the four edge-class CTEs, tagged ``(id_a, id_b,
+    cls)`` and MATERIALIZED once per corpus fingerprint (the persisted
+    evidence table a real curation pipeline writes; clustering, bench
+    and correctness reruns all read the same parquet)."""
+    from vectorsearch_scylla_spark.functions.hyperplane import (
+        hyperplane_near_dup_pairs,
+    )
+    from vectorsearch_scylla_spark.operators.dedup import simhash_near_dup_pairs
+
+    docs = _docs_with_planted_dups(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    sim = (
+        simhash_near_dup_pairs(docs, max_hamming=5)
+        .select("id_a", "id_b")
+        .distinct()
+        .withColumn("cls", F.lit("simhash"))
+    )
+    grouped = docs.select(
+        "doc_id",
+        F.min("doc_id")
+        .over(Window.partitionBy(F.md5(F.col("text").cast("binary"))))
+        .alias("m"),
+    )
+    exact = (
+        grouped.filter(F.col("doc_id") != F.col("m"))
+        .select(F.col("m").alias("id_a"), F.col("doc_id").alias("id_b"))
+        .withColumn("cls", F.lit("exact"))
+    )
+    sh = _with_word_shingles(docs).select(
+        "doc_id",
+        _minhash_sig(0, non_null=True),
+        _minhash_sig(1, non_null=True),
+        F.array_distinct(F.coalesce(F.col("sh"), F.array(F.col("text")))).alias(
+            "shingles"
+        ),
+    )
+    a = sh.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sig_0").alias("s0a"),
+        F.col("sig_1").alias("s1a"),
+        F.col("shingles").alias("sh_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sig_0").alias("s0b"),
+        F.col("sig_1").alias("s1b"),
+        F.col("shingles").alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union_sz = F.size("sh_a") + F.size("sh_b") - inter
+    ngram = (
+        a.join(
+            b,
+            (F.col("s0a") == F.col("s0b"))
+            & (F.col("s1a") == F.col("s1b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter((inter.cast("double") / union_sz) >= 0.6)
+        .select("id_a", "id_b")
+        .distinct()
+        .withColumn("cls", F.lit("ngram"))
+    )
+    embp = _emb_with_planted_dups(load_table(spark, sf_dir, "embeddings"))
+    emb = (
+        hyperplane_near_dup_pairs(embp, threshold=0.92, dim=64, n_bands=16)
+        .select("id_a", "id_b")
+        .withColumn("cls", F.lit("embedding"))
+    )
+    all_e = sim.unionByName(exact).unionByName(ngram).unionByName(emb)
+    return spark.read.parquet(
+        _materialize_once(all_e, "vss_union_edges", sf_dir, logic="union-evidence-v1")
+    )
+
+
+@query(
+    "dedup_clusters_union",
+    _UNION_EVIDENCE_CTES.format(
+        simhash_sigs=_simhash128_sigs_sql("planted"), knn_cos=KNN_COS
+    )
+    + """
+    , ecls AS (SELECT c.canonical_id, e.cls FROM all_e e JOIN comp c ON c.doc_id = e.a),
+    counts AS (
+        SELECT canonical_id,
+               CAST(sum(CASE WHEN cls = 'exact' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_edges,
+               CAST(sum(CASE WHEN cls = 'simhash' THEN 1 ELSE 0 END) AS BIGINT) AS n_simhash_edges,
+               CAST(sum(CASE WHEN cls = 'ngram' THEN 1 ELSE 0 END) AS BIGINT) AS n_ngram_edges,
+               CAST(sum(CASE WHEN cls = 'embedding' THEN 1 ELSE 0 END) AS BIGINT) AS n_embedding_edges
+        FROM ecls GROUP BY canonical_id
+    )
+    SELECT comp.doc_id, comp.canonical_id,
+           CAST(count(*) OVER (PARTITION BY comp.canonical_id) AS BIGINT) AS cluster_size,
+           comp.doc_id = comp.canonical_id AS is_keeper,
+           n_exact_edges, n_simhash_edges, n_ngram_edges, n_embedding_edges
+    FROM comp JOIN counts USING (canonical_id)
+    """,
+    ["DEDUP-EXACT", "DEDUP-SIMHASH", "DEDUP-NGRAM", "DEDUP-EMBED",
+     "DEDUP-CLUSTERS", "DEDUP-UNION"],
+    "Duplicate clusters over the UNION of four evidence classes — "
+    "exact content hash, SimHash banding (Hamming ≤ 5), MinHash-band "
+    "candidates verified by word-3-gram Jaccard ≥ 0.6, and embedding "
+    "cosine > 0.92 (hyperplane-LSH banded) — folded into connected "
+    "components (min-label propagation + pointer jumping, "
+    "operators/graph.py), with per-cluster edge counts BY CLASS so a "
+    "cluster merged by a single evidence class is visible in the "
+    "output.  The edge table materializes once per corpus fingerprint "
+    "(the persisted evidence table a curation run writes).  At 100 TB "
+    "each class is the already-certified banded generator (linear + "
+    "band joins; never a corpus self-join) and clustering runs on the "
+    "union edge subgraph only.  Oracle recomputes all four classes "
+    "and the components via recursive-CTE transitive closure — an "
+    "independent clustering algorithm, so the green row checks "
+    "cross-evidence merging itself.",
+)
+def q_dedup_clusters_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectorsearch_scylla_spark.operators.graph import connected_components
+
+    edges_cls = _union_evidence_edges(spark, sf_dir)
+    comp = connected_components(edges_cls.select("id_a", "id_b").distinct())
+    sizes = comp.groupBy("component").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    counts = (
+        edges_cls.join(
+            comp.select(F.col("node").alias("id_a"), "component"), "id_a"
+        )
+        .groupBy("component")
+        .agg(
+            *[
+                F.sum(F.when(F.col("cls") == c, 1).otherwise(0))
+                .cast("long")
+                .alias(f"n_{c}_edges")
+                for c in ["exact", "simhash", "ngram", "embedding"]
+            ]
+        )
+    )
+    return (
+        comp.join(sizes, "component")
+        .join(F.broadcast(counts), "component")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("component").alias("canonical_id"),
+            "cluster_size",
+            (F.col("node") == F.col("component")).alias("is_keeper"),
+            "n_exact_edges",
+            "n_simhash_edges",
+            "n_ngram_edges",
+            "n_embedding_edges",
+        )
+    )
 
 
 @query(
