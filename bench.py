@@ -39,6 +39,7 @@ HEADLINE = [
     "sq8_ivf_knn",
     "ann_recall_report",
     "ivf_incremental_add",
+    "ivf_sampled_train_knn",
     "lsh_knn",
     "pq_knn",
     "ivfpq_knn",

@@ -258,16 +258,44 @@ def main() -> None:
             ),
         )
 
+        # --- bounded-sample training (r6): the SAME trainer capped at
+        # the FAISS-practice 256·K md5-ordered sample — the default
+        # build_ivf_index path.  Each iteration scans sample-sized
+        # data; only the final (caller-side) assignment touches the
+        # full corpus.  The cap binds once N > 256·K (k=8 → any scale
+        # ≥ 10×; K=√N → 100×), and the grouped probe + recall below
+        # run from the SAMPLED centroids so the row also shows the cap
+        # does not cost recall.
+        train_cap = 256 * ivf_k
+        cents_sqrt_s: list = []
+        timed(
+            f"ivf_kmeans_build_np_k{ivf_k}_sampled",
+            lambda: cents_sqrt_s.extend(
+                lloyd_kmeans(
+                    emb, k=ivf_k, iters=2, kernel="numpy", train_rows=train_cap
+                )
+            ),
+        )
+        cents_k8_s: list = []
+        timed(
+            "ivf_kmeans_build_np_sampled",
+            lambda: cents_k8_s.extend(
+                lloyd_kmeans(emb, k=8, iters=3, kernel="numpy", train_rows=2048)
+            ),
+        )
+        if train_cap >= n_vecs:
+            cents_sqrt_s[:] = cents_sqrt  # cap didn't bind: identical train
+
         grouped_out: list = []
 
         def ivf_probe_sqrt() -> None:
-            members = assign_clusters_np(emb, cents_sqrt).select(
+            members = assign_clusters_np(emb, cents_sqrt_s).select(
                 F.col("vec_id").alias("corpus_id"),
                 F.col("embedding").alias("corpus_vec"),
                 "cluster_id",
             )
             probes = probe_clusters_np(
-                queries, cents_sqrt, nprobe=nprobe, vec_col="query_vec"
+                queries, cents_sqrt_s, nprobe=nprobe, vec_col="query_vec"
             )
             out = ivf_probe_topk_grouped(
                 probes, members, k=5, exclude_self=True, dtype="float32"
@@ -586,6 +614,8 @@ def main() -> None:
                         "k": ivf_k,
                         "nprobe": nprobe,
                         "recall_at_5": ivf_recall,
+                        "train_cap": train_cap,
+                        "train_cap_bound": bool(train_cap < n_vecs),
                     },
                     "pq_recall_at_5": pq_recall,
                 }

@@ -58,6 +58,7 @@ def train_pq(
     vec_col: str = "embedding",
     decimals: int = 6,
     kernel: str = "expr",
+    train_rows: int | None = None,
 ) -> list[list[tuple[int, list[float]]]]:
     """Train ``m`` per-subspace codebooks of ``ksub`` centroids each
     over ``dsub``-wide vector slices.  Returns one ``[(code, centroid)]``
@@ -70,6 +71,11 @@ def train_pq(
     passes through to :func:`~vectorsearch_scylla_spark.operators.ivf.
     lloyd_kmeans` — ``'expr'`` (bit-exact with the SQL oracle) or
     ``'numpy'`` (blocked BLAS assignment, the 100 TB build path).
+    ``train_rows`` caps the TRAINING corpus at the deterministic
+    md5-ordered sample (also per ``lloyd_kmeans``); because the sample
+    depends only on ``id_col``, every subspace trains on the SAME rows
+    — the shared-sample contract FAISS's PQ trainer uses.  Encoding
+    (the caller's job) still covers the full corpus.
     """
     vecs = df.select(id_col, F.col(vec_col).cast("array<double>").alias("__full"))
     books = []
@@ -78,7 +84,7 @@ def train_pq(
         books.append(
             lloyd_kmeans(
                 sub, k=ksub, iters=iters, id_col=id_col, vec_col="__v",
-                decimals=decimals, kernel=kernel,
+                decimals=decimals, kernel=kernel, train_rows=train_rows,
             )
         )
     return books
@@ -188,11 +194,19 @@ def build_pq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     decimals: int = 6,
+    train_rows: int | None = None,
 ) -> tuple[list[list[tuple[int, list[float]]]], str]:
     """Build-once PQ index: train the codebooks AND materialize the
     encoded code table (id, code0..code{m-1}, rnorm) as parquet, both
     cached on disk keyed by ``cache_token`` (caller folds in source
     fingerprints + hyperparameters).  Returns ``(books, codes_path)``.
+
+    ``train_rows`` (default ``256·ksub``, FAISS practice) bounds the
+    codebook TRAINING at the deterministic md5-ordered sample — at
+    100 TB the per-subspace k-means must never scan the corpus
+    ``iters`` times; only the single encode pass below touches every
+    row.  At every fixture SF the cap exceeds the corpus, so certified
+    values are unchanged (``_pq_cte`` mirrors the same sample CTE).
 
     Encoding is index-BUILD work, not query work (the reference's HNSW
     analog: the index is constructed once, queries only read it) — the
@@ -207,7 +221,10 @@ def build_pq_index(
     import tempfile
     import uuid
 
-    path = os.path.join(tempfile.gettempdir(), f"vss_pq_idx_{cache_token}")
+    cap = 256 * ksub if train_rows is None else int(train_rows)
+    path = os.path.join(
+        tempfile.gettempdir(), f"vss_pq_idx_{cache_token}_s{cap}"
+    )
     books_file = os.path.join(path, "codebooks.json")
     codes_path = os.path.join(path, "codes")
     if os.path.isfile(books_file):
@@ -216,7 +233,7 @@ def build_pq_index(
         return books, codes_path
     books = train_pq(
         df, m=m, ksub=ksub, iters=iters, dsub=dsub,
-        id_col=id_col, vec_col=vec_col, decimals=decimals,
+        id_col=id_col, vec_col=vec_col, decimals=decimals, train_rows=cap,
     )
     staging = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     os.makedirs(staging, exist_ok=True)

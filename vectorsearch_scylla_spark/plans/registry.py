@@ -174,10 +174,12 @@ DRIVER_WINDOW: list[str] = [
     "ivf_incremental_add",
     "ann_recall_report",
     "dedup_clusters",
+    # -- new in round 6 (sampled-training semantics, cap BINDS at the
+    # fixture so the oracle certifies the 100 TB build contract) ------
+    "ivf_sampled_train_knn",
     # -- flagship re-certification (reduces r7's must-rotate load) ----
     "knn_bruteforce",
     "path2_anomaly",
-    "device_profile_build",
     # -- streaming e2e LAST: a completed Structured Streaming query
     # leaves residue in the shared local JVM that intermittently slows
     # later heavy batch queries 10-50x (see .claude/skills/verify) —
@@ -1416,6 +1418,96 @@ def q_ivf_grouped_knn(
     )
 
 
+# Sampled-training IVF: the cap BINDS at the fixture (256 < 500), so
+# the oracle certifies the bounded-sample semantics themselves — not
+# the sample=all degenerate case the other IVF oracles exercise.
+IVF_SK = 16
+IVF_SITERS = 2
+IVF_SNPROBE = 2
+IVF_STRAIN = 256
+
+
+@query(
+    "ivf_sampled_train_knn",
+    f"""
+    WITH {_ivf_kmeans_cte(IVF_SK, IVF_SITERS, IVF_SNPROBE, 25, train_rows=IVF_STRAIN)}
+    SELECT query_id, neighbor_id, {Q("similarity")} AS similarity,
+           CAST(rank AS INT) AS rank
+    FROM (
+        SELECT p.query_id, m.vec_id AS neighbor_id,
+               {_cos_sql("a.embedding", "m.embedding")} AS similarity,
+               row_number() OVER (PARTITION BY p.query_id
+                                  ORDER BY {_cos_sql("a.embedding", "m.embedding")} DESC,
+                                           m.vec_id ASC) AS rank
+        FROM probes p
+        JOIN vecs a ON a.vec_id = p.query_id
+        JOIN members m ON m.cluster_id = p.cluster_id AND m.vec_id <> p.query_id
+    ) WHERE rank <= 5
+    """,
+    ["V3", "V4", "A4", "J3", "W2", "ANN-IVF", "ANN-IVF-SAMPLED"],
+    "IVF kNN whose coarse quantizer trains on a BINDING bounded sample "
+    "— train_rows=256 of the fixture's 500 vectors (the md5-ordered "
+    "deterministic draw), so the green row certifies the sampled-"
+    "training semantics END-TO-END: sample selection, k-means "
+    "iterations over the sample only, full-corpus membership through "
+    "the final assignment pass, multi-probe search over the resulting "
+    "lists.  This is the 100 TB index build contract (build_ivf_index "
+    "defaults to a 256·K cap, FAISS coarse-quantizer practice — "
+    "training must NEVER scan the corpus iters times); the other IVF "
+    "oracles run with cap > N where sampling is a no-op, so without "
+    "this query the binding path would be pytest-only.  Same grouped "
+    "cogroup kernel and ranking contract as ivf_grouped_knn.",
+)
+def q_ivf_sampled_train_knn(
+    spark: SparkSession, sf_dir: str, k: int = 5, nprobe: int = IVF_SNPROBE
+) -> DataFrame:
+    from vectorsearch_scylla_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_probe_topk_grouped,
+        probe_clusters,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents, lists_path = build_ivf_index(
+        vecs,
+        _sf_cache_token(sf_dir, "ivfs", IVF_SK, IVF_SITERS, IVF_STRAIN),
+        k=IVF_SK,
+        iters=IVF_SITERS,
+        train_rows=IVF_STRAIN,
+    )
+    members = spark.read.parquet(lists_path).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("corpus_vec"),
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+    )
+    probes = probe_clusters(
+        vecs.filter(F.col("vec_id") % 25 == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+        ),
+        cents,
+        nprobe=nprobe,
+        vec_col="query_vec",
+    )
+    out = ivf_probe_topk_grouped(
+        probes,
+        members,
+        k=k,
+        query_id="query_id",
+        corpus_id="neighbor_id",
+        exclude_self=True,
+        dtype="float64",
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        quantize(F.col("similarity")).alias("similarity"),
+        "rank",
+    )
+
+
 @query(
     "sq8_ivf_knn",
     f"""
@@ -1706,6 +1798,7 @@ def _pq_cte(
     include_vecs: bool = True,
     vecs_name: str = "vecs",
     with_scoring: bool = True,
+    train_rows: int | None = None,
 ) -> str:
     """Unrolled per-subspace Lloyd's k-means + encode + ADC scoring —
     the SQL twin of ``operators/pq.train_pq``/``encode_pq``/
@@ -1715,15 +1808,24 @@ def _pq_cte(
     (the IVF chain) splice both chains into one WITH; ``vecs_name``
     retargets the train/encode corpus to another CTE (the residual
     variant trains on residuals); ``with_scoring=False`` stops after
-    ``pq_codes`` for callers that score reconstructions directly."""
+    ``pq_codes`` for callers that score reconstructions directly.
+
+    Training (seeds + k-means iterations, every subspace) runs over
+    the bounded md5-ordered ``pq_train`` sample (default ``256·ksub``,
+    matching ``build_pq_index``); encoding covers the full corpus.  At
+    every fixture SF the cap exceeds the corpus, so certified values
+    are unchanged while the SQL states the true sampled semantics."""
+    cap = 256 * ksub if train_rows is None else int(train_rows)
     parts = ([
         "vecs AS (SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings)",
     ] if include_vecs else []) + [
+        f"pq_train AS (SELECT vec_id, embedding FROM {vecs_name} "
+        f"ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {cap})",
         f"""seeds AS (
         SELECT CAST(rn - 1 AS INT) AS cluster_id, embedding FROM (
             SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn,
                    embedding
-            FROM {vecs_name}) WHERE rn <= {ksub})""",
+            FROM pq_train) WHERE rn <= {ksub})""",
     ]
     for s in range(m):
         lo, hi = s * dsub + 1, (s + 1) * dsub
@@ -1736,7 +1838,7 @@ def _pq_cte(
             f"SELECT v.vec_id, {vsub} AS sub, c.cluster_id, "
             f"row_number() OVER (PARTITION BY v.vec_id ORDER BY "
             f"{{cos}} DESC, c.cluster_id ASC) AS rn "
-            f"FROM {vecs_name} v CROSS JOIN cent{{src}}_{s} c) WHERE rn = 1"
+            f"FROM pq_train v CROSS JOIN cent{{src}}_{s} c) WHERE rn = 1"
         )
         for i in range(1, iters + 1):
             cos = _cos_sql(vsub, "c.cvec")
