@@ -60,6 +60,7 @@ _PINNED = [
     "sq8_ivf_knn",
     "knn_same_label",
     "ivf_knn",
+    "ivf_sampled_train_knn",
     "ivf_grouped_knn",
     "ann_recall_report",
     "ivf_incremental_add",
@@ -72,6 +73,7 @@ _PINNED = [
     "minhash_dup_buckets",
     "simhash_dup_pairs",
     "dedup_incremental",
+    "dedup_clusters_union",
     "chunk_dedup",
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",
@@ -313,7 +315,12 @@ def test_grouped_ivf_family_uses_cogroup_kernel(plans):
     NEITHER side collects to the driver.  A regression to the blocked
     kernel would silently reintroduce the driver-side query broadcast
     the grouped path exists to remove."""
-    for name in ["ivf_grouped_knn", "sq8_ivf_knn", "ivfpq_residual_knn"]:
+    for name in [
+        "ivf_grouped_knn",
+        "sq8_ivf_knn",
+        "ivfpq_residual_knn",
+        "ivf_sampled_train_knn",
+    ]:
         assert "FlatMapCoGroupsInPandas" in plans[name], name
 
 
