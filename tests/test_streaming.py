@@ -447,3 +447,30 @@ def test_ivf_add_stream_exactly_once_and_batch_equivalent(spark, sf_dir, tmp_pat
         for r in assign_clusters(inc, cents).select("vec_id", "cluster_id").collect()
     }
     assert streamed == batch
+
+
+def test_streaming_ivf_add_source_spans_multiple_microbatches(spark, sf_dir):
+    """Pin the r6 ADVICE fix: the REGISTERED streaming_ivf_add_e2e run
+    must genuinely span several micro-batches.  The staged increment is
+    repartition(16)-materialized (same cache key as the registry query,
+    so this asserts the exact files the registered stream reads), and
+    with maxFilesPerTrigger=8 more than 8 part files means >= 2
+    triggers — previously a single part file drained in one batch and
+    the batch-split-independence claim was pytest-only."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vectorsearch_scylla_spark.plans.registry import _materialize_once
+    from vectorsearch_scylla_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    inc = vecs.filter(F.col("vec_id") % 10 == 7)
+    src = _materialize_once(
+        inc.repartition(16), "vss_ivfadd_src", sf_dir, logic="mod10-7-v2"
+    )
+    parts = [f for f in os.listdir(src) if f.startswith("part-")]
+    assert len(parts) > 8, parts
