@@ -126,6 +126,76 @@ def main() -> None:
             lambda: noop(hyperplane_near_dup_pairs(emb, threshold=0.92, dim=64)),
         )
 
+        # --- union-evidence clustering end-to-end (r6, registry query
+        # dedup_clusters_union): all four edge classes regenerated +
+        # unioned + folded into connected components in ONE measured
+        # pipeline — the honest full-pipeline cost (the registry
+        # materializes the edge table once; here nothing is cached so
+        # the row upper-bounds a cold run).  Doc and vector replicas
+        # share the id scheme (base + rep*10M), so the union graph is
+        # well-defined exactly as in the registry query.
+        def union_cc() -> None:
+            from pyspark.sql import Window as W
+
+            from vectorsearch_scylla_spark.operators.graph import (
+                connected_components,
+            )
+            from vectorsearch_scylla_spark.plans.registry import (
+                _minhash_sig,
+                _with_word_shingles,
+            )
+
+            nn = docs.filter(F.col("text").isNotNull())
+            sim = simhash_near_dup_pairs(nn, max_hamming=5).select("id_a", "id_b")
+            grouped = nn.select(
+                "doc_id",
+                F.min("doc_id")
+                .over(W.partitionBy(F.md5(F.col("text").cast("binary"))))
+                .alias("m"),
+            )
+            exact = grouped.filter(F.col("doc_id") != F.col("m")).select(
+                F.col("m").alias("id_a"), F.col("doc_id").alias("id_b")
+            )
+            sh = _with_word_shingles(nn).select(
+                "doc_id",
+                _minhash_sig(0, non_null=True),
+                _minhash_sig(1, non_null=True),
+                F.array_distinct(
+                    F.coalesce(F.col("sh"), F.array(F.col("text")))
+                ).alias("shingles"),
+            )
+            a = sh.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("sig_0").alias("s0a"),
+                F.col("sig_1").alias("s1a"),
+                F.col("shingles").alias("sh_a"),
+            )
+            b = sh.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("sig_0").alias("s0b"),
+                F.col("sig_1").alias("s1b"),
+                F.col("shingles").alias("sh_b"),
+            )
+            inter = F.size(F.array_intersect("sh_a", "sh_b"))
+            union_sz = F.size("sh_a") + F.size("sh_b") - inter
+            ngram = (
+                a.join(
+                    b,
+                    (F.col("s0a") == F.col("s0b"))
+                    & (F.col("s1a") == F.col("s1b"))
+                    & (F.col("id_a") < F.col("id_b")),
+                )
+                .filter((inter.cast("double") / union_sz) >= 0.6)
+                .select("id_a", "id_b")
+            )
+            embp = hyperplane_near_dup_pairs(emb, threshold=0.92, dim=64).select(
+                "id_a", "id_b"
+            )
+            edges = sim.union(exact).union(ngram).union(embp).distinct()
+            noop(connected_components(edges))
+
+        timed("dedup_union_clusters_e2e", union_cc)
+
         queries = emb.filter(F.col("vec_id") % 50 == 0).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
         )

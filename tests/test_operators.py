@@ -1105,3 +1105,92 @@ def test_residual_pq_recall_beats_raw_at_same_budget(spark, sf_dir):
         total += 5
     recall_raw, recall_res = hits_raw / total, hits_res / total
     assert recall_res > recall_raw, (recall_raw, recall_res)
+
+
+def test_split_oversized_clusters(spark, emb):
+    """Index compaction for the append-only IVF maintenance story:
+    oversized inverted lists split in place through a per-cluster
+    deterministic k-means; untouched clusters byte-identical; members
+    conserved; split members land on their argmax-cosine child; the
+    whole operation reproducible across runs."""
+    import hashlib
+
+    import numpy as np
+
+    from vectorsearch_scylla_spark.operators.ivf import (
+        assign_clusters_np,
+        lloyd_kmeans,
+        split_oversized_clusters,
+    )
+
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = lloyd_kmeans(vecs, k=4, iters=2, kernel="numpy")
+    members = assign_clusters_np(vecs, cents, dtype="float64")
+    sizes = {
+        r["cluster_id"]: r["n"]
+        for r in members.groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
+    }
+    max_size = sorted(sizes.values())[len(sizes) // 2]  # split the big half
+    oversized = {c for c, n in sizes.items() if n > max_size}
+    assert oversized and len(oversized) < len(sizes)  # non-vacuous both ways
+
+    new_cents, new_members = split_oversized_clusters(
+        members, cents, max_size=max_size, split_k=2, iters=2
+    )
+    new_members = new_members.cache()
+
+    # members conserved exactly (same vec_id multiset)
+    assert sorted(r["vec_id"] for r in new_members.select("vec_id").collect()) == \
+        sorted(r["vec_id"] for r in members.select("vec_id").collect())
+
+    old_assign = {r["vec_id"]: r["cluster_id"] for r in members.collect()}
+    new_assign = {r["vec_id"]: r["cluster_id"] for r in new_members.collect()}
+    cent_map = dict(new_cents)
+    for vid, c_old in old_assign.items():
+        if c_old in oversized:
+            parent = new_assign[vid] // 1_000_000
+            assert parent == c_old, (vid, c_old, new_assign[vid])  # frozen outer routing
+            assert new_assign[vid] in cent_map
+        else:
+            assert new_assign[vid] == c_old, vid  # untouched clusters unchanged
+
+    # parent centroids replaced by children; unsplit centroids identical
+    for cid, cv in cents:
+        if cid in oversized:
+            assert cid not in cent_map
+            assert any(c // 1_000_000 == cid for c in cent_map), cid
+        else:
+            assert cent_map[cid] == cv
+
+    # split members sit on their argmax-cosine child (ties impossible
+    # on this corpus), verified independently in NumPy
+    emb_of = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in vecs.collect()
+    }
+    for parent in oversized:
+        kids = sorted(c for c in cent_map if c // 1_000_000 == parent)
+        K = np.stack([np.asarray(cent_map[c]) for c in kids])
+        Kn = K / np.linalg.norm(K, axis=1)[:, None]
+        for vid, c_new in new_assign.items():
+            if c_new // 1_000_000 == parent and old_assign[vid] == parent:
+                v = emb_of[vid]
+                sims = Kn @ (v / np.linalg.norm(v))
+                assert kids[int(np.argmax(sims))] == c_new, vid
+
+    # deterministic across runs
+    cents2, members2 = split_oversized_clusters(
+        members, cents, max_size=max_size, split_k=2, iters=2
+    )
+    assert cents2 == new_cents
+    assert {r["vec_id"]: r["cluster_id"] for r in members2.collect()} == new_assign
+    new_members.unpersist()
+
+    # hashlib.md5 must match Spark's md5(cast(id as string)) seeding
+    some = next(iter(old_assign))
+    spark_md5 = spark.sql(
+        f"SELECT md5(cast({some} as string)) AS h"
+    ).first()["h"]
+    assert spark_md5 == hashlib.md5(str(some).encode()).hexdigest()

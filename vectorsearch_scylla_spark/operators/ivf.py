@@ -533,3 +533,153 @@ def lloyd_kmeans(
             for cid, pos_map in sorted(by_cluster.items())
         ]
     return cents
+
+
+def split_oversized_clusters(
+    members: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    max_size: int,
+    split_k: int = 2,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster_id",
+    decimals: int = 6,
+    child_base: int = 1_000_000,
+) -> tuple[list[tuple[int, list[float]]], DataFrame]:
+    """Index COMPACTION for the append-only IVF maintenance story:
+    after enough ``ivf_incremental_add`` appends, skewed inserts grow
+    some inverted lists past the size the grouped probe kernel was
+    balanced for.  Rather than retraining the whole quantizer (a full
+    re-index), split each oversized cluster IN PLACE: run a small
+    deterministic k-means over that cluster's members only, replace
+    the parent centroid with ``split_k`` children (ids
+    ``parent*child_base + j`` — collision-free for parent ids below
+    ``child_base``), and reassign ONLY the split clusters' members.
+    Untouched clusters' lists and centroids are byte-identical on
+    output — at 100 TB the work is proportional to the oversized
+    lists, never the corpus, and the per-cluster trainer runs inside
+    one ``applyInPandas`` group (a cluster that outgrew one task's
+    memory should have been split earlier, which is the point of
+    running this periodically).
+
+    Determinism mirrors :func:`lloyd_kmeans` exactly — md5-ordered
+    seed draw (smallest ``md5(str(id))``, tie id), argmax-cosine
+    assignment with lowest-child tie-break, per-iteration means
+    quantized to ``decimals`` — so the split is reproducible across
+    runs/engines and SQL-oracle-expressible per cluster (the r7
+    certification path).  Returns ``(new_centroids, new_members)``
+    where ``new_members`` has the same rows as ``members`` with only
+    ``cluster_col`` rewritten for split members, and ``new_centroids``
+    is the updated (sorted) centroid table.
+
+    FAISS parity note: this is the in-place half of what
+    ``IndexIVF`` deployments do by periodic retrain; the frozen-outer
+    contract matches ``ivf_incremental_add``'s (no existing
+    assignment outside split clusters changes).
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, BooleanType, DoubleType, IntegerType, LongType,
+        StructField, StructType,
+    )
+
+    sizes = (
+        members.groupBy(cluster_col).agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > int(max_size))
+        .select(cluster_col)
+    )
+    scale = float(10 ** decimals)
+    eps = 0.5 + _EPS
+
+    out_schema = StructType([
+        StructField("parent", IntegerType(), False),
+        StructField("child", IntegerType(), False),
+        StructField(id_col, LongType(), True),
+        StructField("cvec", ArrayType(DoubleType()), True),
+        StructField("is_centroid", BooleanType(), False),
+    ])
+
+    def split_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        parent = int(pdf[cluster_col].iloc[0])
+        ids = pdf[id_col].to_numpy()
+        V = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+        order = np.lexsort((
+            ids,
+            np.array([hashlib.md5(str(i).encode()).hexdigest() for i in ids]),
+        ))
+        kk = min(split_k, len(ids))
+        C = V[order[:kk]].copy()
+
+        def assign_to(Cm: np.ndarray) -> np.ndarray:
+            cn = np.linalg.norm(Cm, axis=1)
+            cz = cn == 0.0
+            cn[cz] = 1.0
+            vn = np.linalg.norm(V, axis=1)
+            vz = vn == 0.0
+            vn[vz] = 1.0
+            sims = (V / vn[:, None]) @ (Cm / cn[:, None]).T
+            sims[vz, :] = 0.0
+            sims[:, cz] = 0.0
+            return np.argmax(sims, axis=1)  # first max = lowest child
+
+        for _ in range(iters):
+            a = assign_to(C)
+            for j in range(len(C)):
+                mask = a == j
+                if mask.any():
+                    C[j] = np.floor(V[mask].mean(axis=0) * scale + eps) / scale
+        final = assign_to(C)
+        mem = pd.DataFrame({
+            "parent": parent,
+            "child": final.astype("int32"),
+            id_col: ids,
+            "cvec": None,
+            "is_centroid": False,
+        })
+        # a child that wins no member drops out, mirroring
+        # lloyd_kmeans' drop-empty-cluster semantics (no probe should
+        # ever route to a list that cannot exist)
+        live = np.unique(final)
+        cen = pd.DataFrame({
+            "parent": parent,
+            "child": live.astype("int32"),
+            id_col: None,
+            "cvec": [list(C[j]) for j in live],
+            "is_centroid": True,
+        })
+        return pd.concat([mem, cen], ignore_index=True)
+
+    split = (
+        members.join(F.broadcast(sizes), cluster_col, "left_semi")
+        .groupBy(cluster_col)
+        .applyInPandas(split_one, schema=out_schema)
+    )
+    cen_rows = split.filter(F.col("is_centroid")).select("parent", "child", "cvec").collect()
+    split_parents = {int(r["parent"]) for r in cen_rows}
+    new_cents = sorted(
+        [(cid, v) for cid, v in centroids if cid not in split_parents]
+        + [
+            (int(r["parent"]) * child_base + int(r["child"]), list(r["cvec"]))
+            for r in cen_rows
+        ]
+    )
+    reassigned = (
+        split.filter(~F.col("is_centroid"))
+        .select(
+            id_col,
+            (F.col("parent").cast("long") * child_base + F.col("child"))
+            .cast("int")
+            .alias(cluster_col),
+        )
+    )
+    untouched = members.join(F.broadcast(sizes), cluster_col, "left_anti")
+    moved = (
+        members.drop(cluster_col)
+        .join(reassigned, id_col)
+        .select(*members.columns)
+    )
+    return new_cents, untouched.unionByName(moved)
