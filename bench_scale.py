@@ -400,6 +400,43 @@ def main() -> None:
         ivf_recall = round(hit / denom, 4) if denom else None
         grouped_out[0].unpersist()
 
+        # --- optional nprobe sweep (SPARK_GRAFT_NPROBE_SWEEP=1): the
+        # time-vs-recall curve of THE production knob.  Reuses the
+        # persisted exact ground truth; each point is one grouped
+        # probe run from the sampled-trained centroids.
+        nprobe_sweep: dict = {}
+        if os.environ.get("SPARK_GRAFT_NPROBE_SWEEP") == "1":
+            for np_i in (2, 4, 8, 16):
+                t0 = time.perf_counter()
+                members_s = assign_clusters_np(emb, cents_sqrt_s).select(
+                    F.col("vec_id").alias("corpus_id"),
+                    F.col("embedding").alias("corpus_vec"),
+                    "cluster_id",
+                )
+                probes_s = probe_clusters_np(
+                    queries, cents_sqrt_s, nprobe=np_i, vec_col="query_vec"
+                )
+                out_s = ivf_probe_topk_grouped(
+                    probes_s, members_s, k=5, exclude_self=True, dtype="float32"
+                )
+                out_s = out_s.persist()
+                out_s.write.format("noop").mode("overwrite").save()
+                dt = round(time.perf_counter() - t0, 3)
+                approx_s = out_s.select(
+                    "query_id", F.col("corpus_id").alias("approx_id")
+                )
+                hits_s = exact.join(
+                    approx_s,
+                    (exact["query_id"] == approx_s["query_id"])
+                    & (exact["exact_id"] == approx_s["approx_id"]),
+                    "left_semi",
+                ).count()
+                out_s.unpersist()
+                nprobe_sweep[str(np_i)] = {
+                    "sec": dt,
+                    "recall_at_5": round(hits_s / denom, 4) if denom else None,
+                }
+
         # --- PQ: train / encode (index build) / ADC scan (query path)
         from vectorsearch_scylla_spark.operators.pq import (
             encode_pq_np,
@@ -686,6 +723,7 @@ def main() -> None:
                         "recall_at_5": ivf_recall,
                         "train_cap": train_cap,
                         "train_cap_bound": bool(train_cap < n_vecs),
+                        "nprobe_sweep": nprobe_sweep,
                     },
                     "pq_recall_at_5": pq_recall,
                 }
