@@ -39,6 +39,16 @@ from vectorsearch_scylla_spark.session import get_spark  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     scale = int(os.environ.get("SPARK_GRAFT_SCALE", "10"))
+    # SPARK_GRAFT_SECTIONS=dedup,cascade,... runs only the named
+    # section tags (unset = everything): re-measuring one expensive
+    # row (the 100× full-union e2e is ~27 min) must not require
+    # re-running the whole battery.
+    sections = set(
+        filter(None, os.environ.get("SPARK_GRAFT_SECTIONS", "").split(","))
+    )
+
+    def want(tag: str) -> bool:
+        return not sections or tag in sections
 
     spark = get_spark("vectorsearch-scylla-spark-scale-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -83,11 +93,29 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
 
         times: dict[str, float] = {}
+        ivf_k = nprobe = train_cap = None
+        ivf_recall = None
+        nprobe_sweep = {}
+        pq_recall = {}
+        # dedup-only mode: run just the dedup-family rows named in
+        # SPARK_GRAFT_SECTIONS (dedup / union / cascade) and skip the
+        # knn/ivf/pq/streaming regions entirely
+        dedup_only = bool(sections) and sections <= {"dedup", "union", "cascade"}
+
+        _ROW_TAG = {
+            "dedup_union_clusters_e2e": "union",
+            "dedup_union_clusters_cascade": "cascade",
+        }
 
         def timed(name: str, fn) -> None:
+            if dedup_only and _ROW_TAG.get(name, "dedup") not in sections:
+                return
             t0 = time.perf_counter()
             fn()
             times[name] = round(time.perf_counter() - t0, 3)
+            # stderr progress line so a long battery is observable
+            # without polluting the stdout JSON contract
+            print(f"[bench_scale] {name}: {times[name]} s", file=sys.stderr)
 
         # warm the Python worker pool / Arrow lanes (see bench.py)
         spark.range(32).repartition(32).mapInPandas(
@@ -125,6 +153,30 @@ def main() -> None:
             "embedding_neardup_pairs",
             lambda: noop(hyperplane_near_dup_pairs(emb, threshold=0.92, dim=64)),
         )
+
+        def _without_runtime_filter(fn):
+            """Run fn with runtime bloom-filter injection OFF.
+
+            InjectRuntimeFilter re-walks sizeInBytes stats for every
+            candidate equi-join; on the deep multi-generator edge
+            plans below that walk degenerates into minutes of driver
+            CPU multiplying astronomical BigInt size products
+            (observed live in SizeInBytesOnlyStatsPlanVisitor) while
+            every executor sits idle.  The filters buy nothing here —
+            the join sides are band buckets and label tables AQE
+            already handles — so switch the rule off for the
+            measurement and restore it after.
+            """
+            key = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+            prev = spark.conf.get(key, None)
+            spark.conf.set(key, "false")
+            try:
+                fn()
+            finally:
+                if prev is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, prev)
 
         # --- union-evidence clustering end-to-end (r6, registry query
         # dedup_clusters_union): all four edge classes regenerated +
@@ -191,520 +243,665 @@ def main() -> None:
             embp = hyperplane_near_dup_pairs(emb, threshold=0.92, dim=64).select(
                 "id_a", "id_b"
             )
-            edges = sim.union(exact).union(ngram).union(embp).distinct()
+            # localCheckpoint before CC: the four-generator edge tree is
+            # deep, and planning it inside CC's first job sends the
+            # optimizer's InjectRuntimeFilter stats walk into a BigInt
+            # size-product blow-up (measured MINUTES of driver CPU in
+            # SizeInBytesOnlyStatsPlanVisitor).  Materializing the edge
+            # set first makes every CC-side plan trivially shallow —
+            # the same reason the registry query materializes its edge
+            # table to parquet.
+            edges = (
+                sim.union(exact).union(ngram).union(embp)
+                .distinct()
+                .localCheckpoint()
+            )
             noop(connected_components(edges))
 
-        timed("dedup_union_clusters_e2e", union_cc)
+        timed("dedup_union_clusters_e2e", lambda: _without_runtime_filter(union_cc))
 
-        queries = emb.filter(F.col("vec_id") % 50 == 0).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-        )
-        corpus = emb.select(
-            F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec")
-        )
-        # float32: the documented 100 TB default (float64 is only for
-        # oracle hash-matching)
-        timed(
-            "knn_bruteforce_blocked",
-            lambda: noop(
-                topk_similarity_join_blocked(
-                    queries, corpus, k=5, exclude_self=True, dtype="float32"
+        # --- cheap-evidence-first cascade: the 100 TB execution
+        # strategy for the same clustering.  The full-union row pays
+        # an exact-Jaccard verification for EVERY MinHash-band
+        # candidate — at 100× that is ~25 M array intersections inside
+        # 100-way replica cliques whose members simhash already
+        # connects.  Connectivity only needs SPANNING evidence: run
+        # components over the cheap classes first (exact hash +
+        # simhash), then verify the expensive n-gram candidates ONLY
+        # for pairs the cheap graph has not already connected.  The
+        # final components are IDENTICAL to the full union's (every
+        # skipped edge had both endpoints in one cheap component, so
+        # it was redundant for connectivity); only the per-class edge
+        # counts differ, which is why the REGISTRY query keeps full
+        # verification (it certifies evidence attribution at fixture
+        # scale) while this row measures the production execution.
+        def union_cc_cascade() -> None:
+            from pyspark.sql import Window as W
+
+            from vectorsearch_scylla_spark.operators.graph import (
+                connected_components,
+            )
+            from vectorsearch_scylla_spark.plans.registry import (
+                _minhash_sig,
+                _with_word_shingles,
+            )
+
+            def step(msg):
+                print(f"[bench_scale]   cascade: {msg}", file=sys.stderr)
+
+            nn = docs.filter(F.col("text").isNotNull())
+            sim = simhash_near_dup_pairs(nn, max_hamming=5).select("id_a", "id_b")
+            grouped = nn.select(
+                "doc_id",
+                F.min("doc_id")
+                .over(W.partitionBy(F.md5(F.col("text").cast("binary"))))
+                .alias("m"),
+            )
+            exact = grouped.filter(F.col("doc_id") != F.col("m")).select(
+                F.col("m").alias("id_a"), F.col("doc_id").alias("id_b")
+            )
+            # Every stage below is localCheckpointed (eager), NOT bare
+            # persist: c1 and sh are each referenced several times
+            # (la/lb, ka/kb/sha/shb), and an unmaterialized lineage
+            # repeated across that many join arms — re-planned by AQE
+            # after every finished stage — sends Catalyst's
+            # sizeInBytes estimation into a BigInt product blow-up
+            # (measured MINUTES of driver CPU inside
+            # SizeInBytesOnlyStatsPlanVisitor / JoinSelection before
+            # any task ran).  Truncating lineage per stage keeps every
+            # planned tree shallow; the materializations are work the
+            # cascade measurement wants to count anyway.
+            cheap = sim.union(exact).distinct().localCheckpoint()
+            step("cheap edges materialized")
+            c1 = connected_components(cheap).localCheckpoint()
+            step("cheap components materialized")
+
+            sh = _with_word_shingles(nn).select(
+                "doc_id",
+                _minhash_sig(0, non_null=True),
+                _minhash_sig(1, non_null=True),
+                F.array_distinct(
+                    F.coalesce(F.col("sh"), F.array(F.col("text")))
+                ).alias("shingles"),
+            ).localCheckpoint()
+            step("shingle+sig table materialized")
+            # candidate enumeration WITHOUT the shingle arrays: ids +
+            # band keys only, so the 25M-row candidate join shuffles
+            # narrow rows
+            ka = sh.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("sig_0").alias("s0a"),
+                F.col("sig_1").alias("s1a"),
+            )
+            kb = sh.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("sig_0").alias("s0b"),
+                F.col("sig_1").alias("s1b"),
+            )
+            cands = ka.join(
+                kb,
+                (F.col("s0a") == F.col("s0b"))
+                & (F.col("s1a") == F.col("s1b"))
+                & (F.col("id_a") < F.col("id_b")),
+            ).select("id_a", "id_b")
+            la = c1.select(
+                F.col("node").alias("id_a"), F.col("component").alias("ca")
+            )
+            lb = c1.select(
+                F.col("node").alias("id_b"), F.col("component").alias("cb")
+            )
+            surv = (
+                cands.join(la, "id_a", "left")
+                .join(lb, "id_b", "left")
+                .filter(
+                    F.col("ca").isNull()
+                    | F.col("cb").isNull()
+                    | (F.col("ca") != F.col("cb"))
                 )
-            ),
-        )
-
-        # the no-driver-collect two-sided twin: same |Q|x|C| dot
-        # products; measures what the Q*CB + N*QB replica shuffle costs
-        # relative to the driver-broadcast sweep at this scale
-        from vectorsearch_scylla_spark.operators.knn import (
-            topk_similarity_join_cogrouped,
-        )
+                .select("id_a", "id_b")
+                .localCheckpoint()
+            )
+            step("survivor candidates materialized")
+            # exact Jaccard only for the survivors (shingles re-attach
+            # to the — ideally tiny — surviving pair set)
+            sha = sh.select(
+                F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
+            )
+            shb = sh.select(
+                F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
+            )
+            inter = F.size(F.array_intersect("sh_a", "sh_b"))
+            union_sz = F.size("sh_a") + F.size("sh_b") - inter
+            ngram = (
+                surv.join(sha, "id_a").join(shb, "id_b")
+                .filter((inter.cast("double") / union_sz) >= 0.6)
+                .select("id_a", "id_b")
+                .localCheckpoint()
+            )
+            step("surviving ngram edges verified")
+            embp = hyperplane_near_dup_pairs(emb, threshold=0.92, dim=64).select(
+                "id_a", "id_b"
+            ).localCheckpoint()
+            step("embedding edges materialized")
+            edges = cheap.union(ngram).union(embp).distinct()
+            noop(connected_components(edges))
+            step("final components done")
 
         timed(
-            "knn_bruteforce_cogrouped",
-            lambda: noop(
-                topk_similarity_join_cogrouped(
-                    queries,
-                    corpus,
-                    k=5,
-                    exclude_self=True,
-                    dtype="float32",
-                    n_query_blocks=max(1, scale // 8),
-                    n_corpus_blocks=8,
-                )
-            ),
+            "dedup_union_clusters_cascade",
+            lambda: _without_runtime_filter(union_cc_cascade),
         )
 
-        # SQ8: int8 codes + per-vector scale derived in-query (map-only
-        # projection), full-precision queries vs dequantized corpus
-        # through the same blocked kernel — 4x fewer stored bytes
-        sq8_corpus = emb.select(
-            F.col("vec_id").alias("corpus_id"),
-            # scale captured as a lambda var (1-element array) so the
-            # array_max evaluates once per row, not per element
-            F.expr(
-                "element_at(transform("
-                "  array(greatest(array_max(transform(cast(embedding as array<double>),"
-                " y -> abs(y))), 1e-12d) / 127.0d),"
-                "  s -> transform(cast(embedding as array<double>),"
-                " x -> CAST(CAST(floor(x / s + 0.5d) AS TINYINT) AS DOUBLE) * s)"
-                "), 1)"
-            ).alias("corpus_vec"),
-        )
-        timed(
-            "sq8_knn_blocked",
-            lambda: noop(
-                topk_similarity_join_blocked(
-                    queries, sq8_corpus, k=5, corpus_id="corpus_id",
-                    exclude_self=True, dtype="float32",
-                )
-            ),
-        )
+        if not dedup_only:
+            queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+                F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+            )
+            corpus = emb.select(
+                F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec")
+            )
+            # float32: the documented 100 TB default (float64 is only for
+            # oracle hash-matching)
+            timed(
+                "knn_bruteforce_blocked",
+                lambda: noop(
+                    topk_similarity_join_blocked(
+                        queries, corpus, k=5, exclude_self=True, dtype="float32"
+                    )
+                ),
+            )
 
-        cents: list = []
+            # the no-driver-collect two-sided twin: same |Q|x|C| dot
+            # products; measures what the Q*CB + N*QB replica shuffle costs
+            # relative to the driver-broadcast sweep at this scale
+            from vectorsearch_scylla_spark.operators.knn import (
+                topk_similarity_join_cogrouped,
+            )
 
-        def ivf_build() -> None:
-            cents.extend(lloyd_kmeans(emb, k=8, iters=3))
+            timed(
+                "knn_bruteforce_cogrouped",
+                lambda: noop(
+                    topk_similarity_join_cogrouped(
+                        queries,
+                        corpus,
+                        k=5,
+                        exclude_self=True,
+                        dtype="float32",
+                        n_query_blocks=max(1, scale // 8),
+                        n_corpus_blocks=8,
+                    )
+                ),
+            )
 
-        # SPARK_GRAFT_SKIP_INTERPRETED=1 skips the interpreted-fold
-        # trainer at large scale points: it exists only for bit-exact
-        # oracle parity (the BLAS twin below is the documented scale
-        # path, producing bit-identical centroids on this corpus) and
-        # its cost would dominate the whole run at ≥100×.
-        if os.environ.get("SPARK_GRAFT_SKIP_INTERPRETED") != "1":
-            timed("ivf_kmeans_build", ivf_build)
-
-        # the documented scale swap-in: same trainer, blocked NumPy
-        # BLAS assignment passes instead of interpreted cosine folds
-        def ivf_build_np() -> None:
-            got = lloyd_kmeans(emb, k=8, iters=3, kernel="numpy")
-            if not cents:  # interpreted build skipped: probe uses these
-                cents.extend(got)
-
-        timed("ivf_kmeans_build_np", ivf_build_np)
-
-        def ivf_probe() -> None:
-            # corpus assignment is INDEX-BUILD work (materialized once in
-            # the registry's build_ivf_index); use the scale kernel here
-            # so the probe timing isn't dominated by interpreted folds
-            members = assign_clusters_np(emb, cents).select(
+            # SQ8: int8 codes + per-vector scale derived in-query (map-only
+            # projection), full-precision queries vs dequantized corpus
+            # through the same blocked kernel — 4x fewer stored bytes
+            sq8_corpus = emb.select(
                 F.col("vec_id").alias("corpus_id"),
-                F.col("embedding").alias("corpus_vec"),
-                "cluster_id",
+                # scale captured as a lambda var (1-element array) so the
+                # array_max evaluates once per row, not per element
+                F.expr(
+                    "element_at(transform("
+                    "  array(greatest(array_max(transform(cast(embedding as array<double>),"
+                    " y -> abs(y))), 1e-12d) / 127.0d),"
+                    "  s -> transform(cast(embedding as array<double>),"
+                    " x -> CAST(CAST(floor(x / s + 0.5d) AS TINYINT) AS DOUBLE) * s)"
+                    "), 1)"
+                ).alias("corpus_vec"),
             )
-            probes = probe_clusters(queries, cents, nprobe=2, vec_col="query_vec")
-            noop(
-                topk_similarity_join_blocked(
-                    probes,
-                    members,
-                    k=5,
-                    exclude_self=True,
-                    dtype="float32",
-                    join_keys=["cluster_id"],
-                )
+            timed(
+                "sq8_knn_blocked",
+                lambda: noop(
+                    topk_similarity_join_blocked(
+                        queries, sq8_corpus, k=5, corpus_id="corpus_id",
+                        exclude_self=True, dtype="float32",
+                    )
+                ),
             )
 
-        timed("ivf_probe_topk", ivf_probe)
+            cents: list = []
 
-        # --- IVF at a REALISTIC cluster count: K ≈ √N, nprobe scaled to
-        # keep ~1 % of the corpus per query.  The k=8/nprobe=2 point
-        # above keeps the oracle-pinned toy constants (each probe covers
-        # ¼ of the corpus, so probe fan-out DOUBLES work vs brute
-        # force); this one shows the pruning payoff those constants
-        # hide: the cogrouped per-cluster scan does Q·N·(nprobe/K) dot
-        # products with no driver collect on either side.
-        from vectorsearch_scylla_spark.operators.ivf import (
-            ivf_probe_topk_grouped,
-            probe_clusters_np,
-        )
+            def ivf_build() -> None:
+                cents.extend(lloyd_kmeans(emb, k=8, iters=3))
 
-        ivf_k = max(8, int(round(n_vecs**0.5)))
-        nprobe = max(2, ivf_k // 100)
-        cents_sqrt: list = []
-        timed(
-            f"ivf_kmeans_build_np_k{ivf_k}",
-            lambda: cents_sqrt.extend(
-                lloyd_kmeans(emb, k=ivf_k, iters=2, kernel="numpy")
-            ),
-        )
+            # SPARK_GRAFT_SKIP_INTERPRETED=1 skips the interpreted-fold
+            # trainer at large scale points: it exists only for bit-exact
+            # oracle parity (the BLAS twin below is the documented scale
+            # path, producing bit-identical centroids on this corpus) and
+            # its cost would dominate the whole run at ≥100×.
+            if os.environ.get("SPARK_GRAFT_SKIP_INTERPRETED") != "1":
+                timed("ivf_kmeans_build", ivf_build)
 
-        # --- bounded-sample training (r6): the SAME trainer capped at
-        # the FAISS-practice 256·K md5-ordered sample — the default
-        # build_ivf_index path.  Each iteration scans sample-sized
-        # data; only the final (caller-side) assignment touches the
-        # full corpus.  The cap binds once N > 256·K (k=8 → any scale
-        # ≥ 10×; K=√N → 100×), and the grouped probe + recall below
-        # run from the SAMPLED centroids so the row also shows the cap
-        # does not cost recall.
-        train_cap = 256 * ivf_k
-        cents_sqrt_s: list = []
-        timed(
-            f"ivf_kmeans_build_np_k{ivf_k}_sampled",
-            lambda: cents_sqrt_s.extend(
-                lloyd_kmeans(
-                    emb, k=ivf_k, iters=2, kernel="numpy", train_rows=train_cap
-                )
-            ),
-        )
-        cents_k8_s: list = []
-        timed(
-            "ivf_kmeans_build_np_sampled",
-            lambda: cents_k8_s.extend(
-                lloyd_kmeans(emb, k=8, iters=3, kernel="numpy", train_rows=2048)
-            ),
-        )
-        if train_cap >= n_vecs:
-            cents_sqrt_s[:] = cents_sqrt  # cap didn't bind: identical train
+            # the documented scale swap-in: same trainer, blocked NumPy
+            # BLAS assignment passes instead of interpreted cosine folds
+            def ivf_build_np() -> None:
+                got = lloyd_kmeans(emb, k=8, iters=3, kernel="numpy")
+                if not cents:  # interpreted build skipped: probe uses these
+                    cents.extend(got)
 
-        grouped_out: list = []
+            timed("ivf_kmeans_build_np", ivf_build_np)
 
-        def ivf_probe_sqrt() -> None:
-            members = assign_clusters_np(emb, cents_sqrt_s).select(
-                F.col("vec_id").alias("corpus_id"),
-                F.col("embedding").alias("corpus_vec"),
-                "cluster_id",
-            )
-            probes = probe_clusters_np(
-                queries, cents_sqrt_s, nprobe=nprobe, vec_col="query_vec"
-            )
-            out = ivf_probe_topk_grouped(
-                probes, members, k=5, exclude_self=True, dtype="float32"
-            )
-            out.cache()
-            noop(out)
-            grouped_out.append(out)
-
-        timed(f"ivf_probe_topk_grouped_k{ivf_k}_np{nprobe}", ivf_probe_sqrt)
-
-        # recall@5 of the pruned scan vs the exact blocked sweep — a
-        # speed row without its recall is not a result.  Persisted: the
-        # ground truth is reused by 3 recall evaluations × 2 actions
-        # each, and at 100× one exact sweep costs ~80 s.
-        exact = (
-            topk_similarity_join_blocked(
-                queries, corpus, k=5, exclude_self=True, dtype="float32"
-            )
-            .select("query_id", F.col("corpus_id").alias("exact_id"))
-            .persist()
-        )
-        approx = grouped_out[0].select(
-            "query_id", F.col("corpus_id").alias("approx_id")
-        )
-        hit = exact.join(
-            approx,
-            (exact["query_id"] == approx["query_id"])
-            & (exact["exact_id"] == approx["approx_id"]),
-            "left_semi",
-        ).count()
-        denom = exact.count()
-        ivf_recall = round(hit / denom, 4) if denom else None
-        grouped_out[0].unpersist()
-
-        # --- optional nprobe sweep (SPARK_GRAFT_NPROBE_SWEEP=1): the
-        # time-vs-recall curve of THE production knob.  Reuses the
-        # persisted exact ground truth; each point is one grouped
-        # probe run from the sampled-trained centroids.
-        nprobe_sweep: dict = {}
-        if os.environ.get("SPARK_GRAFT_NPROBE_SWEEP") == "1":
-            for np_i in (2, 4, 8, 16):
-                t0 = time.perf_counter()
-                members_s = assign_clusters_np(emb, cents_sqrt_s).select(
+            def ivf_probe() -> None:
+                # corpus assignment is INDEX-BUILD work (materialized once in
+                # the registry's build_ivf_index); use the scale kernel here
+                # so the probe timing isn't dominated by interpreted folds
+                members = assign_clusters_np(emb, cents).select(
                     F.col("vec_id").alias("corpus_id"),
                     F.col("embedding").alias("corpus_vec"),
                     "cluster_id",
                 )
-                probes_s = probe_clusters_np(
-                    queries, cents_sqrt_s, nprobe=np_i, vec_col="query_vec"
-                )
-                out_s = ivf_probe_topk_grouped(
-                    probes_s, members_s, k=5, exclude_self=True, dtype="float32"
-                )
-                out_s = out_s.persist()
-                out_s.write.format("noop").mode("overwrite").save()
-                dt = round(time.perf_counter() - t0, 3)
-                approx_s = out_s.select(
-                    "query_id", F.col("corpus_id").alias("approx_id")
-                )
-                hits_s = exact.join(
-                    approx_s,
-                    (exact["query_id"] == approx_s["query_id"])
-                    & (exact["exact_id"] == approx_s["approx_id"]),
-                    "left_semi",
-                ).count()
-                out_s.unpersist()
-                nprobe_sweep[str(np_i)] = {
-                    "sec": dt,
-                    "recall_at_5": round(hits_s / denom, 4) if denom else None,
-                }
-
-        # --- PQ: train / encode (index build) / ADC scan (query path)
-        from vectorsearch_scylla_spark.operators.pq import (
-            encode_pq_np,
-            pq_adc_topk_np,
-            train_pq,
-        )
-
-        books: list = []
-
-        def pq_train() -> None:
-            # numpy assignment kernel: the documented scale build path
-            books.extend(
-                train_pq(emb, m=4, ksub=4, iters=2, dsub=16, kernel="numpy")
-            )
-
-        timed("pq_train", pq_train)
-
-        codes_path = os.path.join(base, "pq_codes")
-
-        def pq_encode() -> None:
-            # encode is index-BUILD work: materialize the code table the
-            # way the registry's build_pq_index does
-            encode_pq_np(
-                emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
-                books,
-                dsub=16,
-            ).drop("embedding").write.parquet(codes_path)
-
-        timed("pq_encode_np", pq_encode)
-
-        # --- Streaming pipeline at 1× and scale×: the batch twins
-        # scale-bench cleanly above; this isolates what the Structured
-        # Streaming MACHINERY costs by running streaming_detect_e2e's
-        # exact pipeline (file source → watermarked LWW pivot →
-        # broadcast-profile Path-1/2 detection → foreachBatch dual
-        # sink, availableNow) on the fixture events and on a scale×
-        # replica (devices replicated with distinct ids, so state
-        # cardinality scales too).  Runs LAST: completed streaming
-        # queries leave JVM residue that slows later batch queries.
-        from vectorsearch_scylla_spark.plans.registry import (
-            METRICS,
-            quantize,
-        )
-        from vectorsearch_scylla_spark.sources.tables import device_metrics_raw
-        from vectorsearch_scylla_spark.operators.window_pivot import window_start
-
-        def stream_detect_point(tag: str, raw_df) -> None:
-            sdir = os.path.join(base, f"stream_{tag}")
-            raw_df.write.parquet(os.path.join(sdir, "src"))
-            raw_m = spark.read.parquet(os.path.join(sdir, "src"))
-            lww = raw_m.groupBy(
-                "device_id",
-                window_start("timestamp", 60).alias("ws"),
-                "metric_name",
-            ).agg(
-                F.max_by(
-                    "metric_value", F.struct("timestamp", "event_id")
-                ).alias("v")
-            )
-            snapb = lww.groupBy("device_id", "ws").agg(
-                *[
-                    F.coalesce(
-                        F.max(F.when(F.col("metric_name") == m, F.col("v"))),
-                        F.lit(0.0),
-                    ).alias(f"m_{m}")
-                    for m in METRICS
-                ]
-            )
-            prof_plan = snapb.groupBy("device_id").agg(
-                *[
-                    a
-                    for m in METRICS
-                    for a in (
-                        quantize(F.avg(f"m_{m}")).alias(f"mean_{m}"),
-                        quantize(F.stddev_pop(f"m_{m}")).alias(f"std_{m}"),
+                probes = probe_clusters(queries, cents, nprobe=2, vec_col="query_vec")
+                noop(
+                    topk_similarity_join_blocked(
+                        probes,
+                        members,
+                        k=5,
+                        exclude_self=True,
+                        dtype="float32",
+                        join_keys=["cluster_id"],
                     )
-                ]
-            )
-            prof_plan.write.parquet(os.path.join(sdir, "profiles"))
-            profiles = spark.read.parquet(os.path.join(sdir, "profiles"))
-
-            from vectorsearch_scylla_spark.streaming.pipeline import (
-                detect_paths12,
-                detection_sinks,
-                windowed_snapshot_stream,
-            )
-
-            def drain() -> None:
-                stream = spark.readStream.schema(raw_m.schema).parquet(
-                    os.path.join(sdir, "src")
                 )
-                snaps = windowed_snapshot_stream(
-                    stream, window_seconds=60, watermark_windows=2
-                )
-                detected = detect_paths12(
-                    snaps, profiles, METRICS, sim_threshold=0.90
-                )
-                q = detection_sinks(detected, os.path.join(sdir, "out"))
-                if not q.awaitTermination(600):
-                    q.stop()
-                    raise RuntimeError(f"stream_{tag} did not drain in 600s")
 
-            # timed section = the streaming drain only (profile build is
-            # the "earlier batch job" in the registry query too)
-            timed(f"streaming_detect_pipeline_{tag}", drain)
+            timed("ivf_probe_topk", ivf_probe)
 
-        raw1 = device_metrics_raw(spark, sf_dir).select(
-            "device_id", "timestamp", "metric_name", "metric_value", "event_id"
-        )
-        rawN = raw1.crossJoin(F.broadcast(reps)).select(
-            F.concat(
-                F.col("device_id"), F.lit("-r"), F.col("rep").cast("string")
-            ).alias("device_id"),
-            "timestamp",
-            "metric_name",
-            "metric_value",
-            (F.col("event_id") + F.col("rep").cast("long") * 100_000_000).alias(
-                "event_id"
-            ),
-        )
-
-        def streaming_points() -> None:
-            stream_detect_point("1x", raw1)
-            stream_detect_point(f"{scale}x", rawN)
-
-        # (PQ ADC scan continues here; the streaming closures above are
-        # invoked only AFTER it — JVM residue rule.)
-
-        def pq_scan() -> None:
-            # blocked NumPy ADC (the scale kernel; the registry query
-            # keeps the declarative LUT join for oracle parity)
-            codes = spark.read.parquet(codes_path)
-            noop(
-                pq_adc_topk_np(
-                    queries, codes, books, k=5, dsub=16,
-                    corpus_id="neighbor_id", exclude_self=True,
-                )
+            # --- IVF at a REALISTIC cluster count: K ≈ √N, nprobe scaled to
+            # keep ~1 % of the corpus per query.  The k=8/nprobe=2 point
+            # above keeps the oracle-pinned toy constants (each probe covers
+            # ¼ of the corpus, so probe fan-out DOUBLES work vs brute
+            # force); this one shows the pruning payoff those constants
+            # hide: the cogrouped per-cluster scan does Q·N·(nprobe/K) dot
+            # products with no driver collect on either side.
+            from vectorsearch_scylla_spark.operators.ivf import (
+                ivf_probe_topk_grouped,
+                probe_clusters_np,
             )
 
-        timed("pq_adc_scan_np", pq_scan)
+            ivf_k = max(8, int(round(n_vecs**0.5)))
+            nprobe = max(2, ivf_k // 100)
+            cents_sqrt: list = []
+            timed(
+                f"ivf_kmeans_build_np_k{ivf_k}",
+                lambda: cents_sqrt.extend(
+                    lloyd_kmeans(emb, k=ivf_k, iters=2, kernel="numpy")
+                ),
+            )
 
-        # --- PQ vs RESIDUAL-PQ recall@5 at the same codebook budget
-        # (m=4, ksub=4): quantization recall isolated from probe recall
-        # by scanning the FULL corpus both ways.  Residual codebooks
-        # (FAISS `IVF,PQ`, registry query ivfpq_residual_knn) spend
-        # their codewords on within-cluster variance, so they should
-        # recover recall the raw-vector codes lose.
-        from vectorsearch_scylla_spark.operators.ivf import _arr_sql
-        from vectorsearch_scylla_spark.operators.pq import encode_pq_np
+            # --- bounded-sample training (r6): the SAME trainer capped at
+            # the FAISS-practice 256·K md5-ordered sample — the default
+            # build_ivf_index path.  Each iteration scans sample-sized
+            # data; only the final (caller-side) assignment touches the
+            # full corpus.  The cap binds once N > 256·K (k=8 → any scale
+            # ≥ 10×; K=√N → 100×), and the grouped probe + recall below
+            # run from the SAMPLED centroids so the row also shows the cap
+            # does not cost recall.
+            train_cap = 256 * ivf_k
+            cents_sqrt_s: list = []
+            timed(
+                f"ivf_kmeans_build_np_k{ivf_k}_sampled",
+                lambda: cents_sqrt_s.extend(
+                    lloyd_kmeans(
+                        emb, k=ivf_k, iters=2, kernel="numpy", train_rows=train_cap
+                    )
+                ),
+            )
+            cents_k8_s: list = []
+            timed(
+                "ivf_kmeans_build_np_sampled",
+                lambda: cents_k8_s.extend(
+                    lloyd_kmeans(emb, k=8, iters=3, kernel="numpy", train_rows=2048)
+                ),
+            )
+            if train_cap >= n_vecs:
+                cents_sqrt_s[:] = cents_sqrt  # cap didn't bind: identical train
 
-        def _recall(approx_df) -> float:
-            hits = exact.join(
-                approx_df,
-                (exact["query_id"] == approx_df["query_id"])
-                & (exact["exact_id"] == approx_df["aid"]),
+            grouped_out: list = []
+
+            def ivf_probe_sqrt() -> None:
+                members = assign_clusters_np(emb, cents_sqrt_s).select(
+                    F.col("vec_id").alias("corpus_id"),
+                    F.col("embedding").alias("corpus_vec"),
+                    "cluster_id",
+                )
+                probes = probe_clusters_np(
+                    queries, cents_sqrt_s, nprobe=nprobe, vec_col="query_vec"
+                )
+                out = ivf_probe_topk_grouped(
+                    probes, members, k=5, exclude_self=True, dtype="float32"
+                )
+                out.cache()
+                noop(out)
+                grouped_out.append(out)
+
+            timed(f"ivf_probe_topk_grouped_k{ivf_k}_np{nprobe}", ivf_probe_sqrt)
+
+            # recall@5 of the pruned scan vs the exact blocked sweep — a
+            # speed row without its recall is not a result.  Persisted: the
+            # ground truth is reused by 3 recall evaluations × 2 actions
+            # each, and at 100× one exact sweep costs ~80 s.
+            exact = (
+                topk_similarity_join_blocked(
+                    queries, corpus, k=5, exclude_self=True, dtype="float32"
+                )
+                .select("query_id", F.col("corpus_id").alias("exact_id"))
+                .persist()
+            )
+            approx = grouped_out[0].select(
+                "query_id", F.col("corpus_id").alias("approx_id")
+            )
+            hit = exact.join(
+                approx,
+                (exact["query_id"] == approx["query_id"])
+                & (exact["exact_id"] == approx["approx_id"]),
                 "left_semi",
             ).count()
-            d = exact.count()
-            return round(hits / d, 4) if d else float("nan")
+            denom = exact.count()
+            ivf_recall = round(hit / denom, 4) if denom else None
+            grouped_out[0].unpersist()
 
-        pq_recall: dict = {}
-        from vectorsearch_scylla_spark.operators.pq import train_pq
+            # --- optional nprobe sweep (SPARK_GRAFT_NPROBE_SWEEP=1): the
+            # time-vs-recall curve of THE production knob.  Reuses the
+            # persisted exact ground truth; each point is one grouped
+            # probe run from the sampled-trained centroids.
+            nprobe_sweep: dict = {}
+            if os.environ.get("SPARK_GRAFT_NPROBE_SWEEP") == "1":
+                for np_i in (2, 4, 8, 16):
+                    t0 = time.perf_counter()
+                    members_s = assign_clusters_np(emb, cents_sqrt_s).select(
+                        F.col("vec_id").alias("corpus_id"),
+                        F.col("embedding").alias("corpus_vec"),
+                        "cluster_id",
+                    )
+                    probes_s = probe_clusters_np(
+                        queries, cents_sqrt_s, nprobe=np_i, vec_col="query_vec"
+                    )
+                    out_s = ivf_probe_topk_grouped(
+                        probes_s, members_s, k=5, exclude_self=True, dtype="float32"
+                    )
+                    out_s = out_s.persist()
+                    out_s.write.format("noop").mode("overwrite").save()
+                    dt = round(time.perf_counter() - t0, 3)
+                    approx_s = out_s.select(
+                        "query_id", F.col("corpus_id").alias("approx_id")
+                    )
+                    hits_s = exact.join(
+                        approx_s,
+                        (exact["query_id"] == approx_s["query_id"])
+                        & (exact["exact_id"] == approx_s["approx_id"]),
+                        "left_semi",
+                    ).count()
+                    out_s.unpersist()
+                    nprobe_sweep[str(np_i)] = {
+                        "sec": dt,
+                        "recall_at_5": round(hits_s / denom, 4) if denom else None,
+                    }
 
-        # residual machinery shared by every budget point: residuals
-        # against the k=8 coarse quantizer, reconstructed candidates
-        # scored as cos(q, c + r̂)
-        members_np = assign_clusters_np(emb, cents).select(
-            F.col("vec_id").alias("corpus_id"),
-            "cluster_id",
-            F.col("embedding").cast("array<double>").alias("embedding"),
-        )
-        cent_case = (
-            "CASE cluster_id "
-            + " ".join(
-                f"WHEN {cid} THEN {_arr_sql(cv)}" for cid, cv in cents
+            # --- PQ: train / encode (index build) / ADC scan (query path)
+            from vectorsearch_scylla_spark.operators.pq import (
+                encode_pq_np,
+                pq_adc_topk_np,
+                train_pq,
             )
-            + " END"
-        )
-        res = members_np.select(
-            "corpus_id",
-            "cluster_id",
-            F.expr(
-                f"zip_with(embedding, {cent_case}, (x, y) -> x - y)"
-            ).alias("embedding"),
-        )
 
-        def _cw_cases(bks) -> str:
-            return ", ".join(
-                "CASE code%d %s END"
-                % (s, " ".join(f"WHEN {c} THEN {_arr_sql(cv)}" for c, cv in bk))
-                for s, bk in enumerate(bks)
+            books: list = []
+
+            def pq_train() -> None:
+                # numpy assignment kernel: the documented scale build path
+                books.extend(
+                    train_pq(emb, m=4, ksub=4, iters=2, dsub=16, kernel="numpy")
+                )
+
+            timed("pq_train", pq_train)
+
+            codes_path = os.path.join(base, "pq_codes")
+
+            def pq_encode() -> None:
+                # encode is index-BUILD work: materialize the code table the
+                # way the registry's build_pq_index does
+                encode_pq_np(
+                    emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+                    books,
+                    dsub=16,
+                ).drop("embedding").write.parquet(codes_path)
+
+            timed("pq_encode_np", pq_encode)
+
+            # --- Streaming pipeline at 1× and scale×: the batch twins
+            # scale-bench cleanly above; this isolates what the Structured
+            # Streaming MACHINERY costs by running streaming_detect_e2e's
+            # exact pipeline (file source → watermarked LWW pivot →
+            # broadcast-profile Path-1/2 detection → foreachBatch dual
+            # sink, availableNow) on the fixture events and on a scale×
+            # replica (devices replicated with distinct ids, so state
+            # cardinality scales too).  Runs LAST: completed streaming
+            # queries leave JVM residue that slows later batch queries.
+            from vectorsearch_scylla_spark.plans.registry import (
+                METRICS,
+                quantize,
             )
+            from vectorsearch_scylla_spark.sources.tables import device_metrics_raw
+            from vectorsearch_scylla_spark.operators.window_pivot import window_start
 
-        def pq_recall_eval() -> None:
-            codes_df = spark.read.parquet(codes_path)
-            raw_top = pq_adc_topk_np(
-                queries, codes_df, books, k=5, dsub=16,
-                corpus_id="neighbor_id", exclude_self=True,
-            ).select("query_id", F.col("neighbor_id").alias("aid"))
-            pq_recall["raw"] = _recall(raw_top)
+            def stream_detect_point(tag: str, raw_df) -> None:
+                sdir = os.path.join(base, f"stream_{tag}")
+                raw_df.write.parquet(os.path.join(sdir, "src"))
+                raw_m = spark.read.parquet(os.path.join(sdir, "src"))
+                lww = raw_m.groupBy(
+                    "device_id",
+                    window_start("timestamp", 60).alias("ws"),
+                    "metric_name",
+                ).agg(
+                    F.max_by(
+                        "metric_value", F.struct("timestamp", "event_id")
+                    ).alias("v")
+                )
+                snapb = lww.groupBy("device_id", "ws").agg(
+                    *[
+                        F.coalesce(
+                            F.max(F.when(F.col("metric_name") == m, F.col("v"))),
+                            F.lit(0.0),
+                        ).alias(f"m_{m}")
+                        for m in METRICS
+                    ]
+                )
+                prof_plan = snapb.groupBy("device_id").agg(
+                    *[
+                        a
+                        for m in METRICS
+                        for a in (
+                            quantize(F.avg(f"m_{m}")).alias(f"mean_{m}"),
+                            quantize(F.stddev_pop(f"m_{m}")).alias(f"std_{m}"),
+                        )
+                    ]
+                )
+                prof_plan.write.parquet(os.path.join(sdir, "profiles"))
+                profiles = spark.read.parquet(os.path.join(sdir, "profiles"))
 
-            rbooks = train_pq(
-                res, m=4, ksub=4, iters=2, dsub=16,
-                id_col="corpus_id", kernel="numpy",
+                from vectorsearch_scylla_spark.streaming.pipeline import (
+                    detect_paths12,
+                    detection_sinks,
+                    windowed_snapshot_stream,
+                )
+
+                def drain() -> None:
+                    stream = spark.readStream.schema(raw_m.schema).parquet(
+                        os.path.join(sdir, "src")
+                    )
+                    snaps = windowed_snapshot_stream(
+                        stream, window_seconds=60, watermark_windows=2
+                    )
+                    detected = detect_paths12(
+                        snaps, profiles, METRICS, sim_threshold=0.90
+                    )
+                    q = detection_sinks(detected, os.path.join(sdir, "out"))
+                    if not q.awaitTermination(600):
+                        q.stop()
+                        raise RuntimeError(f"stream_{tag} did not drain in 600s")
+
+                # timed section = the streaming drain only (profile build is
+                # the "earlier batch job" in the registry query too)
+                timed(f"streaming_detect_pipeline_{tag}", drain)
+
+            raw1 = device_metrics_raw(spark, sf_dir).select(
+                "device_id", "timestamp", "metric_name", "metric_value", "event_id"
             )
-            recon = encode_pq_np(res, rbooks, dsub=16).select(
-                "corpus_id",
-                F.expr(
-                    f"zip_with({cent_case}, concat({_cw_cases(rbooks)}), (x, y) -> x + y)"
-                ).alias("corpus_vec"),
-            )
-            res_top = topk_similarity_join_blocked(
-                queries, recon, k=5, exclude_self=True, dtype="float32"
-            ).select("query_id", F.col("corpus_id").alias("aid"))
-            pq_recall["residual"] = _recall(res_top)
-
-        timed("pq_recall_eval", pq_recall_eval)
-
-        # --- PRODUCTION-budget PQ point (r5 judge item 3): the 4×4
-        # budget above isolates the residual-vs-raw STRUCTURE but its
-        # absolute recall (~0.25) is not shippable.  Measure a budget
-        # you would deploy: m=8 subspaces × ksub codewords over the
-        # 64-dim vectors (dsub=8), raw AND residual at the same bytes.
-        def pq_budget_point(m2: int, k2: int, tag: str) -> None:
-            d2 = 64 // m2
-            braw = train_pq(
-                emb.select(F.col("vec_id").alias("corpus_id"), "embedding"),
-                m=m2, ksub=k2, iters=2, dsub=d2,
-                id_col="corpus_id", kernel="numpy",
-            )
-            recon_raw = encode_pq_np(
-                emb.select(
-                    F.col("vec_id").alias("corpus_id"),
-                    F.col("embedding").cast("array<double>").alias("embedding"),
+            rawN = raw1.crossJoin(F.broadcast(reps)).select(
+                F.concat(
+                    F.col("device_id"), F.lit("-r"), F.col("rep").cast("string")
+                ).alias("device_id"),
+                "timestamp",
+                "metric_name",
+                "metric_value",
+                (F.col("event_id") + F.col("rep").cast("long") * 100_000_000).alias(
+                    "event_id"
                 ),
-                braw,
-                dsub=d2,
-            ).select(
-                "corpus_id",
-                F.expr(f"concat({_cw_cases(braw)})").alias("corpus_vec"),
             )
-            raw_top = topk_similarity_join_blocked(
-                queries, recon_raw, k=5, exclude_self=True, dtype="float32"
-            ).select("query_id", F.col("corpus_id").alias("aid"))
-            pq_recall[f"raw_{tag}"] = _recall(raw_top)
 
-            rbooks2 = train_pq(
-                res, m=m2, ksub=k2, iters=2, dsub=d2,
-                id_col="corpus_id", kernel="numpy",
+            def streaming_points() -> None:
+                stream_detect_point("1x", raw1)
+                stream_detect_point(f"{scale}x", rawN)
+
+            # (PQ ADC scan continues here; the streaming closures above are
+            # invoked only AFTER it — JVM residue rule.)
+
+            def pq_scan() -> None:
+                # blocked NumPy ADC (the scale kernel; the registry query
+                # keeps the declarative LUT join for oracle parity)
+                codes = spark.read.parquet(codes_path)
+                noop(
+                    pq_adc_topk_np(
+                        queries, codes, books, k=5, dsub=16,
+                        corpus_id="neighbor_id", exclude_self=True,
+                    )
+                )
+
+            timed("pq_adc_scan_np", pq_scan)
+
+            # --- PQ vs RESIDUAL-PQ recall@5 at the same codebook budget
+            # (m=4, ksub=4): quantization recall isolated from probe recall
+            # by scanning the FULL corpus both ways.  Residual codebooks
+            # (FAISS `IVF,PQ`, registry query ivfpq_residual_knn) spend
+            # their codewords on within-cluster variance, so they should
+            # recover recall the raw-vector codes lose.
+            from vectorsearch_scylla_spark.operators.ivf import _arr_sql
+            from vectorsearch_scylla_spark.operators.pq import encode_pq_np
+
+            def _recall(approx_df) -> float:
+                hits = exact.join(
+                    approx_df,
+                    (exact["query_id"] == approx_df["query_id"])
+                    & (exact["exact_id"] == approx_df["aid"]),
+                    "left_semi",
+                ).count()
+                d = exact.count()
+                return round(hits / d, 4) if d else float("nan")
+
+            pq_recall: dict = {}
+            from vectorsearch_scylla_spark.operators.pq import train_pq
+
+            # residual machinery shared by every budget point: residuals
+            # against the k=8 coarse quantizer, reconstructed candidates
+            # scored as cos(q, c + r̂)
+            members_np = assign_clusters_np(emb, cents).select(
+                F.col("vec_id").alias("corpus_id"),
+                "cluster_id",
+                F.col("embedding").cast("array<double>").alias("embedding"),
             )
-            recon2 = encode_pq_np(res, rbooks2, dsub=d2).select(
+            cent_case = (
+                "CASE cluster_id "
+                + " ".join(
+                    f"WHEN {cid} THEN {_arr_sql(cv)}" for cid, cv in cents
+                )
+                + " END"
+            )
+            res = members_np.select(
                 "corpus_id",
+                "cluster_id",
                 F.expr(
-                    f"zip_with({cent_case}, concat({_cw_cases(rbooks2)}), (x, y) -> x + y)"
-                ).alias("corpus_vec"),
+                    f"zip_with(embedding, {cent_case}, (x, y) -> x - y)"
+                ).alias("embedding"),
             )
-            res_top2 = topk_similarity_join_blocked(
-                queries, recon2, k=5, exclude_self=True, dtype="float32"
-            ).select("query_id", F.col("corpus_id").alias("aid"))
-            pq_recall[f"residual_{tag}"] = _recall(res_top2)
-            pq_recall[f"bytes_per_vec_{tag}"] = m2 * max(1, (k2 - 1).bit_length()) / 8
 
-        timed("pq_recall_m8k16", lambda: pq_budget_point(8, 16, "m8k16"))
-        timed("pq_recall_m8k64", lambda: pq_budget_point(8, 64, "m8k64"))
-        exact.unpersist()
+            def _cw_cases(bks) -> str:
+                return ", ".join(
+                    "CASE code%d %s END"
+                    % (s, " ".join(f"WHEN {c} THEN {_arr_sql(cv)}" for c, cv in bk))
+                    for s, bk in enumerate(bks)
+                )
 
-        # streaming LAST (see comment above stream_detect_point)
-        streaming_points()
+            def pq_recall_eval() -> None:
+                codes_df = spark.read.parquet(codes_path)
+                raw_top = pq_adc_topk_np(
+                    queries, codes_df, books, k=5, dsub=16,
+                    corpus_id="neighbor_id", exclude_self=True,
+                ).select("query_id", F.col("neighbor_id").alias("aid"))
+                pq_recall["raw"] = _recall(raw_top)
+
+                rbooks = train_pq(
+                    res, m=4, ksub=4, iters=2, dsub=16,
+                    id_col="corpus_id", kernel="numpy",
+                )
+                recon = encode_pq_np(res, rbooks, dsub=16).select(
+                    "corpus_id",
+                    F.expr(
+                        f"zip_with({cent_case}, concat({_cw_cases(rbooks)}), (x, y) -> x + y)"
+                    ).alias("corpus_vec"),
+                )
+                res_top = topk_similarity_join_blocked(
+                    queries, recon, k=5, exclude_self=True, dtype="float32"
+                ).select("query_id", F.col("corpus_id").alias("aid"))
+                pq_recall["residual"] = _recall(res_top)
+
+            timed("pq_recall_eval", pq_recall_eval)
+
+            # --- PRODUCTION-budget PQ point (r5 judge item 3): the 4×4
+            # budget above isolates the residual-vs-raw STRUCTURE but its
+            # absolute recall (~0.25) is not shippable.  Measure a budget
+            # you would deploy: m=8 subspaces × ksub codewords over the
+            # 64-dim vectors (dsub=8), raw AND residual at the same bytes.
+            def pq_budget_point(m2: int, k2: int, tag: str) -> None:
+                d2 = 64 // m2
+                braw = train_pq(
+                    emb.select(F.col("vec_id").alias("corpus_id"), "embedding"),
+                    m=m2, ksub=k2, iters=2, dsub=d2,
+                    id_col="corpus_id", kernel="numpy",
+                )
+                recon_raw = encode_pq_np(
+                    emb.select(
+                        F.col("vec_id").alias("corpus_id"),
+                        F.col("embedding").cast("array<double>").alias("embedding"),
+                    ),
+                    braw,
+                    dsub=d2,
+                ).select(
+                    "corpus_id",
+                    F.expr(f"concat({_cw_cases(braw)})").alias("corpus_vec"),
+                )
+                raw_top = topk_similarity_join_blocked(
+                    queries, recon_raw, k=5, exclude_self=True, dtype="float32"
+                ).select("query_id", F.col("corpus_id").alias("aid"))
+                pq_recall[f"raw_{tag}"] = _recall(raw_top)
+
+                rbooks2 = train_pq(
+                    res, m=m2, ksub=k2, iters=2, dsub=d2,
+                    id_col="corpus_id", kernel="numpy",
+                )
+                recon2 = encode_pq_np(res, rbooks2, dsub=d2).select(
+                    "corpus_id",
+                    F.expr(
+                        f"zip_with({cent_case}, concat({_cw_cases(rbooks2)}), (x, y) -> x + y)"
+                    ).alias("corpus_vec"),
+                )
+                res_top2 = topk_similarity_join_blocked(
+                    queries, recon2, k=5, exclude_self=True, dtype="float32"
+                ).select("query_id", F.col("corpus_id").alias("aid"))
+                pq_recall[f"residual_{tag}"] = _recall(res_top2)
+                pq_recall[f"bytes_per_vec_{tag}"] = m2 * max(1, (k2 - 1).bit_length()) / 8
+
+            timed("pq_recall_m8k16", lambda: pq_budget_point(8, 16, "m8k16"))
+            timed("pq_recall_m8k64", lambda: pq_budget_point(8, 64, "m8k64"))
+            exact.unpersist()
+
+            # streaming LAST (see comment above stream_detect_point)
+            streaming_points()
 
         total = round(sum(times.values()), 3)
         print(

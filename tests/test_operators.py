@@ -1194,3 +1194,112 @@ def test_split_oversized_clusters(spark, emb):
         f"SELECT md5(cast({some} as string)) AS h"
     ).first()["h"]
     assert spark_md5 == hashlib.md5(str(some).encode()).hexdigest()
+
+
+def test_cascade_union_components_equal_full_union(spark, sf_dir):
+    """The cheap-evidence-first cascade (bench_scale's
+    dedup_union_clusters_cascade row) must produce EXACTLY the
+    components of the full union-evidence clustering: skipping the
+    expensive n-gram verification for pairs already connected by
+    exact/simhash evidence removes only connectivity-redundant edges.
+    Pinned here because the bench row asserts speed, not equivalence."""
+    from pyspark.sql import Window as W
+
+    from vectorsearch_scylla_spark.functions.hyperplane import (
+        hyperplane_near_dup_pairs,
+    )
+    from vectorsearch_scylla_spark.operators.dedup import simhash_near_dup_pairs
+    from vectorsearch_scylla_spark.operators.graph import connected_components
+    from vectorsearch_scylla_spark.plans.registry import (
+        _docs_with_planted_dups,
+        _emb_with_planted_dups,
+        _minhash_sig,
+        _union_evidence_edges,
+        _with_word_shingles,
+    )
+    from vectorsearch_scylla_spark.sources.tables import load_table
+
+    full_edges = _union_evidence_edges(spark, sf_dir)
+    full = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            full_edges.select("id_a", "id_b").distinct()
+        ).collect()
+    }
+
+    docs = _docs_with_planted_dups(load_table(spark, sf_dir, "documents")).filter(
+        F.col("text").isNotNull()
+    )
+    sim = simhash_near_dup_pairs(docs, max_hamming=5).select("id_a", "id_b")
+    grouped = docs.select(
+        "doc_id",
+        F.min("doc_id")
+        .over(W.partitionBy(F.md5(F.col("text").cast("binary"))))
+        .alias("m"),
+    )
+    exact = grouped.filter(F.col("doc_id") != F.col("m")).select(
+        F.col("m").alias("id_a"), F.col("doc_id").alias("id_b")
+    )
+    cheap = sim.union(exact).distinct()
+    c1 = connected_components(cheap)
+
+    sh = _with_word_shingles(docs).select(
+        "doc_id",
+        _minhash_sig(0, non_null=True),
+        _minhash_sig(1, non_null=True),
+        F.array_distinct(F.coalesce(F.col("sh"), F.array(F.col("text")))).alias(
+            "shingles"
+        ),
+    )
+    ka = sh.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("sig_0").alias("s0a"),
+        F.col("sig_1").alias("s1a"),
+    )
+    kb = sh.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("sig_0").alias("s0b"),
+        F.col("sig_1").alias("s1b"),
+    )
+    cands = ka.join(
+        kb,
+        (F.col("s0a") == F.col("s0b"))
+        & (F.col("s1a") == F.col("s1b"))
+        & (F.col("id_a") < F.col("id_b")),
+    ).select("id_a", "id_b")
+    la = c1.select(F.col("node").alias("id_a"), F.col("component").alias("ca"))
+    lb = c1.select(F.col("node").alias("id_b"), F.col("component").alias("cb"))
+    surv = (
+        cands.join(la, "id_a", "left")
+        .join(lb, "id_b", "left")
+        .filter(
+            F.col("ca").isNull()
+            | F.col("cb").isNull()
+            | (F.col("ca") != F.col("cb"))
+        )
+        .select("id_a", "id_b")
+    )
+    # the cascade must genuinely skip verifications on the fixture
+    assert surv.count() < cands.count()
+    sha = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union_sz = F.size("sh_a") + F.size("sh_b") - inter
+    ngram = (
+        surv.join(sha, "id_a")
+        .join(shb, "id_b")
+        .filter((inter.cast("double") / union_sz) >= 0.6)
+        .select("id_a", "id_b")
+    )
+    embp = hyperplane_near_dup_pairs(
+        _emb_with_planted_dups(load_table(spark, sf_dir, "embeddings")),
+        threshold=0.92,
+        dim=64,
+        n_bands=16,
+    ).select("id_a", "id_b")
+    cascade_edges = cheap.union(ngram).union(embp).distinct()
+    cascade = {
+        r["node"]: r["component"]
+        for r in connected_components(cascade_edges).collect()
+    }
+    assert cascade == full

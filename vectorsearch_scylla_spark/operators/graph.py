@@ -31,6 +31,39 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _drop_inherited_stats(df: DataFrame) -> DataFrame:
+    """Rebuild ``df`` on its already-materialized checkpointed RDD,
+    discarding the statistics Spark 4's ``Dataset.checkpoint`` copies
+    into the ``LogicalRDD`` (``rewriteStatsAndConstraints``).
+
+    Why this matters: in an iterative algorithm whose round plan
+    references the previous round's frame k times (label propagation
+    references ``labels`` four times per round), the copied
+    ``sizeInBytes`` compounds as stats^k PER ROUND — the inherited
+    number's digit count multiplies by k every round, and after ~8
+    rounds the size product is a BigInt with MILLIONS of digits.
+    Every Catalyst stats walk (JoinSelection, InjectRuntimeFilter,
+    AQE reOptimize) then burns minutes of driver CPU in
+    Toom-Cook BigInteger multiplication while all executors sit idle
+    — observed live via jstack on the r6 union-cascade bench.
+    Resetting to a fresh LogicalRDD (defaultSizeInBytes) keeps every
+    round's stats walk trivial; the frames involved are the big
+    label/edge tables that should never broadcast anyway, so losing
+    the copied estimate costs nothing.
+    """
+    try:
+        jdf = df._jdf
+        jrdd = jdf.queryExecution().toRdd()
+        jds = df.sparkSession._jsparkSession.internalCreateDataFrame(
+            jrdd, jdf.schema(), False
+        )
+        return DataFrame(jds, df.sparkSession)
+    except Exception:
+        # non-classic session or private-API drift: stats stay
+        # inherited (correctness unaffected; only planning speed)
+        return df
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "id_a",
@@ -52,14 +85,20 @@ def connected_components(
     # and in the convergence check — without this, the caller's whole
     # pair-generation pipeline (band joins, signature kernels) would
     # re-execute once per round per job
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-        .distinct()
-    ).localCheckpoint()
-    labels = (
-        sym.select(F.col("u").alias("node")).distinct().withColumn("lbl", F.col("node"))
-    ).localCheckpoint()
+    sym = _drop_inherited_stats(
+        (
+            edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+            .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+            .distinct()
+        ).localCheckpoint()
+    )
+    labels = _drop_inherited_stats(
+        (
+            sym.select(F.col("u").alias("node"))
+            .distinct()
+            .withColumn("lbl", F.col("node"))
+        ).localCheckpoint()
+    )
     for _ in range(max_iters):
         nbr_min = (
             sym.join(labels.withColumnRenamed("node", "v"), "v")
@@ -88,6 +127,7 @@ def connected_components(
                 ).alias("lbl"),
             )
         ).localCheckpoint()
+        new_labels = _drop_inherited_stats(new_labels)
         changed = (
             new_labels.withColumnRenamed("lbl", "new_lbl")
             .join(labels, "node")
