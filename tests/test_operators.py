@@ -1303,3 +1303,131 @@ def test_cascade_union_components_equal_full_union(spark, sf_dir):
         for r in connected_components(cascade_edges).collect()
     }
     assert cascade == full
+
+
+def test_split_oversized_clusters_long_ids(spark):
+    """r6 ADVICE (medium): child cluster ids are LongType end-to-end —
+    a parent id >= 2148 used to wrap int32 in the members frame while
+    the Python-side centroid list kept the unwrapped value, silently
+    routing probes to nonexistent lists.  Pin: big parents produce
+    exact positive long ids > 2^31, the centroid table and members
+    agree, the output column is LongType, and a second-generation
+    split (child becomes parent) still mints collision-free ids."""
+    from pyspark.sql.types import LongType
+
+    from vectorsearch_scylla_spark.operators.ivf import split_oversized_clusters
+
+    # parent 3000 (> old wrap boundary 2147): 10 members along two
+    # orthogonal directions; parent 7 (small): 2 members, untouched
+    rows = [(i, [1.0, 0.0] if i % 2 else [0.0, 1.0], 3000) for i in range(10)]
+    rows += [(100 + i, [0.5, 0.5], 7) for i in range(2)]
+    members = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cluster_id long"
+    )
+    cents = [(7, [0.5, 0.5]), (3000, [0.7, 0.7])]
+    new_cents, new_members = split_oversized_clusters(
+        members, cents, max_size=5, split_k=2, iters=2
+    )
+    assert dict(new_members.dtypes)["cluster_id"] == "bigint"
+    assign = {r["vec_id"]: r["cluster_id"] for r in new_members.collect()}
+    cent_ids = {c for c, _ in new_cents}
+    kids = {assign[i] for i in range(10)}
+    assert all(c > 2**31 and c // 1_000_000 == 3000 for c in kids), kids
+    assert kids <= cent_ids  # members route to lists that exist
+    assert assign[100] == 7 and assign[101] == 7  # untouched
+    assert (7, [0.5, 0.5]) in new_cents and 3000 not in cent_ids
+
+    # second-generation compaction: a child (~3.0e9) becomes a parent
+    cents2, members2 = split_oversized_clusters(
+        new_members, new_cents, max_size=3, split_k=2, iters=1
+    )
+    assign2 = {r["vec_id"]: r["cluster_id"] for r in members2.collect()}
+    big_parent = max(kids, key=lambda c: sum(1 for v in assign.values() if v == c))
+    regrouped = {assign2[i] for i in range(10) if assign[i] == big_parent}
+    assert all(c // 1_000_000 == big_parent for c in regrouped)
+    assert regrouped <= {c for c, _ in cents2}
+    assert len({c for c, _ in cents2}) == len(cents2)  # no id collisions
+
+    # int64 exhaustion refuses loudly instead of wrapping
+    with pytest.raises(ValueError, match="int64"):
+        split_oversized_clusters(
+            members, cents, max_size=5, split_k=2, iters=1, child_base=2**62
+        )
+
+
+def test_lloyd_kmeans_train_rows_guard(spark, emb):
+    """r6 ADVICE (low): train_rows < k breaks the 'seeds are the
+    sample's first k rows' invariant — refuse loudly."""
+    from vectorsearch_scylla_spark.operators.ivf import lloyd_kmeans
+
+    with pytest.raises(ValueError, match="train_rows"):
+        lloyd_kmeans(emb, k=8, iters=1, train_rows=4)
+
+
+def test_drop_inherited_stats_fresh_logical_rdd(spark):
+    """r6 ADVICE (low): the stats-reset util must actually produce a
+    fresh LogicalRDD (default-sized stats) on the classic session — a
+    silent fallback would quietly re-open the exponential-stats trap.
+    Also pin the compounding behavior the util exists to kill: a plan
+    referencing a reset frame k times per round keeps default-sized
+    stats across rounds instead of growing stats^k digit counts."""
+    from vectorsearch_scylla_spark.session import drop_inherited_stats
+
+    df = spark.range(100).withColumnRenamed("id", "node").localCheckpoint()
+    checkpointed_size = int(
+        df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    fresh = drop_inherited_stats(df)
+    plan = fresh._jdf.queryExecution().optimizedPlan()
+    assert "LogicalRDD" in plan.getClass().getSimpleName()
+    default_size = int(plan.stats().sizeInBytes())
+    # checkpoint copied the real (small) materialized size; the rebuilt
+    # LogicalRDD reports conf.defaultSizeInBytes instead
+    assert default_size > checkpointed_size
+
+    labels = fresh
+    for _ in range(4):
+        l2 = labels.withColumnRenamed("node", "n2")
+        round_plan = (
+            labels.join(l2, labels["node"] == l2["n2"])
+            .join(labels.withColumnRenamed("node", "n3"), labels["node"] == F.col("n3"))
+            .select(labels["node"])
+        )
+        labels = drop_inherited_stats(round_plan.localCheckpoint())
+        size = int(
+            labels._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        assert len(str(size)) <= len(str(default_size)) + 2, size
+
+
+def test_hyperplane_banded_equals_exhaustive(spark, sf_dir):
+    """r6 ADVICE (low): dedup_clusters_union's oracle enumerates
+    embedding edges exhaustively while the Spark side generates
+    candidates through 16-band hyperplane LSH — the oracle-parity gate
+    is sound only if the banded edge set equals the exhaustive one at
+    each certified SF.  Assert that equality directly on the planted
+    fixture corpus (the same generator both union queries use)."""
+    from vectorsearch_scylla_spark.functions.hyperplane import (
+        hyperplane_near_dup_pairs,
+    )
+    from vectorsearch_scylla_spark.functions.vector import cosine_similarity
+    from vectorsearch_scylla_spark.plans.registry import _emb_with_planted_dups
+    from vectorsearch_scylla_spark.sources.tables import load_table
+
+    emb = _emb_with_planted_dups(load_table(spark, sf_dir, "embeddings"))
+    banded = {
+        (r["id_a"], r["id_b"])
+        for r in hyperplane_near_dup_pairs(
+            emb, threshold=0.92, dim=64, n_bands=16
+        ).select("id_a", "id_b").collect()
+    }
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exhaustive = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(cosine_similarity("va", "vb") > 0.92)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert banded == exhaustive

@@ -30,38 +30,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from vectorsearch_scylla_spark.session import drop_inherited_stats
 
-def _drop_inherited_stats(df: DataFrame) -> DataFrame:
-    """Rebuild ``df`` on its already-materialized checkpointed RDD,
-    discarding the statistics Spark 4's ``Dataset.checkpoint`` copies
-    into the ``LogicalRDD`` (``rewriteStatsAndConstraints``).
-
-    Why this matters: in an iterative algorithm whose round plan
-    references the previous round's frame k times (label propagation
-    references ``labels`` four times per round), the copied
-    ``sizeInBytes`` compounds as stats^k PER ROUND — the inherited
-    number's digit count multiplies by k every round, and after ~8
-    rounds the size product is a BigInt with MILLIONS of digits.
-    Every Catalyst stats walk (JoinSelection, InjectRuntimeFilter,
-    AQE reOptimize) then burns minutes of driver CPU in
-    Toom-Cook BigInteger multiplication while all executors sit idle
-    — observed live via jstack on the r6 union-cascade bench.
-    Resetting to a fresh LogicalRDD (defaultSizeInBytes) keeps every
-    round's stats walk trivial; the frames involved are the big
-    label/edge tables that should never broadcast anyway, so losing
-    the copied estimate costs nothing.
-    """
-    try:
-        jdf = df._jdf
-        jrdd = jdf.queryExecution().toRdd()
-        jds = df.sparkSession._jsparkSession.internalCreateDataFrame(
-            jrdd, jdf.schema(), False
-        )
-        return DataFrame(jds, df.sparkSession)
-    except Exception:
-        # non-classic session or private-API drift: stats stay
-        # inherited (correctness unaffected; only planning speed)
-        return df
+# backwards-compatible alias: the fix was discovered here (r6) and
+# promoted to a shared util in session.py (r7) so every iterative
+# surface (label propagation, Lloyd iterations) applies it
+_drop_inherited_stats = drop_inherited_stats
 
 
 def connected_components(

@@ -43,6 +43,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from vectorsearch_scylla_spark.session import drop_inherited_stats
+
 # mirrors plans/registry.quantize (floor(x·10^n + 0.5 + eps)/10^n) —
 # redefined here to keep operators/ free of registry imports
 _EPS = 1e-6
@@ -502,18 +504,32 @@ def lloyd_kmeans(
             return assign_clusters_np(vdf, cents, vec_col=vec_col, dtype="float64")
     else:
         _assign = assign_clusters
+    if train_rows is not None and int(train_rows) < k:
+        # the documented invariant "seeds are the sample's first k
+        # rows" breaks when the sample is smaller than k (seeds
+        # train_rows..k-1 would lie outside the training set)
+        raise ValueError(
+            f"lloyd_kmeans: train_rows={train_rows} < k={k}; the "
+            "training sample must contain at least the k seed rows"
+        )
     vecs = df.select(id_col, F.col(vec_col).cast("array<double>").alias("__v"))
     hashed = vecs.withColumn("__h", F.md5(F.col(id_col).cast("string")))
     if train_rows is not None:
         # md5-prefix sample; spread back over the cluster after the
         # single-partition global limit so the per-iteration assignment
         # scans parallelize (row membership, and therefore every
-        # aggregate below, is partitioning-independent)
-        vecs = (
+        # aggregate below, is partitioning-independent).  The sample is
+        # bounded (<= train_rows rows), so materialize it ONCE
+        # (localCheckpoint) instead of re-running the corpus-wide
+        # orderBy+limit lineage in every one of the ``iters``
+        # assignment jobs, and drop the stats Spark 4's checkpoint
+        # copies into the LogicalRDD (see session.drop_inherited_stats).
+        vecs = drop_inherited_stats(
             hashed.orderBy("__h", id_col)
             .limit(int(train_rows))
             .select(id_col, "__v")
             .repartition(max(df.sparkSession.sparkContext.defaultParallelism, 4))
+            .localCheckpoint()
         )
     seeds = hashed.orderBy("__h", id_col).limit(k).collect()
     cents = [(i, list(r["__v"])) for i, r in enumerate(seeds)]
@@ -553,9 +569,16 @@ def split_oversized_clusters(
     balanced for.  Rather than retraining the whole quantizer (a full
     re-index), split each oversized cluster IN PLACE: run a small
     deterministic k-means over that cluster's members only, replace
-    the parent centroid with ``split_k`` children (ids
-    ``parent*child_base + j`` — collision-free for parent ids below
-    ``child_base``), and reassign ONLY the split clusters' members.
+    the parent centroid with ``split_k`` children (LONG ids
+    ``parent*child_base + j``; child ids are unique because a child's
+    range [parent*base, parent*base+split_k) can only collide with an
+    id minted from the SAME parent, and a parent is removed the round
+    it splits — holds across repeated compactions, including children
+    of children, until ``max(parent)*child_base + split_k`` would
+    exceed int64, which this function rejects with ``ValueError``
+    rather than silently wrapping), and reassign ONLY the split
+    clusters' members.  Output ``cluster_col`` is LongType end-to-end
+    (untouched members' ids are widened at the union boundary).
     Untouched clusters' lists and centroids are byte-identical on
     output — at 100 TB the work is proportional to the oversized
     lists, never the corpus, and the per-cluster trainer runs inside
@@ -596,7 +619,7 @@ def split_oversized_clusters(
     eps = 0.5 + _EPS
 
     out_schema = StructType([
-        StructField("parent", IntegerType(), False),
+        StructField("parent", LongType(), False),
         StructField("child", IntegerType(), False),
         StructField(id_col, LongType(), True),
         StructField("cvec", ArrayType(DoubleType()), True),
@@ -660,6 +683,16 @@ def split_oversized_clusters(
     )
     cen_rows = split.filter(F.col("is_centroid")).select("parent", "child", "cvec").collect()
     split_parents = {int(r["parent"]) for r in cen_rows}
+    if split_parents:
+        top = max(split_parents) * child_base + split_k
+        if top > 2**63 - 1:
+            raise ValueError(
+                "split_oversized_clusters: child id "
+                f"max(parent)={max(split_parents)} * child_base="
+                f"{child_base} + split_k={split_k} exceeds int64 — "
+                "the id space is exhausted; retrain the quantizer "
+                "instead of compacting further"
+            )
     new_cents = sorted(
         [(cid, v) for cid, v in centroids if cid not in split_parents]
         + [
@@ -671,12 +704,14 @@ def split_oversized_clusters(
         split.filter(~F.col("is_centroid"))
         .select(
             id_col,
-            (F.col("parent").cast("long") * child_base + F.col("child"))
-            .cast("int")
+            (F.col("parent") * F.lit(child_base).cast("long") + F.col("child"))
+            .cast("long")
             .alias(cluster_col),
         )
     )
-    untouched = members.join(F.broadcast(sizes), cluster_col, "left_anti")
+    untouched = members.join(F.broadcast(sizes), cluster_col, "left_anti").withColumn(
+        cluster_col, F.col(cluster_col).cast("long")
+    )
     moved = (
         members.drop(cluster_col)
         .join(reassigned, id_col)

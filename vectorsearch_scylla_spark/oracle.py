@@ -41,7 +41,10 @@ def _sort_key(row: tuple) -> tuple:
     def key(v):
         if v is None:
             return (2, "")
-        if v == "NaN" and isinstance(v, str):
+        # isinstance FIRST: a value whose __eq__ returns a non-bool
+        # (e.g. a numpy array leaking into a collected row) must fall
+        # through to the mismatch report, not raise here
+        if isinstance(v, str) and v == "NaN":
             return (1, "")
         return (0, v)
 

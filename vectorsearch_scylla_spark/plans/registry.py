@@ -181,8 +181,9 @@ DRIVER_WINDOW: list[str] = [
     "knn_bruteforce",
     "path2_anomaly",
     # -- streaming e2e LAST: a completed Structured Streaming query
-    # leaves residue in the shared local JVM that intermittently slows
-    # later heavy batch queries 10-50x (see .claude/skills/verify) —
+    # leaves residue in the shared local JVM (streaming-state/codegen
+    # caches and a stopped-query cleanup thread) that intermittently
+    # slows later heavy batch queries 10-50x in the same process —
     # so every batch query must run before the first stream starts.
     # streaming_ivf_add_e2e re-certifies the r6 multi-micro-batch
     # increment staging; streaming_window_pivot stays last (bench
@@ -4929,6 +4930,15 @@ _UNION_EVIDENCE_CTES = f"""
         WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE) /
               (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.6
     ),
+    -- emb_e is the EXHAUSTIVE pair join while the Spark side uses
+    -- 16-band hyperplane-LSH candidates: parity therefore ASSUMES
+    -- LSH recall = 1.0 on every above-threshold pair at the certified
+    -- SFs.  That assumption is itself certified: embedding_neardup_pairs
+    -- checks banded-vs-exhaustive edge-set equality against this same
+    -- exhaustive oracle, and test_hyperplane_banded_equals_exhaustive
+    -- pins it directly at the fixture SF.  At an operating point where
+    -- boundary pairs (cos barely over 0.92) may escape all bands, spend
+    -- more bands before trusting this oracle shape.
     emb_e AS (
         SELECT a.vec_id AS a, b.vec_id AS b
         FROM planted_emb a JOIN planted_emb b ON a.vec_id < b.vec_id
@@ -5064,7 +5074,11 @@ def _union_evidence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "union edge subgraph only.  Oracle recomputes all four classes "
     "and the components via recursive-CTE transitive closure — an "
     "independent clustering algorithm, so the green row checks "
-    "cross-evidence merging itself.",
+    "cross-evidence merging itself.  Oracle caveat (stated, certified): "
+    "the oracle's embedding edges are exhaustive while Spark's are "
+    "16-band LSH candidates; parity assumes LSH recall 1.0 at the "
+    "certified SFs, which embedding_neardup_pairs and "
+    "test_hyperplane_banded_equals_exhaustive verify directly.",
 )
 def q_dedup_clusters_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectorsearch_scylla_spark.operators.graph import connected_components

@@ -9,14 +9,63 @@ patches at read, ``dashboard/app.py:203-204`` — we standardize instead).
 
 from __future__ import annotations
 
+import logging
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+
+_log = logging.getLogger(__name__)
+_stats_drop_warned = False
 
 # At cluster scale spark.sql.shuffle.partitions should be ~2-3x total
 # cores (or left to AQE coalescing, which we enable).  Locally, match
 # the core count so tests don't create thousands of tiny tasks.
 _DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def drop_inherited_stats(df: DataFrame) -> DataFrame:
+    """Rebuild a checkpointed ``df`` on its already-materialized RDD,
+    discarding the statistics Spark 4's ``Dataset.checkpoint`` /
+    ``localCheckpoint`` copies into the ``LogicalRDD``
+    (``rewriteStatsAndConstraints``).
+
+    Why: in an ITERATIVE algorithm whose round plan references the
+    previous round's frame k times, the copied ``sizeInBytes``
+    compounds as stats^k per round — after ~8 rounds the product is a
+    BigInteger with millions of digits and every Catalyst stats walk
+    (JoinSelection, InjectRuntimeFilter, AQE reOptimize) burns minutes
+    of driver CPU in Toom-Cook multiplication while executors idle
+    (diagnosed live via jstack, round 6).  Resetting to a fresh
+    ``LogicalRDD`` (defaultSizeInBytes) keeps every round's stats walk
+    trivial; the frames involved are big tables that should never
+    broadcast anyway, so losing the copied estimate costs nothing.
+
+    Call this on EVERY checkpointed frame that feeds an iterative loop
+    (connected components, Lloyd iterations, pointer jumping).  Uses
+    private JVM internals (``queryExecution().toRdd()``,
+    ``internalCreateDataFrame``); on a Connect session or private-API
+    drift it logs ONCE and returns ``df`` unchanged — correctness is
+    unaffected, only planning speed, but the warning makes the silent
+    revert visible.
+    """
+    global _stats_drop_warned
+    try:
+        jdf = df._jdf
+        jrdd = jdf.queryExecution().toRdd()
+        jds = df.sparkSession._jsparkSession.internalCreateDataFrame(
+            jrdd, jdf.schema(), False
+        )
+        return DataFrame(jds, df.sparkSession)
+    except Exception as exc:  # non-classic session or API drift
+        if not _stats_drop_warned:
+            _stats_drop_warned = True
+            _log.warning(
+                "drop_inherited_stats: falling back to inherited plan "
+                "statistics (%s: %s) — iterative planning may slow down",
+                type(exc).__name__,
+                exc,
+            )
+        return df
 
 
 def get_spark(app_name: str = "vectorsearch-scylla-spark", cpus: str | int | None = None) -> SparkSession:
