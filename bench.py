@@ -32,9 +32,7 @@ HEADLINE = [
     "knn_bruteforce",
     "knn_distributed",
     "sq8_knn",
-    "knn_label_purity",
     "knn_same_label",
-    "ivf_knn",
     "ivf_grouped_knn",
     "sq8_ivf_knn",
     "ann_recall_report",
@@ -60,6 +58,7 @@ HEADLINE = [
     "simhash_dup_pairs",
     "dedup_clusters",
     "dedup_clusters_union",
+    "dedup_clusters_union_cascade",
     "dedup_pipeline_funnel",
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",

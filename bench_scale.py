@@ -276,116 +276,24 @@ def main() -> None:
         # verification (it certifies evidence attribution at fixture
         # scale) while this row measures the production execution.
         def union_cc_cascade() -> None:
-            from pyspark.sql import Window as W
-
+            # r7: this row now measures the REGISTERED implementation
+            # (plans/registry._cascade_union_evidence — the same code
+            # certified by dedup_clusters_union_cascade's oracle row),
+            # parameterized with the scaled corpus.  Stage staging,
+            # lineage truncation, stats-reset, and the salted
+            # skew-hardened candidate expansion all live in that one
+            # place now.
             from vectorsearch_scylla_spark.operators.graph import (
                 connected_components,
             )
             from vectorsearch_scylla_spark.plans.registry import (
-                _minhash_sig,
-                _with_word_shingles,
+                _cascade_union_evidence,
             )
 
-            def step(msg):
-                print(f"[bench_scale]   cascade: {msg}", file=sys.stderr)
-
-            nn = docs.filter(F.col("text").isNotNull())
-            sim = simhash_near_dup_pairs(nn, max_hamming=5).select("id_a", "id_b")
-            grouped = nn.select(
-                "doc_id",
-                F.min("doc_id")
-                .over(W.partitionBy(F.md5(F.col("text").cast("binary"))))
-                .alias("m"),
-            )
-            exact = grouped.filter(F.col("doc_id") != F.col("m")).select(
-                F.col("m").alias("id_a"), F.col("doc_id").alias("id_b")
-            )
-            # Every stage below is localCheckpointed (eager), NOT bare
-            # persist: c1 and sh are each referenced several times
-            # (la/lb, ka/kb/sha/shb), and an unmaterialized lineage
-            # repeated across that many join arms — re-planned by AQE
-            # after every finished stage — sends Catalyst's
-            # sizeInBytes estimation into a BigInt product blow-up
-            # (measured MINUTES of driver CPU inside
-            # SizeInBytesOnlyStatsPlanVisitor / JoinSelection before
-            # any task ran).  Truncating lineage per stage keeps every
-            # planned tree shallow; the materializations are work the
-            # cascade measurement wants to count anyway.
-            cheap = sim.union(exact).distinct().localCheckpoint()
-            step("cheap edges materialized")
-            c1 = connected_components(cheap).localCheckpoint()
-            step("cheap components materialized")
-
-            sh = _with_word_shingles(nn).select(
-                "doc_id",
-                _minhash_sig(0, non_null=True),
-                _minhash_sig(1, non_null=True),
-                F.array_distinct(
-                    F.coalesce(F.col("sh"), F.array(F.col("text")))
-                ).alias("shingles"),
-            ).localCheckpoint()
-            step("shingle+sig table materialized")
-            # candidate enumeration WITHOUT the shingle arrays: ids +
-            # band keys only, so the 25M-row candidate join shuffles
-            # narrow rows
-            ka = sh.select(
-                F.col("doc_id").alias("id_a"),
-                F.col("sig_0").alias("s0a"),
-                F.col("sig_1").alias("s1a"),
-            )
-            kb = sh.select(
-                F.col("doc_id").alias("id_b"),
-                F.col("sig_0").alias("s0b"),
-                F.col("sig_1").alias("s1b"),
-            )
-            cands = ka.join(
-                kb,
-                (F.col("s0a") == F.col("s0b"))
-                & (F.col("s1a") == F.col("s1b"))
-                & (F.col("id_a") < F.col("id_b")),
-            ).select("id_a", "id_b")
-            la = c1.select(
-                F.col("node").alias("id_a"), F.col("component").alias("ca")
-            )
-            lb = c1.select(
-                F.col("node").alias("id_b"), F.col("component").alias("cb")
-            )
-            surv = (
-                cands.join(la, "id_a", "left")
-                .join(lb, "id_b", "left")
-                .filter(
-                    F.col("ca").isNull()
-                    | F.col("cb").isNull()
-                    | (F.col("ca") != F.col("cb"))
-                )
-                .select("id_a", "id_b")
-                .localCheckpoint()
-            )
-            step("survivor candidates materialized")
-            # exact Jaccard only for the survivors (shingles re-attach
-            # to the — ideally tiny — surviving pair set)
-            sha = sh.select(
-                F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a")
-            )
-            shb = sh.select(
-                F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b")
-            )
-            inter = F.size(F.array_intersect("sh_a", "sh_b"))
-            union_sz = F.size("sh_a") + F.size("sh_b") - inter
-            ngram = (
-                surv.join(sha, "id_a").join(shb, "id_b")
-                .filter((inter.cast("double") / union_sz) >= 0.6)
-                .select("id_a", "id_b")
-                .localCheckpoint()
-            )
-            step("surviving ngram edges verified")
-            embp = hyperplane_near_dup_pairs(emb, threshold=0.92, dim=64).select(
-                "id_a", "id_b"
-            ).localCheckpoint()
-            step("embedding edges materialized")
-            edges = cheap.union(ngram).union(embp).distinct()
-            noop(connected_components(edges))
-            step("final components done")
+            stages = _cascade_union_evidence(spark, None, docs=docs, emb=emb)
+            print("[bench_scale]   cascade: stage frames built", file=sys.stderr)
+            noop(connected_components(stages["edges"]))
+            print("[bench_scale]   cascade: final components done", file=sys.stderr)
 
         timed(
             "dedup_union_clusters_cascade",

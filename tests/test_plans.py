@@ -59,7 +59,6 @@ _PINNED = [
     "sq8_knn",
     "sq8_ivf_knn",
     "knn_same_label",
-    "ivf_knn",
     "ivf_sampled_train_knn",
     "ivf_grouped_knn",
     "ann_recall_report",
@@ -333,7 +332,7 @@ def test_ivf_probe_prune_is_semi_join_not_in_list(plans):
     `cluster_id... IN (...)` filter reappearing in the scan."""
     import re
 
-    for name in ["ivf_knn", "ivfpq_knn"]:
+    for name in ["ivfpq_knn"]:
         p = plans[name]
         assert "LeftSemi" in p, name
         assert not re.search(r"cluster_id#\d+[^\n]* IN \(", p), name

@@ -108,6 +108,86 @@ def simhash128(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     return docs.select(id_col, text_col).mapInPandas(kernel, schema=schema)
 
 
+def banded_pairs(
+    sides: DataFrame,
+    band_cols: list[str],
+    id_col: str = "doc_id",
+    oversized_at: int = 64,
+    salts: int = 8,
+) -> DataFrame:
+    """All within-bucket unordered id pairs ``(id_a < id_b)`` where a
+    bucket is the set of rows equal on ``band_cols`` — the pairwise
+    expansion step of every LSH band join, SKEW-HARDENED.
+
+    The failure mode this kills (diagnosed via jstack on the r6 100×
+    union bench): a replica clique puts its whole membership into ONE
+    band bucket, so the plain self-join hashes all n² pair expansions
+    of that bucket onto a single task — AQE skew-join cannot split it
+    because the skew is inside one key, and one straggler task runs
+    ``array_intersect`` for minutes while the rest of the cluster
+    idles.
+
+    Fix: buckets over ``oversized_at`` rows split their triangular
+    expansion across ``salts·(salts+1)/2`` join keys.  Each member
+    gets a deterministic salt g = xxhash64(id) mod R; the pair (i≤j
+    salt group combo) becomes part of the join key, so bucket work
+    lands on R(R+1)/2 distinct reducers, each doing ~(n/R)² of the
+    expansion.  A member is replicated R+1 times (left role: own salt
+    × all gj ≥ gi; right role: all gi ≤ own salt) — and ONLY members
+    of oversized buckets are replicated, so the blow-up is bounded by
+    the skew it cures.  Every unordered pair appears exactly once:
+    cross-group combos (gi < gj) orient uniquely by construction and
+    are normalized with least/greatest; same-group combos keep the
+    ``id_a < id_b`` orientation.  Small buckets take the plain
+    equi-join: zero replication, same output.
+
+    Output schema: ``(id_a, id_b)`` — ids only, deliberately narrow so
+    the oversized expansion shuffles ~16-byte rows; callers re-attach
+    payloads (shingle arrays, signatures) to the — much smaller —
+    surviving pair set by id join.
+    """
+    if salts < 2:
+        raise ValueError(f"salts={salts}: need >= 2 to split a bucket")
+    keys = [F.col(c) for c in band_cols]
+    sizes = (
+        sides.groupBy(*keys)
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") > int(oversized_at))
+        .select(*band_cols)
+    )
+    small = sides.join(F.broadcast(sizes), band_cols, "left_anti")
+    big = sides.join(F.broadcast(sizes), band_cols, "left_semi")
+
+    plain = (
+        small.select(*band_cols, F.col(id_col).alias("id_a"))
+        .join(
+            small.select(*band_cols, F.col(id_col).alias("id_b")),
+            band_cols,
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+    g = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salts)).cast("int")
+    left = (
+        big.select(*band_cols, F.col(id_col).alias("id_a"), g.alias("gi"))
+        .withColumn("gj", F.explode(F.sequence(F.col("gi"), F.lit(salts - 1))))
+    )
+    right = (
+        big.select(*band_cols, F.col(id_col).alias("id_b"), g.alias("gj"))
+        .withColumn("gi", F.explode(F.sequence(F.lit(0), F.col("gj"))))
+    )
+    salted = (
+        left.join(right, [*band_cols, "gi", "gj"])
+        .filter((F.col("gi") < F.col("gj")) | (F.col("id_a") < F.col("id_b")))
+        .select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+    )
+    return plain.unionByName(salted)
+
+
 def simhash_near_dup_pairs(
     docs: DataFrame,
     max_hamming: int = SIMHASH_BANDS - 1,

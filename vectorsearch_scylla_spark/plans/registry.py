@@ -26,6 +26,8 @@ coverage checklist).
 
 from __future__ import annotations
 
+import math
+
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -167,7 +169,6 @@ DRIVER_WINDOW: list[str] = [
     # pruning touches ivf_knn (ivfpq_knn is in the must-rotate set
     # above); dedup_clusters shares the clustering/edge machinery the
     # union query extends -------------------------------------------
-    "ivf_knn",
     "ivf_grouped_knn",
     "sq8_ivf_knn",
     "ivfpq_residual_knn",
@@ -796,7 +797,7 @@ def q_threshold_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # (centroid_by_label was folded into device_profile_build in r5: the
 # posexplode → groupBy(key, pos) → avg centroid is the identical code
-# path device_profile_build certifies per device — and ivf_knn's
+# path device_profile_build certifies per device — and the IVF family's
 # trained quantizer certifies quantized centroid means per cluster —
 # so a second standalone centroid oracle added rotation pressure
 # without adding checked surface.)
@@ -853,60 +854,6 @@ def q_knn_bruteforce(
     )
     return out.select(
         "query_id", "neighbor_id", quantize(F.col("similarity")).alias("similarity"), "rank"
-    )
-
-
-@query(
-    "knn_label_purity",
-    f"""
-    SELECT query_id,
-           CAST(sum(CASE WHEN same_label THEN 1 ELSE 0 END) AS BIGINT) AS same_label_count,
-           {Q("avg(similarity)")} AS avg_similarity
-    FROM (
-        SELECT a.vec_id AS query_id,
-               a.label = b.label AS same_label,
-               {KNN_COS} AS similarity,
-               row_number() OVER (PARTITION BY a.vec_id
-                                  ORDER BY {KNN_COS} DESC, b.vec_id ASC) AS rank
-        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
-        WHERE a.vec_id % 50 = 0
-    ) WHERE rank <= 10
-    GROUP BY query_id
-    """,
-    ["V7", "A8", "A12", "P7"],
-    "Neighbor-label aggregation: Path-3's 'how many similar NORMAL "
-    "neighbors' count (pipeline/detect_anomalies_all.py:161-196).",
-)
-def q_knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("label").alias("query_label"),
-        F.col("embedding").alias("query_vec"),
-    )
-    corpus = emb.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("label").alias("neighbor_label"),
-        F.col("embedding").alias("corpus_vec"),
-    )
-    topk = topk_similarity_join_blocked(
-        queries.select("query_id", "query_vec"),
-        corpus.select("neighbor_id", "corpus_vec"),
-        k=10,
-        query_id="query_id",
-        corpus_id="neighbor_id",
-        exclude_self=True,
-        dtype="float64",
-    )
-    labeled = (
-        topk.join(F.broadcast(queries.select("query_id", "query_label")), "query_id")
-        .join(F.broadcast(corpus.select("neighbor_id", "neighbor_label")), "neighbor_id")
-    )
-    return labeled.groupBy("query_id").agg(
-        F.sum(
-            F.when(F.col("query_label") == F.col("neighbor_label"), 1).otherwise(0)
-        ).alias("same_label_count"),
-        quantize(F.avg("similarity")).alias("avg_similarity"),
     )
 
 
@@ -1224,108 +1171,6 @@ def q_sq8_knn(
     )
 
 
-@query(
-    "ivf_knn",
-    f"""
-    WITH {_ivf_kmeans_cte(IVF_K, IVF_ITERS, IVF_NPROBE, 25)}
-    SELECT query_id, neighbor_id, cluster_id, {Q("similarity")} AS similarity,
-           CAST(rank AS INT) AS rank
-    FROM (
-        SELECT p.query_id, m.vec_id AS neighbor_id, m.cluster_id,
-               {_cos_sql("a.embedding", "m.embedding")} AS similarity,
-               row_number() OVER (PARTITION BY p.query_id
-                                  ORDER BY {_cos_sql("a.embedding", "m.embedding")} DESC,
-                                           m.vec_id ASC) AS rank
-        FROM probes p
-        JOIN vecs a ON a.vec_id = p.query_id
-        JOIN members m ON m.cluster_id = p.cluster_id AND m.vec_id <> p.query_id
-    ) WHERE rank <= 5
-    """,
-    ["V3", "V4", "A4", "J3", "W2", "ANN-IVF"],
-    "IVF approximate kNN with a TRAINED coarse quantizer — the "
-    "MECHANISM certification at oracle-pinned toy constants (K=8, "
-    "nprobe=2: each probe covers ¼ of the corpus, so the pruning "
-    "factor is deliberately small here); ivf_grouped_knn below is the "
-    "PRODUCTION configuration (K≈√N, cogrouped, no driver collect) "
-    "and the one to bench at scale.  Mechanics: deterministic "
-    "distributed Lloyd's k-means (k=8, 3 fixed "
-    "iterations, md5-seeded init, centroids re-quantized each iteration "
-    "so the SQL oracle's unrolled-CTE twin stays bit-identical — "
-    "operators/ivf.py), corpus materialized into inverted lists "
-    "(cluster_id-partitioned parquet via build_ivf_index — built ONCE "
-    "per corpus fingerprint, reused across invocations), queries probe "
-    "their nprobe=2 nearest clusters, the inverted-list scan is pruned "
-    "to probed partitions, exact blocked top-k inside them only.  Cuts "
-    "candidates from N to nprobe·N/C and scanned bytes to nprobe/C.  "
-    "(Replaces the reference's HNSW index build, "
-    "scylladb_setup/create_iot_schema.py:137-155.)",
-)
-def q_ivf_knn(
-    spark: SparkSession, sf_dir: str, k: int = 5, nprobe: int = IVF_NPROBE
-) -> DataFrame:
-    from vectorsearch_scylla_spark.operators.ivf import (
-        build_ivf_index,
-        probe_clusters,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    vecs = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
-    # index build runs ONCE per (sf_dir contents, k, iters) — train +
-    # assign + materialize cluster-partitioned inverted lists; repeat
-    # invocations (bench retries, correctness reruns) only probe it
-    cents, lists_path = build_ivf_index(
-        vecs, _sf_cache_token(sf_dir, "ivf", IVF_K, IVF_ITERS), k=IVF_K, iters=IVF_ITERS
-    )
-    members = spark.read.parquet(lists_path).select(
-        "vec_id", "embedding", F.col("cluster_id").cast("int").alias("cluster_id")
-    )
-    queries = probe_clusters(
-        vecs.filter(F.col("vec_id") % 25 == 0).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
-        ),
-        cents,
-        nprobe=nprobe,
-        vec_col="query_vec",
-    )
-    # prune the inverted-list scan to the probed clusters — with k=8
-    # every cluster is probed at this query count, but at scale
-    # (C in the thousands) this is the partition-pruning payoff.
-    # Broadcast SEMI-JOIN on the distinct probe keys, not a driver
-    # .isin(collect) list: at real K the literal IN-list becomes a
-    # multi-thousand-element expression and a driver round-trip, while
-    # the semi-join keeps the key set executor-side and Catalyst's
-    # dynamic partition pruning turns it into the same directory prune.
-    probed = queries.select("cluster_id").distinct()
-    corpus = members.join(F.broadcast(probed), "cluster_id", "left_semi").select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("corpus_vec"),
-        "cluster_id",
-    )
-    # blocked NumPy kernel with the probed-cluster constraint masked
-    # inside the batch matmul; a query appears once per probed cluster
-    # and the global re-rank merges both probes' candidates.  The
-    # neighbor's cluster id re-attaches from the inverted-list side.
-    out = topk_similarity_join_blocked(
-        queries.select("query_id", "query_vec", "cluster_id"),
-        corpus,
-        k=k,
-        query_id="query_id",
-        corpus_id="neighbor_id",
-        exclude_self=True,
-        dtype="float64",
-        join_keys=["cluster_id"],
-    )
-    return out.join(
-        members.select(F.col("vec_id").alias("neighbor_id"), "cluster_id"), "neighbor_id"
-    ).select(
-        "query_id",
-        "neighbor_id",
-        "cluster_id",
-        quantize(F.col("similarity")).alias("similarity"),
-        "rank",
-    )
-
-
 # Realistic-K IVF: K ≈ √N at the fixture corpus (√500 ≈ 22), nprobe
 # scaled so each query scans ~3/22 ≈ 14 % of the corpus — the
 # configuration you'd actually ship (bench_scale.py measures this same
@@ -1506,6 +1351,136 @@ def q_ivf_sampled_train_knn(
         "neighbor_id",
         quantize(F.col("similarity")).alias("similarity"),
         "rank",
+    )
+
+
+# --- IVF compaction (split_oversized_clusters) ----------------------
+CMP_SPLIT_K = 2
+CMP_ITERS = 2
+
+
+def _ivf_compaction_cte(split_k: int, iters: int, k: int) -> str:
+    """Unrolled per-cluster split k-means — the SQL twin of
+    ``operators/ivf.split_oversized_clusters`` (same md5-ordered seed
+    draw, argmax-cosine assignment with lowest-child tie-break,
+    per-iteration quantized means, carry-forward for a child that wins
+    no member, drop-empty-children on the final assignment).  Assumes
+    a ``members(vec_id, embedding, cluster_id)`` CTE is in scope
+    (from :func:`_ivf_kmeans_cte`).  The oversize threshold
+    ``floor(1.05·N/K)`` is computed IN-QUERY from the corpus size so
+    the split set binds (some clusters over, some under) at every
+    fixture SF."""
+    cos_vc = _cos_sql("v.embedding", "c.cvec")
+
+    def assign(name: str, src: int, cols: str) -> str:
+        return f"""{name} AS (
+        SELECT parent, vec_id{cols} FROM (
+            SELECT v.parent, v.vec_id, v.embedding, c.child,
+                   row_number() OVER (PARTITION BY v.parent, v.vec_id
+                                      ORDER BY {cos_vc} DESC, c.child ASC) AS rn
+            FROM csm v JOIN cc{src} c ON c.parent = v.parent) WHERE rn = 1)"""
+
+    parts = [
+        "csizes AS (SELECT cluster_id, count(*) AS n FROM members GROUP BY cluster_id)",
+        f"cthresh AS (SELECT floor(1.05 * sum(n) / {k}) AS ms FROM csizes)",
+        "cbig AS (SELECT cluster_id FROM csizes, cthresh WHERE n > ms)",
+        "csm AS (SELECT m.vec_id, m.embedding, m.cluster_id AS parent "
+        "FROM members m JOIN cbig b ON b.cluster_id = m.cluster_id)",
+        f"""cc0 AS (
+        SELECT parent, CAST(rn - 1 AS INT) AS child, embedding AS cvec FROM (
+            SELECT parent, embedding,
+                   row_number() OVER (PARTITION BY parent
+                                      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+            FROM csm) WHERE rn <= {split_k})""",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(assign(f"ca{i}", i - 1, ", embedding, child"))
+        parts.append(
+            f"""cc{i} AS (
+        SELECT p.parent, p.child, coalesce(u.cvec, p.cvec) AS cvec
+        FROM cc{i - 1} p LEFT JOIN (
+            SELECT parent, child, list(avg_val ORDER BY pos) AS cvec FROM (
+                SELECT parent, child, pos, {Q("avg(val)", 6)} AS avg_val FROM (
+                    SELECT parent, child,
+                           unnest(generate_series(1, len(embedding))) - 1 AS pos,
+                           unnest(embedding) AS val
+                    FROM ca{i})
+                GROUP BY parent, child, pos)
+            GROUP BY parent, child) u
+        ON u.parent = p.parent AND u.child = p.child)"""
+        )
+    parts.append(assign("cfinal", iters, ", child"))
+    parts.append(
+        f"""compacted AS (
+        SELECT m.vec_id, CAST(m.cluster_id AS BIGINT) AS cluster_id,
+               CAST(m.cluster_id AS BIGINT) AS parent_id, FALSE AS was_split
+        FROM members m LEFT JOIN cbig b ON b.cluster_id = m.cluster_id
+        WHERE b.cluster_id IS NULL
+        UNION ALL
+        SELECT f.vec_id, CAST(f.parent AS BIGINT) * 1000000 + f.child AS cluster_id,
+               CAST(f.parent AS BIGINT) AS parent_id, TRUE AS was_split
+        FROM cfinal f)"""
+    )
+    return ",\n    ".join(parts)
+
+
+@query(
+    "ivf_compaction",
+    f"""
+    WITH {_ivf_kmeans_cte(IVF_K, IVF_ITERS, IVF_NPROBE, 25)},
+    {_ivf_compaction_cte(CMP_SPLIT_K, CMP_ITERS, IVF_K)}
+    SELECT vec_id, cluster_id, parent_id, was_split FROM compacted
+    """,
+    ["ANN-IVF", "IVF-COMPACTION", "V4", "A4"],
+    "IVF index COMPACTION — the in-place maintenance half of the "
+    "append-only story: after skewed ivf_incremental_add appends grow "
+    "some inverted lists past the grouped probe kernel's balance "
+    "point, each oversized cluster (here: size > floor(1.05·N/K), so "
+    "the set binds non-vacuously at every fixture SF) splits IN PLACE "
+    "via a small deterministic per-cluster k-means run inside one "
+    "applyInPandas group (operators/ivf.split_oversized_clusters): "
+    "md5-ordered seed draw, argmax-cosine assignment with lowest-child "
+    "tie-break, 6-decimal quantized means, children minted as LONG "
+    "ids parent·1e6+child (collision-free across repeated "
+    "compactions; int64-exhaustion raises).  Untouched clusters' "
+    "members are byte-identical on output; work is proportional to "
+    "the oversized lists, never the corpus — FAISS deployments do "
+    "this by periodic full retrain, which at 100 TB is exactly what "
+    "this avoids.  The oracle unrolls the per-cluster split k-means "
+    "as chained CTEs over the same trained-quantizer members table, "
+    "certifying seeds, iterations, empty-child carry-forward, final "
+    "assignment, and the long id mint end-to-end.",
+)
+def q_ivf_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectorsearch_scylla_spark.operators.ivf import (
+        build_ivf_index,
+        split_oversized_clusters,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n = vecs.count()
+    max_size = int(math.floor(1.05 * n / IVF_K))
+    # SAME cached coarse index as the rest of the IVF family
+    cents, lists_path = build_ivf_index(
+        vecs, _sf_cache_token(sf_dir, "ivf", IVF_K, IVF_ITERS), k=IVF_K, iters=IVF_ITERS
+    )
+    members = spark.read.parquet(lists_path).select(
+        "vec_id", "embedding", F.col("cluster_id").cast("int").alias("cluster_id")
+    )
+    _, new_members = split_oversized_clusters(
+        members, cents, max_size=max_size, split_k=CMP_SPLIT_K, iters=CMP_ITERS
+    )
+    was_split = F.col("cluster_id") >= 1_000_000
+    return new_members.select(
+        "vec_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.when(was_split, F.expr("CAST(cluster_id DIV 1000000 AS BIGINT)"))
+        .otherwise(F.col("cluster_id").cast("long"))
+        .alias("parent_id"),
+        was_split.alias("was_split"),
     )
 
 
@@ -2087,7 +2062,7 @@ def q_ivfpq_knn(
     # lives in exactly one cluster, so probe unions stay duplicate-free.
     # Broadcast semi-join, not .isin(collect): no driver round-trip, no
     # multi-thousand-element IN-list at real K; dynamic partition
-    # pruning gives the same directory prune (see ivf_knn).
+    # pruning gives the same directory prune (see ivf_sampled_train_knn).
     probed = probes.select("cluster_id").distinct()
     members = (
         spark.read.parquet(lists_path)
@@ -2190,7 +2165,7 @@ _RES_DECODE_CASE = (
     ["V3", "V6", "J3", "W2", "ANN-IVFPQ", "ANN-IVFPQ-RES"],
     "RESIDUAL IVF-PQ — the shipped FAISS `IVF,PQ` shape: per-subspace "
     "codebooks trained on RESIDUALS v − c(v) against the coarse "
-    "quantizer (shared build-once index with ivf_knn), so the same "
+    "quantizer (build-once index shared across the IVF family), so the same "
     "4×4 codebook budget spends its codewords on the within-cluster "
     "variance instead of re-describing cluster means — compare "
     "approx_sim↔exact_sim against ivfpq_knn's raw-vector codes on the "
@@ -2221,7 +2196,7 @@ def q_ivfpq_residual_knn(
     vecs = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    # coarse index: SAME cache token as ivf_knn — built once, shared
+    # coarse index: SAME cache token across the IVF family — built once, shared
     cents, lists_path = build_ivf_index(
         vecs, _sf_cache_token(sf_dir, "ivf", IVF_K, IVF_ITERS), k=IVF_K, iters=IVF_ITERS
     )
@@ -3555,12 +3530,19 @@ def q_dedup_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pairs — the verify step after LSH candidate generation.",
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # one staged scan builds shingles once; signatures and the distinct
-    # shingle set both derive from that column — no doc_id self-join to
-    # re-attach shingles, no re-shingling per side of the pair join
+    # one staged scan builds shingles once (no re-shingling per side);
     # null-text rows could never survive the sig equi-join (null keys
     # don't match) — dropping them up front keeps the non_null sig
-    # rewrite below an exact no-op
+    # rewrite an exact no-op.  Candidate enumeration runs NARROW (ids +
+    # band key only) through the skew-hardened salted expansion
+    # (operators/dedup.banded_pairs): a replica clique's whole
+    # membership lands in ONE band bucket, and without salting its n²
+    # expansion is a single straggler task at 100× (r6 jstack finding);
+    # shingle arrays re-attach to the — much smaller — candidate pair
+    # set afterwards.  The shingle table is localCheckpointed because
+    # both the candidate stage and the two re-attach joins consume it.
+    from vectorsearch_scylla_spark.operators.dedup import banded_pairs
+
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     staged = _with_word_shingles(docs)
     sh = staged.select(
@@ -3570,28 +3552,21 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(F.coalesce(F.col("sh"), F.array(F.col("text")))).alias(
             "shingles"
         ),
+    ).localCheckpoint()
+    cands = banded_pairs(
+        sh.select("doc_id", "sig_0", "sig_1"),
+        ["sig_0", "sig_1"],
+        id_col="doc_id",
+        oversized_at=64,
+        salts=8,
     )
-    a = sh.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("sig_0").alias("s0a"),
-        F.col("sig_1").alias("s1a"),
-        F.col("shingles").alias("sh_a"),
-    )
-    b = sh.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("sig_0").alias("s0b"),
-        F.col("sig_1").alias("s1b"),
-        F.col("shingles").alias("sh_b"),
-    )
+    sha = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     return (
-        a.join(
-            b,
-            (F.col("s0a") == F.col("s0b"))
-            & (F.col("s1a") == F.col("s1b"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
+        cands.join(sha, "id_a")
+        .join(shb, "id_b")
         .select(
             "id_a",
             "id_b",
@@ -5115,6 +5090,181 @@ def q_dedup_clusters_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ngram_edges",
             "n_embedding_edges",
         )
+    )
+
+
+def _cascade_union_evidence(
+    spark: SparkSession,
+    sf_dir: str | None,
+    docs: DataFrame | None = None,
+    emb: DataFrame | None = None,
+) -> dict:
+    """Cheap-evidence-first union clustering — the 100 TB EXECUTION of
+    ``dedup_clusters_union``'s semantics (returns the stage frames so
+    tests can pin the skipped-verification invariant).
+
+    The full-union plan pays an exact-Jaccard verification for EVERY
+    MinHash-band candidate; at 100× that is ~25 M array intersections
+    inside replica cliques whose members the simhash/exact evidence
+    already connects (measured 3.5× slower, one straggler task —
+    BENCH_SCALE.md).  Connectivity only needs SPANNING evidence:
+
+      1. cheap edges (exact content hash + SimHash banding) → cluster
+         with :func:`connected_components`;
+      2. enumerate MinHash-band candidates NARROW (ids + band key)
+         through the salted skew-hardened expansion
+         (operators/dedup.banded_pairs);
+      3. drop every candidate whose endpoints the cheap graph already
+         co-clusters — those edges are connectivity-redundant by
+         definition;
+      4. exact-Jaccard-verify ONLY the survivors (shingles re-attach
+         to the surviving pair set);
+      5. union with the banded embedding edges and re-cluster.
+
+    Components are PROVABLY identical to the full union's (every
+    skipped edge had both endpoints in one cheap component), which is
+    why the same transitive-closure oracle certifies this query; only
+    per-class edge ATTRIBUTION differs, which the full-union query
+    keeps certifying.  Every stage frame is localCheckpointed with
+    stats dropped (session.drop_inherited_stats): c1 and sh feed
+    several join arms each, and un-truncated lineage re-plans the
+    whole band pipeline per downstream job.
+
+    ``docs``/``emb`` override the default planted fixture corpus so
+    the 100× scale bench (bench_scale.py) measures THIS registered
+    implementation on its scaled corpus rather than a fork of it.
+    """
+    from vectorsearch_scylla_spark.operators.dedup import (
+        banded_pairs,
+        simhash_near_dup_pairs,
+    )
+    from vectorsearch_scylla_spark.operators.graph import connected_components
+    from vectorsearch_scylla_spark.functions.hyperplane import (
+        hyperplane_near_dup_pairs,
+    )
+    from vectorsearch_scylla_spark.session import drop_inherited_stats
+
+    if docs is None:
+        docs = _docs_with_planted_dups(load_table(spark, sf_dir, "documents"))
+    docs = docs.filter(F.col("text").isNotNull())
+    if emb is None:
+        emb = _emb_with_planted_dups(load_table(spark, sf_dir, "embeddings"))
+    sim = simhash_near_dup_pairs(docs, max_hamming=5).select("id_a", "id_b")
+    exact = (
+        docs.select(
+            "doc_id",
+            F.min("doc_id")
+            .over(Window.partitionBy(F.md5(F.col("text").cast("binary"))))
+            .alias("m"),
+        )
+        .filter(F.col("doc_id") != F.col("m"))
+        .select(F.col("m").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    cheap = drop_inherited_stats(
+        sim.union(exact).distinct().localCheckpoint()
+    )
+    c1 = drop_inherited_stats(connected_components(cheap).localCheckpoint())
+
+    sh = drop_inherited_stats(
+        _with_word_shingles(docs)
+        .select(
+            "doc_id",
+            _minhash_sig(0, non_null=True),
+            _minhash_sig(1, non_null=True),
+            F.array_distinct(
+                F.coalesce(F.col("sh"), F.array(F.col("text")))
+            ).alias("shingles"),
+        )
+        .localCheckpoint()
+    )
+    cands = banded_pairs(
+        sh.select("doc_id", "sig_0", "sig_1"),
+        ["sig_0", "sig_1"],
+        id_col="doc_id",
+        oversized_at=64,
+        salts=8,
+    )
+    la = c1.select(F.col("node").alias("id_a"), F.col("component").alias("ca"))
+    lb = c1.select(F.col("node").alias("id_b"), F.col("component").alias("cb"))
+    survivors = (
+        cands.join(la, "id_a", "left")
+        .join(lb, "id_b", "left")
+        .filter(
+            F.col("ca").isNull()
+            | F.col("cb").isNull()
+            | (F.col("ca") != F.col("cb"))
+        )
+        .select("id_a", "id_b")
+    )
+    sha = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    shb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union_sz = F.size("sh_a") + F.size("sh_b") - inter
+    ngram = (
+        survivors.join(sha, "id_a")
+        .join(shb, "id_b")
+        .filter((inter.cast("double") / union_sz) >= 0.6)
+        .select("id_a", "id_b")
+    )
+    emb_e = hyperplane_near_dup_pairs(
+        emb, threshold=0.92, dim=64, n_bands=16
+    ).select("id_a", "id_b")
+    edges = cheap.unionByName(ngram).unionByName(emb_e).distinct()
+    return {
+        "cheap": cheap,
+        "cheap_components": c1,
+        "candidates": cands,
+        "survivors": survivors,
+        "ngram": ngram,
+        "embedding": emb_e,
+        "edges": edges,
+    }
+
+
+@query(
+    "dedup_clusters_union_cascade",
+    _UNION_EVIDENCE_CTES.format(
+        simhash_sigs=_simhash128_sigs_sql("planted"), knn_cos=KNN_COS
+    )
+    + """
+    SELECT comp.doc_id, comp.canonical_id,
+           CAST(count(*) OVER (PARTITION BY comp.canonical_id) AS BIGINT) AS cluster_size,
+           comp.doc_id = comp.canonical_id AS is_keeper
+    FROM comp
+    """,
+    ["DEDUP-EXACT", "DEDUP-SIMHASH", "DEDUP-NGRAM", "DEDUP-EMBED",
+     "DEDUP-CLUSTERS", "DEDUP-UNION"],
+    "Union-evidence duplicate clustering executed CHEAP-EVIDENCE-FIRST "
+    "— the 100 TB production plan for dedup_clusters_union's "
+    "semantics: cluster the cheap edges (exact hash + SimHash) first, "
+    "then run the expensive word-3-gram Jaccard verification ONLY on "
+    "MinHash-band candidates the cheap graph has not already "
+    "connected (skipped edges are connectivity-redundant by "
+    "definition, so components are provably identical — measured 3.5× "
+    "faster at 100× where clique-internal verification dominates, "
+    "BENCH_SCALE.md).  Candidate enumeration rides the salted "
+    "skew-hardened band expansion (operators/dedup.banded_pairs), so "
+    "a replica clique's bucket splits across salts·(salts+1)/2 tasks "
+    "instead of straggling on one.  The oracle is the SAME independent "
+    "recursive-CTE transitive closure over the FULL four-class edge "
+    "union — certifying that skipping cheap-connected verification "
+    "changes nothing about the clusters.  Per-class edge attribution "
+    "is deliberately absent here; dedup_clusters_union keeps "
+    "certifying that surface.",
+)
+def q_dedup_clusters_union_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectorsearch_scylla_spark.operators.graph import connected_components
+
+    stages = _cascade_union_evidence(spark, sf_dir)
+    comp = connected_components(stages["edges"])
+    sizes = comp.groupBy("component").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return comp.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("canonical_id"),
+        "cluster_size",
+        (F.col("node") == F.col("component")).alias("is_keeper"),
     )
 
 
