@@ -125,76 +125,80 @@ def query(name: str, oracle: str | None, survey_ids: list[str], doc: str = ""):
 # verification via tests/test_oracle_parity.py, which replicates the
 # driver gate over the ENTIRE registry at sf0.001.
 DRIVER_WINDOW: list[str] = [
-    # -- r6 must-rotate set: every query whose last driver row is r4
+    # -- r7 must-rotate set: every query whose last driver row is r5
     # (the full set tools/rotate_window.py printed; ≤1 round stale is
-    # the pinned policy maximum, so all 38 lead the window) ----------
-    "anomaly_events_build",
-    "approx_distinct_check",
-    "bpe_token_estimate",
-    "chunk_dedup",
-    "customer_order_coverage",
-    "dedup_incremental",
-    "detect_consensus",
-    "doc_repetition_stats",
-    "domain_doc_cap",
-    "embedding_input_text",
-    "event_props_stats",
-    "event_sessionization",
-    "fleet_config_source",
-    "ivfpq_knn",
-    "lsh_knn",
-    "media_byte_features",
-    "media_frame_sample",
-    "metric_percentiles",
-    "metric_percentiles_approx",
-    "path3_novelty_flags",
-    "pii_redaction",
-    "pq_knn",
-    "profile_rebuild_after_feedback",
-    "resample_daily_locf",
-    "retention_sweep",
-    "source_lang_rollup",
-    "source_mix_summary",
-    "sq8_knn",
-    "tfidf_top_terms",
-    "threshold_rules",
-    "token_budget_sample",
-    "unigram_logprob_score",
-    "zscore_outliers",
-    # -- new in round 6 ----------------------------------------------
-    "dedup_clusters_union",
-    # -- implementation changed in round 6 (must re-certify):
-    # bounded-sample quantizer training + NumPy materialized-list
-    # assignment touch every build_ivf_index consumer; semi-join probe
-    # pruning touches ivf_knn (ivfpq_knn is in the must-rotate set
-    # above); dedup_clusters shares the clustering/edge machinery the
-    # union query extends -------------------------------------------
+    # the pinned policy maximum, so all 39 lead the window; the two
+    # streaming members of the set are deferred to the streaming tail
+    # below) ----------------------------------------------------------
+    "asof_event_snapshot_join",
+    "asof_nearest_join",
+    "benchmark_decontam",
+    "conditional_counts",
+    "corpus_quality_filter",
+    "dedup_canonical",
+    "dedup_exact",
+    "dedup_pipeline_funnel",
+    "device_profile_build",
+    "device_statistics",
+    "doc_chunking",
+    "doc_fingerprint",
+    "embedding_neardup_pairs",
+    "fleet_simulator",
+    "knn_distributed",
+    "knn_same_label",
+    "language_id",
+    "latest_event_per_user",
+    "lww_window_snapshot",
+    "market_share",
+    "minhash_dup_buckets",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "pricing_summary",
+    "range_scan",
+    "relationship_rules",
+    "rolling_metric_stats",
+    "semantic_dedup_keepers",
+    "simhash_dup_pairs",
+    "simhash_fingerprints",
+    "similar_state_metric_diff",
+    "stratified_sample",
+    "text_quality",
+    "token_packing",
+    "token_stats_by_lang",
+    "top_orders_per_customer",
+    "tumbling_window_counts",
+    "window_pivot_snapshot",
+    # -- new in round 7: the cheap-evidence-first cascade (same
+    # transitive-closure oracle as dedup_clusters_union; skips
+    # cheap-connected Jaccard verification — the 100 TB execution) and
+    # IVF in-place compaction (split_oversized_clusters with an
+    # unrolled per-cluster oracle) ------------------------------------
+    "dedup_clusters_union_cascade",
+    "ivf_compaction",
+    # -- implementation changed in round 7 (re-certify): lloyd_kmeans'
+    # sampled-training path now materializes its sample once with
+    # stats dropped (session.drop_inherited_stats), touching every
+    # build_ivf_index consumer; connected_components' stats-reset
+    # moved to the shared util, touching every clustering query;
+    # ngram_jaccard_pairs (above, in the must-rotate set) now rides
+    # the salted skew-hardened banded_pairs expansion -----------------
+    "ivf_sampled_train_knn",
     "ivf_grouped_knn",
+    "ivf_incremental_add",
     "sq8_ivf_knn",
     "ivfpq_residual_knn",
-    "ivf_incremental_add",
     "ann_recall_report",
     "dedup_clusters",
-    # -- new in round 6 (sampled-training semantics, cap BINDS at the
-    # fixture so the oracle certifies the 100 TB build contract) ------
-    "ivf_sampled_train_knn",
-    # -- flagship re-certification (reduces r7's must-rotate load) ----
-    "knn_bruteforce",
-    "path2_anomaly",
+    "dedup_clusters_union",
     # -- streaming e2e LAST: a completed Structured Streaming query
     # leaves residue in the shared local JVM (streaming-state/codegen
     # caches and a stopped-query cleanup thread) that intermittently
     # slows later heavy batch queries 10-50x in the same process —
     # so every batch query must run before the first stream starts.
-    # streaming_ivf_add_e2e re-certifies the r6 multi-micro-batch
-    # increment staging; streaming_window_pivot stays last (bench
-    # convention).
-    "streaming_detect_e2e",
-    "streaming_novelty_e2e",
-    "streaming_rolling_stats",
-    "streaming_dedup_e2e",
+    # streaming_neardup_e2e is in the must-rotate set;
+    # streaming_ivf_add_e2e re-certifies under the changed ivf.py.
+    "streaming_neardup_e2e",
     "streaming_ivf_add_e2e",
-    "streaming_window_pivot",
 ]
 
 
