@@ -68,8 +68,18 @@ def drop_inherited_stats(df: DataFrame) -> DataFrame:
         return df
 
 
-def get_spark(app_name: str = "vectorsearch-scylla-spark", cpus: str | int | None = None) -> SparkSession:
-    """Build (or reuse) a SparkSession with scale-ready defaults."""
+def get_spark(
+    app_name: str = "vectorsearch-scylla-spark",
+    cpus: str | int | None = None,
+    extra_configs: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-ready defaults.
+
+    ``extra_configs`` only take effect when THIS call creates the
+    session (Spark ignores builder configs on reuse) — callers that
+    need e.g. the event log enabled must pass them on the first
+    ``get_spark`` of the process.
+    """
     cpus = str(cpus or _DEFAULT_CPUS)
     builder = (
         SparkSession.builder.appName(app_name)
@@ -104,4 +114,6 @@ def get_spark(app_name: str = "vectorsearch-scylla-spark", cpus: str | int | Non
         # corrupting bench/driver log lines
         .config("spark.ui.showConsoleProgress", "false")
     )
+    for k, v in (extra_configs or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
