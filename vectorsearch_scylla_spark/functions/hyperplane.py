@@ -245,24 +245,17 @@ def hyperplane_near_dup_pairs(
             "band_idx", "band_val"
         ),
     )
-    a = banded.select(
-        F.col(id_col).alias("id_a"), "band_idx", "band_val"
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"),
-        F.col("band_idx").alias("band_idx_b"),
-        F.col("band_val").alias("band_val_b"),
-    )
-    cand = (
-        a.join(
-            b,
-            (F.col("band_idx") == F.col("band_idx_b"))
-            & (F.col("band_val") == F.col("band_val_b"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    # skew-hardened within-bucket expansion: a replica clique shares
+    # every band key, and the plain self-join would hash its whole n²
+    # expansion onto one task (operators/dedup.banded_pairs splits
+    # oversized buckets across salted sub-keys).  DISTINCT because a
+    # pair may collide in several bands.
+    from vectorsearch_scylla_spark.operators.dedup import banded_pairs
+
+    cand = banded_pairs(
+        banded, ["band_idx", "band_val"], id_col=id_col,
+        oversized_at=64, salts=8,
+    ).distinct()
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     paired = cand.join(va, "id_a").join(vb, "id_b")

@@ -242,6 +242,42 @@ def simhash_near_dup_pairs(
             ),
         )
 
+    hamming = F.expr(
+        " + ".join(f"bit_count(a_s{m} ^ b_s{m})" for m in range(SIG_WORDS))
+    ).cast("long")
+
+    if against is None and against_sigs is None:
+        # SELF-JOIN mode: candidate ids through the skew-hardened
+        # salted expansion (a replica clique shares every band key and
+        # would otherwise put its whole n² expansion on one task),
+        # DISTINCT (a pair collides in several bands), then the
+        # signature words re-attach to the — much smaller — candidate
+        # pair set for the Hamming filter.
+        cand = banded_pairs(
+            _banded(sigs).select(id_col, "band_idx", "band_val"),
+            ["band_idx", "band_val"],
+            id_col=id_col,
+            oversized_at=64,
+            salts=8,
+        ).distinct()
+        wa = sigs.select(
+            F.col(id_col).alias("id_a"),
+            *[F.col(f"s{m}").alias(f"a_s{m}") for m in range(SIG_WORDS)],
+        )
+        wb = sigs.select(
+            F.col(id_col).alias("id_b"),
+            *[F.col(f"s{m}").alias(f"b_s{m}") for m in range(SIG_WORDS)],
+        )
+        return (
+            cand.join(wa, "id_a")
+            .join(wb, "id_b")
+            .select("id_a", "id_b", hamming.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+        )
+
+    # INCREMENTAL mode: |new|·bands probe rows against the base band
+    # index — a bipartite hash join, not a self-join, so per-bucket
+    # work is |new∩bucket|·|base∩bucket| and AQE's skew split applies
     a = _banded(sigs).select(
         F.col(id_col).alias("id_a"),
         *[F.col(f"s{m}").alias(f"a_s{m}") for m in range(SIG_WORDS)],
@@ -254,17 +290,9 @@ def simhash_near_dup_pairs(
         F.col("band_idx").alias("band_idx_b"),
         F.col("band_val").alias("band_val_b"),
     )
-    hamming = F.expr(
-        " + ".join(f"bit_count(a_s{m} ^ b_s{m})" for m in range(SIG_WORDS))
-    ).cast("long")
     pair_cond = (F.col("band_idx") == F.col("band_idx_b")) & (
         F.col("band_val") == F.col("band_val_b")
     )
-    if against is None and against_sigs is None:
-        # self-join mode only: the id_a < id_b constraint dedups the
-        # symmetric pair; incremental mode guarantees disjoint id
-        # spaces instead (and the new side's ids may be larger)
-        pair_cond = pair_cond & (F.col("id_a") < F.col("id_b"))
     return (
         a.join(b, pair_cond)
         .select("id_a", "id_b", hamming.alias("hamming"))
