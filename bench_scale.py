@@ -259,6 +259,90 @@ def _funnel_study(spark, docs, emb, base: str) -> dict:
     }
 
 
+def _nprobe_sweep_study(spark, emb) -> dict:
+    """Standalone time-vs-recall curve of THE production IVF knob
+    (nprobe) at the current scale: sampled-training √N-cluster build,
+    exact blocked ground truth, one grouped probe run per nprobe
+    point.  The r6 instrumentation required the full battery; this
+    section runs just the sweep."""
+    from vectorsearch_scylla_spark.operators.ivf import (
+        assign_clusters_np,
+        ivf_probe_topk_grouped,
+        lloyd_kmeans,
+        probe_clusters_np,
+    )
+    from vectorsearch_scylla_spark.operators.knn import (
+        topk_similarity_join_blocked,
+    )
+
+    n_vecs = emb.count()
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec")
+    )
+    ivf_k = max(8, int(round(n_vecs**0.5)))
+    t0 = time.perf_counter()
+    cents = lloyd_kmeans(
+        emb, k=ivf_k, iters=2, kernel="numpy", train_rows=256 * ivf_k
+    )
+    build_sec = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    members = assign_clusters_np(emb, cents).select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("corpus_vec"),
+        "cluster_id",
+    ).persist()
+    members.write.format("noop").mode("overwrite").save()
+    assign_sec = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    exact = (
+        topk_similarity_join_blocked(
+            queries, corpus, k=5, exclude_self=True, dtype="float32"
+        )
+        .select("query_id", F.col("corpus_id").alias("exact_id"))
+        .persist()
+    )
+    denom = exact.count()
+    exact_sec = round(time.perf_counter() - t0, 3)
+    points: dict = {}
+    for np_i in (1, 2, 4, 8, 16, 32):
+        if np_i > ivf_k:
+            break
+        t0 = time.perf_counter()
+        probes = probe_clusters_np(queries, cents, nprobe=np_i, vec_col="query_vec")
+        out = ivf_probe_topk_grouped(
+            probes, members, k=5, exclude_self=True, dtype="float32"
+        ).persist()
+        out.write.format("noop").mode("overwrite").save()
+        dt = round(time.perf_counter() - t0, 3)
+        approx = out.select("query_id", F.col("corpus_id").alias("approx_id"))
+        hits = exact.join(
+            approx,
+            (exact["query_id"] == approx["query_id"])
+            & (exact["exact_id"] == approx["approx_id"]),
+            "left_semi",
+        ).count()
+        out.unpersist()
+        points[str(np_i)] = {
+            "sec": dt,
+            "recall_at_5": round(hits / denom, 4) if denom else None,
+        }
+        print(f"[bench_scale] nprobe={np_i}: {points[str(np_i)]}", file=sys.stderr)
+    exact.unpersist()
+    members.unpersist()
+    return {
+        "k": ivf_k,
+        "train_cap": 256 * ivf_k,
+        "n_queries": denom // 5 if denom else 0,
+        "build_sec": build_sec,
+        "assign_sec": assign_sec,
+        "exact_ground_truth_sec": exact_sec,
+        "points": points,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     scale = int(os.environ.get("SPARK_GRAFT_SCALE", "10"))
@@ -320,12 +404,14 @@ def main() -> None:
         # =funnel run ONLY the named study and print their own JSON —
         # both are additive long-running measurements that must not
         # balloon the default battery
-        if sections and sections <= {"clique", "funnel"}:
+        if sections and sections <= {"clique", "funnel", "sweep"}:
             study: dict = {}
             if "clique" in sections:
                 study["clique_study"] = _clique_study(spark, docs0, base)
             if "funnel" in sections:
                 study["funnel"] = _funnel_study(spark, docs, emb, base)
+            if "sweep" in sections:
+                study["nprobe_sweep"] = _nprobe_sweep_study(spark, emb)
             print(
                 json.dumps(
                     {
