@@ -38,6 +38,7 @@ HEADLINE = [
     "ann_recall_report",
     "ivf_incremental_add",
     "ivf_sampled_train_knn",
+    "ivf_compaction",
     "lsh_knn",
     "pq_knn",
     "ivfpq_knn",

@@ -148,15 +148,20 @@ def banded_pairs(
     """
     if salts < 2:
         raise ValueError(f"salts={salts}: need >= 2 to split a bucket")
-    keys = [F.col(c) for c in band_cols]
-    sizes = (
-        sides.groupBy(*keys)
-        .agg(F.count("*").alias("__n"))
-        .filter(F.col("__n") > int(oversized_at))
-        .select(*band_cols)
+    from pyspark.sql import Window
+
+    # ONE shuffle on the band key does everything: the window count
+    # tags each row with its bucket size, the small/big split is a
+    # filter, and both sides of the small self-join inherit the same
+    # hash partitioning so the join adds no further exchange.  (The
+    # earlier groupBy-sizes + broadcast anti/semi formulation scanned
+    # the sides three times and cost ~0.5-1 s per fixture-scale query
+    # even when no bucket was oversized.)
+    tagged = sides.withColumn(
+        "__n", F.count("*").over(Window.partitionBy(*band_cols))
     )
-    small = sides.join(F.broadcast(sizes), band_cols, "left_anti")
-    big = sides.join(F.broadcast(sizes), band_cols, "left_semi")
+    small = tagged.filter(F.col("__n") <= int(oversized_at)).drop("__n")
+    big = tagged.filter(F.col("__n") > int(oversized_at)).drop("__n")
 
     plain = (
         small.select(*band_cols, F.col(id_col).alias("id_a"))
