@@ -88,3 +88,21 @@ def test_report_mode_never_writes(tmp_manifest, monkeypatch):
     before = open(path).read()
     _run(monkeypatch)  # report mode, no --write
     assert open(path).read() == before
+
+
+def test_sort_key_survives_exotic_eq():
+    """oracle._sort_key must not raise when a cell's __eq__ returns a
+    non-bool (e.g. a numpy array leaking into a collected row) — the
+    isinstance check must run before the NaN-sentinel equality."""
+    import numpy as np
+
+    from vectorsearch_scylla_spark.oracle import _sort_key, compare_results
+
+    row = (np.array([1.0, 2.0]), 1)
+    key = _sort_key(row)  # must not raise TypeError
+    assert key[1] == (0, 1)
+    # and the full gate reports a mismatch instead of raising
+    ok, reason = compare_results(
+        ["a", "b"], [(np.array([1.0]), 1)], ["a", "b"], [("x", 1)]
+    )
+    assert not ok and "mismatch" in reason

@@ -590,8 +590,9 @@ def split_oversized_clusters(
     seed draw (smallest ``md5(str(id))``, tie id), argmax-cosine
     assignment with lowest-child tie-break, per-iteration means
     quantized to ``decimals`` — so the split is reproducible across
-    runs/engines and SQL-oracle-expressible per cluster (the r7
-    certification path).  Returns ``(new_centroids, new_members)``
+    runs/engines and SQL-oracle-expressible per cluster (certified by
+    the registered ``ivf_compaction`` query's unrolled per-cluster
+    CTE oracle).  Returns ``(new_centroids, new_members)``
     where ``new_members`` has the same rows as ``members`` with only
     ``cluster_col`` rewritten for split members, and ``new_centroids``
     is the updated (sorted) centroid table.
