@@ -1451,3 +1451,71 @@ def test_ivf_compaction_binds_both_ways(spark, sf_dir):
         for r in rows
         if r["was_split"]
     )
+
+
+def test_incremental_components_equals_batch(spark):
+    """incremental_components(CC(E1), E2) must equal CC(E1 ∪ E2) — the
+    edge-compression claim: star edges preserve old connectivity and
+    min-id labels, so the increment never re-reads E1.  Random graph
+    with old-old merges, new-node attachments, new-new components; an
+    untouched old singleton must keep its own label."""
+    import random
+
+    from vectorsearch_scylla_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+
+    rng = random.Random(7)
+    old = list({(a, b) for a, b in
+                ((rng.randrange(40), rng.randrange(40)) for _ in range(30))
+                if a != b})
+    new = list({(a, b) for a, b in
+                ((rng.randrange(70), rng.randrange(70)) for _ in range(25))
+                if a != b})
+    e1 = spark.createDataFrame(old, "id_a long, id_b long")
+    e2 = spark.createDataFrame(new, "id_a long, id_b long")
+    prev = connected_components(e1)
+    # an old singleton recorded in yesterday's label table
+    prev = prev.union(spark.createDataFrame([(99, 99)], prev.schema))
+    inc = {
+        r["node"]: r["component"]
+        for r in incremental_components(prev, e2).collect()
+    }
+    batch = {
+        r["node"]: r["component"]
+        for r in connected_components(e1.union(e2)).collect()
+    }
+    assert inc.pop(99) == 99  # untouched singleton keeps its label
+    assert inc == batch
+
+
+def test_dedup_clusters_incremental_nonvacuous(spark, sf_dir):
+    """The incremental-cluster fixture must exercise BOTH halves of the
+    edge-compression path: yesterday's base labels contain real
+    multi-member components (so star replay matters), and at least one
+    post-increment cluster mixes new and base docs (so the increment
+    genuinely merges into old clusters rather than only forming new
+    ones)."""
+    from collections import defaultdict
+
+    from vectorsearch_scylla_spark.plans.registry import REGISTRY
+
+    rows = REGISTRY["dedup_clusters_incremental"].fn(spark, sf_dir).collect()
+    clusters = defaultdict(list)
+    for r in rows:
+        clusters[r["canonical_id"]].append(r)
+    multi = [c for c in clusters.values() if len(c) > 1]
+    assert multi
+    mixed = [
+        c for c in multi
+        if any(m["is_new_doc"] for m in c) and any(not m["is_new_doc"] for m in c)
+    ]
+    assert mixed, "no cluster mixes increment and base docs"
+    base_only = [
+        c for c in multi if all(not m["is_new_doc"] for m in c)
+    ]
+    assert base_only, "no pre-existing base component survived untouched"
+    for c in clusters.values():
+        assert sum(1 for m in c if m["is_keeper"]) == 1
+        assert min(m["doc_id"] for m in c) == c[0]["canonical_id"]

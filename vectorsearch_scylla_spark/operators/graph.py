@@ -115,3 +115,49 @@ def connected_components(
     raise RuntimeError(
         f"connected_components: no fixpoint within {max_iters} rounds"
     )
+
+
+def incremental_components(
+    prev: DataFrame,
+    new_edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Update ``(node, component)`` labels with a NEW batch of edges
+    WITHOUT re-reading the old edge set — the cluster-maintenance half
+    of the append-only dedup story (daily increments at 100 TB: the
+    base corpus's billions of pair edges are never rescanned; only its
+    label table, linear in nodes, and the increment's edges are).
+
+    Edge compression: each old component is represented by its STAR
+    (``component → member`` for every non-canonical member), which
+    preserves that component's connectivity exactly and — because
+    ``connected_components`` labels by MINIMUM id and the old
+    canonical IS the component minimum — propagation over
+    ``star ∪ new_edges`` reaches precisely the labels a batch
+    recompute over ``old_edges ∪ new_edges`` would produce.  Old
+    singletons and nodes untouched by any edge keep their own id.
+
+    Returns labels for every node in ``prev`` plus every node
+    appearing in ``new_edges``.
+    """
+    star = prev.filter(F.col("node") != F.col("component")).select(
+        F.col("component").alias(src), F.col("node").alias(dst)
+    )
+    merged = connected_components(
+        star.unionByName(new_edges.select(src, dst)),
+        src=src,
+        dst=dst,
+        max_iters=max_iters,
+    )
+    nodes = (
+        prev.select("node")
+        .union(new_edges.select(F.col(src).alias("node")))
+        .union(new_edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    singles = nodes.join(merged, "node", "left_anti").select(
+        "node", F.col("node").alias("component")
+    )
+    return merged.unionByName(singles)
