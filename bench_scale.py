@@ -259,6 +259,111 @@ def _funnel_study(spark, docs, emb, base: str) -> dict:
     }
 
 
+def _incremental_study(spark, docs, base: str) -> dict:
+    """Increment-vs-batch clustering at scale (r7): yesterday's corpus
+    is clustered once (pairs + components, the expensive artifacts);
+    today a ~1 % perturbed increment arrives.  Measures the registered
+    incremental path — asymmetric |new|·bands simhash probes against
+    the PERSISTED base signature table, then
+    ``incremental_components`` (star replay pruned to affected
+    components) — against the honest comparator: a full batch
+    recompute over base ∪ increment.  The claim being priced: the
+    increment's cost is O(|new| + affected), independent of the base
+    corpus and its edge count."""
+    from vectorsearch_scylla_spark.operators.dedup import (
+        simhash128,
+        simhash_near_dup_pairs,
+    )
+    from vectorsearch_scylla_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+
+    stages: dict = {}
+    counts: dict = {}
+
+    def stage(name: str, fn):
+        t0 = time.perf_counter()
+        r = fn()
+        stages[name] = round(time.perf_counter() - t0, 3)
+        print(f"[bench_scale] inc {name}: {stages[name]} s", file=sys.stderr)
+        return r
+
+    nn = docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
+    counts["n_base"] = nn.count()
+
+    pairs_path = os.path.join(base, "inc_base_pairs")
+    sigs_path = os.path.join(base, "inc_base_sigs")
+    labels_path = os.path.join(base, "inc_base_labels")
+    # --- yesterday: the persisted artifacts a deployment keeps --------
+    stage(
+        "base_pairs",
+        lambda: simhash_near_dup_pairs(nn, max_hamming=5)
+        .select("id_a", "id_b")
+        .write.parquet(pairs_path),
+    )
+    stage(
+        "base_signatures",
+        lambda: simhash128(nn).write.parquet(sigs_path),
+    )
+    stage(
+        "base_components",
+        lambda: connected_components(
+            spark.read.parquet(pairs_path)
+        ).write.parquet(labels_path),
+    )
+    prev = spark.read.parquet(labels_path)
+    counts["base_edges"] = spark.read.parquet(pairs_path).count()
+
+    # --- today: a ~1 % perturbed increment ----------------------------
+    inc_path = os.path.join(base, "inc_increment")
+    nn.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" inc")).alias("text"),
+    ).write.parquet(inc_path)
+    inc = spark.read.parquet(inc_path)
+    counts["n_increment"] = inc.count()
+
+    edges_box: dict = {}
+
+    def inc_pairs() -> None:
+        cross = simhash_near_dup_pairs(
+            inc, max_hamming=5, against_sigs=spark.read.parquet(sigs_path)
+        ).select("id_a", "id_b")
+        within = simhash_near_dup_pairs(inc, max_hamming=5).select("id_a", "id_b")
+        edges_box["e"] = cross.unionByName(within).localCheckpoint()
+        counts["increment_edges"] = edges_box["e"].count()
+
+    stage("increment_pairs", inc_pairs)
+    stage(
+        "increment_update",
+        lambda: incremental_components(prev, edges_box["e"])
+        .write.format("noop")
+        .mode("overwrite")
+        .save(),
+    )
+
+    # --- the honest comparator: batch recompute over base ∪ increment --
+    def batch_recompute() -> None:
+        allrows = nn.unionByName(inc)
+        pairs = simhash_near_dup_pairs(allrows, max_hamming=5).select(
+            "id_a", "id_b"
+        ).localCheckpoint()
+        connected_components(pairs).write.format("noop").mode("overwrite").save()
+
+    stage("batch_recompute_all", batch_recompute)
+    inc_total = round(stages["increment_pairs"] + stages["increment_update"], 3)
+    return {
+        "stages_sec": stages,
+        "counts": counts,
+        "incremental_total_sec": inc_total,
+        "batch_total_sec": stages["batch_recompute_all"],
+        "speedup": round(stages["batch_recompute_all"] / inc_total, 1)
+        if inc_total
+        else None,
+    }
+
+
 def _nprobe_sweep_study(spark, emb) -> dict:
     """Standalone time-vs-recall curve of THE production IVF knob
     (nprobe) at the current scale: sampled-training √N-cluster build,
@@ -404,7 +509,7 @@ def main() -> None:
         # =funnel run ONLY the named study and print their own JSON —
         # both are additive long-running measurements that must not
         # balloon the default battery
-        if sections and sections <= {"clique", "funnel", "sweep"}:
+        if sections and sections <= {"clique", "funnel", "sweep", "inc"}:
             study: dict = {}
             if "clique" in sections:
                 study["clique_study"] = _clique_study(spark, docs0, base)
@@ -412,6 +517,8 @@ def main() -> None:
                 study["funnel"] = _funnel_study(spark, docs, emb, base)
             if "sweep" in sections:
                 study["nprobe_sweep"] = _nprobe_sweep_study(spark, emb)
+            if "inc" in sections:
+                study["incremental_clustering"] = _incremental_study(spark, docs, base)
             print(
                 json.dumps(
                     {

@@ -1519,3 +1519,23 @@ def test_dedup_clusters_incremental_nonvacuous(spark, sf_dir):
     for c in clusters.values():
         assert sum(1 for m in c if m["is_keeper"]) == 1
         assert min(m["doc_id"] for m in c) == c[0]["canonical_id"]
+
+
+def test_incremental_components_prunes_untouched(spark):
+    """Witness that untouched components BYPASS propagation entirely:
+    give the untouched component a label that min-id propagation would
+    'correct' (canonical 20 for {10, 20}); with affected-subgraph
+    pruning those rows pass through verbatim, while the touched part
+    is recomputed normally."""
+    from vectorsearch_scylla_spark.operators.graph import incremental_components
+
+    prev = spark.createDataFrame(
+        [(10, 20), (20, 20), (30, 30)], "node long, component long"
+    )
+    new_edges = spark.createDataFrame([(30, 60), (60, 70)], "id_a long, id_b long")
+    out = {
+        r["node"]: r["component"]
+        for r in incremental_components(prev, new_edges).collect()
+    }
+    assert out[10] == 20 and out[20] == 20  # untouched rows verbatim
+    assert out[30] == out[60] == out[70] == 30  # touched part recomputed

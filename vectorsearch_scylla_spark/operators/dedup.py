@@ -254,17 +254,29 @@ def simhash_near_dup_pairs(
     if against is None and against_sigs is None:
         # SELF-JOIN mode: candidate ids through the skew-hardened
         # salted expansion (a replica clique shares every band key and
-        # would otherwise put its whole n² expansion on one task),
-        # DISTINCT (a pair collides in several bands), then the
-        # signature words re-attach to the — much smaller — candidate
-        # pair set for the Hamming filter.
+        # would otherwise put its whole n² expansion on one task).
+        # The signature table feeds three subtrees (banded sides, the
+        # id_a re-attach, the id_b re-attach); materialize it once so
+        # the mapInPandas fingerprint kernel runs one pass, not three
+        # (~22 s/pass at the 100× point).
+        from vectorsearch_scylla_spark.session import drop_inherited_stats
+
+        sigs = drop_inherited_stats(sigs.localCheckpoint())
+        # Order matters at scale: a true-dup clique collides in EVERY
+        # band, so the raw candidate stream carries up to `bands`×
+        # duplicates of each pair — the signature words re-attach
+        # FIRST (broadcast-joinable: 8 longs per doc) and the cheap
+        # Hamming filter runs BEFORE the DISTINCT, so the dedup
+        # shuffle carries only surviving pairs instead of the ~bands×
+        # candidate stream (measured 3× on the 100× replica corpus
+        # when distinct ran first).
         cand = banded_pairs(
             _banded(sigs).select(id_col, "band_idx", "band_val"),
             ["band_idx", "band_val"],
             id_col=id_col,
             oversized_at=64,
             salts=8,
-        ).distinct()
+        )
         wa = sigs.select(
             F.col(id_col).alias("id_a"),
             *[F.col(f"s{m}").alias(f"a_s{m}") for m in range(SIG_WORDS)],
@@ -278,6 +290,7 @@ def simhash_near_dup_pairs(
             .join(wb, "id_b")
             .select("id_a", "id_b", hamming.alias("hamming"))
             .filter(F.col("hamming") <= max_hamming)
+            .distinct()
         )
 
     # INCREMENTAL mode: |new|·bands probe rows against the base band

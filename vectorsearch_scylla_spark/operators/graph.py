@@ -136,8 +136,14 @@ def incremental_components(
     ``connected_components`` labels by MINIMUM id and the old
     canonical IS the component minimum — propagation over
     ``star ∪ new_edges`` reaches precisely the labels a batch
-    recompute over ``old_edges ∪ new_edges`` would produce.  Old
-    singletons and nodes untouched by any edge keep their own id.
+    recompute over ``old_edges ∪ new_edges`` would produce.
+
+    Affected-subgraph pruning: a component none of whose members
+    touches a new edge cannot change, so only the TOUCHED components'
+    stars enter the propagation at all — the iterative part is
+    O(affected members + new edges), independent of both the base
+    corpus size and the base edge count.  Untouched rows (including
+    old singletons) pass through label-unchanged.
 
     Returns labels for every node in ``prev`` plus every node
     appearing in ``new_edges``.
@@ -145,19 +151,35 @@ def incremental_components(
     star = prev.filter(F.col("node") != F.col("component")).select(
         F.col("component").alias(src), F.col("node").alias(dst)
     )
+    touched_nodes = (
+        new_edges.select(F.col(src).alias("node"))
+        .union(new_edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    touched_comps = (
+        prev.join(touched_nodes, "node", "left_semi")
+        .select("component")
+        .distinct()
+    )
+    star_affected = star.join(
+        touched_comps.withColumnRenamed("component", src), src, "left_semi"
+    )
     merged = connected_components(
-        star.unionByName(new_edges.select(src, dst)),
+        star_affected.unionByName(new_edges.select(src, dst)),
         src=src,
         dst=dst,
         max_iters=max_iters,
     )
-    nodes = (
-        prev.select("node")
-        .union(new_edges.select(F.col(src).alias("node")))
-        .union(new_edges.select(F.col(dst).alias("node")))
-        .distinct()
+    untouched = prev.join(touched_comps, "component", "left_anti").select(
+        "node", "component"
     )
-    singles = nodes.join(merged, "node", "left_anti").select(
-        "node", F.col("node").alias("component")
+    # a brand-new node that appears in prev nowhere and whose only new
+    # edge is a self-loop-free edge is always in `merged`; the residual
+    # singles are touched nodes whose edges were all filtered upstream
+    # (defensive — empty in normal use)
+    singles = (
+        touched_nodes.join(merged, "node", "left_anti")
+        .join(untouched, "node", "left_anti")
+        .select("node", F.col("node").alias("component"))
     )
-    return merged.unionByName(singles)
+    return merged.unionByName(untouched).unionByName(singles)
