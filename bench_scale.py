@@ -1270,7 +1270,11 @@ def main() -> None:
                         "nprobe": nprobe,
                         "recall_at_5": ivf_recall,
                         "train_cap": train_cap,
-                        "train_cap_bound": bool(train_cap < n_vecs),
+                        "train_cap_bound": (
+                            bool(train_cap < n_vecs)
+                            if train_cap is not None
+                            else None
+                        ),
                         "nprobe_sweep": nprobe_sweep,
                     },
                     "pq_recall_at_5": pq_recall,
