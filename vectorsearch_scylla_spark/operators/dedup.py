@@ -200,6 +200,7 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     against: DataFrame | None = None,
     against_sigs: DataFrame | None = None,
+    docs_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """All pairs with SimHash Hamming distance ≤ ``max_hamming`` —
     EXACT for max_hamming ≤ bands−1 (pigeonhole: see module
@@ -220,13 +221,26 @@ def simhash_near_dup_pairs(
     filter, DISTINCT (a pair may collide in several bands).  No
     whole-band ``collect_list`` — a skewed band is an AQE skew-join,
     never a single in-memory array.
+
+    ``docs_sigs``: a pre-fingerprinted ``docs`` side (simhash128
+    output shape) — the caller that needs the SAME increment on both a
+    within-increment self-join and a vs-base incremental join
+    fingerprints it once and passes it to both calls.  The self-join
+    plan feeds the signature table to three subtrees, so a caller
+    passing ``docs_sigs`` there must hand over an already-materialized
+    frame (parquet read or localCheckpoint) — this function only
+    checkpoints signatures it computed itself.
     """
     if max_hamming > SIMHASH_BANDS - 1:
         raise ValueError(
             f"max_hamming={max_hamming} exceeds the exactness bound "
             f"{SIMHASH_BANDS - 1}; results would silently miss pairs"
         )
-    sigs = simhash128(docs, id_col=id_col, text_col=text_col)
+    sigs = (
+        docs_sigs
+        if docs_sigs is not None
+        else simhash128(docs, id_col=id_col, text_col=text_col)
+    )
     # against_sigs: a PRE-FINGERPRINTED base (simhash128 output shape)
     # — the streaming/incremental caller materializes the base
     # signature table once instead of re-fingerprinting it per call
@@ -261,7 +275,8 @@ def simhash_near_dup_pairs(
         # (~22 s/pass at the 100× point).
         from vectorsearch_scylla_spark.session import drop_inherited_stats
 
-        sigs = drop_inherited_stats(sigs.localCheckpoint())
+        if docs_sigs is None:
+            sigs = drop_inherited_stats(sigs.localCheckpoint())
         # Order matters at scale: a true-dup clique collides in EVERY
         # band, so the raw candidate stream carries up to `bands`×
         # duplicates of each pair — the signature words re-attach

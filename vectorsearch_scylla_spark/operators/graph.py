@@ -74,42 +74,40 @@ def connected_components(
         ).localCheckpoint()
     )
     for _ in range(max_iters):
+        # Pointer jumping FUSED into the neighbor aggregation: the
+        # adjacency for this round is the real edges plus one pointer
+        # edge (u → lbl(u)) per node.  Joining labels onto the far end
+        # then delivers, per node, the labels of its neighbors AND the
+        # label of its label through the SAME shuffle — one join + one
+        # groupBy per round instead of the unfused three joins.  The
+        # pointer edge also guarantees every node appears in the
+        # aggregation (inner join, no left-join/coalesce needed), and
+        # since lbl(lbl(u)) ≤ lbl(u) (labels only ever decrease and
+        # lbl(x) ≤ x), the aggregate min is already ≤ the node's own
+        # label.
+        contact = sym.unionByName(
+            labels.select(F.col("node").alias("u"), F.col("lbl").alias("v"))
+        )
         nbr_min = (
-            sym.join(labels.withColumnRenamed("node", "v"), "v")
+            contact.join(labels.withColumnRenamed("node", "v"), "v")
             .groupBy("u")
             .agg(F.min("lbl").alias("nbr_lbl"))
             .withColumnRenamed("u", "node")
         )
-        jump = (
-            labels.join(
-                labels.select(
-                    F.col("node").alias("lbl"), F.col("lbl").alias("jump_lbl")
-                ),
-                "lbl",
-            )
-            .select("node", "jump_lbl")
-        )
         new_labels = (
-            labels.join(nbr_min, "node", "left")
-            .join(jump, "node", "left")
+            labels.join(nbr_min, "node")
             .select(
                 "node",
-                F.least(
-                    F.col("lbl"),
-                    F.coalesce(F.col("nbr_lbl"), F.col("lbl")),
-                    F.coalesce(F.col("jump_lbl"), F.col("lbl")),
-                ).alias("lbl"),
+                F.least(F.col("lbl"), F.col("nbr_lbl")).alias("lbl"),
+                # changed flag rides the checkpointed frame, so the
+                # fixpoint test below is a filter on materialized rows,
+                # not another join against the previous round
+                (F.col("nbr_lbl") < F.col("lbl")).alias("chg"),
             )
         ).localCheckpoint()
         new_labels = _drop_inherited_stats(new_labels)
-        changed = (
-            new_labels.withColumnRenamed("lbl", "new_lbl")
-            .join(labels, "node")
-            .filter(F.col("new_lbl") != F.col("lbl"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("chg")).limit(1).count()
+        labels = new_labels.select("node", "lbl")
         if changed == 0:
             return labels.select("node", F.col("lbl").alias("component"))
     raise RuntimeError(

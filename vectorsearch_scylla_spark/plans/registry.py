@@ -4456,7 +4456,10 @@ def q_source_mix_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one signature set and applies the side filters in the join.",
 )
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vectorsearch_scylla_spark.operators.dedup import simhash_near_dup_pairs
+    from vectorsearch_scylla_spark.operators.dedup import (
+        simhash128,
+        simhash_near_dup_pairs,
+    )
 
     base = load_table(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull()
@@ -4464,7 +4467,15 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     increment = _docs_with_planted_dups(
         load_table(spark, sf_dir, "documents")
     ).filter(F.col("text").isNotNull() & (F.col("doc_id") >= 1000000))
-    pairs = simhash_near_dup_pairs(increment, max_hamming=5, against=base)
+    # the base band index is a persisted artifact (shared cache key
+    # with streaming_neardup_e2e / dedup_clusters_incremental) — the
+    # increment run never re-fingerprints the base corpus
+    base_sigs = spark.read.parquet(
+        _materialize_once(
+            simhash128(base), "vss_basesigs", sf_dir, logic="simhash128-v1"
+        )
+    )
+    pairs = simhash_near_dup_pairs(increment, max_hamming=5, against_sigs=base_sigs)
     return pairs.select(
         F.col("id_a").alias("new_doc_id"),
         F.col("id_b").alias("base_doc_id"),
@@ -4530,34 +4541,54 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the increment.",
 )
 def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vectorsearch_scylla_spark.operators.dedup import simhash_near_dup_pairs
+    from vectorsearch_scylla_spark.operators.dedup import (
+        simhash128,
+        simhash_near_dup_pairs,
+    )
     from vectorsearch_scylla_spark.operators.graph import (
         connected_components,
         incremental_components,
     )
+    from vectorsearch_scylla_spark.session import drop_inherited_stats
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     base = docs.select("doc_id", "text")
     increment = _docs_with_planted_dups(
         load_table(spark, sf_dir, "documents")
     ).filter(F.col("text").isNotNull() & (F.col("doc_id") >= 1000000))
-    # yesterday's artifact: the base label table, materialized once per
-    # corpus fingerprint (a real deployment reads the persisted labels;
-    # the base EDGE set is deliberately not kept)
+    # yesterday's artifacts: the base LABEL table plus the base
+    # SIGNATURE table — both linear in |base|, both what a real
+    # deployment persists (the base EDGE set is deliberately not kept,
+    # and the base TEXT is never re-fingerprinted: without the
+    # signature artifact the |new|·bands claim is hollow, because
+    # building the band index would rescan the whole base corpus).
+    # vss_basesigs shares its cache key with streaming_neardup_e2e.
+    base_sigs = spark.read.parquet(
+        _materialize_once(
+            simhash128(base), "vss_basesigs", sf_dir, logic="simhash128-v1"
+        )
+    )
     prev = spark.read.parquet(
         _materialize_once(
             connected_components(
-                simhash_near_dup_pairs(base, max_hamming=5).select("id_a", "id_b")
+                simhash_near_dup_pairs(
+                    base, max_hamming=5, docs_sigs=base_sigs
+                ).select("id_a", "id_b")
             ),
             "vss_prev_labels",
             sf_dir,
             logic="simhash-cc-labels-v1",
         )
     )
-    cross = simhash_near_dup_pairs(increment, max_hamming=5, against=base).select(
-        "id_a", "id_b"
-    )
-    within = simhash_near_dup_pairs(increment, max_hamming=5).select("id_a", "id_b")
+    # the increment is fingerprinted ONCE (it feeds both the vs-base
+    # join and the within-increment self-join)
+    inc_sigs = drop_inherited_stats(simhash128(increment).localCheckpoint())
+    cross = simhash_near_dup_pairs(
+        increment, max_hamming=5, docs_sigs=inc_sigs, against_sigs=base_sigs
+    ).select("id_a", "id_b")
+    within = simhash_near_dup_pairs(
+        increment, max_hamming=5, docs_sigs=inc_sigs
+    ).select("id_a", "id_b")
     updated = incremental_components(prev, cross.unionByName(within))
     labeled = (
         base.select("doc_id")
