@@ -164,7 +164,7 @@ def _funnel_study(spark, docs, emb, base: str) -> dict:
     materializes its output (parquet / localCheckpoint), so each
     number is a real stage boundary, the way a production curation
     run would persist between phases."""
-    from vectorsearch_scylla_spark.operators.graph import connected_components
+    from vectorsearch_scylla_spark.operators.graph import incremental_components
     from vectorsearch_scylla_spark.operators.ivf import (
         assign_clusters_np,
         lloyd_kmeans,
@@ -190,10 +190,14 @@ def _funnel_study(spark, docs, emb, base: str) -> dict:
         "cascade_evidence",
         lambda: box.update(_cascade_union_evidence(spark, None, docs=docs, emb=emb)),
     )
-    # 2. final components over the union edge set
+    # 2. final components: incremental fold of the spanning expensive
+    # edges into the cheap components (the registered cascade query's
+    # exact path — the cheap edge bulk is never re-propagated)
     comp = stage(
         "cascade_components",
-        lambda: connected_components(box["edges"]).localCheckpoint(),
+        lambda: incremental_components(
+            box["cheap_components"], box["spanning_new"]
+        ).localCheckpoint(),
     )
     # 3. canonical keeper set: drop every non-canonical dup member
     dup_losers = comp.filter(F.col("node") != F.col("component")).select(
@@ -727,7 +731,7 @@ def main() -> None:
             # skew-hardened candidate expansion all live in that one
             # place now.
             from vectorsearch_scylla_spark.operators.graph import (
-                connected_components,
+                incremental_components,
             )
             from vectorsearch_scylla_spark.plans.registry import (
                 _cascade_union_evidence,
@@ -735,7 +739,15 @@ def main() -> None:
 
             stages = _cascade_union_evidence(spark, None, docs=docs, emb=emb)
             print("[bench_scale]   cascade: stage frames built", file=sys.stderr)
-            noop(connected_components(stages["edges"]))
+            # r7: final clustering is incremental over the cheap
+            # components (star compression + affected-subgraph
+            # pruning) — the registered query's exact path; the cheap
+            # edge bulk is never re-propagated
+            noop(
+                incremental_components(
+                    stages["cheap_components"], stages["spanning_new"]
+                )
+            )
             print("[bench_scale]   cascade: final components done", file=sys.stderr)
 
         timed(

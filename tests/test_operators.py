@@ -1205,8 +1205,13 @@ def test_cascade_union_components_equal_full_union(spark, sf_dir):
     full union edge table (_union_evidence_edges), not the cascade's
     own edge set.  (r7: the cascade is now the registered
     dedup_clusters_union_cascade implementation — this test drives
-    that one code path instead of a re-implementation.)"""
-    from vectorsearch_scylla_spark.operators.graph import connected_components
+    that one code path instead of a re-implementation, including the
+    incremental final fold: cheap components + spanning expensive
+    edges only, the cheap edge bulk never re-propagated.)"""
+    from vectorsearch_scylla_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
     from vectorsearch_scylla_spark.plans.registry import (
         _cascade_union_evidence,
         _union_evidence_edges,
@@ -1222,11 +1227,25 @@ def test_cascade_union_components_equal_full_union(spark, sf_dir):
     stages = _cascade_union_evidence(spark, sf_dir)
     # the cascade must genuinely skip verifications on the fixture
     assert stages["survivors"].count() < stages["candidates"].count()
+    # the registered final path: incremental fold of spanning edges
     cascade = {
         r["node"]: r["component"]
-        for r in connected_components(stages["edges"]).collect()
+        for r in incremental_components(
+            stages["cheap_components"], stages["spanning_new"]
+        ).collect()
     }
     assert cascade == full
+    # the spanning filter must drop ONLY cheap-internal embedding
+    # edges (connectivity-redundant by definition), non-vacuously
+    c1 = {
+        r["node"]: r["component"] for r in stages["cheap_components"].collect()
+    }
+    emb_pairs = {(r["id_a"], r["id_b"]) for r in stages["embedding"].collect()}
+    spanning = {(r["id_a"], r["id_b"]) for r in stages["spanning_new"].collect()}
+    dropped = emb_pairs - spanning
+    assert all(
+        a in c1 and b in c1 and c1[a] == c1[b] for a, b in dropped
+    )
 
 
 def test_split_oversized_clusters_long_ids(spark):

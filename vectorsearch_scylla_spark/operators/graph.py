@@ -146,6 +146,14 @@ def incremental_components(
     Returns labels for every node in ``prev`` plus every node
     appearing in ``new_edges``.
     """
+    # Truncate the NEW-edge lineage once: this frame feeds the sym
+    # checkpoint, the touched-component probe, and (via touched) the
+    # untouched/singles arms — without this, the caller's whole
+    # candidate-generation pipeline (band joins, Jaccard verification,
+    # hyperplane LSH) re-executes per consumer.
+    new_edges = drop_inherited_stats(
+        new_edges.select(src, dst).localCheckpoint()
+    )
     star = prev.filter(F.col("node") != F.col("component")).select(
         F.col("component").alias(src), F.col("node").alias(dst)
     )
@@ -154,10 +162,11 @@ def incremental_components(
         .union(new_edges.select(F.col(dst).alias("node")))
         .distinct()
     )
-    touched_comps = (
+    touched_comps = drop_inherited_stats(
         prev.join(touched_nodes, "node", "left_semi")
         .select("component")
         .distinct()
+        .localCheckpoint()
     )
     star_affected = star.join(
         touched_comps.withColumnRenamed("component", src), src, "left_semi"

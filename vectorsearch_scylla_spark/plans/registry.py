@@ -5356,6 +5356,27 @@ def _cascade_union_evidence(
         emb, threshold=0.92, dim=64, n_bands=16
     ).select("id_a", "id_b")
     edges = cheap.unionByName(ngram).unionByName(emb_e).distinct()
+    # spanning_new: the expensive-evidence edges that can actually
+    # CHANGE connectivity beyond the cheap components — embedding
+    # edges get the same cheap-internal drop the MinHash candidates
+    # got (an edge inside one cheap component is connectivity-
+    # redundant by definition).  The final clustering then folds ONLY
+    # these into c1 via incremental_components (star compression +
+    # affected-subgraph pruning): at 100× the cheap edge set is ~17 M
+    # rows while its star is ≤ |clustered nodes|, so re-propagating
+    # cheap is the dominant avoidable cost of the final CC.
+    spanning_new = (
+        ngram.unionByName(
+            emb_e.join(la, "id_a", "left")
+            .join(lb, "id_b", "left")
+            .filter(
+                F.col("ca").isNull()
+                | F.col("cb").isNull()
+                | (F.col("ca") != F.col("cb"))
+            )
+            .select("id_a", "id_b")
+        )
+    ).distinct()
     return {
         "cheap": cheap,
         "cheap_components": c1,
@@ -5364,6 +5385,7 @@ def _cascade_union_evidence(
         "ngram": ngram,
         "embedding": emb_e,
         "edges": edges,
+        "spanning_new": spanning_new,
     }
 
 
@@ -5399,10 +5421,20 @@ def _cascade_union_evidence(
     "certifying that surface.",
 )
 def q_dedup_clusters_union_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vectorsearch_scylla_spark.operators.graph import connected_components
+    from vectorsearch_scylla_spark.operators.graph import incremental_components
 
     stages = _cascade_union_evidence(spark, sf_dir)
-    comp = connected_components(stages["edges"])
+    # final clustering is INCREMENTAL over the cheap components: the
+    # cheap edge set (the bulk of the union at scale) is never
+    # re-propagated — its components re-enter as stars, and only
+    # components touched by a spanning ngram/embedding edge iterate
+    # at all.  Labels are provably the full-union labels (star
+    # compression preserves connectivity; skipped edges are internal
+    # to one component), which the unchanged transitive-closure
+    # oracle certifies end-to-end.
+    comp = incremental_components(
+        stages["cheap_components"], stages["spanning_new"]
+    )
     sizes = comp.groupBy("component").agg(
         F.count("*").cast("long").alias("cluster_size")
     )
