@@ -4450,10 +4450,13 @@ def q_source_mix_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "batch (the planted id ≥ 1M docs) fingerprints and band-joins "
     "against the BASE corpus only, never re-pairing the base against "
     "itself, so the join is |new|·bands probe rows against the base's "
-    "band index instead of |base|².  Exact for Hamming ≤ 5 "
-    "(pigeonhole over 6 bands).  Spark side runs the asymmetric "
-    "``against=`` mode of simhash_near_dup_pairs; the oracle builds "
-    "one signature set and applies the side filters in the join.",
+    "band index instead of |base|².  The base band index is a "
+    "PERSISTED artifact (shared with dedup_clusters_incremental and "
+    "streaming_neardup_e2e) — the base text is never re-fingerprinted. "
+    "Exact for Hamming ≤ 5 (pigeonhole over 6 bands).  Spark side "
+    "runs the asymmetric ``against_sigs=`` mode of "
+    "simhash_near_dup_pairs; the oracle builds one signature set and "
+    "applies the side filters in the join.",
 )
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectorsearch_scylla_spark.operators.dedup import (
@@ -4523,8 +4526,11 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ["DEDUP-INCREMENTAL", "DEDUP-CLUSTERS", "DEDUP-CLUSTERS-INC", "DEDUP-SIMHASH"],
     "INCREMENTAL duplicate-cluster MAINTENANCE — the missing half of "
     "the append-only dedup story: yesterday's base corpus was "
-    "clustered and only its LABEL TABLE persists (linear in nodes); "
-    "today's increment detects new↔base and new↔new SimHash pairs "
+    "clustered and only its LABEL TABLE and SIGNATURE TABLE persist "
+    "(both linear in nodes — the signature artifact is what makes the "
+    "|new|·bands claim real, since without it the band index would "
+    "rescan the base text); today's increment fingerprints ONCE and "
+    "detects new↔base and new↔new SimHash pairs "
     "(the |new|·bands asymmetric band join of dedup_incremental) and "
     "operators/graph.incremental_components folds them in via edge "
     "compression: each old component is replayed as its star "
