@@ -43,7 +43,7 @@ def _clique_study(spark, docs0, base: str) -> dict:
     candidate-expansion + Jaccard-verify pipeline twice — plain
     within-bucket self-join (the pre-r7 plan: the whole clique's
     triangular expansion hashes to ONE task) vs the salted
-    ``banded_pairs`` expansion (bucket split across salts·(salts+1)/2
+    ``banded_pairs`` expansion (bucket split across R·(R+1)/2
     keys) — and reports wall time plus per-task executorRunTime
     p50/p99/max pulled from the Spark REST API, attributed per phase
     via job groups.  Verified-pair counts must match exactly."""
@@ -135,7 +135,7 @@ def _clique_study(spark, docs0, base: str) -> dict:
     out: dict = {"clique_n": clique_n, "max_band_bucket": max_bucket}
     for tag, kwargs in [
         ("plain", dict(oversized_at=2**31)),
-        ("salted", dict(oversized_at=64, salts=8)),
+        ("salted", dict(oversized_at=64)),  # adaptive R = clamp(ceil(n/64), 2, 64)
     ]:
         group = f"clique_{tag}"
         spark.sparkContext.setJobGroup(group, f"clique study: {tag}")

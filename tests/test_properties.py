@@ -41,9 +41,10 @@ from pyspark.sql import types as T
 def test_banded_pairs_exactly_once_property(spark):
     """For ANY bucket layout — empty, singleton, at the oversized
     threshold, far past it — every within-bucket unordered pair appears
-    exactly once, as a MULTISET (no drops, no duplicates).  Salts and
-    threshold are drawn too, so the plain path, the salted path, and
-    mixed frames are all exercised."""
+    exactly once, as a MULTISET (no drops, no duplicates).  The salt
+    cap and threshold are drawn too, so the plain path, the adaptive-R
+    salted path (both clamp ends), and mixed frames are all
+    exercised."""
     from vectorsearch_scylla_spark.operators.dedup import banded_pairs
 
     @settings(max_examples=6, deadline=None)
@@ -59,9 +60,9 @@ def test_banded_pairs_exactly_once_property(spark):
             max_size=6,
         ),
         oversized_at=st.sampled_from([2, 4, 8]),
-        salts=st.sampled_from([2, 3, 5]),
+        max_salts=st.sampled_from([2, 3, 5, 64]),
     )
-    def check(buckets, oversized_at, salts):
+    def check(buckets, oversized_at, max_salts):
         # bucket k gets band key k; ids are made globally unique by
         # namespacing with the bucket index so cross-bucket ids never
         # alias (the contract is per-bucket expansion)
@@ -77,7 +78,7 @@ def test_banded_pairs_exactly_once_property(spark):
                 sides,
                 ["band_val"],
                 oversized_at=oversized_at,
-                salts=salts,
+                max_salts=max_salts,
             ).collect()
         )
         want = sorted(
@@ -87,7 +88,7 @@ def test_banded_pairs_exactly_once_property(spark):
             for b0 in members[i + 1 :]
             for a, b in [(k * 100_000 + a0, k * 100_000 + b0)]
         )
-        assert got == want, (oversized_at, salts, buckets)
+        assert got == want, (oversized_at, max_salts, buckets)
 
     check()
 

@@ -113,7 +113,7 @@ def banded_pairs(
     band_cols: list[str],
     id_col: str = "doc_id",
     oversized_at: int = 64,
-    salts: int = 8,
+    max_salts: int = 64,
 ) -> DataFrame:
     """All within-bucket unordered id pairs ``(id_a < id_b)`` where a
     bucket is the set of rows equal on ``band_cols`` — the pairwise
@@ -127,18 +127,26 @@ def banded_pairs(
     ``array_intersect`` for minutes while the rest of the cluster
     idles.
 
-    Fix: buckets over ``oversized_at`` rows split their triangular
-    expansion across ``salts·(salts+1)/2`` join keys.  Each member
-    gets a deterministic salt g = xxhash64(id) mod R; the pair (i≤j
-    salt group combo) becomes part of the join key, so bucket work
-    lands on R(R+1)/2 distinct reducers, each doing ~(n/R)² of the
-    expansion.  A member is replicated R+1 times (left role: own salt
-    × all gj ≥ gi; right role: all gi ≤ own salt) — and ONLY members
-    of oversized buckets are replicated, so the blow-up is bounded by
-    the skew it cures.  Every unordered pair appears exactly once:
-    cross-group combos (gi < gj) orient uniquely by construction and
-    are normalized with least/greatest; same-group combos keep the
-    ``id_a < id_b`` orientation.  Small buckets take the plain
+    Fix: a bucket of n > ``oversized_at`` rows splits its triangular
+    expansion across ``R·(R+1)/2`` join keys with R chosen PER BUCKET:
+    ``R = clamp(ceil(n / oversized_at), 2, max_salts)``.  Each member
+    gets a deterministic salt g = xxhash64(id) mod R; the (i≤j) salt
+    combo becomes part of the join key, so each reducer expands
+    ~(n/R)² pairs — which with the adaptive R is ~``oversized_at``²,
+    a CONSTANT independent of clique size, until the ``max_salts``
+    cap engages (buckets beyond oversized_at·max_salts members
+    degrade gracefully to (n/max_salts)² per task).  A fixed R cannot
+    do this: R=8 still lands (n/8)² on one task for a 10 k-member
+    clique.  A member is replicated R+1 times (left role: own salt ×
+    all gj ≥ gi; right role: all gi ≤ own salt) — only members of
+    oversized buckets are replicated, the replication factor grows
+    only as the bucket's quadratic blow-up does (n·(R+1) ≪ the n²/2
+    pair output it shards), and the cap bounds it at max_salts+1.
+    Every unordered pair appears exactly once: cross-group combos
+    (gi < gj) orient uniquely by construction and are normalized with
+    least/greatest; same-group combos keep the ``id_a < id_b``
+    orientation.  Both roles derive R from the same bucket count, so
+    the salt spaces always agree.  Small buckets take the plain
     equi-join: zero replication, same output.
 
     Output schema: ``(id_a, id_b)`` — ids only, deliberately narrow so
@@ -146,8 +154,8 @@ def banded_pairs(
     payloads (shingle arrays, signatures) to the — much smaller —
     surviving pair set by id join.
     """
-    if salts < 2:
-        raise ValueError(f"salts={salts}: need >= 2 to split a bucket")
+    if max_salts < 2:
+        raise ValueError(f"max_salts={max_salts}: need >= 2 to split a bucket")
     from pyspark.sql import Window
 
     # ONE shuffle on the band key does everything: the window count
@@ -161,7 +169,15 @@ def banded_pairs(
         "__n", F.count("*").over(Window.partitionBy(*band_cols))
     )
     small = tagged.filter(F.col("__n") <= int(oversized_at)).drop("__n")
-    big = tagged.filter(F.col("__n") > int(oversized_at)).drop("__n")
+    big = tagged.filter(F.col("__n") > int(oversized_at)).withColumn(
+        "__r",
+        F.least(
+            F.greatest(
+                F.ceil(F.col("__n") / F.lit(int(oversized_at))), F.lit(2)
+            ),
+            F.lit(int(max_salts)),
+        ).cast("int"),
+    ).drop("__n")
 
     plain = (
         small.select(*band_cols, F.col(id_col).alias("id_a"))
@@ -173,10 +189,13 @@ def banded_pairs(
         .select("id_a", "id_b")
     )
 
-    g = F.pmod(F.xxhash64(F.col(id_col)), F.lit(salts)).cast("int")
+    g = F.pmod(F.xxhash64(F.col(id_col)), F.col("__r")).cast("int")
     left = (
-        big.select(*band_cols, F.col(id_col).alias("id_a"), g.alias("gi"))
-        .withColumn("gj", F.explode(F.sequence(F.col("gi"), F.lit(salts - 1))))
+        big.select(
+            *band_cols, F.col(id_col).alias("id_a"), g.alias("gi"), "__r"
+        )
+        .withColumn("gj", F.explode(F.sequence(F.col("gi"), F.col("__r") - 1)))
+        .drop("__r")
     )
     right = (
         big.select(*band_cols, F.col(id_col).alias("id_b"), g.alias("gj"))
@@ -290,7 +309,6 @@ def simhash_near_dup_pairs(
             ["band_idx", "band_val"],
             id_col=id_col,
             oversized_at=64,
-            salts=8,
         )
         wa = sigs.select(
             F.col(id_col).alias("id_a"),

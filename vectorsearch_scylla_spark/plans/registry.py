@@ -3567,7 +3567,6 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["sig_0", "sig_1"],
         id_col="doc_id",
         oversized_at=64,
-        salts=8,
     )
     sha = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     shb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
@@ -5334,7 +5333,6 @@ def _cascade_union_evidence(
         ["sig_0", "sig_1"],
         id_col="doc_id",
         oversized_at=64,
-        salts=8,
     )
     la = c1.select(F.col("node").alias("id_a"), F.col("component").alias("ca"))
     lb = c1.select(F.col("node").alias("id_b"), F.col("component").alias("cb"))
@@ -5418,7 +5416,7 @@ def _cascade_union_evidence(
     "faster at 100× where clique-internal verification dominates, "
     "BENCH_SCALE.md).  Candidate enumeration rides the salted "
     "skew-hardened band expansion (operators/dedup.banded_pairs), so "
-    "a replica clique's bucket splits across salts·(salts+1)/2 tasks "
+    "a replica clique's bucket splits across R·(R+1)/2 tasks (R adapted to bucket size) "
     "instead of straggling on one.  The oracle is the SAME independent "
     "recursive-CTE transitive closure over the FULL four-class edge "
     "union — certifying that skipping cheap-connected verification "
