@@ -190,16 +190,40 @@ def banded_pairs(
     )
 
     g = F.pmod(F.xxhash64(F.col(id_col)), F.col("__r")).cast("int")
+    # The explicit repartition on the FULL salted key is the whole
+    # point — without it the salt never reaches the task layout.  Two
+    # planner behaviors collapse the split otherwise (measured: the
+    # 1,000-member clique ran its 478 k verifications in ONE 12.9 s
+    # task even "salted"): (a) HashPartitioning on a SUBSET of join
+    # keys satisfies ClusteredDistribution, so the window's band-only
+    # exchange is reused and the (band, gi, gj) join never reshuffles;
+    # (b) AQE broadcast-converts the ids-only right side, after which
+    # the join simply fuses into whatever partitioning the left side
+    # has — band-only again.  Forcing both sides onto the full key
+    # makes the join tasks (and everything verification fuses into
+    # them downstream) split R(R+1)/2 ways per bucket.  The partition
+    # count must be EXPLICIT: a bare repartition(cols) is
+    # AQE-coalescible, and the shuffle it guards carries only O(n·R)
+    # ids-and-salts rows — a few KB that AQE folds back to 1-2
+    # partitions (measured), re-fusing the O(n²) downstream expansion
+    # it cannot see through the exchange.  With the count pinned the
+    # shuffle still moves only oversized-bucket rows, i.e. nothing at
+    # all on skew-free inputs.
+    n_shuffle = int(
+        sides.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     left = (
         big.select(
             *band_cols, F.col(id_col).alias("id_a"), g.alias("gi"), "__r"
         )
         .withColumn("gj", F.explode(F.sequence(F.col("gi"), F.col("__r") - 1)))
         .drop("__r")
+        .repartition(n_shuffle, *band_cols, "gi", "gj")
     )
     right = (
         big.select(*band_cols, F.col(id_col).alias("id_b"), g.alias("gj"))
         .withColumn("gi", F.explode(F.sequence(F.lit(0), F.col("gj"))))
+        .repartition(n_shuffle, *band_cols, "gi", "gj")
     )
     salted = (
         left.join(right, [*band_cols, "gi", "gj"])
