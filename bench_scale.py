@@ -135,7 +135,7 @@ def _clique_study(spark, docs0, base: str) -> dict:
     out: dict = {"clique_n": clique_n, "max_band_bucket": max_bucket}
     for tag, kwargs in [
         ("plain", dict(oversized_at=2**31)),
-        ("salted", dict(oversized_at=64)),  # adaptive R = clamp(ceil(n/64), 2, 64)
+        ("salted", dict()),  # shipped defaults: split at n>256, R=ceil(n/256)
     ]:
         group = f"clique_{tag}"
         spark.sparkContext.setJobGroup(group, f"clique study: {tag}")

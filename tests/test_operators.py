@@ -1381,10 +1381,12 @@ def test_banded_pairs_salted_equals_plain(spark):
     R since r7): the salted path must emit EXACTLY the plain
     within-bucket pair set, each unordered pair exactly once, while
     splitting an oversized bucket's triangular expansion across
-    R·(R+1)/2 join keys with R = clamp(ceil(n/oversized_at), 2,
-    max_salts).  The parameter grid drives R through the adaptive
-    range (ceil(100/10)=10), the lower clamp (R=2), the max_salts cap
-    binding (ceil(100/2)=50 → cap 3), and the all-plain path."""
+    R·(R+1)/2 join keys with R = clamp(ceil(n/split_target), 2,
+    max_salts) and split_target defaulting to min(64, oversized_at).
+    The parameter grid drives R through the adaptive range
+    (ceil(100/10)=10), the lower clamp (R=2), the max_salts cap
+    binding (ceil(100/2)=50 → cap 3), an explicit split_target finer
+    than the trigger, and the all-plain path."""
     from itertools import combinations
 
     from vectorsearch_scylla_spark.operators.dedup import banded_pairs
@@ -1401,19 +1403,29 @@ def test_banded_pairs_salted_equals_plain(spark):
             combinations([1000 + base, 1000 + base + 1, 1000 + base + 2], 2)
         )
 
-    for oversized_at, max_salts in [(10, 4), (10, 64), (2, 3), (60, 64), (10**6, 4)]:
+    grid = [
+        (10, None, 4),
+        (10, None, 64),
+        (2, None, 3),
+        (60, None, 64),
+        (10**6, None, 4),
+        (90, 7, 64),  # trigger passes only the 100-bucket; fine split R=15
+    ]
+    for oversized_at, split_target, max_salts in grid:
         got = [
             (r["id_a"], r["id_b"])
             for r in banded_pairs(
                 df,
                 ["sig_0", "sig_1"],
                 oversized_at=oversized_at,
+                split_target=split_target,
                 max_salts=max_salts,
             ).collect()
         ]
-        assert len(got) == len(set(got)), (oversized_at, max_salts)  # exactly once
-        assert set(got) == expected, (oversized_at, max_salts)
-        assert all(a < b for a, b in got), (oversized_at, max_salts)
+        key = (oversized_at, split_target, max_salts)
+        assert len(got) == len(set(got)), key  # exactly once
+        assert set(got) == expected, key
+        assert all(a < b for a, b in got), key
 
     with pytest.raises(ValueError, match="max_salts"):
         banded_pairs(df, ["sig_0"], max_salts=1)

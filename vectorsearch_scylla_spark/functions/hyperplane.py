@@ -254,7 +254,6 @@ def hyperplane_near_dup_pairs(
 
     cand = banded_pairs(
         banded, ["band_idx", "band_val"], id_col=id_col,
-        oversized_at=64,
     ).distinct()
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))

@@ -112,7 +112,8 @@ def banded_pairs(
     sides: DataFrame,
     band_cols: list[str],
     id_col: str = "doc_id",
-    oversized_at: int = 64,
+    oversized_at: int = 256,
+    split_target: int | None = None,
     max_salts: int = 64,
 ) -> DataFrame:
     """All within-bucket unordered id pairs ``(id_a < id_b)`` where a
@@ -129,13 +130,13 @@ def banded_pairs(
 
     Fix: a bucket of n > ``oversized_at`` rows splits its triangular
     expansion across ``R·(R+1)/2`` join keys with R chosen PER BUCKET:
-    ``R = clamp(ceil(n / oversized_at), 2, max_salts)``.  Each member
+    ``R = clamp(ceil(n / split_target), 2, max_salts)``.  Each member
     gets a deterministic salt g = xxhash64(id) mod R; the (i≤j) salt
-    combo becomes part of the join key, so each reducer expands
-    ~(n/R)² pairs — which with the adaptive R is ~``oversized_at``²,
+    combo becomes part of the join key, so each join key holds
+    ~(n/R)² pairs — which with the adaptive R is ~``split_target``²,
     a CONSTANT independent of clique size, until the ``max_salts``
-    cap engages (buckets beyond oversized_at·max_salts members
-    degrade gracefully to (n/max_salts)² per task).  A fixed R cannot
+    cap engages (buckets beyond split_target·max_salts members
+    degrade gracefully to (n/max_salts)² per key).  A fixed R cannot
     do this: R=8 still lands (n/8)² on one task for a 10 k-member
     clique.  A member is replicated R+1 times (left role: own salt ×
     all gj ≥ gi; right role: all gi ≤ own salt) — only members of
@@ -149,6 +150,24 @@ def banded_pairs(
     the salt spaces always agree.  Small buckets take the plain
     equi-join: zero replication, same output.
 
+    The two knobs are deliberately separate.  ``oversized_at`` is the
+    SPLIT TRIGGER: the salted path costs replication plus two pinned
+    shuffles, so it should engage only where a bucket's single-task
+    expansion time actually hurts — at the measured ~37 k verify-fused
+    ``array_intersect``/s per core, n=256 is ~0.9 s on one task, and
+    below that splitting buys nothing while taxing every moderately
+    common band value (measured: a 64-trigger salted EVERY ~100-member
+    bucket of the 100× replica corpus at R=2 and slowed the cascade
+    bench ~1.7×, protecting nothing).  ``split_target`` (default
+    ``min(64, oversized_at)``) is the SUB-BUCKET GRANULARITY: join
+    keys must heavily outnumber shuffle partitions or the weighted
+    balls-into-bins packing clumps (measured on the 3,908-member
+    clique: R=16 → 136 keys over 32 partitions gave a 21.1 s max task;
+    R=62 → 1,953 keys gave 13.2 s ≈ the balanced optimum), so keys are
+    sized at ~split_target²/2 ≈ 2 k pairs — fine enough to pack evenly
+    at any partition count, coarse enough that per-key constant costs
+    stay negligible against the expansion they carry.
+
     Output schema: ``(id_a, id_b)`` — ids only, deliberately narrow so
     the oversized expansion shuffles ~16-byte rows; callers re-attach
     payloads (shingle arrays, signatures) to the — much smaller —
@@ -156,6 +175,10 @@ def banded_pairs(
     """
     if max_salts < 2:
         raise ValueError(f"max_salts={max_salts}: need >= 2 to split a bucket")
+    if split_target is None:
+        split_target = min(64, int(oversized_at))
+    if split_target < 1:
+        raise ValueError(f"split_target={split_target}: need >= 1")
     from pyspark.sql import Window
 
     # ONE shuffle on the band key does everything: the window count
@@ -173,7 +196,7 @@ def banded_pairs(
         "__r",
         F.least(
             F.greatest(
-                F.ceil(F.col("__n") / F.lit(int(oversized_at))), F.lit(2)
+                F.ceil(F.col("__n") / F.lit(int(split_target))), F.lit(2)
             ),
             F.lit(int(max_salts)),
         ).cast("int"),
@@ -332,7 +355,6 @@ def simhash_near_dup_pairs(
             _banded(sigs).select(id_col, "band_idx", "band_val"),
             ["band_idx", "band_val"],
             id_col=id_col,
-            oversized_at=64,
         )
         wa = sigs.select(
             F.col(id_col).alias("id_a"),

@@ -3566,7 +3566,6 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh.select("doc_id", "sig_0", "sig_1"),
         ["sig_0", "sig_1"],
         id_col="doc_id",
-        oversized_at=64,
     )
     sha = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     shb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
@@ -5332,7 +5331,6 @@ def _cascade_union_evidence(
         sh.select("doc_id", "sig_0", "sig_1"),
         ["sig_0", "sig_1"],
         id_col="doc_id",
-        oversized_at=64,
     )
     la = c1.select(F.col("node").alias("id_a"), F.col("component").alias("ca"))
     lb = c1.select(F.col("node").alias("id_b"), F.col("component").alias("cb"))
