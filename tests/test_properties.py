@@ -42,8 +42,9 @@ def test_banded_pairs_exactly_once_property(spark):
     """For ANY bucket layout — empty, singleton, at the oversized
     threshold, far past it — every within-bucket unordered pair appears
     exactly once, as a MULTISET (no drops, no duplicates).  The salt
-    cap and threshold are drawn too, so the plain path, the adaptive-R
-    salted path (both clamp ends), and mixed frames are all
+    cap, split trigger, and split granularity are drawn too, so the
+    plain path, the adaptive-R salted path (both clamp ends, trigger
+    coarser AND finer than the granularity), and mixed frames are all
     exercised."""
     from vectorsearch_scylla_spark.operators.dedup import banded_pairs
 
@@ -60,9 +61,10 @@ def test_banded_pairs_exactly_once_property(spark):
             max_size=6,
         ),
         oversized_at=st.sampled_from([2, 4, 8]),
+        split_target=st.sampled_from([None, 1, 3, 64]),
         max_salts=st.sampled_from([2, 3, 5, 64]),
     )
-    def check(buckets, oversized_at, max_salts):
+    def check(buckets, oversized_at, split_target, max_salts):
         # bucket k gets band key k; ids are made globally unique by
         # namespacing with the bucket index so cross-bucket ids never
         # alias (the contract is per-bucket expansion)
@@ -78,6 +80,7 @@ def test_banded_pairs_exactly_once_property(spark):
                 sides,
                 ["band_val"],
                 oversized_at=oversized_at,
+                split_target=split_target,
                 max_salts=max_salts,
             ).collect()
         )
@@ -88,7 +91,7 @@ def test_banded_pairs_exactly_once_property(spark):
             for b0 in members[i + 1 :]
             for a, b in [(k * 100_000 + a0, k * 100_000 + b0)]
         )
-        assert got == want, (oversized_at, max_salts, buckets)
+        assert got == want, (oversized_at, split_target, max_salts, buckets)
 
     check()
 
