@@ -336,3 +336,47 @@ def test_ivf_probe_prune_is_semi_join_not_in_list(plans):
         p = plans[name]
         assert "LeftSemi" in p, name
         assert not re.search(r"cluster_id#\d+[^\n]* IN \(", p), name
+
+
+def test_banded_pairs_salt_reaches_task_layout(spark):
+    """Pin for the two planner behaviors that silently DEFEAT the
+    salted skew split (found late r7 via REST task summaries — the
+    "salted" 1,000-member clique still ran its 478 k fused
+    verifications in ONE task):
+
+    1. HashPartitioning on a SUBSET of join keys satisfies
+       ClusteredDistribution, so the (band, gi, gj) join reuses the
+       window-count's band-only exchange — and whenever AQE
+       broadcast-converts the ids-only side, the join fuses into the
+       band-only layout the same way.  The fix is an explicit
+       repartition of both expansion sides on the FULL salted key.
+    2. A bare repartition(cols) is AQE-coalescible; its shuffle
+       carries only O(n·R) id rows, which AQE folds back to 1-2
+       partitions, re-fusing the O(n²) work that explodes only after
+       the exchange.  The fix is the explicit partition count, whose
+       REPARTITION_BY_NUM origin AQE must preserve.
+
+    Executed-plan pin (final adaptive plan, after an action): exactly
+    two REPARTITION_BY_NUM exchanges, each keyed on the full
+    (band, gi, gj) tuple at the session's shuffle-partition count.
+    """
+    import re
+
+    import pyspark.sql.functions as F
+
+    from vectorsearch_scylla_spark.operators.dedup import banded_pairs
+
+    rows = [(1 if i < 300 else i, i) for i in range(400)]
+    df = spark.createDataFrame(rows, "band_val int, doc_id long")
+    pairs = banded_pairs(df, ["band_val"], oversized_at=64)
+    assert pairs.count() == 300 * 299 // 2  # oversized bucket expanded
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    exchanges = re.findall(
+        r"Exchange hashpartitioning\(([^)]*)\), REPARTITION_BY_NUM", plan
+    )
+    assert len(exchanges) == 2, plan
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    for keys in exchanges:
+        cols = [c.strip().split("#")[0] for c in keys.split(",")]
+        assert cols[:3] == ["band_val", "gi", "gj"], keys
+        assert keys.strip().endswith(str(n_shuffle)), keys
