@@ -167,6 +167,45 @@ def _clique_study(spark, docs0, base: str) -> dict:
     return out
 
 
+def _app_stage_totals(spark) -> dict | None:
+    """Bytes moved so far, summed over every COMPLETED stage of the
+    application via the REST API (None when the UI server is off).
+    Callers snapshot before/after a region and subtract — the deltas
+    are the data-movement account the 100 TB projection needs: input
+    scanned, shuffle written/read, and spill (which must be zero for
+    the in-memory-shuffle claims to transfer)."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return None
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{ui}/api/v1/applications/{app}/stages?status=complete", timeout=30
+        ) as r:
+            st = json.loads(r.read())
+    except Exception:
+        return None
+    tot = dict.fromkeys(
+        [
+            "input_bytes",
+            "shuffle_read_bytes",
+            "shuffle_write_bytes",
+            "memory_spill_bytes",
+            "disk_spill_bytes",
+        ],
+        0,
+    )
+    for s in st:
+        tot["input_bytes"] += s.get("inputBytes", 0)
+        tot["shuffle_read_bytes"] += s.get("shuffleReadBytes", 0)
+        tot["shuffle_write_bytes"] += s.get("shuffleWriteBytes", 0)
+        tot["memory_spill_bytes"] += s.get("memoryBytesSpilled", 0)
+        tot["disk_spill_bytes"] += s.get("diskBytesSpilled", 0)
+    return tot
+
+
 def _funnel_study(spark, docs, emb, base: str) -> dict:
     """The 100 TB dress rehearsal this sandbox can host (r6 judge item
     #5): the full curation funnel as ONE pipeline over the scaled
@@ -185,6 +224,7 @@ def _funnel_study(spark, docs, emb, base: str) -> dict:
 
     stages: dict = {}
     counts: dict = {}
+    io_before = _app_stage_totals(spark)
 
     def stage(name: str, fn):
         t0 = time.perf_counter()
@@ -267,12 +307,22 @@ def _funnel_study(spark, docs, emb, base: str) -> dict:
         .write.partitionBy("cluster_id")
         .parquet(lists_path),
     )
-    return {
+    out = {
         "stages_sec": stages,
         "counts": counts,
         "total_sec": round(sum(stages.values()), 3),
         "ivf_k": ivf_k,
     }
+    io_after = _app_stage_totals(spark)
+    if io_before is not None and io_after is not None:
+        out["data_moved_mib"] = {
+            k: round((io_after[k] - io_before[k]) / 2**20, 1) for k in io_after
+        }
+        print(
+            f"[bench_scale] funnel data moved: {out['data_moved_mib']}",
+            file=sys.stderr,
+        )
+    return out
 
 
 def _incremental_study(spark, docs, base: str) -> dict:
@@ -481,7 +531,14 @@ def main() -> None:
     # the clique study reads per-task runtime quantiles from the REST
     # API, so its session needs the UI server — configs only apply at
     # first creation, hence decided here
-    extra = {"spark.ui.enabled": "true"} if "clique" in sections else None
+    extra = (
+        # retainedStages raised for the funnel: its iterative component
+        # rounds produce >1000 stages at 100× and the default retention
+        # would silently undercount the data-movement deltas
+        {"spark.ui.enabled": "true", "spark.ui.retainedStages": "20000"}
+        if sections & {"clique", "funnel"}
+        else None
+    )
     spark = get_spark("vectorsearch-scylla-spark-scale-bench", extra_configs=extra)
     spark.sparkContext.setLogLevel("ERROR")
 
