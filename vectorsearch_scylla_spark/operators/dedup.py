@@ -172,6 +172,13 @@ def banded_pairs(
     the oversized expansion shuffles ~16-byte rows; callers re-attach
     payloads (shingle arrays, signatures) to the — much smaller —
     surviving pair set by id join.
+
+    Preconditions (all in-tree callers satisfy both by construction):
+    ``band_cols`` values must be non-NULL — the expansion joins use
+    plain equality, so a NULL-keyed bucket's pairs would be silently
+    dropped (every caller bands over computed hashes, which are never
+    NULL) — and ``sides`` must be unique on (band key, id), or the
+    duplicate rows multiply into duplicate pairs.
     """
     if max_salts < 2:
         raise ValueError(f"max_salts={max_salts}: need >= 2 to split a bucket")
