@@ -347,6 +347,7 @@ def _incremental_study(spark, docs, base: str) -> dict:
 
     stages: dict = {}
     counts: dict = {}
+    io_marks: dict = {}
 
     def stage(name: str, fn):
         t0 = time.perf_counter()
@@ -354,6 +355,11 @@ def _incremental_study(spark, docs, base: str) -> dict:
         stages[name] = round(time.perf_counter() - t0, 3)
         print(f"[bench_scale] inc {name}: {stages[name]} s", file=sys.stderr)
         return r
+
+    def io_mark(name: str) -> None:
+        t = _app_stage_totals(spark)
+        if t is not None:
+            io_marks[name] = t
 
     nn = docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
     counts["n_base"] = nn.count()
@@ -400,6 +406,7 @@ def _incremental_study(spark, docs, base: str) -> dict:
         edges_box["e"] = cross.unionByName(within).localCheckpoint()
         counts["increment_edges"] = edges_box["e"].count()
 
+    io_mark("inc_start")
     stage("increment_pairs", inc_pairs)
     stage(
         "increment_update",
@@ -408,6 +415,7 @@ def _incremental_study(spark, docs, base: str) -> dict:
         .mode("overwrite")
         .save(),
     )
+    io_mark("inc_end")
 
     # --- the honest comparator: batch recompute over base ∪ increment --
     def batch_recompute() -> None:
@@ -418,8 +426,9 @@ def _incremental_study(spark, docs, base: str) -> dict:
         connected_components(pairs).write.format("noop").mode("overwrite").save()
 
     stage("batch_recompute_all", batch_recompute)
+    io_mark("batch_end")
     inc_total = round(stages["increment_pairs"] + stages["increment_update"], 3)
-    return {
+    out = {
         "stages_sec": stages,
         "counts": counts,
         "incremental_total_sec": inc_total,
@@ -428,6 +437,23 @@ def _incremental_study(spark, docs, base: str) -> dict:
         if inc_total
         else None,
     }
+    # data-movement account: the O(|new|) claim in bytes — the
+    # increment's shuffle volume vs the batch recompute's, same run
+    if {"inc_start", "inc_end", "batch_end"} <= io_marks.keys():
+        out["data_moved_mib"] = {
+            phase: {
+                k: round((b[k] - a[k]) / 2**20, 1) for k in b
+            }
+            for phase, a, b in [
+                ("incremental", io_marks["inc_start"], io_marks["inc_end"]),
+                ("batch", io_marks["inc_end"], io_marks["batch_end"]),
+            ]
+        }
+        print(
+            f"[bench_scale] inc data moved: {out['data_moved_mib']}",
+            file=sys.stderr,
+        )
+    return out
 
 
 def _nprobe_sweep_study(spark, emb) -> dict:
@@ -536,7 +562,7 @@ def main() -> None:
         # rounds produce >1000 stages at 100× and the default retention
         # would silently undercount the data-movement deltas
         {"spark.ui.enabled": "true", "spark.ui.retainedStages": "20000"}
-        if sections & {"clique", "funnel"}
+        if sections & {"clique", "funnel", "inc"}
         else None
     )
     spark = get_spark("vectorsearch-scylla-spark-scale-bench", extra_configs=extra)
