@@ -1376,6 +1376,60 @@ def test_hyperplane_banded_equals_exhaustive(spark, sf_dir):
     assert banded == exhaustive
 
 
+def test_hyperplane_incremental_equals_exhaustive_cross(spark, sf_dir):
+    """Incremental (new-vs-base) hyperplane mode, pinned the same way
+    the self-join is: the banded bipartite candidate path must find
+    EXACTLY the exhaustive increment × base pair set above threshold —
+    embedding_neardup_incremental's oracle-parity gate rests on this
+    recall-1.0 equality at each certified SF.  Also pins that the
+    persisted-signature path (against_sigs=) returns the identical set
+    to the recompute path."""
+    from vectorsearch_scylla_spark.functions.hyperplane import (
+        hyperplane_near_dup_pairs,
+        hyperplane_signatures,
+    )
+    from vectorsearch_scylla_spark.functions.vector import cosine_similarity
+    from vectorsearch_scylla_spark.plans.registry import _emb_with_planted_dups
+    from vectorsearch_scylla_spark.sources.tables import load_table
+
+    embp = _emb_with_planted_dups(load_table(spark, sf_dir, "embeddings"))
+    base = embp.filter(F.col("vec_id") < 1000000)
+    inc = embp.filter(F.col("vec_id") >= 1000000)
+
+    def pairs(**kw):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in hyperplane_near_dup_pairs(
+                inc, threshold=0.92, dim=64, n_bands=16, against=base, **kw
+            ).select("id_a", "id_b").collect()
+        }
+
+    recomputed = pairs()
+    persisted = pairs(
+        against_sigs=hyperplane_signatures(base, dim=64, n_bands=16)
+    )
+    a = inc.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = base.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    exhaustive = {
+        (r["id_a"], r["id_b"])
+        for r in a.crossJoin(b)
+        .filter(cosine_similarity("va", "vb") > 0.92)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert exhaustive, "vacuous fixture: no cross pairs above threshold"
+    assert recomputed == exhaustive
+    assert persisted == exhaustive
+
+    with pytest.raises(ValueError, match="against_sigs without against"):
+        hyperplane_near_dup_pairs(
+            inc,
+            threshold=0.92,
+            dim=64,
+            against_sigs=hyperplane_signatures(base, dim=64, n_bands=16),
+        )
+
+
 def test_banded_pairs_salted_equals_plain(spark):
     """Skew-hardened banded pair expansion (r6 judge item #3, adaptive
     R since r7): the salted path must emit EXACTLY the plain

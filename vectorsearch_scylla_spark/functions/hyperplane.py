@@ -219,6 +219,9 @@ def hyperplane_near_dup_pairs(
     band_bits: int = 16,
     seed: int = 42,
     dim: int | None = None,
+    against: DataFrame | None = None,
+    against_sigs: DataFrame | None = None,
+    docs_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with cosine > ``threshold`` among band-collision
     candidates: signature pass → band unpivot → per-band equi-join →
@@ -231,32 +234,93 @@ def hyperplane_near_dup_pairs(
     the 2^band_bits band-key entropy.  Exact copies collide in every
     band (identical signs), so recall loss is confined to pairs near
     the decision boundary — tune ``n_bands`` up for tighter thresholds.
+
+    Incremental mode (``against`` given) — the embedding twin of
+    ``simhash_near_dup_pairs(against=…)``, the daily-increment shape
+    at 100 TB: the NEW batch signs and band-joins against the BASE
+    corpus's band index without ever re-pairing the base against
+    itself, so the join is |new|·n_bands probe rows against the base
+    bands, not |base|².  Output is (id_a = new id, id_b = base id,
+    similarity); caller guarantees disjoint id spaces.  The bipartite
+    join needs no salted expansion — per-bucket work is
+    |new∩bucket|·|base∩bucket| and AQE's skew split applies (and the
+    small new side broadcasts, leaving the base unshuffled).  The
+    exact-cosine verification needs the base VECTORS, so ``against``
+    is required; ``against_sigs`` (a persisted ``hyperplane_signatures``
+    output for the base — the artifact a deployment keeps) skips the
+    base's signature matmul, leaving base-side work at one columnar
+    scan of the ids+vectors actually hit by candidates.  ``docs_sigs``
+    is the same pre-computed option for the ``df`` side.  All three
+    frames must share ``n_bands``/``band_bits``/``seed``/``dim``.
     """
     import numpy as np
     import pandas as pd
 
-    sigs = hyperplane_signatures(
-        df, vec_col=vec_col, id_col=id_col, n_bands=n_bands,
-        band_bits=band_bits, seed=seed, dim=dim,
-    )
-    banded = sigs.select(
-        id_col,
-        F.posexplode(F.array(*[f"b{k}" for k in range(n_bands)])).alias(
-            "band_idx", "band_val"
-        ),
-    )
-    # skew-hardened within-bucket expansion: a replica clique shares
-    # every band key, and the plain self-join would hash its whole n²
-    # expansion onto one task (operators/dedup.banded_pairs splits
-    # oversized buckets across salted sub-keys).  DISTINCT because a
-    # pair may collide in several bands.
-    from vectorsearch_scylla_spark.operators.dedup import banded_pairs
+    if against is None and against_sigs is not None:
+        raise ValueError(
+            "against_sigs without against: the exact-cosine verification "
+            "needs the base VECTORS, not just its signatures"
+        )
 
-    cand = banded_pairs(
-        banded, ["band_idx", "band_val"], id_col=id_col,
-    ).distinct()
-    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    sigs = (
+        docs_sigs
+        if docs_sigs is not None
+        else hyperplane_signatures(
+            df, vec_col=vec_col, id_col=id_col, n_bands=n_bands,
+            band_bits=band_bits, seed=seed, dim=dim,
+        )
+    )
+
+    def _banded(s: DataFrame) -> DataFrame:
+        return s.select(
+            id_col,
+            F.posexplode(F.array(*[f"b{k}" for k in range(n_bands)])).alias(
+                "band_idx", "band_val"
+            ),
+        )
+
+    if against is None:
+        # skew-hardened within-bucket expansion: a replica clique shares
+        # every band key, and the plain self-join would hash its whole n²
+        # expansion onto one task (operators/dedup.banded_pairs splits
+        # oversized buckets across salted sub-keys).  DISTINCT because a
+        # pair may collide in several bands.
+        from vectorsearch_scylla_spark.operators.dedup import banded_pairs
+
+        cand = banded_pairs(
+            _banded(sigs), ["band_idx", "band_val"], id_col=id_col,
+        ).distinct()
+        va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+        vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    else:
+        # INCREMENTAL: bipartite (new × base) band join — no salted
+        # expansion needed (per-bucket work is |new∩b|·|base∩b| and AQE
+        # skew-split applies; the small new side broadcasts)
+        sigs_b = (
+            against_sigs
+            if against_sigs is not None
+            else hyperplane_signatures(
+                against, vec_col=vec_col, id_col=id_col, n_bands=n_bands,
+                band_bits=band_bits, seed=seed, dim=dim,
+            )
+        )
+        cand = (
+            _banded(sigs).select(
+                F.col(id_col).alias("id_a"), "band_idx", "band_val"
+            )
+            .join(
+                _banded(sigs_b).select(
+                    F.col(id_col).alias("id_b"), "band_idx", "band_val"
+                ),
+                ["band_idx", "band_val"],
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+        vb = against.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+        )
     paired = cand.join(va, "id_a").join(vb, "id_b")
 
     id_dt = df.schema[id_col].dataType.simpleString()

@@ -192,7 +192,15 @@ DRIVER_WINDOW: list[str] = [
     "ivf_grouped_knn",
     "ivf_incremental_add",
     "ivfpq_residual_knn",
-    "ann_recall_report",
+    # -- new (late r7): incremental EMBEDDING dedup — the hyperplane
+    # twin of dedup_incremental's asymmetric new-vs-base mode, with
+    # the persisted base signature artifact and the exhaustive-cross
+    # oracle.  ann_recall_report ceded this slot (its r7-changed
+    # dependency — lloyd's sampled training — is already re-certified
+    # by the three IVF rows above plus ivf_compaction) and rotates in
+    # r8; manifest hand-edited accordingly, same documented pattern
+    # as the sq8_ivf_knn swap --------------------------------------
+    "embedding_neardup_incremental",
     "dedup_clusters",
     "dedup_clusters_union",
     # -- streaming e2e LAST: a completed Structured Streaming query
@@ -5482,6 +5490,70 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb_with_planted_dups(load_table(spark, sf_dir, "embeddings"))
     pairs = hyperplane_near_dup_pairs(emb, threshold=0.92, dim=64, n_bands=16)
     return pairs.select("id_a", "id_b", quantize(F.col("similarity")).alias("similarity"))
+
+
+@query(
+    "embedding_neardup_incremental",
+    f"""
+    WITH {_PLANTED_EMB_SQL.strip()}
+    SELECT a.vec_id AS new_vec_id, b.vec_id AS base_vec_id,
+           {Q(KNN_COS)} AS similarity
+    FROM planted_emb a JOIN planted_emb b
+      ON a.vec_id >= 1000000 AND b.vec_id < 1000000
+    WHERE {KNN_COS} > 0.92
+    """,
+    ["DEDUP-INCREMENTAL", "DEDUP-EMBED", "V1", "V3"],
+    "INCREMENTAL embedding dedup — the embedding twin of "
+    "dedup_incremental, completing the daily-increment pair (text "
+    "SimHash + embedding cosine) a 100 TB curation loop runs on every "
+    "new batch: the increment (planted vec_id ≥ 1M copies) signs and "
+    "band-joins against the BASE corpus's hyperplane band index only, "
+    "never re-pairing the base against itself — |new|·16 band probes, "
+    "not |base|².  The base signature table is a PERSISTED artifact "
+    "(hyperplane_signatures, ~16 longs/vector ≈ 3 % of a float32 "
+    "d=384 vector — the base is never re-signed), and the exact "
+    "float64 cosine verification touches base vectors only for the "
+    "candidate ids the band join surfaced.  The bipartite join needs "
+    "no salted expansion: per-bucket work is |new∩b|·|base∩b| and the "
+    "small new side broadcasts.  Oracle: the exhaustive increment × "
+    "base cosine join — the green row certifies seeded-LSH recall "
+    "1.0 on every above-threshold cross pair at this SF (same stated "
+    "assumption, and the same banded-equals-exhaustive pinned test, "
+    "as embedding_neardup_pairs).",
+)
+def q_embedding_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vectorsearch_scylla_spark.functions.hyperplane import (
+        hyperplane_near_dup_pairs,
+        hyperplane_signatures,
+    )
+
+    embp = _emb_with_planted_dups(load_table(spark, sf_dir, "embeddings"))
+    base = embp.filter(F.col("vec_id") < 1000000)
+    increment = embp.filter(F.col("vec_id") >= 1000000)
+    # the base band index is a persisted artifact — the increment run
+    # never re-signs the base corpus (twin of vss_basesigs on the text
+    # side; logic token pins bands/bits/seed/dim)
+    base_sigs = spark.read.parquet(
+        _materialize_once(
+            hyperplane_signatures(base, dim=64, n_bands=16),
+            "vss_embsigs",
+            sf_dir,
+            logic="hyperplane-16x16-s42-d64-v1",
+        )
+    )
+    pairs = hyperplane_near_dup_pairs(
+        increment,
+        threshold=0.92,
+        dim=64,
+        n_bands=16,
+        against=base,
+        against_sigs=base_sigs,
+    )
+    return pairs.select(
+        F.col("id_a").alias("new_vec_id"),
+        F.col("id_b").alias("base_vec_id"),
+        quantize(F.col("similarity")).alias("similarity"),
+    )
 
 
 @query(
