@@ -73,6 +73,7 @@ HEADLINE = [
     "pii_redaction",
     "source_mix_summary",
     "dedup_incremental",
+    "embedding_neardup_incremental",
     "dedup_clusters_incremental",
     "chunk_dedup",
     "media_byte_features",
