@@ -1406,7 +1406,8 @@ def test_hyperplane_incremental_equals_exhaustive_cross(spark, sf_dir):
 
     recomputed = pairs()
     persisted = pairs(
-        against_sigs=hyperplane_signatures(base, dim=64, n_bands=16)
+        against_sigs=hyperplane_signatures(base, dim=64, n_bands=16),
+        docs_sigs=hyperplane_signatures(inc, dim=64, n_bands=16),
     )
     a = inc.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
     b = base.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
