@@ -1150,7 +1150,7 @@ def test_split_oversized_clusters(spark, emb):
     cent_map = dict(new_cents)
     for vid, c_old in old_assign.items():
         if c_old in oversized:
-            parent = new_assign[vid] // 1_000_000
+            parent = new_assign[vid] // 1_000_000 - 1
             assert parent == c_old, (vid, c_old, new_assign[vid])  # frozen outer routing
             assert new_assign[vid] in cent_map
         else:
@@ -1160,7 +1160,7 @@ def test_split_oversized_clusters(spark, emb):
     for cid, cv in cents:
         if cid in oversized:
             assert cid not in cent_map
-            assert any(c // 1_000_000 == cid for c in cent_map), cid
+            assert any(c // 1_000_000 - 1 == cid for c in cent_map), cid
         else:
             assert cent_map[cid] == cv
 
@@ -1171,11 +1171,11 @@ def test_split_oversized_clusters(spark, emb):
         for r in vecs.collect()
     }
     for parent in oversized:
-        kids = sorted(c for c in cent_map if c // 1_000_000 == parent)
+        kids = sorted(c for c in cent_map if c // 1_000_000 - 1 == parent)
         K = np.stack([np.asarray(cent_map[c]) for c in kids])
         Kn = K / np.linalg.norm(K, axis=1)[:, None]
         for vid, c_new in new_assign.items():
-            if c_new // 1_000_000 == parent and old_assign[vid] == parent:
+            if c_new // 1_000_000 - 1 == parent and old_assign[vid] == parent:
                 v = emb_of[vid]
                 sims = Kn @ (v / np.linalg.norm(v))
                 assert kids[int(np.argmax(sims))] == c_new, vid
@@ -1275,7 +1275,7 @@ def test_split_oversized_clusters_long_ids(spark):
     assign = {r["vec_id"]: r["cluster_id"] for r in new_members.collect()}
     cent_ids = {c for c, _ in new_cents}
     kids = {assign[i] for i in range(10)}
-    assert all(c > 2**31 and c // 1_000_000 == 3000 for c in kids), kids
+    assert all(c > 2**31 and c // 1_000_000 - 1 == 3000 for c in kids), kids
     assert kids <= cent_ids  # members route to lists that exist
     assert assign[100] == 7 and assign[101] == 7  # untouched
     assert (7, [0.5, 0.5]) in new_cents and 3000 not in cent_ids
@@ -1287,7 +1287,7 @@ def test_split_oversized_clusters_long_ids(spark):
     assign2 = {r["vec_id"]: r["cluster_id"] for r in members2.collect()}
     big_parent = max(kids, key=lambda c: sum(1 for v in assign.values() if v == c))
     regrouped = {assign2[i] for i in range(10) if assign[i] == big_parent}
-    assert all(c // 1_000_000 == big_parent for c in regrouped)
+    assert all(c // 1_000_000 - 1 == big_parent for c in regrouped)
     assert regrouped <= {c for c, _ in cents2}
     assert len({c for c, _ in cents2}) == len(cents2)  # no id collisions
 
@@ -1295,6 +1295,52 @@ def test_split_oversized_clusters_long_ids(spark):
     with pytest.raises(ValueError, match="int64"):
         split_oversized_clusters(
             members, cents, max_size=5, split_k=2, iters=1, child_base=2**62
+        )
+
+
+def test_split_oversized_clusters_parent_zero(spark):
+    """r7 ADVICE (high): under the old ``parent*child_base + child``
+    mint, splitting parent 0 produced child ids 0..split_k-1 that
+    ALIASED untouched original cluster ids — members silently merged
+    into the wrong inverted list and q_ivf_compaction's
+    ``cluster_id >= 1_000_000`` was_split predicate misclassified
+    them.  Pin the ``(parent+1)*child_base`` mint: parent 0's children
+    land at exactly child_base+j, never collide with the untouched
+    clusters 0 and 1, and the was_split/parent_id derivation
+    (``DIV child_base - 1``) round-trips."""
+    from vectorsearch_scylla_spark.operators.ivf import split_oversized_clusters
+
+    # parent 0 oversized (10 members, two orthogonal directions);
+    # parents 1 and 2 small — id 1 especially would have been
+    # swallowed by the old mint's child id 1
+    rows = [(i, [1.0, 0.0] if i % 2 else [0.0, 1.0], 0) for i in range(10)]
+    rows += [(100, [0.5, 0.5], 1), (101, [0.9, 0.1], 2)]
+    members = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, cluster_id long"
+    )
+    cents = [(0, [0.7, 0.7]), (1, [0.5, 0.5]), (2, [0.9, 0.1])]
+    new_cents, new_members = split_oversized_clusters(
+        members, cents, max_size=5, split_k=2, iters=2
+    )
+    assign = {r["vec_id"]: r["cluster_id"] for r in new_members.collect()}
+    cent_ids = {c for c, _ in new_cents}
+    kids = {assign[i] for i in range(10)}
+    # children of parent 0 sit in [child_base, child_base+split_k)
+    assert kids == {1_000_000, 1_000_001}, kids
+    assert all(c // 1_000_000 - 1 == 0 for c in kids)
+    # untouched clusters keep their ids and centroids — no aliasing
+    assert assign[100] == 1 and assign[101] == 2
+    assert (1, [0.5, 0.5]) in new_cents and (2, [0.9, 0.1]) in new_cents
+    assert 0 not in cent_ids and kids <= cent_ids
+    assert len(cent_ids) == len(new_cents)  # no id collisions
+    # every minted child id clears the was_split predicate the
+    # registered query uses; untouched ids stay below it
+    assert all(c >= 1_000_000 for c in kids)
+    assert all(assign[v] < 1_000_000 for v in (100, 101))
+    # split_k > child_base would overlap adjacent parents' ranges
+    with pytest.raises(ValueError, match="child_base"):
+        split_oversized_clusters(
+            members, cents, max_size=5, split_k=4, iters=1, child_base=2
         )
 
 

@@ -239,9 +239,16 @@ def banded_pairs(
     # it cannot see through the exchange.  With the count pinned the
     # shuffle still moves only oversized-bucket rows, i.e. nothing at
     # all on skew-free inputs.
-    n_shuffle = int(
-        sides.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    try:
+        n_shuffle = int(
+            sides.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    except (TypeError, ValueError):
+        # platforms that set the conf to a non-numeric sentinel (e.g.
+        # "auto" under auto-optimized shuffle) — fall back to the
+        # cluster's default parallelism; the exact count only needs to
+        # comfortably exceed the salted key cardinality
+        n_shuffle = sides.sparkSession.sparkContext.defaultParallelism or 200
     left = (
         big.select(
             *band_cols, F.col(id_col).alias("id_a"), g.alias("gi"), "__r"

@@ -570,12 +570,17 @@ def split_oversized_clusters(
     re-index), split each oversized cluster IN PLACE: run a small
     deterministic k-means over that cluster's members only, replace
     the parent centroid with ``split_k`` children (LONG ids
-    ``parent*child_base + j``; child ids are unique because a child's
-    range [parent*base, parent*base+split_k) can only collide with an
-    id minted from the SAME parent, and a parent is removed the round
-    it splits — holds across repeated compactions, including children
-    of children, until ``max(parent)*child_base + split_k`` would
-    exceed int64, which this function rejects with ``ValueError``
+    ``(parent+1)*child_base + j``; the ``+1`` offset makes every child
+    id >= ``child_base``, so a child can never collide with an
+    original coarse id (those are < K << child_base) — parent 0
+    included, which under the old ``parent*base`` mint produced ids
+    0..split_k-1 that aliased untouched coarse clusters.  Across split
+    parents the ranges [(p+1)*base, (p+1)*base+split_k) are disjoint
+    whenever split_k <= child_base, and a parent is removed the round
+    it splits, so ids stay unique across repeated compactions,
+    including children of children, until
+    ``(max(parent)+1)*child_base + split_k`` would exceed int64, which
+    this function rejects with ``ValueError``
     rather than silently wrapping), and reassign ONLY the split
     clusters' members.  Output ``cluster_col`` is LongType end-to-end
     (untouched members' ids are widened at the union boundary).
@@ -685,11 +690,17 @@ def split_oversized_clusters(
     cen_rows = split.filter(F.col("is_centroid")).select("parent", "child", "cvec").collect()
     split_parents = {int(r["parent"]) for r in cen_rows}
     if split_parents:
-        top = max(split_parents) * child_base + split_k
+        if split_k > child_base:
+            raise ValueError(
+                "split_oversized_clusters: split_k="
+                f"{split_k} > child_base={child_base} — child id "
+                "ranges of adjacent parents would overlap"
+            )
+        top = (max(split_parents) + 1) * child_base + split_k
         if top > 2**63 - 1:
             raise ValueError(
                 "split_oversized_clusters: child id "
-                f"max(parent)={max(split_parents)} * child_base="
+                f"(max(parent)={max(split_parents)} + 1) * child_base="
                 f"{child_base} + split_k={split_k} exceeds int64 — "
                 "the id space is exhausted; retrain the quantizer "
                 "instead of compacting further"
@@ -697,7 +708,7 @@ def split_oversized_clusters(
     new_cents = sorted(
         [(cid, v) for cid, v in centroids if cid not in split_parents]
         + [
-            (int(r["parent"]) * child_base + int(r["child"]), list(r["cvec"]))
+            ((int(r["parent"]) + 1) * child_base + int(r["child"]), list(r["cvec"]))
             for r in cen_rows
         ]
     )
@@ -705,7 +716,10 @@ def split_oversized_clusters(
         split.filter(~F.col("is_centroid"))
         .select(
             id_col,
-            (F.col("parent") * F.lit(child_base).cast("long") + F.col("child"))
+            (
+                (F.col("parent") + F.lit(1)) * F.lit(child_base).cast("long")
+                + F.col("child")
+            )
             .cast("long")
             .alias(cluster_col),
         )

@@ -1220,10 +1220,11 @@ IVF_GNPROBE = 3
     "scan: probe fan-out and inverted lists COGROUPED on cluster_id "
     "(operators/ivf.py:ivf_probe_topk_grouped), one blocked BLAS "
     "matmul per cluster, so total dot products are Q·N·(nprobe/K) and "
-    "NEITHER side ever collects to the driver (contrast ivf_knn's "
-    "toy-constant path, whose K=8/nprobe=2 means each probe scans ¼ "
-    "of the corpus and whose blocked kernel broadcasts the probe rows "
-    "driver-side).  Same trained quantizer contract as ivf_knn "
+    "NEITHER side ever collects to the driver (contrast the "
+    "query-broadcast blocked kernel that ivf_sampled_train_knn and "
+    "the PQ family use, which ships probe rows driver-side — fine "
+    "for bounded query sets, not for q∝N).  Same trained quantizer "
+    "contract as the rest of the IVF family "
     "(deterministic Lloyd, md5-seeded init, per-iteration quantized "
     "centroids) so the unrolled-CTE oracle is bit-identical at K=22, "
     "and the result is EXACT over the probed clusters — the green row "
@@ -1434,7 +1435,7 @@ def _ivf_compaction_cte(split_k: int, iters: int, k: int) -> str:
         FROM members m LEFT JOIN cbig b ON b.cluster_id = m.cluster_id
         WHERE b.cluster_id IS NULL
         UNION ALL
-        SELECT f.vec_id, CAST(f.parent AS BIGINT) * 1000000 + f.child AS cluster_id,
+        SELECT f.vec_id, (CAST(f.parent AS BIGINT) + 1) * 1000000 + f.child AS cluster_id,
                CAST(f.parent AS BIGINT) AS parent_id, TRUE AS was_split
         FROM cfinal f)"""
     )
@@ -1458,8 +1459,10 @@ def _ivf_compaction_cte(split_k: int, iters: int, k: int) -> str:
     "applyInPandas group (operators/ivf.split_oversized_clusters): "
     "md5-ordered seed draw, argmax-cosine assignment with lowest-child "
     "tie-break, 6-decimal quantized means, children minted as LONG "
-    "ids parent·1e6+child (collision-free across repeated "
-    "compactions; int64-exhaustion raises).  Untouched clusters' "
+    "ids (parent+1)·1e6+child (every child id >= 1e6, so parent 0's "
+    "children cannot alias untouched coarse ids; collision-free "
+    "across repeated compactions; int64-exhaustion raises).  "
+    "Untouched clusters' "
     "members are byte-identical on output; work is proportional to "
     "the oversized lists, never the corpus — FAISS deployments do "
     "this by periodic full retrain, which at 100 TB is exactly what "
@@ -1494,7 +1497,7 @@ def q_ivf_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new_members.select(
         "vec_id",
         F.col("cluster_id").cast("long").alias("cluster_id"),
-        F.when(was_split, F.expr("CAST(cluster_id DIV 1000000 AS BIGINT)"))
+        F.when(was_split, F.expr("CAST(cluster_id DIV 1000000 - 1 AS BIGINT)"))
         .otherwise(F.col("cluster_id").cast("long"))
         .alias("parent_id"),
         was_split.alias("was_split"),
