@@ -66,7 +66,6 @@ HEADLINE = [
     "minhash_dup_buckets",
     "simhash_dup_pairs",
     "dedup_clusters",
-    "dedup_clusters_union",
     "dedup_clusters_union_cascade",
     "dedup_pipeline_funnel",
     "ngram_jaccard_pairs",
@@ -81,6 +80,7 @@ HEADLINE = [
     "pii_redaction",
     "source_mix_summary",
     "dedup_incremental",
+    "ngram_jaccard_incremental",
     "embedding_neardup_incremental",
     "dedup_clusters_incremental",
     "chunk_dedup",

@@ -1477,6 +1477,35 @@ def test_hyperplane_incremental_equals_exhaustive_cross(spark, sf_dir):
         )
 
 
+def test_banded_pairs_against_bipartite(spark):
+    """r8: the ``against=`` bipartite mode (incremental MinHash band
+    join) must emit exactly the cross-side bucket collisions — every
+    (new, base) pair sharing the band key, no new-new or base-base
+    pairs, id_a always the ``sides`` id — matching a brute-force
+    cross-check."""
+    from vectorsearch_scylla_spark.operators.dedup import banded_pairs
+
+    new_rows = [(1000, "K", "x"), (1001, "K", "x"), (1002, "b2", "y"),
+                (1003, "nomatch", "z")]
+    base_rows = [(1, "K", "x"), (2, "K", "x"), (3, "K", "x"),
+                 (4, "b2", "y"), (5, "other", "y")]
+    new = spark.createDataFrame(new_rows, "doc_id long, sig_0 string, sig_1 string")
+    base = spark.createDataFrame(base_rows, "doc_id long, sig_0 string, sig_1 string")
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in banded_pairs(new, ["sig_0", "sig_1"], against=base).collect()
+    }
+    expected = {
+        (a, b)
+        for a, ka, va in new_rows
+        for b, kb, vb in base_rows
+        if (ka, va) == (kb, vb)
+    }
+    assert got == expected and expected  # non-vacuous
+    assert all(a >= 1000 and b < 1000 for a, b in got)  # strictly bipartite
+
+
 def test_banded_pairs_salted_equals_plain(spark):
     """Skew-hardened banded pair expansion (r6 judge item #3, adaptive
     R since r7): the salted path must emit EXACTLY the plain
@@ -1559,10 +1588,11 @@ def test_cascade_registered_skips_cheap_internal_verification(spark, sf_dir):
     assert surv == cands - cheap_internal
     assert not (surv & cheap_internal)
 
+    from vectorsearch_scylla_spark.plans.registry import q_dedup_clusters_union
+
     full = {
         (r["doc_id"], r["canonical_id"], r["cluster_size"], r["is_keeper"])
-        for r in REGISTRY["dedup_clusters_union"]
-        .fn(spark, sf_dir)
+        for r in q_dedup_clusters_union(spark, sf_dir)
         .select("doc_id", "canonical_id", "cluster_size", "is_keeper")
         .collect()
     }
@@ -1586,7 +1616,7 @@ def test_ivf_compaction_binds_both_ways(spark, sf_dir):
     assert all(c >= 10**6 for c in split)
     assert all(c < 10**6 for c in untouched)
     assert all(
-        r["parent_id"] == r["cluster_id"] // 10**6
+        r["parent_id"] == r["cluster_id"] // 10**6 - 1
         for r in rows
         if r["was_split"]
     )

@@ -46,6 +46,30 @@ def test_query_matches_oracle(spark, sf_dir, name):
     assert ok, f"{name}: {reason}"
 
 
+def test_folded_dedup_clusters_union_matches_oracle(spark, sf_dir):
+    """The full-union clustering with per-class edge attribution was
+    FOLDED out of the registry in r8 (slot budget: the cascade is the
+    registered execution sharing the same transitive-closure oracle).
+    Its certificate survives here verbatim: replay the driver gate
+    over the unregistered function + its kept oracle SQL, so the
+    per-class edge-count surface never goes dark."""
+    from vectorsearch_scylla_spark.plans.registry import (
+        DEDUP_CLUSTERS_UNION_ORACLE,
+        q_dedup_clusters_union,
+    )
+
+    sdf = q_dedup_clusters_union(spark, sf_dir)
+    spark_cols = sdf.columns
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    con = _duck(sf_dir)
+    res = con.execute(DEDUP_CLUSTERS_UNION_ORACLE)
+    duck_cols = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    con.close()
+    ok, reason = compare_results(spark_cols, spark_rows, duck_cols, duck_rows)
+    assert ok, f"dedup_clusters_union (folded): {reason}"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

@@ -72,7 +72,7 @@ _PINNED = [
     "minhash_dup_buckets",
     "simhash_dup_pairs",
     "dedup_incremental",
-    "dedup_clusters_union",
+    "dedup_clusters_union_cascade",
     "chunk_dedup",
     "ngram_jaccard_pairs",
     "embedding_neardup_pairs",

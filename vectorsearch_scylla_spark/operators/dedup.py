@@ -115,10 +115,25 @@ def banded_pairs(
     oversized_at: int = 256,
     split_target: int | None = None,
     max_salts: int = 64,
+    against: DataFrame | None = None,
 ) -> DataFrame:
     """All within-bucket unordered id pairs ``(id_a < id_b)`` where a
     bucket is the set of rows equal on ``band_cols`` — the pairwise
     expansion step of every LSH band join, SKEW-HARDENED.
+
+    Incremental mode (``against`` given) — the MinHash-class twin of
+    ``simhash_near_dup_pairs(against=…)`` / ``hyperplane_near_dup_pairs
+    (against=…)``, completing the daily-increment story for the third
+    dedup evidence class: ``sides`` is the NEW batch's band table and
+    ``against`` the (persisted) BASE corpus band table with the same
+    ``band_cols``/``id_col`` schema; output is every bipartite bucket
+    collision ``(id_a = sides id, id_b = against id)``, the base never
+    re-paired against itself — |new|-proportional probe rows against
+    the base band index instead of |base|².  Caller guarantees
+    disjoint id spaces.  No salted expansion is needed: per-bucket
+    work is |new∩bucket|·|base∩bucket|, AQE's skew split applies to
+    the bipartite join, and the small new side broadcasts, leaving
+    the base band index unshuffled.
 
     The failure mode this kills (diagnosed via jstack on the r6 100×
     union bench): a replica clique puts its whole membership into ONE
@@ -186,6 +201,15 @@ def banded_pairs(
         split_target = min(64, int(oversized_at))
     if split_target < 1:
         raise ValueError(f"split_target={split_target}: need >= 1")
+    if against is not None:
+        return (
+            sides.select(*band_cols, F.col(id_col).alias("id_a"))
+            .join(
+                against.select(*band_cols, F.col(id_col).alias("id_b")),
+                band_cols,
+            )
+            .select("id_a", "id_b")
+        )
     from pyspark.sql import Window
 
     # ONE shuffle on the band key does everything: the window count
