@@ -72,6 +72,7 @@ _PINNED = [
     "minhash_dup_buckets",
     "simhash_dup_pairs",
     "dedup_incremental",
+    "ngram_jaccard_incremental",
     "dedup_clusters_union_cascade",
     "chunk_dedup",
     "ngram_jaccard_pairs",
@@ -103,6 +104,7 @@ _PINNED = [
 
 _NEARDUP_PAIR_QUERIES = [
     "simhash_dup_pairs",
+    "ngram_jaccard_incremental",
     "embedding_neardup_pairs",
     "ngram_jaccard_pairs",
     "minhash_dup_buckets",
@@ -162,6 +164,15 @@ def test_map_only_queries_never_shuffle(plans, name):
     the full corpus at 100 TB (repetition stats in particular must
     never regress to the explode-the-token-stream formulation)."""
     assert "Exchange" not in plans[name], name
+
+
+def test_ngram_incremental_verify_broadcasts_candidates(plans):
+    """The incremental ngram verify must shingle only candidate-matched
+    base docs: the candidate id set BROADCASTS into the base documents
+    scan before any shingle/md5 work — a plan without that broadcast
+    hash join would shingle the whole base corpus per increment."""
+    p = plans["ngram_jaccard_incremental"]
+    assert "BroadcastHashJoin" in p, p
 
 
 def test_domain_cap_single_partitioning(plans):
