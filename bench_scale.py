@@ -795,6 +795,27 @@ def _bigk_assign_study(spark) -> dict:
         ).save()
         out[f"{tag}_sec"] = round(time.perf_counter() - t0, 3)
         print(f"[bench_scale] bigk {tag}: {out[f'{tag}_sec']} s", file=sys.stderr)
+    # probe side (query fan-out, nprobe=4): same transport asymmetry.
+    # Queries are a SLICE of the corpus (a serving batch, not a full
+    # re-scan) — and the per-row fan-out materialization dominates the
+    # kernel either way, so the slice isolates the transport delta
+    # without hours of pandas row-repeat.
+    from vectorsearch_scylla_spark.operators.ivf import (
+        probe_clusters_bc,
+        probe_clusters_np,
+    )
+
+    queries = vecs.filter(F.col("vec_id") % 8 == 0).repartition(64).persist()
+    out["n_queries"] = queries.count()
+    for tag, fn in (("probe_closure_embedded", probe_clusters_np),
+                    ("probe_broadcast", probe_clusters_bc)):
+        t0 = time.perf_counter()
+        fn(queries, cents, nprobe=4, dtype="float32").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        out[f"{tag}_sec"] = round(time.perf_counter() - t0, 3)
+        print(f"[bench_scale] bigk {tag}: {out[f'{tag}_sec']} s", file=sys.stderr)
+    queries.unpersist()
     vecs.unpersist()
     return out
 

@@ -96,6 +96,55 @@ def test_banded_pairs_exactly_once_property(spark):
     check()
 
 
+def test_banded_pairs_against_bipartite_property(spark):
+    """For ANY pair of side layouts, the ``against=`` incremental mode
+    emits exactly the bipartite bucket collisions — every (sides id,
+    against id) sharing the band key, as a MULTISET; no within-side
+    pairs ever appear."""
+    from vectorsearch_scylla_spark.operators.dedup import banded_pairs
+
+    @settings(max_examples=6, deadline=None)
+    @given(
+        new_rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=5),  # band key
+                st.integers(min_value=0, max_value=200),
+            ),
+            min_size=0,
+            max_size=20,
+            unique=True,
+        ),
+        base_rows=st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=5),
+                st.integers(min_value=0, max_value=200),
+            ),
+            min_size=0,
+            max_size=20,
+            unique=True,
+        ),
+    )
+    def check(new_rows, base_rows):
+        # disjoint id spaces per the contract
+        new = [(k, 1_000_000 + i) for k, i in new_rows]
+        base = [(k, i) for k, i in base_rows]
+        schema = "band_val int, doc_id long"
+        sides = spark.createDataFrame(new, schema) if new else \
+            spark.createDataFrame([], schema)
+        against = spark.createDataFrame(base, schema) if base else \
+            spark.createDataFrame([], schema)
+        got = sorted(
+            (r["id_a"], r["id_b"])
+            for r in banded_pairs(sides, ["band_val"], against=against).collect()
+        )
+        want = sorted(
+            (a, b) for ka, a in new for kb, b in base if ka == kb
+        )
+        assert got == want, (new_rows, base_rows)
+
+    check()
+
+
 # ---------------------------------------------------------------------------
 # incremental_components ≡ batch connected components
 # ---------------------------------------------------------------------------
