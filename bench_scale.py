@@ -746,6 +746,80 @@ def _incfunnel_study(spark, docs, base: str) -> dict:
     return out
 
 
+def _compaction_study(spark, emb0) -> dict:
+    """IVF compaction cost scaling (r8): the claim on
+    ``split_oversized_clusters`` is that work is proportional to the
+    OVERSIZED LISTS, never the corpus — untouched inverted lists are
+    not even read past the size count.  Setup: train a K≈√N coarse
+    quantizer per corpus size, then append the SAME 30 k-row skewed
+    hot-spot (near one centroid, the ivf_incremental_add aftermath
+    this operator exists to repair) to a 1× and a 10× corpus and time
+    the split.  Flat wall across corpus sizes = the claim, measured."""
+    import numpy as np
+
+    from vectorsearch_scylla_spark.operators.ivf import (
+        assign_clusters_np,
+        lloyd_kmeans,
+        split_oversized_clusters,
+    )
+
+    out: dict = {}
+    hot_n = 30_000
+    for tag, reps in (("base_1x", 1), ("base_10x", 10), ("base_100x", 100)):
+        rep = spark.range(reps).select(F.col("id").cast("int").alias("rep"))
+        corpus = emb0.crossJoin(F.broadcast(rep)).select(
+            (F.col("vec_id") + F.col("rep").cast("long") * 10_000_000).alias("vec_id"),
+            F.expr(
+                "transform(cast(embedding as array<double>), "
+                "(x, i) -> CASE WHEN i = pmod(rep, size(embedding)) "
+                "THEN x + 0.01 * rep ELSE x END)"
+            ).alias("embedding"),
+        )
+        n = corpus.count()
+        k = max(8, int(round(n**0.5)))
+        cents = lloyd_kmeans(corpus, k=k, iters=2, kernel="numpy", train_rows=256 * k)
+        members = assign_clusters_np(corpus, cents, dtype="float64")
+        # skewed append: 30 k rows jittered around centroid 0's vector,
+        # pre-assigned to cluster 0 (what incremental_add would do)
+        hot_id, hot_vec = sorted(cents)[0]
+        d = len(hot_vec)
+        hot = spark.range(hot_n).select(
+            (F.col("id") + 900_000_000).alias("vec_id"),
+            F.expr(
+                f"transform(array({', '.join(repr(x) for x in hot_vec)}), "
+                "(x, i) -> x + cast(pmod(xxhash64(id * 131 + i), 100) as double) / 10000.0)"
+            ).alias("embedding"),
+            F.lit(int(hot_id)).cast("int").alias("cluster_id"),
+        )
+        all_members = members.unionByName(hot).localCheckpoint()
+        sizes = {
+            r["cluster_id"]: r["n"]
+            for r in all_members.groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
+        }
+        max_size = int(2.0 * (n + hot_n) / k)
+        oversized_rows = sum(v for v in sizes.values() if v > max_size)
+        t0 = time.perf_counter()
+        _, new_members = split_oversized_clusters(
+            all_members, cents, max_size=max_size, split_k=8, iters=2
+        )
+        new_members.write.format("noop").mode("overwrite").save()
+        wall = round(time.perf_counter() - t0, 3)
+        out[tag] = {
+            "n_corpus": n,
+            "k": k,
+            "max_size": max_size,
+            "oversized_clusters": int(sum(1 for v in sizes.values() if v > max_size)),
+            "oversized_rows": int(oversized_rows),
+            "split_wall_sec": wall,
+        }
+        print(f"[bench_scale] compact {tag}: {out[tag]}", file=sys.stderr)
+    if out["base_1x"]["split_wall_sec"] > 0:
+        out["wall_ratio_100x_over_1x"] = round(
+            out["base_100x"]["split_wall_sec"] / out["base_1x"]["split_wall_sec"], 2
+        )
+    return out
+
+
 def _bigk_assign_study(spark) -> dict:
     """r7 judge item #4: price the closure-embedded vs broadcast
     centroid transport for the full-corpus assignment pass at the
@@ -888,7 +962,7 @@ def main() -> None:
         # =funnel run ONLY the named study and print their own JSON —
         # both are additive long-running measurements that must not
         # balloon the default battery
-        if sections and sections <= {"clique", "funnel", "sweep", "inc", "bigk", "incfunnel"}:
+        if sections and sections <= {"clique", "funnel", "sweep", "inc", "bigk", "incfunnel", "compact"}:
             study: dict = {}
             if "clique" in sections:
                 study["clique_study"] = _clique_study(spark, docs0, base)
@@ -902,6 +976,8 @@ def main() -> None:
                 study["bigk_assign"] = _bigk_assign_study(spark)
             if "incfunnel" in sections:
                 study["incremental_funnel"] = _incfunnel_study(spark, docs, base)
+            if "compact" in sections:
+                study["compaction"] = _compaction_study(spark, emb0)
             print(
                 json.dumps(
                     {
