@@ -1777,6 +1777,151 @@ def test_incremental_components_equals_batch(spark):
     assert inc == batch
 
 
+def test_incremental_funnel_equals_batch(spark, sf_dir):
+    """r8 flagship composition: with all THREE text evidence classes
+    owning a vs-base incremental mode (exact keys, SimHash
+    ``against_sigs``, MinHash/ngram ``banded_pairs(against=)``), a
+    daily increment's full evidence funnel — cross-class edges vs base
+    artifacts plus within-increment twins, folded through
+    ``incremental_components`` — must produce labels IDENTICAL to the
+    batch recompute over base ∪ increment.  The BENCH_SCALE incfunnel
+    study measures this composition's speed; this test certifies its
+    EQUALITY end-to-end at fixture scale (each per-class mode is
+    certified individually elsewhere; composing them can still go
+    wrong in the edge union and the star fold, which is what this
+    pins)."""
+    from vectorsearch_scylla_spark.operators.dedup import (
+        banded_pairs,
+        simhash128,
+        simhash_near_dup_pairs,
+    )
+    from vectorsearch_scylla_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+    from vectorsearch_scylla_spark.plans.registry import (
+        _minhash_sig,
+        _with_word_shingles,
+        load_table,
+        quantize,
+    )
+
+    def mh_sides(d):
+        return _with_word_shingles(d).select(
+            "doc_id", _minhash_sig(0, non_null=True), _minhash_sig(1, non_null=True)
+        )
+
+    def jaccard_edges(cands, side_a, side_b):
+        def sh(d, idc, alias):
+            return _with_word_shingles(d).select(
+                F.col("doc_id").alias(idc),
+                F.array_distinct(
+                    F.coalesce(F.col("sh"), F.array(F.col("text")))
+                ).alias(f"sh_{alias}"),
+            )
+
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union_sz = F.size("sh_a") + F.size("sh_b") - inter
+        return (
+            cands.join(sh(side_a, "id_a", "a"), "id_a")
+            .join(sh(side_b, "id_b", "b"), "id_b")
+            .filter((inter.cast("double") / union_sz) >= 0.6)
+            .select("id_a", "id_b")
+        )
+
+    base = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    ).select("doc_id", "text")
+    # increment: one perturbed derivative per 10th base doc PLUS one
+    # exact copy per 20th — exercises all three evidence classes
+    inc = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" inc")).alias("text"),
+    ).unionByName(
+        base.filter(F.col("doc_id") % 20 == 5).select(
+            (F.col("doc_id") + 6_000_000).alias("doc_id"), "text"
+        )
+    ).localCheckpoint()
+
+    def three_class_edges(rows):
+        keyed = rows.select("doc_id", F.md5("text").alias("k"))
+        ex = banded_pairs(keyed, ["k"], id_col="doc_id")
+        sim = simhash_near_dup_pairs(rows, max_hamming=5).select("id_a", "id_b")
+        ng = jaccard_edges(
+            banded_pairs(mh_sides(rows), ["sig_0", "sig_1"], id_col="doc_id"),
+            rows,
+            rows,
+        )
+        return ex.unionByName(sim).unionByName(ng).distinct()
+
+    # yesterday's artifacts + labels
+    base_sigs = simhash128(base).localCheckpoint()
+    base_mh = mh_sides(base).localCheckpoint()
+    base_keys = base.select("doc_id", F.md5("text").alias("k")).localCheckpoint()
+    prev = connected_components(three_class_edges(base).localCheckpoint())
+
+    # today: increment evidence vs artifacts + within-increment twins
+    inc_keys = inc.select("doc_id", F.md5("text").alias("k"))
+    inc_sigs = simhash128(inc).localCheckpoint()
+    inc_mh = mh_sides(inc).localCheckpoint()
+    inc_edges = (
+        banded_pairs(inc_keys, ["k"], id_col="doc_id", against=base_keys)
+        .unionByName(banded_pairs(inc_keys, ["k"], id_col="doc_id"))
+        .unionByName(
+            simhash_near_dup_pairs(
+                inc, max_hamming=5, docs_sigs=inc_sigs, against_sigs=base_sigs
+            ).select("id_a", "id_b")
+        )
+        .unionByName(
+            simhash_near_dup_pairs(inc, max_hamming=5, docs_sigs=inc_sigs)
+            .select("id_a", "id_b")
+        )
+        .unionByName(
+            jaccard_edges(
+                banded_pairs(
+                    inc_mh, ["sig_0", "sig_1"], id_col="doc_id", against=base_mh
+                ),
+                inc,
+                base,
+            )
+        )
+        .unionByName(
+            jaccard_edges(
+                banded_pairs(inc_mh, ["sig_0", "sig_1"], id_col="doc_id"), inc, inc
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    assert inc_edges.count() > 0  # fixture must exercise the fold
+    got = {
+        r["node"]: r["component"]
+        for r in incremental_components(prev, inc_edges).collect()
+    }
+    want = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            three_class_edges(base.unionByName(inc)).localCheckpoint()
+        ).collect()
+    }
+    # batch CC labels only nodes with edges; incremental carries every
+    # previously-labeled node — compare on the batch's node set, and
+    # every extra incremental node must be its own singleton
+    extra = {n: c for n, c in got.items() if n not in want}
+    assert all(n == c for n, c in extra.items()), extra
+    assert {n: got[n] for n in want} == want
+    # non-vacuous: at least one cluster must mix increment + base docs
+    from collections import defaultdict
+
+    members = defaultdict(list)
+    for n, c in got.items():
+        members[c].append(n)
+    assert any(
+        any(m >= 5_000_000 for m in ms) and any(m < 5_000_000 for m in ms)
+        for ms in members.values()
+    )
+
+
 def test_dedup_clusters_incremental_nonvacuous(spark, sf_dir):
     """The incremental-cluster fixture must exercise BOTH halves of the
     edge-compression path: yesterday's base labels contain real
