@@ -335,6 +335,78 @@ def test_exact_dedup_stream_state_accumulates_across_micro_batches(spark, tmp_pa
     assert got == {1: 2, 2: 2, 4: 1}
 
 
+def test_streaming_minhash_incremental_batch_split_independent(spark, tmp_path):
+    """r8: the bipartite MinHash band join (``banded_pairs(against=)``,
+    the incremental mode ngram_jaccard_incremental runs in batch) must
+    compose with Structured Streaming the way the SimHash twin does —
+    each micro-batch of NEW docs probes the ONCE-materialized base band
+    index via foreachBatch, and the accumulated pair set must be
+    identical however the increment splits across micro-batches (and
+    equal to the static bipartite join over the whole increment)."""
+    import os
+
+    from vectorsearch_scylla_spark.operators.dedup import banded_pairs
+    from vectorsearch_scylla_spark.plans.registry import (
+        _minhash_sig,
+        _with_word_shingles,
+    )
+
+    def mh(d):
+        return _with_word_shingles(d).select(
+            "doc_id", _minhash_sig(0, non_null=True), _minhash_sig(1, non_null=True)
+        )
+
+    base_rows = [
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "one two three four five"),
+        (3, "red green blue yellow purple"),
+    ]
+    # two dups of base doc 1, one of base doc 2, one novel — split so a
+    # base doc is probed from DIFFERENT micro-batches
+    inc1 = [(101, "alpha beta gamma delta epsilon"), (102, "one two three four five")]
+    inc2 = [(103, "alpha beta gamma delta epsilon"), (104, "nothing like the base")]
+
+    def to_df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    base_idx = str(tmp_path / "mh_base_idx")
+    mh(to_df(base_rows)).write.parquet(base_idx)  # the persisted artifact
+    src = str(tmp_path / "mh_src")
+    to_df(inc1).coalesce(1).write.parquet(src + "/f=1")
+    to_df(inc2).coalesce(1).write.parquet(src + "/f=2")
+    out = str(tmp_path / "mh_pairs")
+
+    stream = (
+        spark.readStream.schema(to_df(inc1).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f=*")
+    )
+    base_bands = spark.read.parquet(base_idx)
+
+    def probe(batch_df, batch_id):
+        banded_pairs(
+            mh(batch_df), ["sig_0", "sig_1"], against=base_bands
+        ).write.mode("append").parquet(out)
+
+    q = (
+        stream.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", str(tmp_path / "mh_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = {
+        (r["id_a"], r["id_b"]) for r in spark.read.parquet(out).collect()
+    }
+    static = {
+        (r["id_a"], r["id_b"])
+        for r in banded_pairs(
+            mh(to_df(inc1 + inc2)), ["sig_0", "sig_1"], against=base_bands
+        ).collect()
+    }
+    assert streamed == static == {(101, 1), (103, 1), (102, 2)}
+
+
 def test_drop_duplicates_within_watermark_bounds_state(spark, tmp_path):
     """The documented unbounded-stream dedup path
     (``dropDuplicatesWithinWatermark``): duplicates arriving within the
