@@ -648,7 +648,12 @@ def lloyd_kmeans(
     centroids stay deterministic either way."""
     if kernel == "numpy":
         def _assign(vdf, cents, vec_col):
-            return assign_clusters_np(vdf, cents, vec_col=vec_col, dtype="float64")
+            # same large-K routing as build_ivf_index's final pass: the
+            # training sample is bounded, but its ASSIGNMENT matrix is
+            # not — at K ≈ 10⁵ the per-task closure re-ship dominates
+            # (bit-identical kernels, see assign_clusters_bc)
+            fn = assign_clusters_bc if len(cents) > 4096 else assign_clusters_np
+            return fn(vdf, cents, vec_col=vec_col, dtype="float64")
     else:
         _assign = assign_clusters
     if train_rows is not None and int(train_rows) < k:
@@ -682,18 +687,30 @@ def lloyd_kmeans(
     cents = [(i, list(r["__v"])) for i, r in enumerate(seeds)]
     for _ in range(iters):
         assigned = _assign(vecs, cents, vec_col="__v")
+        # per-(cluster, pos) quantized means exactly as the oracle CTEs
+        # unroll them, then REASSEMBLE the d-length centroid arrays
+        # executor-side: the driver collects k ROWS, not k·d — at
+        # K ≈ 10⁵ / d = 384 that is the difference between a ~10⁵-row
+        # collect and a ~4·10⁷-row one per iteration.  The inner
+        # collect_list is structurally bounded at d entries; array_sort
+        # on (pos, val) structs orders by pos, so assembly is
+        # deterministic and value-identical to the old driver-side
+        # dict assembly.
         rows = (
             assigned.select("cluster_id", F.posexplode("__v").alias("pos", "val"))
             .groupBy("cluster_id", "pos")
             .agg(_quantize(F.avg("val"), decimals).alias("avg_val"))
+            .groupBy("cluster_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "avg_val"))
+                ).alias("entries")
+            )
             .collect()
         )
-        by_cluster: dict[int, dict[int, float]] = {}
-        for r in rows:
-            by_cluster.setdefault(r["cluster_id"], {})[r["pos"]] = r["avg_val"]
         cents = [
-            (cid, [pos_map[p] for p in sorted(pos_map)])
-            for cid, pos_map in sorted(by_cluster.items())
+            (int(r["cluster_id"]), [e["avg_val"] for e in r["entries"]])
+            for r in sorted(rows, key=lambda r: r["cluster_id"])
         ]
     return cents
 
