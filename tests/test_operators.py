@@ -296,6 +296,59 @@ def test_probe_clusters_bc_agreement(spark, emb):
         bc.destroy()
 
 
+def test_assign_probe_kernels_survive_long_centroid_ids(spark):
+    """r8 latent-bug fix, same id-width class as the r6 compaction
+    advice one layer up: every assignment/probe kernel used to cast
+    its output to int32 unconditionally, so routing NEW vectors or
+    probes against a POST-COMPACTION centroid table (second-generation
+    child ids ≈ (c+1)·1e6·1e6 > 2^31) silently WRAPPED the cluster id
+    and mis-routed.  All six kernels (expr/np/bc × assign/probe) must
+    emit exact long ids against such a table — and keep int32 output
+    for small-id tables so no existing consumer or oracle changes
+    shape."""
+    from vectorsearch_scylla_spark.operators.ivf import (
+        assign_clusters,
+        assign_clusters_bc,
+        assign_clusters_np,
+        probe_clusters,
+        probe_clusters_bc,
+        probe_clusters_np,
+    )
+
+    big_a = (3_000_000 + 1) * 1_000_000 + 1  # 2nd-gen child, ~3e12
+    big_b = (3_000_000 + 1) * 1_000_000 + 7
+    cents = [(big_a, [1.0, 0.0]), (big_b, [0.0, 1.0])]
+    vecs = spark.createDataFrame(
+        [(1, [0.9, 0.1]), (2, [0.1, 0.9])],
+        "vec_id long, embedding array<double>",
+    )
+    for fn, kw in [
+        (assign_clusters, {}),
+        (assign_clusters_np, {"dtype": "float64"}),
+        (assign_clusters_bc, {"dtype": "float64"}),
+    ]:
+        out = fn(vecs, cents, **kw)
+        assert dict(out.dtypes)["cluster_id"] == "bigint", fn.__name__
+        got = {r["vec_id"]: r["cluster_id"] for r in out.collect()}
+        assert got == {1: big_a, 2: big_b}, (fn.__name__, got)
+    for fn, kw in [
+        (probe_clusters, {}),
+        (probe_clusters_np, {"dtype": "float64"}),
+        (probe_clusters_bc, {"dtype": "float64"}),
+    ]:
+        out = fn(vecs, cents, nprobe=2, **kw)
+        assert dict(out.dtypes)["cluster_id"] == "bigint", fn.__name__
+        got = {(r["vec_id"], r["cluster_id"]) for r in out.collect()}
+        assert got == {(1, big_a), (1, big_b), (2, big_a), (2, big_b)}, fn.__name__
+
+    # small-id tables keep the historical int32 schema
+    small = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    assert dict(assign_clusters_np(vecs, small, dtype="float64").dtypes)[
+        "cluster_id"
+    ] == "int"
+    assert dict(probe_clusters(vecs, small, nprobe=1).dtypes)["cluster_id"] == "int"
+
+
 def test_probe_clusters_np_matches_expr_kernel(spark, emb):
     """The blocked NumPy multi-probe kernel (scale swap-in for a
     realistic K ≈ √N cluster count) must emit the same (row, probed

@@ -122,6 +122,26 @@ def _entries_sql(vec_sql: str, centroids: list[tuple[int, list[float]]]) -> str:
     return f"array({entries})"
 
 
+def _id_out_dtype(centroids):
+    """(Spark type, numpy dtype) for an assignment/probe output column.
+
+    Small coarse ids stay int32 — every existing consumer, oracle, and
+    inverted-list parquet schema keeps its shape.  Post-compaction
+    child ids ((parent+1)*child_base+child, second generation ~1e12)
+    exceed int32, where the old unconditional astype("int32") silently
+    WRAPPED and mis-routed members/probes — the same id-width bug class
+    the r6 advice flagged inside split_oversized_clusters, one layer
+    up.  Widen to long exactly when the centroid table demands it.
+    """
+    from pyspark.sql.types import IntegerType, LongType
+
+    if centroids and not all(
+        -(2**31) <= cid <= 2**31 - 1 for cid, _ in centroids
+    ):
+        return LongType(), "int64"
+    return IntegerType(), "int32"
+
+
 def assign_clusters(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],
@@ -138,8 +158,9 @@ def assign_clusters(
     expression: the Column-API construction costs k×d py4j round-trips
     of driver time per plan (seconds at k ≈ √N)."""
     best_sql = f"array_max({_entries_sql(f'`{vec_col}`', centroids)})"
+    sql_t = "bigint" if _id_out_dtype(centroids)[1] == "int64" else "int"
     out = df.withColumn("__best", F.expr(best_sql)).withColumn(
-        out_col, (-F.col("__best")["nc"]).cast("int")
+        out_col, (-F.col("__best")["nc"]).cast(sql_t)
     )
     if sim_col is not None:
         out = out.withColumn(sim_col, F.col("__best")["s"])
@@ -171,7 +192,7 @@ def assign_clusters_np(
     kernel's precision.
     """
     import numpy as np
-    from pyspark.sql.types import IntegerType, StructField, StructType
+    from pyspark.sql.types import StructField, StructType
 
     ordered = sorted(centroids)
     ids = np.array([cid for cid, _ in ordered], dtype=np.int64)
@@ -179,9 +200,10 @@ def assign_clusters_np(
     cn = np.linalg.norm(C, axis=1)
     cn[cn == 0.0] = 1.0
     Cn = (C / cn[:, None]).T  # d × k, normalized
+    spark_t, np_t = _id_out_dtype(centroids)
 
     schema = StructType(
-        list(df.schema.fields) + [StructField(out_col, IntegerType(), False)]
+        list(df.schema.fields) + [StructField(out_col, spark_t, False)]
     )
 
     def assign(batches):
@@ -194,13 +216,13 @@ def assign_clusters_np(
             sims[zero, :] = 0.0
             best = ids[np.argmax(sims, axis=1)]
             pdf = pdf.copy()
-            pdf[out_col] = best.astype("int32")
+            pdf[out_col] = best.astype(np_t)
             yield pdf
 
     return df.mapInPandas(assign, schema)
 
 
-def _bc_assign_kernel(bc, vec_col: str, out_col: str, dtype: str):
+def _bc_assign_kernel(bc, vec_col: str, out_col: str, dtype: str, np_t: str = "int32"):
     """Arrow-batch assignment closure over a BROADCAST centroid matrix.
 
     Module-level factory so tests can pin the contract mechanically:
@@ -222,7 +244,7 @@ def _bc_assign_kernel(bc, vec_col: str, out_col: str, dtype: str):
             sims[zero, :] = 0.0
             best = ids[np.argmax(sims, axis=1)]
             pdf = pdf.copy()
-            pdf[out_col] = best.astype("int32")
+            pdf[out_col] = best.astype(np_t)
             yield pdf
 
     return assign
@@ -260,7 +282,7 @@ def assign_clusters_bc(
     ``tests/test_operators.py::test_assign_clusters_bc_agreement``.
     """
     import numpy as np
-    from pyspark.sql.types import IntegerType, StructField, StructType
+    from pyspark.sql.types import StructField, StructType
 
     ordered = sorted(centroids)
     ids = np.array([cid for cid, _ in ordered], dtype=np.int64)
@@ -269,11 +291,14 @@ def assign_clusters_bc(
     cn[cn == 0.0] = 1.0
     Cn = np.ascontiguousarray((C / cn[:, None]).T)  # d × k, normalized
     bc = df.sparkSession.sparkContext.broadcast((ids, Cn))
+    spark_t, np_t = _id_out_dtype(centroids)
 
     schema = StructType(
-        list(df.schema.fields) + [StructField(out_col, IntegerType(), False)]
+        list(df.schema.fields) + [StructField(out_col, spark_t, False)]
     )
-    return df.mapInPandas(_bc_assign_kernel(bc, vec_col, out_col, dtype), schema)
+    return df.mapInPandas(
+        _bc_assign_kernel(bc, vec_col, out_col, dtype, np_t=np_t), schema
+    )
 
 
 def probe_clusters(
@@ -294,8 +319,9 @@ def probe_clusters(
         f"slice(reverse(array_sort({_entries_sql(f'`{vec_col}`', centroids)}))"
         f", 1, {int(nprobe)})"
     )
+    sql_t = "bigint" if _id_out_dtype(centroids)[1] == "int64" else "int"
     return df.withColumn("__probe", F.explode(F.expr(ranked_sql))).withColumn(
-        out_col, (-F.col("__probe")["nc"]).cast("int")
+        out_col, (-F.col("__probe")["nc"]).cast(sql_t)
     ).drop("__probe")
 
 
@@ -322,7 +348,7 @@ def probe_clusters_np(
     lowest cluster ids.
     """
     import numpy as np
-    from pyspark.sql.types import IntegerType, StructField, StructType
+    from pyspark.sql.types import StructField, StructType
 
     ordered = sorted(centroids)
     ids = np.array([cid for cid, _ in ordered], dtype=np.int64)
@@ -331,9 +357,10 @@ def probe_clusters_np(
     cn[cn == 0.0] = 1.0
     Cn = (C / cn[:, None]).T  # d × k, normalized
     np_ = min(nprobe, len(ids))
+    spark_t, np_t = _id_out_dtype(centroids)
 
     schema = StructType(
-        list(df.schema.fields) + [StructField(out_col, IntegerType(), False)]
+        list(df.schema.fields) + [StructField(out_col, spark_t, False)]
     )
 
     def kernel(batches):
@@ -348,13 +375,13 @@ def probe_clusters_np(
             sims[zero, :] = 0.0
             top = np.argsort(-sims, axis=1, kind="stable")[:, :np_]
             rep = pdf.loc[pdf.index.repeat(np_)].reset_index(drop=True)
-            rep[out_col] = ids[top].ravel().astype("int32")
+            rep[out_col] = ids[top].ravel().astype(np_t)
             yield rep
 
     return df.mapInPandas(kernel, schema)
 
 
-def _bc_probe_kernel(bc, nprobe: int, vec_col: str, out_col: str):
+def _bc_probe_kernel(bc, nprobe: int, vec_col: str, out_col: str, np_t: str = "int32"):
     """Arrow-batch multi-probe closure over a BROADCAST centroid
     matrix — same factory pattern (and the same pickle-size contract)
     as :func:`_bc_assign_kernel`."""
@@ -374,7 +401,7 @@ def _bc_probe_kernel(bc, nprobe: int, vec_col: str, out_col: str):
             sims[zero, :] = 0.0
             top = np.argsort(-sims, axis=1, kind="stable")[:, :np_]
             rep = pdf.loc[pdf.index.repeat(np_)].reset_index(drop=True)
-            rep[out_col] = ids[top].ravel().astype("int32")
+            rep[out_col] = ids[top].ravel().astype(np_t)
             yield rep
 
     return kernel
@@ -397,7 +424,7 @@ def probe_clusters_bc(
     probe the nprobe lowest ids; agreement pinned by
     ``test_probe_clusters_bc_agreement``."""
     import numpy as np
-    from pyspark.sql.types import IntegerType, StructField, StructType
+    from pyspark.sql.types import StructField, StructType
 
     ordered = sorted(centroids)
     ids = np.array([cid for cid, _ in ordered], dtype=np.int64)
@@ -406,11 +433,14 @@ def probe_clusters_bc(
     cn[cn == 0.0] = 1.0
     Cn = np.ascontiguousarray((C / cn[:, None]).T)
     bc = df.sparkSession.sparkContext.broadcast((ids, Cn))
+    spark_t, np_t = _id_out_dtype(centroids)
 
     schema = StructType(
-        list(df.schema.fields) + [StructField(out_col, IntegerType(), False)]
+        list(df.schema.fields) + [StructField(out_col, spark_t, False)]
     )
-    return df.mapInPandas(_bc_probe_kernel(bc, nprobe, vec_col, out_col), schema)
+    return df.mapInPandas(
+        _bc_probe_kernel(bc, nprobe, vec_col, out_col, np_t=np_t), schema
+    )
 
 
 def ivf_probe_topk_grouped(
