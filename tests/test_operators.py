@@ -296,6 +296,86 @@ def test_probe_clusters_bc_agreement(spark, emb):
         bc.destroy()
 
 
+def test_ivf_append_only_lifecycle_composes(spark, emb):
+    """The full append-only maintenance story must COMPOSE: build a
+    coarse index, append a skewed increment (frozen-quantizer
+    routing), compact the oversized list (long child ids), then append
+    AGAIN against the compacted centroid table and probe it.  The
+    post-compaction add/probe leg is where the int32 id wrap would
+    have mis-routed silently; here every routed id must be a live
+    centroid, second-batch members must land on their argmax-cosine
+    child (NumPy reference), and the grouped probe must see consistent
+    lists."""
+    import numpy as np
+
+    from vectorsearch_scylla_spark.operators.ivf import (
+        assign_clusters_np,
+        lloyd_kmeans,
+        probe_clusters_np,
+        split_oversized_clusters,
+    )
+
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = lloyd_kmeans(vecs, k=4, iters=2, kernel="numpy")
+    members = assign_clusters_np(vecs, cents, dtype="float64")
+
+    # skewed increment: 60 copies of one member vector land in one list
+    seed = members.orderBy("vec_id").first()
+    hot_cluster = seed["cluster_id"]
+    inc1 = spark.createDataFrame(
+        [(10_000 + i, list(seed["embedding"])) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    routed1 = assign_clusters_np(inc1, cents, dtype="float64")
+    assert {r["cluster_id"] for r in routed1.collect()} == {hot_cluster}
+    grown = members.unionByName(routed1)
+
+    # compact: only the hot list splits
+    sizes = {r["cluster_id"]: r["n"] for r in
+             grown.groupBy("cluster_id").agg(F.count("*").alias("n")).collect()}
+    max_size = sorted(sizes.values())[-2] + 1  # only the largest splits
+    cents2, members2 = split_oversized_clusters(
+        grown, cents, max_size=max_size, split_k=2, iters=2
+    )
+    child_ids = {c for c, _ in cents2 if c >= 1_000_000}
+    assert child_ids and hot_cluster not in {c for c, _ in cents2}
+
+    # append AGAIN against the compacted table — routing must target
+    # live centroids (incl. long child ids) exactly per NumPy argmax
+    inc2 = vecs.filter(F.col("vec_id") % 7 == 3).select(
+        (F.col("vec_id") + 20_000).alias("vec_id"), "embedding"
+    )
+    routed2 = assign_clusters_np(inc2, cents2, dtype="float64")
+    cent_ids = {c for c, _ in cents2}
+    got = {r["vec_id"]: r["cluster_id"] for r in routed2.collect()}
+    assert set(got.values()) <= cent_ids
+    ordered = sorted(cents2)
+    C = np.asarray([v for _, v in ordered], dtype=np.float64)
+    Cn = (C / np.linalg.norm(C, axis=1)[:, None]).T
+    ids = np.array([c for c, _ in ordered])
+    for r in inc2.collect():
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        want = ids[int(np.argmax((v / np.linalg.norm(v)) @ Cn))]
+        assert got[r["vec_id"]] == want, r["vec_id"]
+    # at least one second-batch vector must land on a split child
+    # (they duplicate base vectors, some of which routed to the hot
+    # cluster that no longer exists)
+    assert any(c in child_ids for c in got.values())
+
+    # probe the compacted table: fan-out ids all live.  First-gen
+    # child ids (~1e6) still fit int32, so the schema correctly stays
+    # int — the long widening (second-gen ids) is pinned by
+    # test_assign_probe_kernels_survive_long_centroid_ids
+    probes = probe_clusters_np(inc2, cents2, nprobe=2, dtype="float64")
+    assert dict(probes.dtypes)["cluster_id"] == "int"
+    assert {r["cluster_id"] for r in probes.collect()} <= cent_ids
+
+    # the final member table routes every row to a live list
+    assert {r["cluster_id"] for r in members2.collect()} <= cent_ids
+
+
 def test_assign_probe_kernels_survive_long_centroid_ids(spark):
     """r8 latent-bug fix, same id-width class as the r6 compaction
     advice one layer up: every assignment/probe kernel used to cast
