@@ -375,6 +375,26 @@ def test_ivf_append_only_lifecycle_composes(spark, emb):
     # the final member table routes every row to a live list
     assert {r["cluster_id"] for r in members2.collect()} <= cent_ids
 
+    # the grouped probe kernel must cogroup int32 probe ids against
+    # the compaction's LONG member ids (Spark's key coercion — pinned
+    # because a silent non-match here would return 0 neighbors, not
+    # an error)
+    from vectorsearch_scylla_spark.operators.ivf import ivf_probe_topk_grouped
+
+    q = vecs.limit(10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    m2 = members2.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("corpus_vec"),
+        "cluster_id",
+    )
+    grouped = ivf_probe_topk_grouped(
+        probe_clusters_np(q, cents2, nprobe=2, vec_col="query_vec", dtype="float64"),
+        m2, k=3, exclude_self=True, dtype="float64",
+    )
+    assert grouped.count() == 30  # 10 queries x k=3
+
 
 def test_assign_probe_kernels_survive_long_centroid_ids(spark):
     """r8 latent-bug fix, same id-width class as the r6 compaction
