@@ -46,18 +46,23 @@ def test_query_matches_oracle(spark, sf_dir, name):
     assert ok, f"{name}: {reason}"
 
 
-def test_folded_dedup_clusters_union_matches_oracle(spark, sf_dir):
+@pytest.mark.parametrize(
+    "sf", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+)
+def test_folded_dedup_clusters_union_matches_oracle(spark, sf):
     """The full-union clustering with per-class edge attribution was
     FOLDED out of the registry in r8 (slot budget: the cascade is the
     registered execution sharing the same transitive-closure oracle).
     Its certificate survives here verbatim: replay the driver gate
-    over the unregistered function + its kept oracle SQL, so the
-    per-class edge-count surface never goes dark."""
+    over the unregistered function + its kept oracle SQL — at BOTH the
+    local-suite SF and the sf0.01 the driver used to certify it at —
+    so the per-class edge-count surface never goes dark."""
     from vectorsearch_scylla_spark.plans.registry import (
         DEDUP_CLUSTERS_UNION_ORACLE,
         q_dedup_clusters_union,
     )
 
+    sf_dir = sf
     sdf = q_dedup_clusters_union(spark, sf_dir)
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
