@@ -857,7 +857,7 @@ def _bigk_assign_study(spark) -> dict:
     out["matrix_mb"] = round(Cn.nbytes / 2**20, 1)
     bc_probe = spark.sparkContext.broadcast((np.arange(4), np.eye(2)))
     out["bc_closure_kb"] = round(
-        len(cloudpickle.dumps(_bc_assign_kernel(bc_probe, "embedding", "cluster_id", "float32"))) / 1024, 1
+        len(cloudpickle.dumps(_bc_assign_kernel(bc_probe, "embedding", "cluster_id"))) / 1024, 1
     )
     getattr(spark.sparkContext, "_pickled_broadcast_vars", set()).clear()
     bc_probe.destroy()

@@ -228,7 +228,7 @@ def test_assign_clusters_bc_closure_stays_small(spark):
     sc = spark.sparkContext
     bc = sc.broadcast((ids, Cn))
     try:
-        small = len(cloudpickle.dumps(_bc_assign_kernel(bc, "embedding", "cluster_id", "float64")))
+        small = len(cloudpickle.dumps(_bc_assign_kernel(bc, "embedding", "cluster_id")))
         assert small < 50_000, f"bc kernel closure is {small} bytes — the matrix leaked in"
 
         # reference point: a closure capturing the arrays directly is
@@ -1622,6 +1622,69 @@ def test_lloyd_kmeans_train_rows_guard(spark, emb):
 
     with pytest.raises(ValueError, match="train_rows"):
         lloyd_kmeans(emb, k=8, iters=1, train_rows=4)
+
+
+def test_split_oversized_clusters_validates_at_entry(spark):
+    """r8 ADVICE (low): the split_k/child_base and int64-headroom
+    guards must fire AT ENTRY — even on a run where no cluster is
+    oversized (max_size huge), where the old post-split placement let
+    an invalid configuration pass silently, and without first paying
+    the applyInPandas split pass."""
+    from vectorsearch_scylla_spark.operators.ivf import split_oversized_clusters
+
+    members = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 1)],
+        "vec_id long, embedding array<double>, cluster_id long",
+    )
+    cents = [(0, [1.0, 0.0]), (1, [0.0, 1.0])]
+    # nothing is oversized at max_size=100 — both still refuse
+    with pytest.raises(ValueError, match="child_base"):
+        split_oversized_clusters(
+            members, cents, max_size=100, split_k=4, iters=1, child_base=2
+        )
+    with pytest.raises(ValueError, match="int64"):
+        split_oversized_clusters(
+            members, cents, max_size=100, split_k=2, iters=1, child_base=2**62
+        )
+
+
+def test_lloyd_kmeans_bc_threshold_threads_through(spark, emb):
+    """r8 ADVICE (low): lloyd_kmeans used to hardcode the broadcast
+    routing threshold (4096) while build_ivf_index exposed it as
+    bc_threshold — a caller adjusting the knob got a mixed kernel
+    choice between training and the final pass.  Pin: the parameter
+    exists with the same default, forcing the broadcast kernel during
+    training (bc_threshold=1) yields the same centroids on tie-free
+    data, and the (df, bc) unwrap + per-iteration unpersist path
+    executes."""
+    import inspect
+
+    from vectorsearch_scylla_spark.operators.ivf import lloyd_kmeans
+
+    assert inspect.signature(lloyd_kmeans).parameters["bc_threshold"].default == 4096
+    base = lloyd_kmeans(emb, k=4, iters=2, kernel="numpy")
+    forced = lloyd_kmeans(emb, k=4, iters=2, kernel="numpy", bc_threshold=1)
+    assert forced == base
+
+
+def test_banded_pairs_against_rejects_skew_params(spark):
+    """r8 ADVICE (low): the bipartite (against=) mode never salts, so
+    non-default oversized_at/split_target/max_salts would be silently
+    ignored — they must be rejected instead."""
+    from vectorsearch_scylla_spark.operators.dedup import banded_pairs
+
+    sides = spark.createDataFrame([(1, 10)], "doc_id long, b0 long")
+    base = spark.createDataFrame([(2, 10)], "doc_id long, b0 long")
+    for kwargs in (
+        {"oversized_at": 64},
+        {"split_target": 8},
+        {"max_salts": 16},
+    ):
+        with pytest.raises(ValueError, match="against"):
+            banded_pairs(sides, ["b0"], against=base, **kwargs)
+    # defaults stay accepted, and the bipartite join still works
+    got = {(r["id_a"], r["id_b"]) for r in banded_pairs(sides, ["b0"], against=base).collect()}
+    assert got == {(1, 2)}
 
 
 def test_drop_inherited_stats_fresh_logical_rdd(spark):

@@ -195,13 +195,18 @@ def banded_pairs(
     NULL) — and ``sides`` must be unique on (band key, id), or the
     duplicate rows multiply into duplicate pairs.
     """
-    if max_salts < 2:
-        raise ValueError(f"max_salts={max_salts}: need >= 2 to split a bucket")
-    if split_target is None:
-        split_target = min(64, int(oversized_at))
-    if split_target < 1:
-        raise ValueError(f"split_target={split_target}: need >= 1")
     if against is not None:
+        # the bipartite mode never salts (per-bucket work is
+        # |new∩bucket|·|base∩bucket|, handled by AQE's skew split +
+        # the broadcast of the small new side), so non-default skew
+        # knobs would be silently ignored — reject them instead of
+        # letting a caller believe they took effect
+        if (oversized_at, split_target, max_salts) != (256, None, 64):
+            raise ValueError(
+                "banded_pairs: oversized_at/split_target/max_salts do "
+                "not apply in against= (bipartite) mode — the salted "
+                "expansion only exists for the triangular self-join"
+            )
         return (
             sides.select(*band_cols, F.col(id_col).alias("id_a"))
             .join(
@@ -210,6 +215,12 @@ def banded_pairs(
             )
             .select("id_a", "id_b")
         )
+    if max_salts < 2:
+        raise ValueError(f"max_salts={max_salts}: need >= 2 to split a bucket")
+    if split_target is None:
+        split_target = min(64, int(oversized_at))
+    if split_target < 1:
+        raise ValueError(f"split_target={split_target}: need >= 1")
     from pyspark.sql import Window
 
     # ONE shuffle on the band key does everything: the window count

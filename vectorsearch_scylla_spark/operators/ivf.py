@@ -222,7 +222,7 @@ def assign_clusters_np(
     return df.mapInPandas(assign, schema)
 
 
-def _bc_assign_kernel(bc, vec_col: str, out_col: str, dtype: str, np_t: str = "int32"):
+def _bc_assign_kernel(bc, vec_col: str, out_col: str, np_t: str = "int32"):
     """Arrow-batch assignment closure over a BROADCAST centroid matrix.
 
     Module-level factory so tests can pin the contract mechanically:
@@ -230,7 +230,9 @@ def _bc_assign_kernel(bc, vec_col: str, out_col: str, dtype: str, np_t: str = "i
     broadcast HANDLE — ``tests/test_operators.py::
     test_assign_clusters_bc_closure_stays_small``), while the
     closure-embedded :func:`assign_clusters_np` kernel pickles the
-    whole k×d matrix into EVERY task."""
+    whole k×d matrix into EVERY task.  Vector batches are cast to the
+    broadcast matrix's own dtype (``Cn.dtype``) so the matmul never
+    mixes precisions."""
     import numpy as np
 
     def assign(batches):
@@ -281,6 +283,23 @@ def assign_clusters_bc(
     ``bc_threshold``; agreement with the literal paths is pinned by
     ``tests/test_operators.py::test_assign_clusters_bc_agreement``.
     """
+    return _assign_clusters_bc(df, centroids, vec_col, out_col, dtype)[0]
+
+
+def _assign_clusters_bc(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "cluster_id",
+    dtype: str = "float32",
+):
+    """:func:`assign_clusters_bc` plus the ``Broadcast`` handle —
+    ``(df, bc)`` — for callers that fully materialize the returned
+    DataFrame and can therefore ``bc.unpersist()`` afterwards.
+    :func:`lloyd_kmeans` needs this: it collects one assignment per
+    iteration, and without an explicit unpersist a K>threshold
+    training run accumulates one k×d broadcast per iteration until
+    the JVM ContextCleaner happens to GC the handles."""
     import numpy as np
     from pyspark.sql.types import StructField, StructType
 
@@ -296,9 +315,8 @@ def assign_clusters_bc(
     schema = StructType(
         list(df.schema.fields) + [StructField(out_col, spark_t, False)]
     )
-    return df.mapInPandas(
-        _bc_assign_kernel(bc, vec_col, out_col, dtype, np_t=np_t), schema
-    )
+    out = df.mapInPandas(_bc_assign_kernel(bc, vec_col, out_col, np_t=np_t), schema)
+    return out, bc
 
 
 def probe_clusters(
@@ -619,6 +637,7 @@ def build_ivf_index(
     cents = lloyd_kmeans(
         df, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
         decimals=decimals, train_rows=cap, kernel=kernel,
+        bc_threshold=bc_threshold,
     )
     staging = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     os.makedirs(staging, exist_ok=True)
@@ -650,6 +669,7 @@ def lloyd_kmeans(
     decimals: int = 6,
     kernel: str = "expr",
     train_rows: int | None = None,
+    bc_threshold: int = 4096,
 ) -> list[tuple[int, list[float]]]:
     """Train the coarse quantizer; returns ``[(cluster_id, centroid)]``
     sorted by cluster id.  ``iters + 1`` Spark jobs: one seed draw and
@@ -675,17 +695,36 @@ def lloyd_kmeans(
     assignment pass — the 100 TB build path (identical asymptotics,
     ~5× lower constant; can differ from the fold only on exact cosine
     ties).  Both feed the SAME Spark-side quantized-mean update, so
-    centroids stay deterministic either way."""
+    centroids stay deterministic either way.
+
+    ``bc_threshold`` is the K above which the numpy kernel's
+    assignment rides a broadcast centroid matrix instead of the task
+    closure — the SAME knob :func:`build_ivf_index` exposes, threaded
+    through so a caller raising it there gets the identical kernel
+    choice during training (the two kernels agree everywhere except
+    exact cosine ties, where BLAS layout can pick a different winner).
+    Each iteration's broadcast is unpersisted as soon as the update
+    aggregate is collected, so a long training run holds at most one
+    k×d broadcast at a time."""
     if kernel == "numpy":
         def _assign(vdf, cents, vec_col):
             # same large-K routing as build_ivf_index's final pass: the
             # training sample is bounded, but its ASSIGNMENT matrix is
             # not — at K ≈ 10⁵ the per-task closure re-ship dominates
-            # (bit-identical kernels, see assign_clusters_bc)
-            fn = assign_clusters_bc if len(cents) > 4096 else assign_clusters_np
-            return fn(vdf, cents, vec_col=vec_col, dtype="float64")
+            # (bit-identical kernels, see assign_clusters_bc).  The bc
+            # path also hands back the Broadcast so the iteration loop
+            # can unpersist it once the update aggregate is collected.
+            if len(cents) > bc_threshold:
+                return _assign_clusters_bc(
+                    vdf, cents, vec_col=vec_col, dtype="float64"
+                )
+            return (
+                assign_clusters_np(vdf, cents, vec_col=vec_col, dtype="float64"),
+                None,
+            )
     else:
-        _assign = assign_clusters
+        def _assign(vdf, cents, vec_col):
+            return assign_clusters(vdf, cents, vec_col=vec_col), None
     if train_rows is not None and int(train_rows) < k:
         # the documented invariant "seeds are the sample's first k
         # rows" breaks when the sample is smaller than k (seeds
@@ -716,7 +755,7 @@ def lloyd_kmeans(
     seeds = hashed.orderBy("__h", id_col).limit(k).collect()
     cents = [(i, list(r["__v"])) for i, r in enumerate(seeds)]
     for _ in range(iters):
-        assigned = _assign(vecs, cents, vec_col="__v")
+        assigned, bc = _assign(vecs, cents, vec_col="__v")
         # per-(cluster, pos) quantized means exactly as the oracle CTEs
         # unroll them, then REASSEMBLE the d-length centroid arrays
         # executor-side: the driver collects k ROWS, not k·d — at
@@ -738,6 +777,10 @@ def lloyd_kmeans(
             )
             .collect()
         )
+        if bc is not None:
+            # the collect fully materialized this iteration's
+            # assignment; the broadcast is dead weight from here on
+            bc.unpersist()
         cents = [
             (int(r["cluster_id"]), [e["avg_val"] for e in r["entries"]])
             for r in sorted(rows, key=lambda r: r["cluster_id"])
@@ -774,8 +817,11 @@ def split_oversized_clusters(
     it splits, so ids stay unique across repeated compactions,
     including children of children, until
     ``(max(parent)+1)*child_base + split_k`` would exceed int64, which
-    this function rejects with ``ValueError``
-    rather than silently wrapping), and reassign ONLY the split
+    this function rejects with ``ValueError`` AT ENTRY — conservatively
+    bounding max(parent) by the largest given centroid id, so the
+    invalid configuration fails before any Spark work instead of
+    silently wrapping or passing on a no-split run), and reassign ONLY
+    the split
     clusters' members.  Output ``cluster_col`` is LongType end-to-end
     (untouched members' ids are widened at the union boundary).
     Untouched clusters' lists and centroids are byte-identical on
@@ -809,6 +855,29 @@ def split_oversized_clusters(
         ArrayType, BooleanType, DoubleType, IntegerType, LongType,
         StructField, StructType,
     )
+
+    # validate the id-minting preconditions BEFORE any Spark work: an
+    # invalid configuration used to pass silently on runs where no
+    # cluster happened to be oversized, and otherwise wasted a full
+    # applyInPandas split pass before raising.  The headroom check is
+    # conservative — every possible split parent is one of the given
+    # centroid ids, so max(centroid id) bounds max(parent).
+    if split_k > child_base:
+        raise ValueError(
+            "split_oversized_clusters: split_k="
+            f"{split_k} > child_base={child_base} — child id "
+            "ranges of adjacent parents would overlap"
+        )
+    if centroids:
+        max_cid = max(cid for cid, _ in centroids)
+        if (max_cid + 1) * child_base + split_k > 2**63 - 1:
+            raise ValueError(
+                "split_oversized_clusters: child id "
+                f"(max possible parent={max_cid} + 1) * child_base="
+                f"{child_base} + split_k={split_k} exceeds int64 — "
+                "the id space is exhausted; retrain the quantizer "
+                "instead of compacting further"
+            )
 
     sizes = (
         members.groupBy(cluster_col).agg(F.count("*").alias("__n"))
@@ -883,22 +952,6 @@ def split_oversized_clusters(
     )
     cen_rows = split.filter(F.col("is_centroid")).select("parent", "child", "cvec").collect()
     split_parents = {int(r["parent"]) for r in cen_rows}
-    if split_parents:
-        if split_k > child_base:
-            raise ValueError(
-                "split_oversized_clusters: split_k="
-                f"{split_k} > child_base={child_base} — child id "
-                "ranges of adjacent parents would overlap"
-            )
-        top = (max(split_parents) + 1) * child_base + split_k
-        if top > 2**63 - 1:
-            raise ValueError(
-                "split_oversized_clusters: child id "
-                f"(max(parent)={max(split_parents)} + 1) * child_base="
-                f"{child_base} + split_k={split_k} exceeds int64 — "
-                "the id space is exhausted; retrain the quantizer "
-                "instead of compacting further"
-            )
     new_cents = sorted(
         [(cid, v) for cid, v in centroids if cid not in split_parents]
         + [
