@@ -125,81 +125,74 @@ def query(name: str, oracle: str | None, survey_ids: list[str], doc: str = ""):
 # verification via tests/test_oracle_parity.py, which replicates the
 # driver gate over the ENTIRE registry at sf0.001.
 DRIVER_WINDOW: list[str] = [
-    # -- r8 must-rotate set: every query whose last driver row is r6
-    # (the full 42-query set tools/rotate_window.py printed, including
-    # the two r7 ceded-slot debts ann_recall_report and sq8_ivf_knn,
-    # which lead per the r7 verdict; the five streaming members are
-    # deferred to the streaming tail below) ---------------------------
-    "ann_recall_report",
-    "sq8_ivf_knn",
-    "anomaly_events_build",
-    "approx_distinct_check",
-    "bpe_token_estimate",
-    "chunk_dedup",
-    "customer_order_coverage",
-    "dedup_incremental",
-    "detect_consensus",
-    "doc_repetition_stats",
-    "domain_doc_cap",
-    "embedding_input_text",
-    "event_props_stats",
-    "event_sessionization",
-    "fleet_config_source",
-    "ivfpq_knn",
-    "knn_bruteforce",
-    "lsh_knn",
-    "media_byte_features",
-    "media_frame_sample",
-    "metric_percentiles",
-    "metric_percentiles_approx",
-    "path2_anomaly",
-    "path3_novelty_flags",
-    "pii_redaction",
-    "pq_knn",
-    "profile_rebuild_after_feedback",
-    "resample_daily_locf",
-    "retention_sweep",
-    "source_lang_rollup",
-    "source_mix_summary",
-    "sq8_knn",
-    "tfidf_top_terms",
-    "threshold_rules",
-    "token_budget_sample",
-    "unigram_logprob_score",
-    "zscore_outliers",
-    # -- new in round 8: incremental MinHash/ngram dedup (bipartite
-    # against= band join vs the persisted base band index) — the last
-    # dedup evidence class to gain a daily-increment mode.  Slot freed
-    # by folding dedup_clusters_union to a pytest-only certificate
-    # (its cascade twin below shares the same transitive-closure
-    # oracle; per-class edge attribution stays certified by
-    # test_folded_dedup_clusters_union_matches_oracle) ----------------
-    "ngram_jaccard_incremental",
-    # -- implementation changed in round 8 (re-certify): the
-    # compaction child-id mint moved to (parent+1)*child_base+child
-    # (r7 ADVICE high — parent 0 aliasing), touching ivf.py and the
-    # compaction oracle; banded_pairs gained the bipartite against=
-    # mode + a conf-parse guard, so its certified consumers re-run ----
+    # -- r9 must-rotate set: every query whose last driver row is r7
+    # (the full 42-query set tools/rotate_window.py printed after the
+    # r8 stamp; the two streaming members are deferred to the
+    # streaming tail below) -------------------------------------------
+    "asof_event_snapshot_join",
+    "asof_nearest_join",
+    "benchmark_decontam",
+    "conditional_counts",
+    "corpus_quality_filter",
+    "dedup_canonical",
+    "dedup_exact",
+    "dedup_pipeline_funnel",
+    "device_profile_build",
+    "device_statistics",
+    "doc_chunking",
+    "doc_fingerprint",
+    "embedding_neardup_pairs",
+    "fleet_simulator",
+    "ivf_incremental_add",
+    "ivf_sampled_train_knn",
+    "ivfpq_residual_knn",
+    "knn_distributed",
+    "knn_same_label",
+    "language_id",
+    "latest_event_per_user",
+    "lww_window_snapshot",
+    "market_share",
+    "minhash_dup_buckets",
+    "minhash_signatures",
+    "pricing_summary",
+    "range_scan",
+    "relationship_rules",
+    "rolling_metric_stats",
+    "semantic_dedup_keepers",
+    "simhash_dup_pairs",
+    "simhash_fingerprints",
+    "similar_state_metric_diff",
+    "stratified_sample",
+    "text_quality",
+    "token_packing",
+    "token_stats_by_lang",
+    "top_orders_per_customer",
+    "tumbling_window_counts",
+    "window_pivot_snapshot",
+    # -- implementation-touched in round 9 (re-certify): ivf.py gained
+    # entry validation for the compaction id mint, bc_threshold
+    # threading into lloyd_kmeans, and per-iteration broadcast
+    # unpersist — behavior-neutral by design, so every certified
+    # consumer of lloyd_kmeans/split_oversized_clusters re-runs under
+    # the driver gate to prove it (the PQ family trains its codebooks
+    # through lloyd_kmeans); banded_pairs gained the against=-mode
+    # skew-knob rejection, so its two r8-certified consumers re-run --
     "ivf_compaction",
     "ivf_grouped_knn",
-    "ngram_jaccard_pairs",
+    "pq_knn",
+    "ivfpq_knn",
+    "sq8_knn",
+    "sq8_ivf_knn",
+    "ngram_jaccard_incremental",
     "dedup_clusters_union_cascade",
-    "dedup_clusters",
-    # -- flagship re-certs: the two r7 incremental maintainers, whose
-    # persisted-artifact paths this round's funnel study builds on ----
-    "dedup_clusters_incremental",
-    "embedding_neardup_incremental",
     # -- streaming e2e LAST: a completed Structured Streaming query
     # leaves residue in the shared local JVM (streaming-state/codegen
     # caches and a stopped-query cleanup thread) that intermittently
     # slows later heavy batch queries 10-50x in the same process —
     # so every batch query must run before the first stream starts.
-    # All five are in the r8 must-rotate set.
-    "streaming_detect_e2e",
-    "streaming_novelty_e2e",
-    "streaming_rolling_stats",
-    "streaming_dedup_e2e",
-    "streaming_window_pivot",
+    # Both are in the r9 must-rotate set.
+    "streaming_neardup_e2e",
+    "streaming_ivf_add_e2e",
 ]
 
 
