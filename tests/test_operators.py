@@ -2187,3 +2187,145 @@ def test_incremental_components_prunes_untouched(spark):
     }
     assert out[10] == 20 and out[20] == 20  # untouched rows verbatim
     assert out[30] == out[60] == out[70] == 30  # touched part recomputed
+
+
+def test_incremental_chain_roll_forward_equals_batch(spark, tmp_path):
+    """r9: the CHAINED multi-day incremental dedup pipeline.  The r7/r8
+    incremental modes were certified for ONE increment against a fixed
+    base; a real deployment runs them every day, which requires the
+    base signature artifact to ROLL FORWARD (absorb each certified
+    increment) so day d+1 probes base ∪ day 1 ∪ … ∪ day d.  Pin the
+    full loop over three days — fingerprint once, within + vs-artifact
+    band joins, incremental_components label maintenance, then
+    roll_forward_signatures — and after EVERY day assert (a) chained
+    labels == batch-recompute labels over the corpus so far, and
+    (b) the artifact rows == fresh fingerprints of that corpus.  The
+    planted pattern forces the hard cases: a dup that merges into an
+    OLD base component, a chain that spans three increments
+    transitively, and a doc whose only dup is inside its own
+    increment."""
+    from vectorsearch_scylla_spark.operators.dedup import (
+        roll_forward_signatures,
+        simhash128,
+        simhash_near_dup_pairs,
+    )
+    from vectorsearch_scylla_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+    from vectorsearch_scylla_spark.session import drop_inherited_stats
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    base_rows = [
+        (i, f"unique base document number {i} carrying payload {i * 7919}")
+        for i in range(12)
+    ]
+    base_rows[1] = (1, base_rows[0][1])  # base-internal dup pair {0, 1}
+    days = [
+        # day 1: 100 dups base doc 2 (merge into old component);
+        # 101/102 dup each other (within-increment only); 103 singleton
+        [(100, base_rows[2][1]),
+         (101, "shared day-one replica text alpha beta gamma delta"),
+         (102, "shared day-one replica text alpha beta gamma delta"),
+         (103, "day one singleton text with its own payload")],
+        # day 2: 200 extends the 101/102 family across the day
+        # boundary (only findable via the rolled-forward artifact)
+        [(200, "shared day-one replica text alpha beta gamma delta"),
+         (201, "day two singleton text with another payload")],
+        # day 3: 300 joins the base {0,1} component; 301 extends the
+        # 101/102/200 family a second hop; 302 singleton
+        [(300, base_rows[0][1]),
+         (301, "shared day-one replica text alpha beta gamma delta"),
+         (302, "day three singleton text nothing like the others")],
+    ]
+
+    base = mk(base_rows)
+    art = str(tmp_path / "sig_artifact")
+    base_sigs = drop_inherited_stats(simhash128(base).localCheckpoint())
+    base_sigs.write.parquet(art)
+    # the persisted label table is COMPLETE (singletons included), as
+    # the deployment keeps it
+    labels = (
+        base.select(F.col("doc_id").alias("node"))
+        .join(
+            connected_components(
+                simhash_near_dup_pairs(base, docs_sigs=base_sigs).select(
+                    "id_a", "id_b"
+                )
+            ),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce("component", "node").alias("component"))
+    )
+    corpus_rows = list(base_rows)
+    for day_rows in days:
+        inc = mk(day_rows)
+        inc_sigs = drop_inherited_stats(simhash128(inc).localCheckpoint())
+        artifact = spark.read.parquet(art)
+        cross = simhash_near_dup_pairs(
+            inc, docs_sigs=inc_sigs, against_sigs=artifact
+        ).select("id_a", "id_b")
+        within = simhash_near_dup_pairs(inc, docs_sigs=inc_sigs).select(
+            "id_a", "id_b"
+        )
+        updated = incremental_components(labels, cross.unionByName(within))
+        labels = (
+            mk(corpus_rows + day_rows)
+            .select(F.col("doc_id").alias("node"))
+            .join(updated, "node", "left")
+            .select("node", F.coalesce("component", "node").alias("component"))
+            .localCheckpoint()  # next day's prev: persisted table stand-in
+        )
+        labels = drop_inherited_stats(labels)
+        roll_forward_signatures(inc_sigs, art)
+        corpus_rows = corpus_rows + day_rows
+
+        # (a) chained labels == batch recompute over the corpus so far
+        corpus = mk(corpus_rows)
+        batch = (
+            corpus.select(F.col("doc_id").alias("node"))
+            .join(
+                connected_components(
+                    simhash_near_dup_pairs(corpus).select("id_a", "id_b")
+                ),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce("component", "node").alias("component"))
+        )
+        got = {(r["node"], r["component"]) for r in labels.collect()}
+        want = {(r["node"], r["component"]) for r in batch.collect()}
+        assert got == want, (got - want, want - got)
+        # (b) the rolled artifact == fresh fingerprints of the corpus
+        art_rows = {tuple(r) for r in spark.read.parquet(art).collect()}
+        fresh = {tuple(r) for r in simhash128(corpus).collect()}
+        assert art_rows == fresh
+
+    # the planted structure actually exercised the hard cases
+    final = {r["node"]: r["component"] for r in labels.collect()}
+    assert final[300] == final[0] == final[1] == 0  # merged into old comp
+    assert final[101] == final[102] == final[200] == final[301] == 101
+    assert final[103] == 103 and final[201] == 201 and final[302] == 302
+
+
+def test_roll_forward_signatures_rejects_schema_drift(spark, tmp_path):
+    """A near-miss schema (renamed column, narrowed type) must be
+    rejected, not silently appended into a mixed-schema artifact."""
+    import pytest as _pytest
+
+    from vectorsearch_scylla_spark.operators.dedup import (
+        roll_forward_signatures,
+        simhash128,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "some text here")], "doc_id long, text string"
+    )
+    art = str(tmp_path / "art")
+    simhash128(docs).write.parquet(art)
+    bad = simhash128(docs).withColumnRenamed("s0", "sig0")
+    with _pytest.raises(ValueError, match="schema"):
+        roll_forward_signatures(bad, art)

@@ -445,3 +445,49 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def roll_forward_signatures(inc_sigs: DataFrame, artifact_path: str) -> None:
+    """Fold a certified increment's signature rows into the PERSISTED
+    base signature artifact, so the NEXT increment probes
+    base ∪ increment — the missing step that turns the one-shot
+    incremental modes (``simhash_near_dup_pairs(against_sigs=…)``,
+    ``hyperplane_near_dup_pairs(against_sigs=…)``, ``banded_pairs
+    (against=…)``) into a CHAINABLE daily pipeline: day d+1's run sees
+    every document through day d without any corpus re-fingerprint.
+    Generic over the signature shape (SimHash words+bands, MinHash
+    band tables, hyperplane band longs): it appends rows to a parquet
+    artifact whose schema must match EXACTLY — a near-miss schema
+    (int vs long band values, renamed column) would silently produce
+    an unreadable mixed artifact, so it is rejected here.
+
+    Write semantics: ``mode("append")`` adds NEW part files only —
+    existing base files are never rewritten, so a reader that races
+    the append sees a consistent prefix (yesterday's artifact), never
+    a torn file.  The intended deployment contract is a single daily
+    writer appending AFTER the day's pair extraction is certified;
+    ids across appended batches must be disjoint (the same contract
+    the against= join itself requires).  At 100 TB the append is
+    |increment| rows of fixed-width longs — independent of base size.
+
+    The equality this enables — chained incremental labels ==
+    batch-recompute labels after ANY number of roll-forwards — is
+    pinned end-to-end by ``tests/test_operators.py::
+    test_incremental_chain_roll_forward_equals_batch``.
+    """
+    spark = inc_sigs.sparkSession
+    existing = spark.read.parquet(artifact_path)
+    # compare (name, type) pairs, not full StructTypes: a parquet
+    # read-back reports every column nullable, while kernel-produced
+    # frames declare non-null fields — that difference is harmless
+    # (parquet append never widens types), so only names/types gate
+    if [(f.name, f.dataType) for f in existing.schema] != [
+        (f.name, f.dataType) for f in inc_sigs.schema
+    ]:
+        raise ValueError(
+            "roll_forward_signatures: increment schema does not match "
+            f"the artifact at {artifact_path}:\n"
+            f"  artifact:  {existing.schema.simpleString()}\n"
+            f"  increment: {inc_sigs.schema.simpleString()}"
+        )
+    inc_sigs.write.mode("append").parquet(artifact_path)
