@@ -456,6 +456,270 @@ def _incremental_study(spark, docs, base: str) -> dict:
     return out
 
 
+def _chain_study(spark, docs, base: str) -> dict:
+    """Multi-day CHAINED increments (r9): the r7/r8 incremental rows
+    price ONE increment against a frozen base; a deployment runs the
+    loop daily, rolling each certified increment's signatures into the
+    persisted artifact (``roll_forward_signatures``) so day d+1 probes
+    base ∪ days 1..d.  This study runs THREE consecutive ~1 %
+    increments and prices each day's full loop — bipartite pair probe
+    vs the (growing) artifact, within-increment self-join, star-replay
+    label update, artifact append — then the honest comparator: one
+    batch recompute over base ∪ all three increments.
+
+    The claim being priced: per-day cost is FLAT in the number of
+    days already absorbed (the artifact grows by |inc| rows/day, the
+    probe stays |new|·bands against a hash join, the label update
+    stays O(affected)), while the batch alternative re-pays the whole
+    corpus every day.  day3/day1 ≈ 1.0 is the flatness witness."""
+    from vectorsearch_scylla_spark.operators.dedup import (
+        roll_forward_signatures,
+        simhash128,
+        simhash_near_dup_pairs,
+    )
+    from vectorsearch_scylla_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+    from vectorsearch_scylla_spark.session import drop_inherited_stats
+
+    stages: dict = {}
+    counts: dict = {}
+
+    def stage(name: str, fn):
+        t0 = time.perf_counter()
+        r = fn()
+        stages[name] = round(time.perf_counter() - t0, 3)
+        print(f"[bench_scale] chain {name}: {stages[name]} s", file=sys.stderr)
+        return r
+
+    nn = docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
+    counts["n_base"] = nn.count()
+
+    art_path = os.path.join(base, "chain_sig_artifact")
+    labels_path = os.path.join(base, "chain_labels_0")
+    stage("base_signatures", lambda: simhash128(nn).write.parquet(art_path))
+    stage(
+        "base_components",
+        lambda: connected_components(
+            simhash_near_dup_pairs(
+                nn, max_hamming=5, docs_sigs=spark.read.parquet(art_path)
+            ).select("id_a", "id_b")
+        ).write.parquet(labels_path),
+    )
+
+    prev = spark.read.parquet(labels_path)
+    day_totals: list[float] = []
+    for day in (1, 2, 3):
+        # each day's increment: a disjoint ~1 % slice, perturbed so it
+        # both extends old clusters and forms new within-day pairs
+        inc_path = os.path.join(base, f"chain_inc_{day}")
+        nn.filter(F.col("doc_id") % 97 == day).select(
+            (F.col("doc_id") + day * 1_000_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" day{day}")).alias("text"),
+        ).write.parquet(inc_path)
+        inc = spark.read.parquet(inc_path)
+        counts[f"n_inc_day{day}"] = inc.count()
+
+        box: dict = {}
+
+        def day_pairs() -> None:
+            inc_sigs = drop_inherited_stats(simhash128(inc).localCheckpoint())
+            box["sigs"] = inc_sigs
+            artifact = spark.read.parquet(art_path)
+            cross = simhash_near_dup_pairs(
+                inc, max_hamming=5, docs_sigs=inc_sigs, against_sigs=artifact
+            ).select("id_a", "id_b")
+            within = simhash_near_dup_pairs(
+                inc, max_hamming=5, docs_sigs=inc_sigs
+            ).select("id_a", "id_b")
+            box["edges"] = cross.unionByName(within).localCheckpoint()
+            counts[f"edges_day{day}"] = box["edges"].count()
+
+        def day_update() -> None:
+            out = os.path.join(base, f"chain_labels_{day}")
+            incremental_components(prev, box["edges"]).write.parquet(out)
+            box["labels"] = out
+
+        def day_roll() -> None:
+            roll_forward_signatures(box["sigs"], art_path)
+
+        stage(f"day{day}_pairs", day_pairs)
+        stage(f"day{day}_update", day_update)
+        stage(f"day{day}_roll_forward", day_roll)
+        prev = spark.read.parquet(box["labels"])
+        day_totals.append(
+            round(
+                stages[f"day{day}_pairs"]
+                + stages[f"day{day}_update"]
+                + stages[f"day{day}_roll_forward"],
+                3,
+            )
+        )
+    counts["artifact_rows_final"] = spark.read.parquet(art_path).count()
+
+    # honest comparator: ONE batch recompute at the final corpus (what
+    # a no-incremental deployment would pay EVERY day by day 3)
+    def batch_recompute() -> None:
+        allrows = nn
+        for day in (1, 2, 3):
+            allrows = allrows.unionByName(
+                spark.read.parquet(os.path.join(base, f"chain_inc_{day}"))
+            )
+        pairs = simhash_near_dup_pairs(allrows, max_hamming=5).select(
+            "id_a", "id_b"
+        ).localCheckpoint()
+        connected_components(pairs).write.format("noop").mode("overwrite").save()
+
+    stage("batch_recompute_day3", batch_recompute)
+    return {
+        "stages_sec": stages,
+        "counts": counts,
+        "day_totals_sec": day_totals,
+        "flatness_day3_over_day1": round(day_totals[2] / day_totals[0], 2)
+        if day_totals[0]
+        else None,
+        "batch_day3_sec": stages["batch_recompute_day3"],
+        "day3_speedup_vs_batch": round(
+            stages["batch_recompute_day3"] / day_totals[2], 1
+        )
+        if day_totals[2]
+        else None,
+    }
+
+
+def _bucketed_study(spark, docs, base: str) -> dict:
+    """Storage-layout study (r9): the signature ARTIFACT is read every
+    day by id-equi-joins (the hamming re-attach inside
+    simhash_near_dup_pairs, the incremental probes' payload joins).
+    Stored as plain parquet, every such join re-shuffles the whole
+    artifact; stored as a BUCKETED table (``bucketBy(doc_id)``), the
+    scan itself satisfies the join's clustering requirement, so only
+    the (much smaller) pair side moves — a one-time layout cost that
+    every subsequent day amortizes.
+
+    Measures the re-attach join (pair set ⋈ sigs ⋈ sigs → Hamming
+    filter) over the SAME artifact three consecutive "days", parquet
+    vs bucketed, with the REST shuffle-bytes account.  Broadcast is
+    disabled for the study: it models the 100 TB regime, where neither
+    side fits a broadcast — at fixture scale AQE would quietly
+    broadcast the pair side and hide exactly the exchange this layout
+    decision controls."""
+    from vectorsearch_scylla_spark.operators.dedup import (
+        SIG_WORDS,
+        simhash128,
+        simhash_near_dup_pairs,
+    )
+
+    stages: dict = {}
+    counts: dict = {}
+
+    def stage(name: str, fn):
+        t0 = time.perf_counter()
+        r = fn()
+        stages[name] = round(time.perf_counter() - t0, 3)
+        print(f"[bench_scale] bkt {name}: {stages[name]} s", file=sys.stderr)
+        return r
+
+    nn = docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
+    sigs_path = os.path.join(base, "bkt_sigs_parquet")
+    stage("build_signatures", lambda: simhash128(nn).write.parquet(sigs_path))
+    sigs_pq = spark.read.parquet(sigs_path)
+    counts["artifact_rows"] = sigs_pq.count()
+
+    # the daily pair set whose payload re-attach we price: all band
+    # collisions of the full corpus (ids only — the worst-case re-attach)
+    pairs_path = os.path.join(base, "bkt_pairs")
+    stage(
+        "build_pair_set",
+        lambda: simhash_near_dup_pairs(nn, max_hamming=5, docs_sigs=sigs_pq)
+        .select("id_a", "id_b")
+        .write.parquet(pairs_path),
+    )
+    pairs = spark.read.parquet(pairs_path)
+    counts["pair_rows"] = pairs.count()
+
+    table = "vss_bkt_sigs_study"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    stage(
+        "bucketed_write_once",
+        lambda: spark.read.parquet(sigs_path)
+        .write.bucketBy(32, "doc_id")
+        .sortBy("doc_id")
+        .option("path", os.path.join(base, "bkt_sigs_table"))
+        .saveAsTable(table),
+    )
+
+    hamming = F.expr(
+        " + ".join(f"bit_count(a_s{m} ^ b_s{m})" for m in range(SIG_WORDS))
+    ).cast("long")
+
+    def reattach(sig_df) -> int:
+        wa = sig_df.select(
+            F.col("doc_id").alias("id_a"),
+            *[F.col(f"s{m}").alias(f"a_s{m}") for m in range(SIG_WORDS)],
+        )
+        wb = sig_df.select(
+            F.col("doc_id").alias("id_b"),
+            *[F.col(f"s{m}").alias(f"b_s{m}") for m in range(SIG_WORDS)],
+        )
+        return (
+            pairs.join(wa, "id_a")
+            .join(wb, "id_b")
+            .select("id_a", "id_b", hamming.alias("h"))
+            .filter(F.col("h") <= 5)
+            .count()
+        )
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        marks: dict = {}
+        t0 = _app_stage_totals(spark)
+        for day in (1, 2, 3):
+            stage(f"parquet_day{day}", lambda: reattach(spark.read.parquet(sigs_path)))
+        t1 = _app_stage_totals(spark)
+        for day in (1, 2, 3):
+            stage(f"bucketed_day{day}", lambda: reattach(spark.table(table)))
+        t2 = _app_stage_totals(spark)
+        if t0 is not None and t1 is not None and t2 is not None:
+            marks = {
+                "parquet_3days": {
+                    k: round((t1[k] - t0[k]) / 2**20, 1) for k in t1
+                },
+                "bucketed_3days": {
+                    k: round((t2[k] - t1[k]) / 2**20, 1) for k in t2
+                },
+            }
+        # plan witness: the bucketed side must satisfy the join's
+        # clustering straight off the scan (no Exchange over the scan)
+        bplan = (
+            pairs.join(
+                spark.table(table).select(F.col("doc_id").alias("id_a"), "s0"),
+                "id_a",
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        counts["bucketed_scan_exchanges"] = bplan.count("Exchange")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    pq3 = sum(stages[f"parquet_day{d}"] for d in (1, 2, 3))
+    bk3 = sum(stages[f"bucketed_day{d}"] for d in (1, 2, 3))
+    return {
+        "stages_sec": stages,
+        "counts": counts,
+        "parquet_3day_sec": round(pq3, 3),
+        "bucketed_3day_sec": round(bk3, 3),
+        "bucketed_speedup_3day": round(pq3 / bk3, 2) if bk3 else None,
+        "layout_cost_sec": stages["bucketed_write_once"],
+        "data_moved_mib": marks,
+    }
+
+
 def _nprobe_sweep_study(spark, emb) -> dict:
     """Standalone time-vs-recall curve of THE production IVF knob
     (nprobe) at the current scale: sampled-training √N-cluster build,
@@ -916,7 +1180,7 @@ def main() -> None:
         # rounds produce >1000 stages at 100× and the default retention
         # would silently undercount the data-movement deltas
         {"spark.ui.enabled": "true", "spark.ui.retainedStages": "20000"}
-        if sections & {"clique", "funnel", "inc", "incfunnel"}
+        if sections & {"clique", "funnel", "inc", "incfunnel", "chain", "bucketed"}
         else None
     )
     spark = get_spark("vectorsearch-scylla-spark-scale-bench", extra_configs=extra)
@@ -962,7 +1226,7 @@ def main() -> None:
         # =funnel run ONLY the named study and print their own JSON —
         # both are additive long-running measurements that must not
         # balloon the default battery
-        if sections and sections <= {"clique", "funnel", "sweep", "inc", "bigk", "incfunnel", "compact"}:
+        if sections and sections <= {"clique", "funnel", "sweep", "inc", "bigk", "incfunnel", "compact", "chain", "bucketed"}:
             study: dict = {}
             if "clique" in sections:
                 study["clique_study"] = _clique_study(spark, docs0, base)
@@ -978,6 +1242,10 @@ def main() -> None:
                 study["incremental_funnel"] = _incfunnel_study(spark, docs, base)
             if "compact" in sections:
                 study["compaction"] = _compaction_study(spark, emb0)
+            if "chain" in sections:
+                study["chained_increments"] = _chain_study(spark, docs, base)
+            if "bucketed" in sections:
+                study["bucketed_artifact"] = _bucketed_study(spark, docs, base)
             print(
                 json.dumps(
                     {

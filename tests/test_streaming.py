@@ -546,3 +546,90 @@ def test_streaming_ivf_add_source_spans_multiple_microbatches(spark, sf_dir):
     )
     parts = [f for f in os.listdir(src) if f.startswith("part-")]
     assert len(parts) > 8, parts
+
+
+def test_streaming_neardup_roll_forward_catches_cross_batch_pairs(spark, tmp_path):
+    """r9: the continuous near-dup gate's in-stream ROLL-FORWARD — a
+    duplicate pair SPLIT ACROSS micro-batches must be caught (the old
+    frozen-base probe missed it by construction), exactly once, in the
+    LATER doc's epoch, via the epoch-keyed signature artifact; and an
+    epoch's own signatures must be invisible to itself (the retry
+    guard), so a same-batch pair surfaces only through the within-batch
+    self-join.  Mirrors the registered streaming_neardup_e2e loop with
+    a hand-built two-batch stream."""
+    import os
+
+    from vectorsearch_scylla_spark.operators.dedup import (
+        simhash128,
+        simhash_near_dup_pairs,
+    )
+    from vectorsearch_scylla_spark.session import drop_inherited_stats
+
+    def to_df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    base_rows = [(1, "alpha beta gamma delta epsilon zeta eta theta")]
+    # batch 1: 101 dups base 1; 102/103 dup each other (same batch)
+    inc1 = [
+        (101, "alpha beta gamma delta epsilon zeta eta theta"),
+        (102, "one two three four five six seven eight"),
+        (103, "one two three four five six seven eight"),
+    ]
+    # batch 2: 201 dups 102/103 — findable ONLY via the rolled artifact
+    inc2 = [(201, "one two three four five six seven eight")]
+
+    sig_root = str(tmp_path / "sigs_seen")
+    simhash128(to_df(base_rows)).write.parquet(
+        os.path.join(sig_root, "epoch=-1")
+    )
+    src = str(tmp_path / "src")
+    to_df(inc1).coalesce(1).write.parquet(src + "/f=1")
+    to_df(inc2).coalesce(1).write.parquet(src + "/f=2")
+    out = str(tmp_path / "pairs")
+
+    def detect(batch_df, epoch_id):
+        inc_sigs = drop_inherited_stats(simhash128(batch_df).localCheckpoint())
+        seen = (
+            spark.read.option("basePath", sig_root)
+            .parquet(sig_root)
+            .filter(F.col("epoch") != int(epoch_id))
+            .drop("epoch")
+        )
+        cross = simhash_near_dup_pairs(
+            batch_df, max_hamming=5, docs_sigs=inc_sigs, against_sigs=seen
+        )
+        within = simhash_near_dup_pairs(batch_df, max_hamming=5, docs_sigs=inc_sigs)
+        cross.unionByName(within).select(
+            F.least("id_a", "id_b").alias("doc_lo"),
+            F.greatest("id_a", "id_b").alias("doc_hi"),
+            "hamming",
+        ).write.mode("overwrite").parquet(os.path.join(out, f"batch={epoch_id}"))
+        inc_sigs.write.mode("overwrite").parquet(
+            os.path.join(sig_root, f"epoch={epoch_id}")
+        )
+
+    q = (
+        spark.readStream.schema(to_df(inc1).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f=*")
+        .writeStream.foreachBatch(detect)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    rows = spark.read.parquet(out).collect()
+    pairs = sorted((r["doc_lo"], r["doc_hi"]) for r in rows)
+    # every unordered pair exactly once: base↔101, the within-batch
+    # 102↔103, and the CROSS-BATCH 102↔201 and 103↔201
+    assert pairs == [(1, 101), (102, 103), (102, 201), (103, 201)]
+    # the cross-batch pairs were discovered in the LATER doc's epoch
+    by_epoch = {
+        (r["doc_lo"], r["doc_hi"]): r["batch"]
+        for r in spark.read.parquet(out).withColumn(
+            "batch",
+            F.regexp_extract(F.input_file_name(), r"batch=(\d+)", 1).cast("int"),
+        ).collect()
+    }
+    assert by_epoch[(102, 201)] == by_epoch[(103, 201)] > by_epoch[(102, 103)]

@@ -6832,7 +6832,16 @@ def q_streaming_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "streaming_neardup_e2e",
     f"""
-    WITH {_PLANTED_DOCS_SQL.strip()},
+    WITH planted AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, text || ' vss' AS text
+        FROM documents WHERE doc_id % 50 = 25
+        UNION ALL
+        SELECT doc_id + 3000000 AS doc_id, text FROM documents WHERE doc_id % 50 = 0
+    ),
     {_simhash128_sigs_sql("planted")},
     banded AS (
         SELECT doc_id, s0, s1, s2, s3, k AS band_idx,
@@ -6840,26 +6849,36 @@ def q_streaming_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                       WHEN 3 THEN b3 WHEN 4 THEN b4 ELSE b5 END AS band_val
         FROM sigs, (SELECT unnest(range(0,6)) AS k) bands
     )
-    SELECT DISTINCT a.doc_id AS new_doc_id, b.doc_id AS base_doc_id,
+    SELECT DISTINCT a.doc_id AS doc_lo, b.doc_id AS doc_hi,
            CAST(bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1))
               + bit_count(xor(a.s2, b.s2)) + bit_count(xor(a.s3, b.s3)) AS BIGINT) AS hamming
     FROM banded a JOIN banded b
       ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-     AND a.doc_id >= 1000000 AND b.doc_id < 1000000
+     AND a.doc_id < b.doc_id AND b.doc_id >= 1000000
     WHERE bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1))
         + bit_count(xor(a.s2, b.s2)) + bit_count(xor(a.s3, b.s3)) <= 5
     """,
     ["DEDUP-INCREMENTAL", "DEDUP-SIMHASH", "STREAM-DEDUP", "T5"],
-    "STREAMING NEAR-DUP detection end-to-end — dedup_incremental's "
-    "streaming twin, the ingestion-time near-dup gate: the base "
-    "corpus's 128-bit SimHash SIGNATURE table is materialized once "
-    "(the per-micro-batch re-fingerprint trap avoided the same way "
-    "streaming_detect_e2e materializes profiles), new documents "
-    "stream in as files, and each micro-batch band-joins its "
-    "fingerprints against the base signature index via foreachBatch "
-    "(epoch-dir overwrite, exactly-once).  Per-doc output is "
-    "independent of the micro-batch split, so the batch incremental "
-    "oracle certifies the full streaming pipeline.",
+    "STREAMING CONTINUOUS near-dup detection end-to-end — "
+    "dedup_incremental's streaming twin UPGRADED (r9) with in-stream "
+    "signature ROLL-FORWARD: each micro-batch fingerprints ONCE, "
+    "band-joins within itself AND against every signature seen so far "
+    "(base corpus + all prior epochs), then adds its own signatures "
+    "to the epoch-keyed artifact — so a duplicate pair SPLIT ACROSS "
+    "micro-batches is caught, which the old frozen-base probe "
+    "missed by construction.  Exactly-once: pairs AND signatures "
+    "write per-epoch overwrite dirs (an epoch retry replaces, never "
+    "double-appends — the reason the streaming path uses epoch dirs "
+    "where the batch pipeline uses roll_forward_signatures' append), "
+    "and `seen` excludes the current epoch so a retry cannot pair a "
+    "doc with itself.  Every unordered pair surfaces exactly once — "
+    "same epoch: the within-batch self-join; different epochs: the "
+    "vs-artifact probe of the LATER epoch — so the least/greatest-"
+    "normalized output is INDEPENDENT of the micro-batch split "
+    "(maxFilesPerTrigger=1 forces several), which is exactly what "
+    "lets the batch all-pairs oracle certify the streaming pipeline.  "
+    "A third planted family (+3M exact copies of the +1M docs) makes "
+    "the cross-epoch case non-vacuous.",
 )
 def q_streaming_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     import atexit
@@ -6871,6 +6890,7 @@ def q_streaming_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash128,
         simhash_near_dup_pairs,
     )
+    from vectorsearch_scylla_spark.session import drop_inherited_stats
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     base_sigs = spark.read.parquet(
@@ -6881,21 +6901,63 @@ def q_streaming_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             logic="simhash128-v1",
         )
     )
-    increment = _docs_with_planted_dups(docs).filter(F.col("doc_id") >= 1000000)
-    src = _materialize_once(increment, "vss_neardup_src", sf_dir, logic="planted-dups-v1")
+    planted = _docs_with_planted_dups(docs)
+    increment = planted.filter(F.col("doc_id") >= 1000000).unionByName(
+        # third family: exact copies OF the +1M increment docs — the
+        # pairs (1M+x, 3M+x) live entirely inside the stream, so they
+        # are findable only via the within-batch self-join or the
+        # rolled-forward artifact, never via the frozen base index
+        planted.filter(
+            (F.col("doc_id") >= 1000000) & (F.col("doc_id") < 2000000)
+        ).select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    )
+    # range-split the source into several files so maxFilesPerTrigger=1
+    # yields several micro-batches, separating the +1M and +3M families
+    src = _materialize_once(
+        increment.repartitionByRange(6, "doc_id"),
+        "vss_neardup_src",
+        sf_dir,
+        logic="planted-dups-3fam-v1",
+    )
     base = tempfile.mkdtemp(prefix="vss_neardup_e2e_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     out_dir = os.path.join(base, "pairs")
+    sig_root = os.path.join(base, "sigs_seen")
+    # the artifact starts as the base corpus index (epoch=-1); each
+    # micro-batch rolls its own signatures forward under its epoch id
+    base_sigs.write.parquet(os.path.join(sig_root, "epoch=-1"))
 
     def detect_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        pairs = simhash_near_dup_pairs(
-            batch_df, max_hamming=5, against_sigs=base_sigs
+        inc_sigs = drop_inherited_stats(simhash128(batch_df).localCheckpoint())
+        seen = (
+            spark.read.option("basePath", sig_root)
+            .parquet(sig_root)
+            # a RETRIED epoch must not see its own failed attempt's
+            # signatures (it would pair every doc with itself)
+            .filter(F.col("epoch") != int(epoch_id))
+            .drop("epoch")
+        )
+        cross = simhash_near_dup_pairs(
+            batch_df, max_hamming=5, docs_sigs=inc_sigs, against_sigs=seen
+        )
+        within = simhash_near_dup_pairs(batch_df, max_hamming=5, docs_sigs=inc_sigs)
+        pairs = cross.unionByName(within).select(
+            F.least("id_a", "id_b").alias("doc_lo"),
+            F.greatest("id_a", "id_b").alias("doc_hi"),
+            "hamming",
         )
         pairs.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch={epoch_id}")
         )
+        inc_sigs.write.mode("overwrite").parquet(
+            os.path.join(sig_root, f"epoch={epoch_id}")
+        )
 
-    stream = spark.readStream.schema(increment.schema).parquet(src)
+    stream = (
+        spark.readStream.schema(increment.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
     q = (
         stream.writeStream.foreachBatch(detect_batch)
         .option("checkpointLocation", os.path.join(base, "checkpoint"))
@@ -6908,11 +6970,7 @@ def q_streaming_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             "streaming_neardup_e2e: availableNow query did not drain within 600s"
         )
-    return spark.read.parquet(out_dir).select(
-        F.col("id_a").alias("new_doc_id"),
-        F.col("id_b").alias("base_doc_id"),
-        "hamming",
-    )
+    return spark.read.parquet(out_dir).select("doc_lo", "doc_hi", "hamming")
 
 
 @query(
