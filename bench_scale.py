@@ -622,22 +622,46 @@ def _bucketed_study(spark, docs, base: str) -> dict:
         return r
 
     nn = docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
-    sigs_path = os.path.join(base, "bkt_sigs_parquet")
-    stage("build_signatures", lambda: simhash128(nn).write.parquet(sigs_path))
-    sigs_pq = spark.read.parquet(sigs_path)
-    counts["artifact_rows"] = sigs_pq.count()
+    base_sigs_path = os.path.join(base, "bkt_base_sigs")
+    stage("build_signatures", lambda: simhash128(nn).write.parquet(base_sigs_path))
+    base_sigs = spark.read.parquet(base_sigs_path)
 
-    # the daily pair set whose payload re-attach we price: all band
-    # collisions of the full corpus (ids only — the worst-case re-attach)
+    # the DAILY shape (matches the chain study): a ~1 % increment's
+    # pair set is the thing re-attached against the post-roll-forward
+    # artifact every day — pairs ≪ artifact, so the artifact's shuffle
+    # share is the dominant term the layout choice controls
+    inc = nn.filter(F.col("doc_id") % 97 == 1).select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" day1")).alias("text"),
+    )
+    inc_sigs_path = os.path.join(base, "bkt_inc_sigs")
+    simhash128(inc).write.parquet(inc_sigs_path)
+    inc_sigs = spark.read.parquet(inc_sigs_path)
+
     pairs_path = os.path.join(base, "bkt_pairs")
     stage(
-        "build_pair_set",
-        lambda: simhash_near_dup_pairs(nn, max_hamming=5, docs_sigs=sigs_pq)
+        "build_day_pair_set",
+        lambda: simhash_near_dup_pairs(
+            inc, max_hamming=5, docs_sigs=inc_sigs, against_sigs=base_sigs
+        )
         .select("id_a", "id_b")
+        .unionByName(
+            simhash_near_dup_pairs(
+                inc, max_hamming=5, docs_sigs=inc_sigs
+            ).select("id_a", "id_b")
+        )
         .write.parquet(pairs_path),
     )
     pairs = spark.read.parquet(pairs_path)
     counts["pair_rows"] = pairs.count()
+
+    # the artifact the re-attach reads = base ∪ increment (the
+    # post-roll-forward state), in both layouts
+    sigs_path = os.path.join(base, "bkt_sigs_parquet")
+    spark.read.parquet(base_sigs_path).unionByName(inc_sigs).write.parquet(
+        sigs_path
+    )
+    counts["artifact_rows"] = spark.read.parquet(sigs_path).count()
 
     table = "vss_bkt_sigs_study"
     spark.sql(f"DROP TABLE IF EXISTS {table}")

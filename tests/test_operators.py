@@ -2329,3 +2329,123 @@ def test_roll_forward_signatures_rejects_schema_drift(spark, tmp_path):
     bad = simhash128(docs).withColumnRenamed("s0", "sig0")
     with _pytest.raises(ValueError, match="schema"):
         roll_forward_signatures(bad, art)
+
+
+def test_hyperplane_chain_roll_forward_equals_batch(spark, tmp_path):
+    """r9: the EMBEDDING evidence class chains the same way as SimHash —
+    the deployment persists the hyperplane signature artifact AND the
+    vector store, and roll_forward_signatures (schema-generic) absorbs
+    each day's increment into both.  Two chained days: day-0 self pairs
+    + each day's (within ∪ vs-artifact) pairs must equal the batch
+    self-join over the final corpus, with the day-2↔day-1 pair
+    findable only through the rolled artifact."""
+    import os
+
+    from vectorsearch_scylla_spark.functions.hyperplane import (
+        hyperplane_near_dup_pairs,
+        hyperplane_signatures,
+    )
+    from vectorsearch_scylla_spark.operators.dedup import roll_forward_signatures
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    base_rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.707, 0.707, 0.0, 0.0]),
+    ]
+    day1 = [(101, [0.999, 0.01, 0.0, 0.0]), (102, [0.0, 0.0, 1.0, 0.0])]
+    # 201 near-dups day 1's 102 — found only via the rolled artifact
+    day2 = [(201, [0.0, 0.0, 0.999, 0.01])]
+
+    sig_art = str(tmp_path / "hp_sigs")
+    vec_art = str(tmp_path / "hp_vecs")
+    hyperplane_signatures(mk(base_rows)).write.parquet(sig_art)
+    mk(base_rows).write.parquet(vec_art)
+
+    def pair_set(df_pairs):
+        return {
+            (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+            for r in df_pairs.collect()
+        }
+
+    got = pair_set(hyperplane_near_dup_pairs(mk(base_rows), threshold=0.9))
+    for day_rows in (day1, day2):
+        inc = mk(day_rows)
+        inc_sigs = hyperplane_signatures(inc).localCheckpoint()
+        corpus_vecs = spark.read.parquet(vec_art)
+        artifact = spark.read.parquet(sig_art)
+        got |= pair_set(
+            hyperplane_near_dup_pairs(
+                inc, threshold=0.9, against=corpus_vecs,
+                against_sigs=artifact, docs_sigs=inc_sigs,
+            )
+        )
+        got |= pair_set(
+            hyperplane_near_dup_pairs(inc, threshold=0.9, docs_sigs=inc_sigs)
+        )
+        roll_forward_signatures(inc_sigs, sig_art)
+        roll_forward_signatures(inc, vec_art)
+
+    full = mk(base_rows + day1 + day2)
+    want = pair_set(hyperplane_near_dup_pairs(full, threshold=0.9))
+    assert got == want
+    assert (102, 201) in got  # the cross-day pair rode the artifact
+
+
+def test_minhash_chain_roll_forward_equals_static(spark, tmp_path):
+    """r9: the MinHash/ngram evidence class chains too — the persisted
+    band index absorbs each day via the same schema-generic
+    roll-forward, and the accumulated bipartite+within pair set equals
+    the static self-join over the final corpus (restricted to pairs
+    not internal to the original base, which day 0 owns)."""
+    from vectorsearch_scylla_spark.operators.dedup import (
+        banded_pairs,
+        roll_forward_signatures,
+    )
+    from vectorsearch_scylla_spark.plans.registry import (
+        _minhash_sig,
+        _with_word_shingles,
+    )
+
+    def mh(d):
+        return _with_word_shingles(d).select(
+            "doc_id", _minhash_sig(0, non_null=True), _minhash_sig(1, non_null=True)
+        )
+
+    def to_df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    base_rows = [(1, "alpha beta gamma delta epsilon"), (2, "one two three four five")]
+    day1 = [(101, "alpha beta gamma delta epsilon"), (102, "six seven eight nine ten")]
+    day2 = [(201, "six seven eight nine ten")]  # dups day 1's 102 only
+
+    art = str(tmp_path / "mh_band_art")
+    mh(to_df(base_rows)).write.parquet(art)
+
+    got = set()
+    for day_rows in (day1, day2):
+        inc_bands = mh(to_df(day_rows)).localCheckpoint()
+        artifact = spark.read.parquet(art)
+        got |= {
+            (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+            for r in banded_pairs(
+                inc_bands, ["sig_0", "sig_1"], against=artifact
+            ).collect()
+        }
+        got |= {
+            (r["id_a"], r["id_b"])
+            for r in banded_pairs(inc_bands, ["sig_0", "sig_1"]).collect()
+        }
+        roll_forward_signatures(inc_bands, art)
+
+    static = {
+        (r["id_a"], r["id_b"])
+        for r in banded_pairs(
+            mh(to_df(base_rows + day1 + day2)), ["sig_0", "sig_1"]
+        ).collect()
+        if not (r["id_a"] <= 2 and r["id_b"] <= 2)  # base-internal = day 0's
+    }
+    assert got == static
+    assert (102, 201) in got  # cross-day candidate rode the artifact
