@@ -6913,30 +6913,34 @@ def q_streaming_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # range-split the source into several files so maxFilesPerTrigger=1
     # yields several micro-batches, separating the +1M and +3M families
+    # (3 files: enough to force the cross-epoch path without paying
+    # foreachBatch spin-up 6 times at bench scale)
     src = _materialize_once(
-        increment.repartitionByRange(6, "doc_id"),
+        increment.repartitionByRange(3, "doc_id"),
         "vss_neardup_src",
         sf_dir,
-        logic="planted-dups-3fam-v1",
+        logic="planted-dups-3fam-v2-3files",
     )
     base = tempfile.mkdtemp(prefix="vss_neardup_e2e_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     out_dir = os.path.join(base, "pairs")
     sig_root = os.path.join(base, "sigs_seen")
-    # the artifact starts as the base corpus index (epoch=-1); each
-    # micro-batch rolls its own signatures forward under its epoch id
-    base_sigs.write.parquet(os.path.join(sig_root, "epoch=-1"))
+    os.makedirs(sig_root, exist_ok=True)
 
     def detect_batch(batch_df: DataFrame, epoch_id: int) -> None:
         inc_sigs = drop_inherited_stats(simhash128(batch_df).localCheckpoint())
-        seen = (
-            spark.read.option("basePath", sig_root)
-            .parquet(sig_root)
-            # a RETRIED epoch must not see its own failed attempt's
-            # signatures (it would pair every doc with itself)
-            .filter(F.col("epoch") != int(epoch_id))
-            .drop("epoch")
-        )
+        # `seen` = the SHARED base artifact (read in place — never
+        # copied per run) ∪ every prior epoch's rolled signatures
+        seen = base_sigs
+        if any(e.startswith("epoch=") for e in os.listdir(sig_root)):
+            seen = seen.unionByName(
+                spark.read.option("basePath", sig_root)
+                .parquet(sig_root)
+                # a RETRIED epoch must not see its own failed attempt's
+                # signatures (it would pair every doc with itself)
+                .filter(F.col("epoch") != int(epoch_id))
+                .drop("epoch")
+            )
         cross = simhash_near_dup_pairs(
             batch_df, max_hamming=5, docs_sigs=inc_sigs, against_sigs=seen
         )
