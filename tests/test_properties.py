@@ -384,3 +384,115 @@ def test_oracle_gate_permutation_and_mutation_property():
         assert not ok2
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# roll-forward chaining: label equality for ARBITRARY day partitions
+# ---------------------------------------------------------------------------
+
+
+def test_chained_roll_forward_split_invariant_property(spark, tmp_path):
+    """For ANY partition of an incoming doc set into 1-4 "days", the
+    chained pipeline — per day: within-day pairs + vs-artifact pairs,
+    incremental_components label fold, roll_forward_signatures — ends
+    at exactly the labels of a batch recompute over base ∪ all days.
+    This is the operational claim behind the 3-day example test: the
+    daily pipeline's output is independent of HOW history was sliced.
+    Texts are drawn from a small pool so duplicate cliques routinely
+    straddle day boundaries (the case the artifact exists for)."""
+    import shutil
+
+    from hypothesis import HealthCheck
+
+    from vectorsearch_scylla_spark.operators.dedup import (
+        roll_forward_signatures,
+        simhash128,
+        simhash_near_dup_pairs,
+    )
+    from vectorsearch_scylla_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+
+    POOL = [
+        "alpha beta gamma delta epsilon zeta",
+        "one two three four five six",
+        "red green blue yellow purple orange",
+        "north south east west up down",
+    ]
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def labels_of(df, sigs=None):
+        cc = connected_components(
+            simhash_near_dup_pairs(df, docs_sigs=sigs).select("id_a", "id_b")
+        )
+        return (
+            df.select(F.col("doc_id").alias("node"))
+            .join(cc, "node", "left")
+            .select("node", F.coalesce("component", "node").alias("component"))
+        )
+
+    case_n = [0]
+
+    @settings(max_examples=4, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        texts=st.lists(st.sampled_from(POOL), min_size=2, max_size=8),
+        cuts=st.lists(st.integers(min_value=1, max_value=7), max_size=3, unique=True),
+    )
+    def check(texts, cuts):
+        case_n[0] += 1
+        art = str(tmp_path / f"art_{case_n[0]}")
+        shutil.rmtree(art, ignore_errors=True)
+
+        base_rows = [(i, f"unique base doc {i} payload {i * 31}") for i in range(3)]
+        inc_rows = [(100 + i, t) for i, t in enumerate(texts)]
+        # split inc_rows at the drawn cut points → 1-4 days
+        pts = sorted(c for c in cuts if c < len(inc_rows))
+        days, prev_i = [], 0
+        for c in pts + [len(inc_rows)]:
+            if c > prev_i:
+                days.append(inc_rows[prev_i:c])
+                prev_i = c
+
+        base = mk(base_rows)
+        base_sigs = simhash128(base).localCheckpoint()
+        base_sigs.write.parquet(art)
+        labels = labels_of(base, sigs=base_sigs)
+        corpus_rows = list(base_rows)
+        for day_rows in days:
+            inc = mk(day_rows)
+            inc_sigs = simhash128(inc).localCheckpoint()
+            artifact = spark.read.parquet(art)
+            edges = (
+                simhash_near_dup_pairs(
+                    inc, docs_sigs=inc_sigs, against_sigs=artifact
+                )
+                .select("id_a", "id_b")
+                .unionByName(
+                    simhash_near_dup_pairs(inc, docs_sigs=inc_sigs).select(
+                        "id_a", "id_b"
+                    )
+                )
+            )
+            corpus_rows = corpus_rows + day_rows
+            labels = (
+                mk(corpus_rows)
+                .select(F.col("doc_id").alias("node"))
+                .join(incremental_components(labels, edges), "node", "left")
+                .select(
+                    "node", F.coalesce("component", "node").alias("component")
+                )
+                .localCheckpoint()
+            )
+            roll_forward_signatures(inc_sigs, art)
+
+        got = {(r["node"], r["component"]) for r in labels.collect()}
+        want = {
+            (r["node"], r["component"])
+            for r in labels_of(mk(corpus_rows)).collect()
+        }
+        assert got == want, (sorted(got - want), sorted(want - got))
+
+    check()
