@@ -588,6 +588,118 @@ def _chain_study(spark, docs, base: str) -> dict:
     }
 
 
+def _neardup_stream_study(spark, docs, base: str) -> dict:
+    """Continuous ingestion-time dedup at scale (r9): the upgraded
+    ``streaming_neardup_e2e`` loop — per micro-batch: fingerprint once,
+    within-batch self-join + band join vs every signature seen so far
+    (base + prior epochs), roll own signatures into the epoch-keyed
+    artifact — driven over 8 micro-batches against the 100× corpus.
+    The claim being priced: per-epoch cost is FLAT as the epoch
+    artifact grows (the probe is |batch|·bands rows against a hash
+    join; the base index dominates `seen` and is constant), so the
+    gate can run at ingestion forever.  Epochs 2-8 probe an artifact
+    that grew by ~|batch| rows each step; epoch8/epoch2 ≈ 1.0 is the
+    flatness witness (epoch 1 additionally pays stream spin-up)."""
+    from vectorsearch_scylla_spark.operators.dedup import (
+        simhash128,
+        simhash_near_dup_pairs,
+    )
+    from vectorsearch_scylla_spark.session import drop_inherited_stats
+
+    stages: dict = {}
+    counts: dict = {}
+
+    def stage(name: str, fn):
+        t0 = time.perf_counter()
+        r = fn()
+        stages[name] = round(time.perf_counter() - t0, 3)
+        print(f"[bench_scale] ndstream {name}: {stages[name]} s", file=sys.stderr)
+        return r
+
+    nn = docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
+    counts["n_base"] = nn.count()
+    sigs_path = os.path.join(base, "nds_base_sigs")
+    stage("base_signatures", lambda: simhash128(nn).write.parquet(sigs_path))
+    base_sigs = spark.read.parquet(sigs_path)
+
+    # the stream: ~8 % of the corpus as 8 range-split files — half are
+    # perturbed dups of base docs, half dups of OTHER stream docs (the
+    # cross-epoch case the roll-forward exists for)
+    inc = nn.filter(F.col("doc_id") % 25 == 1).select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" nds")).alias("text"),
+    )
+    inc = inc.unionByName(
+        inc.filter(F.col("doc_id") % 2 == 1).select(
+            (F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text"
+        )
+    )
+    src = os.path.join(base, "nds_src")
+    inc.repartitionByRange(8, "doc_id").write.parquet(src)
+    counts["n_stream"] = spark.read.parquet(src).count()
+
+    sig_root = os.path.join(base, "nds_sigs_seen")
+    os.makedirs(sig_root, exist_ok=True)
+    out_dir = os.path.join(base, "nds_pairs")
+    epoch_secs: list = []
+
+    def detect_batch(batch_df, epoch_id: int) -> None:
+        t0 = time.perf_counter()
+        inc_sigs = drop_inherited_stats(simhash128(batch_df).localCheckpoint())
+        seen = base_sigs
+        if any(e.startswith("epoch=") for e in os.listdir(sig_root)):
+            seen = seen.unionByName(
+                spark.read.option("basePath", sig_root)
+                .parquet(sig_root)
+                .filter(F.col("epoch") != int(epoch_id))
+                .drop("epoch")
+            )
+        cross = simhash_near_dup_pairs(
+            batch_df, max_hamming=5, docs_sigs=inc_sigs, against_sigs=seen
+        )
+        within = simhash_near_dup_pairs(batch_df, max_hamming=5, docs_sigs=inc_sigs)
+        cross.unionByName(within).select(
+            F.least("id_a", "id_b").alias("doc_lo"),
+            F.greatest("id_a", "id_b").alias("doc_hi"),
+            "hamming",
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, f"batch={epoch_id}"))
+        inc_sigs.write.mode("overwrite").parquet(
+            os.path.join(sig_root, f"epoch={epoch_id}")
+        )
+        epoch_secs.append(round(time.perf_counter() - t0, 3))
+
+    def drain() -> None:
+        q = (
+            spark.readStream.schema(inc.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.foreachBatch(detect_batch)
+            .option("checkpointLocation", os.path.join(base, "nds_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("neardup stream did not drain within 600s")
+
+    stage("drain_8_epochs", drain)
+    counts["pairs_total"] = spark.read.parquet(out_dir).count()
+    counts["epochs"] = len(epoch_secs)
+    return {
+        "stages_sec": stages,
+        "counts": counts,
+        "epoch_secs": epoch_secs,
+        "flatness_last_over_second": round(epoch_secs[-1] / epoch_secs[1], 2)
+        if len(epoch_secs) > 2 and epoch_secs[1]
+        else None,
+        "per_doc_ms": round(
+            1000.0 * stages["drain_8_epochs"] / counts["n_stream"], 3
+        )
+        if counts["n_stream"]
+        else None,
+    }
+
+
 def _bucketed_study(spark, docs, base: str) -> dict:
     """Storage-layout study (r9): the signature ARTIFACT is read every
     day by id-equi-joins (the hamming re-attach inside
@@ -1250,7 +1362,7 @@ def main() -> None:
         # =funnel run ONLY the named study and print their own JSON —
         # both are additive long-running measurements that must not
         # balloon the default battery
-        if sections and sections <= {"clique", "funnel", "sweep", "inc", "bigk", "incfunnel", "compact", "chain", "bucketed"}:
+        if sections and sections <= {"clique", "funnel", "sweep", "inc", "bigk", "incfunnel", "compact", "chain", "bucketed", "ndstream"}:
             study: dict = {}
             if "clique" in sections:
                 study["clique_study"] = _clique_study(spark, docs0, base)
@@ -1270,6 +1382,8 @@ def main() -> None:
                 study["chained_increments"] = _chain_study(spark, docs, base)
             if "bucketed" in sections:
                 study["bucketed_artifact"] = _bucketed_study(spark, docs, base)
+            if "ndstream" in sections:
+                study["neardup_stream"] = _neardup_stream_study(spark, docs, base)
             print(
                 json.dumps(
                     {
