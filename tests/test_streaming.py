@@ -633,3 +633,89 @@ def test_streaming_neardup_roll_forward_catches_cross_batch_pairs(spark, tmp_pat
         ).collect()
     }
     assert by_epoch[(102, 201)] == by_epoch[(103, 201)] > by_epoch[(102, 103)]
+
+
+def test_streaming_neardup_roll_forward_survives_restart(spark, tmp_path):
+    """r9: the continuous near-dup gate across a STOP/RESUME boundary —
+    drain two files, then add a third and resume from the SAME
+    checkpoint: the artifact state built before the restart must serve
+    the resumed stream (the new doc's only dup arrived pre-restart),
+    epochs must not replay (no duplicate pairs), and the final pair set
+    must equal the one-shot drain's."""
+    import os
+
+    from vectorsearch_scylla_spark.operators.dedup import (
+        simhash128,
+        simhash_near_dup_pairs,
+    )
+    from vectorsearch_scylla_spark.session import drop_inherited_stats
+
+    def to_df(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    base_rows = [(1, "alpha beta gamma delta epsilon zeta eta theta")]
+    f1 = [(101, "alpha beta gamma delta epsilon zeta eta theta")]
+    f2 = [(102, "one two three four five six seven eight")]
+    f3 = [(201, "one two three four five six seven eight")]  # dups 102 only
+
+    sig_root = str(tmp_path / "sigs_seen")
+    os.makedirs(sig_root, exist_ok=True)
+    base_sigs_path = str(tmp_path / "base_sigs")
+    simhash128(to_df(base_rows)).write.parquet(base_sigs_path)
+    base_sigs = spark.read.parquet(base_sigs_path)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "pairs")
+
+    def detect(batch_df, epoch_id):
+        inc_sigs = drop_inherited_stats(simhash128(batch_df).localCheckpoint())
+        seen = base_sigs
+        if any(e.startswith("epoch=") for e in os.listdir(sig_root)):
+            seen = seen.unionByName(
+                spark.read.option("basePath", sig_root)
+                .parquet(sig_root)
+                .filter(F.col("epoch") != int(epoch_id))
+                .drop("epoch")
+            )
+        cross = simhash_near_dup_pairs(
+            batch_df, max_hamming=5, docs_sigs=inc_sigs, against_sigs=seen
+        )
+        within = simhash_near_dup_pairs(batch_df, max_hamming=5, docs_sigs=inc_sigs)
+        cross.unionByName(within).select(
+            F.least("id_a", "id_b").alias("doc_lo"),
+            F.greatest("id_a", "id_b").alias("doc_hi"),
+            "hamming",
+        ).write.mode("overwrite").parquet(os.path.join(out, f"batch={epoch_id}"))
+        inc_sigs.write.mode("overwrite").parquet(
+            os.path.join(sig_root, f"epoch={epoch_id}")
+        )
+
+    def drain():
+        q = (
+            spark.readStream.schema(to_df(f1).schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/f=*")
+            .writeStream.foreachBatch(detect)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    # phase 1: two files, drain to completion, stream stops
+    to_df(f1).coalesce(1).write.parquet(src + "/f=1")
+    to_df(f2).coalesce(1).write.parquet(src + "/f=2")
+    drain()
+    first = sorted(
+        (r["doc_lo"], r["doc_hi"]) for r in spark.read.parquet(out).collect()
+    )
+    assert first == [(1, 101)]
+
+    # phase 2: a third file arrives; RESUME from the same checkpoint
+    to_df(f3).coalesce(1).write.parquet(src + "/f=3")
+    drain()
+    final = sorted(
+        (r["doc_lo"], r["doc_hi"]) for r in spark.read.parquet(out).collect()
+    )
+    # 201's only dup (102) arrived BEFORE the restart — found via the
+    # persisted artifact; pre-restart pairs present exactly once
+    assert final == [(1, 101), (102, 201)]
