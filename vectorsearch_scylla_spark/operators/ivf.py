@@ -641,9 +641,15 @@ def build_ivf_index(
     )
     staging = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     os.makedirs(staging, exist_ok=True)
+    bc = None
     if kernel == "numpy":
-        assign_fn = assign_clusters_bc if k > bc_threshold else assign_clusters_np
-        members = assign_fn(df, cents, vec_col=vec_col, dtype="float64")
+        if k > bc_threshold:
+            # handle-returning variant so the one-shot build can
+            # unpersist its centroid broadcast once the lists are
+            # written (same hygiene as lloyd_kmeans' iterations)
+            members, bc = _assign_clusters_bc(df, cents, vec_col=vec_col, dtype="float64")
+        else:
+            members = assign_clusters_np(df, cents, vec_col=vec_col, dtype="float64")
     else:
         members = assign_clusters(df, cents, vec_col=vec_col)
     # one file per non-empty cluster partition: the shuffle co-locates
@@ -651,6 +657,8 @@ def build_ivf_index(
     members.repartition(k, "cluster_id").write.partitionBy("cluster_id").parquet(
         os.path.join(staging, "lists")
     )
+    if bc is not None:
+        bc.unpersist()
     with open(os.path.join(staging, "centroids.json"), "w") as f:
         json.dump(cents, f)
     try:
