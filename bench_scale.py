@@ -485,6 +485,7 @@ def _chain_study(spark, docs, base: str) -> dict:
 
     stages: dict = {}
     counts: dict = {}
+    io_marks: dict = {}
 
     def stage(name: str, fn):
         t0 = time.perf_counter()
@@ -492,6 +493,11 @@ def _chain_study(spark, docs, base: str) -> dict:
         stages[name] = round(time.perf_counter() - t0, 3)
         print(f"[bench_scale] chain {name}: {stages[name]} s", file=sys.stderr)
         return r
+
+    def io_mark(name: str) -> None:
+        t = _app_stage_totals(spark)
+        if t is not None:
+            io_marks[name] = t
 
     nn = docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
     counts["n_base"] = nn.count()
@@ -544,9 +550,11 @@ def _chain_study(spark, docs, base: str) -> dict:
         def day_roll() -> None:
             roll_forward_signatures(box["sigs"], art_path)
 
+        io_mark(f"day{day}_start")
         stage(f"day{day}_pairs", day_pairs)
         stage(f"day{day}_update", day_update)
         stage(f"day{day}_roll_forward", day_roll)
+        io_mark(f"day{day}_end")
         prev = spark.read.parquet(box["labels"])
         day_totals.append(
             round(
@@ -571,10 +579,25 @@ def _chain_study(spark, docs, base: str) -> dict:
         ).localCheckpoint()
         connected_components(pairs).write.format("noop").mode("overwrite").save()
 
+    io_mark("batch_start")
     stage("batch_recompute_day3", batch_recompute)
+    io_mark("batch_end")
+    moved: dict = {}
+    for phase, a, b in [
+        ("day1", "day1_start", "day1_end"),
+        ("day2", "day2_start", "day2_end"),
+        ("day3", "day3_start", "day3_end"),
+        ("batch_day3", "batch_start", "batch_end"),
+    ]:
+        if a in io_marks and b in io_marks:
+            moved[phase] = {
+                k: round((io_marks[b][k] - io_marks[a][k]) / 2**20, 1)
+                for k in io_marks[b]
+            }
     return {
         "stages_sec": stages,
         "counts": counts,
+        "data_moved_mib": moved,
         "day_totals_sec": day_totals,
         "flatness_day3_over_day1": round(day_totals[2] / day_totals[0], 2)
         if day_totals[0]
