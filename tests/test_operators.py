@@ -2449,3 +2449,50 @@ def test_minhash_chain_roll_forward_equals_static(spark, tmp_path):
     }
     assert got == static
     assert (102, 201) in got  # cross-day candidate rode the artifact
+
+
+def test_compact_signature_artifact(spark, tmp_path):
+    """r9: artifact file-count maintenance — after several daily
+    appends the artifact holds every increment's part files; compaction
+    rewrites to the requested partition count with EXACTLY the same
+    rows, and the next append + probe work unchanged."""
+    import glob
+    import os
+
+    from vectorsearch_scylla_spark.operators.dedup import (
+        compact_signature_artifact,
+        roll_forward_signatures,
+        simhash128,
+        simhash_near_dup_pairs,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    art = str(tmp_path / "art")
+    simhash128(
+        mk([(i, f"base doc {i} payload {i * 13}") for i in range(6)])
+    ).write.parquet(art)
+    for day in (1, 2, 3):
+        roll_forward_signatures(
+            simhash128(mk([(day * 100, f"increment day {day} text")])), art
+        )
+    before_rows = {tuple(r) for r in spark.read.parquet(art).collect()}
+    assert len(glob.glob(os.path.join(art, "*.parquet"))) > 3
+
+    n_files = compact_signature_artifact(spark, art, target_partitions=2)
+    assert n_files == 2
+    assert len(glob.glob(os.path.join(art, "*.parquet"))) == 2
+    after_rows = {tuple(r) for r in spark.read.parquet(art).collect()}
+    assert after_rows == before_rows
+
+    # the compacted artifact still serves appends and probes
+    inc = mk([(400, "base doc 2 payload 26")])  # dups base doc 2
+    roll_forward_signatures(simhash128(inc), art)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_dup_pairs(
+            inc, against_sigs=spark.read.parquet(art).filter("doc_id != 400")
+        ).collect()
+    }
+    assert (400, 2) in pairs

@@ -491,3 +491,41 @@ def roll_forward_signatures(inc_sigs: DataFrame, artifact_path: str) -> None:
             f"  increment: {inc_sigs.schema.simpleString()}"
         )
     inc_sigs.write.mode("append").parquet(artifact_path)
+
+
+def compact_signature_artifact(
+    spark, artifact_path: str, target_partitions: int | None = None
+) -> int:
+    """Small-files maintenance for a rolled-forward artifact: each
+    daily :func:`roll_forward_signatures` append adds the increment's
+    part files, so after a year of small increments the artifact is
+    thousands of KB-sized files and every probe pays file-open/footers
+    instead of scan.  Rewrite it to ``target_partitions`` balanced
+    files (default: size-based, ~128 MB per file, minimum 1) and swap
+    atomically-enough for the single-writer contract: write to a
+    staging dir, rename the live dir aside, rename staging in, delete
+    the old.  Run it in the same maintenance window the daily append
+    owns — the swap is two renames, not atomic as a pair, so a READER
+    racing it belongs to a deployment that violated the single-writer
+    window this artifact already requires.  Rows are preserved exactly
+    (pinned by ``test_compact_signature_artifact``); returns the new
+    file count."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    df = spark.read.parquet(artifact_path)
+    if target_partitions is None:
+        total = sum(
+            os.path.getsize(p)
+            for p in glob.glob(os.path.join(artifact_path, "*.parquet"))
+        )
+        target_partitions = max(1, int(total / (128 * 2**20)))
+    staging = f"{artifact_path}.compact.{uuid.uuid4().hex[:8]}"
+    df.repartition(int(target_partitions)).write.parquet(staging)
+    old = f"{artifact_path}.old.{uuid.uuid4().hex[:8]}"
+    os.rename(artifact_path, old)
+    os.rename(staging, artifact_path)
+    shutil.rmtree(old, ignore_errors=True)
+    return len(glob.glob(os.path.join(artifact_path, "*.parquet")))
