@@ -2496,3 +2496,159 @@ def test_compact_signature_artifact(spark, tmp_path):
         ).collect()
     }
     assert (400, 2) in pairs
+
+
+def test_incremental_funnel_chain_two_days(spark, sf_dir, tmp_path):
+    """r9 capstone: the full THREE-class evidence funnel CHAINS — all
+    three persisted artifact kinds (exact-key table, SimHash signature
+    table, MinHash band table) roll forward after each day via the
+    schema-generic roll_forward_signatures, so day 2's funnel sees
+    day 1 without any base re-pairing.  Two chained days (day 2 docs
+    duplicate day 1 docs — cross-day evidence only findable through
+    the rolled artifacts) must end at labels identical to the batch
+    three-class recompute over base ∪ day1 ∪ day2."""
+    from vectorsearch_scylla_spark.operators.dedup import (
+        banded_pairs,
+        roll_forward_signatures,
+        simhash128,
+        simhash_near_dup_pairs,
+    )
+    from vectorsearch_scylla_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+    from vectorsearch_scylla_spark.plans.registry import (
+        _minhash_sig,
+        _with_word_shingles,
+        load_table,
+    )
+
+    def mh_sides(d):
+        return _with_word_shingles(d).select(
+            "doc_id", _minhash_sig(0, non_null=True), _minhash_sig(1, non_null=True)
+        )
+
+    def keys_of(d):
+        return d.select("doc_id", F.md5("text").alias("k"))
+
+    def jaccard_edges(cands, side_a, side_b):
+        def sh(d, idc, alias):
+            return _with_word_shingles(d).select(
+                F.col("doc_id").alias(idc),
+                F.array_distinct(
+                    F.coalesce(F.col("sh"), F.array(F.col("text")))
+                ).alias(f"sh_{alias}"),
+            )
+
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union_sz = F.size("sh_a") + F.size("sh_b") - inter
+        return (
+            cands.join(sh(side_a, "id_a", "a"), "id_a")
+            .join(sh(side_b, "id_b", "b"), "id_b")
+            .filter((inter.cast("double") / union_sz) >= 0.6)
+            .select("id_a", "id_b")
+        )
+
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+        .localCheckpoint()
+    )
+    day1 = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" inc")).alias("text"),
+    ).localCheckpoint()
+    # day 2: exact copies of day 1's docs (cross-day, all three classes
+    # collide) plus a perturbed derivative per 20th base doc
+    day2 = day1.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    ).unionByName(
+        base.filter(F.col("doc_id") % 20 == 5).select(
+            (F.col("doc_id") + 8_000_000).alias("doc_id"),
+            F.concat("text", F.lit(" inc")).alias("text"),
+        )
+    ).localCheckpoint()
+
+    # persisted artifacts, one per evidence class
+    keys_art = str(tmp_path / "keys")
+    sigs_art = str(tmp_path / "sigs")
+    mh_art = str(tmp_path / "mh")
+    keys_of(base).write.parquet(keys_art)
+    simhash128(base).write.parquet(sigs_art)
+    mh_sides(base).write.parquet(mh_art)
+
+    def three_class_edges(rows):
+        ex = banded_pairs(keys_of(rows), ["k"], id_col="doc_id")
+        sim = simhash_near_dup_pairs(rows, max_hamming=5).select("id_a", "id_b")
+        ng = jaccard_edges(
+            banded_pairs(mh_sides(rows), ["sig_0", "sig_1"], id_col="doc_id"),
+            rows,
+            rows,
+        )
+        return ex.unionByName(sim).unionByName(ng).distinct()
+
+    labels = connected_components(three_class_edges(base).localCheckpoint())
+    corpus = base
+    for inc in (day1, day2):
+        inc_keys = keys_of(inc).localCheckpoint()
+        inc_sigs = simhash128(inc).localCheckpoint()
+        inc_mh = mh_sides(inc).localCheckpoint()
+        art_keys = spark.read.parquet(keys_art)
+        art_sigs = spark.read.parquet(sigs_art)
+        art_mh = spark.read.parquet(mh_art)
+        edges = (
+            banded_pairs(inc_keys, ["k"], id_col="doc_id", against=art_keys)
+            .unionByName(banded_pairs(inc_keys, ["k"], id_col="doc_id"))
+            .unionByName(
+                simhash_near_dup_pairs(
+                    inc, max_hamming=5, docs_sigs=inc_sigs, against_sigs=art_sigs
+                ).select("id_a", "id_b")
+            )
+            .unionByName(
+                simhash_near_dup_pairs(
+                    inc, max_hamming=5, docs_sigs=inc_sigs
+                ).select("id_a", "id_b")
+            )
+            .unionByName(
+                jaccard_edges(
+                    banded_pairs(
+                        inc_mh, ["sig_0", "sig_1"], id_col="doc_id",
+                        against=art_mh,
+                    ),
+                    inc,
+                    corpus,  # verification needs the partner TEXTS
+                )
+            )
+            .unionByName(
+                jaccard_edges(
+                    banded_pairs(inc_mh, ["sig_0", "sig_1"], id_col="doc_id"),
+                    inc,
+                    inc,
+                )
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        labels = incremental_components(labels, edges).localCheckpoint()
+        roll_forward_signatures(inc_keys, keys_art)
+        roll_forward_signatures(inc_sigs, sigs_art)
+        roll_forward_signatures(inc_mh, mh_art)
+        corpus = corpus.unionByName(inc).localCheckpoint()
+
+    got = {r["node"]: r["component"] for r in labels.collect()}
+    want = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            three_class_edges(corpus).localCheckpoint()
+        ).collect()
+    }
+    extra = {n: c for n, c in got.items() if n not in want}
+    assert all(n == c for n, c in extra.items()), extra
+    assert {n: got[n] for n in want} == want
+    # the cross-day dup family actually chained: a day-2 copy (+7M) is
+    # labeled with its day-1 source (+5M) and the base original
+    chained = [
+        (n, c) for n, c in got.items() if n >= 7_000_000 and c < 5_000_000
+    ]
+    assert chained, got
