@@ -391,3 +391,58 @@ def test_banded_pairs_salt_reaches_task_layout(spark):
         cols = [c.strip().split("#")[0] for c in keys.split(",")]
         assert cols[:3] == ["band_val", "gi", "gj"], keys
         assert keys.strip().endswith(str(n_shuffle)), keys
+
+
+def test_simhash_incremental_probe_broadcasts_batch_side(spark, tmp_path):
+    """The per-epoch (and daily-batch) bipartite SimHash probe must
+    broadcast the SMALL new side and leave the base band index
+    unshuffled — the shape the continuous gate's flat per-epoch cost
+    rests on (BENCH_SCALE ndstream).  Pinned on the FINAL adaptive
+    plan: with the base index above the broadcast threshold and the
+    batch below it, the executed join is a BroadcastHashJoin (AQE
+    re-plans it at runtime — the checkpointed batch side carries
+    default stats, so only the runtime plan can see it is small)."""
+    from vectorsearch_scylla_spark.operators.dedup import (
+        simhash128,
+        simhash_near_dup_pairs,
+    )
+    from vectorsearch_scylla_spark.session import drop_inherited_stats
+
+    base = spark.createDataFrame(
+        [(i, f"base document {i} with payload {i * 17}") for i in range(3000)],
+        "doc_id long, text string",
+    )
+    art = str(tmp_path / "sigs")
+    simhash128(base).write.parquet(art)
+    batch = spark.createDataFrame(
+        [(1_000_000 + i, f"base document {i * 50} with payload {i * 850}")
+         for i in range(20)],
+        "doc_id long, text string",
+    )
+    inc_sigs = drop_inherited_stats(simhash128(batch).localCheckpoint())
+    pairs = simhash_near_dup_pairs(
+        batch,
+        max_hamming=5,
+        docs_sigs=inc_sigs,
+        against_sigs=spark.read.parquet(art),
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    # the STATIC plan must already be a broadcast join (the hint, not
+    # AQE's late conversion, which still pays the base-side shuffle
+    # write before switching): the base index feeds the join straight
+    # off its scan, and the only hash exchange left is the DISTINCT's —
+    # on pair ids, sized by the candidates, not the corpus
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # and the bipartite probe agrees with the unhinted execution
+    unhinted = simhash_near_dup_pairs(
+        batch,
+        max_hamming=5,
+        docs_sigs=inc_sigs,
+        against_sigs=spark.read.parquet(art),
+        broadcast_new=False,
+    )
+    assert sorted(map(tuple, pairs.collect())) == sorted(
+        map(tuple, unhinted.collect())
+    )

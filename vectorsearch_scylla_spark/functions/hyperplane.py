@@ -222,6 +222,7 @@ def hyperplane_near_dup_pairs(
     against: DataFrame | None = None,
     against_sigs: DataFrame | None = None,
     docs_sigs: DataFrame | None = None,
+    broadcast_new: bool = True,
 ) -> DataFrame:
     """Pairs (id_a < id_b) with cosine > ``threshold`` among band-collision
     candidates: signature pass → band unpivot → per-band equi-join →
@@ -304,11 +305,17 @@ def hyperplane_near_dup_pairs(
                 band_bits=band_bits, seed=seed, dim=dim,
             )
         )
+        # static broadcast hint on the new side (see operators/dedup.
+        # banded_pairs' against= note): a checkpointed increment has
+        # default stats, and without the hint the planner shuffles the
+        # whole base band index per run
+        new_side = _banded(sigs).select(
+            F.col(id_col).alias("id_a"), "band_idx", "band_val"
+        )
+        if broadcast_new:
+            new_side = F.broadcast(new_side)
         cand = (
-            _banded(sigs).select(
-                F.col(id_col).alias("id_a"), "band_idx", "band_val"
-            )
-            .join(
+            new_side.join(
                 _banded(sigs_b).select(
                     F.col(id_col).alias("id_b"), "band_idx", "band_val"
                 ),

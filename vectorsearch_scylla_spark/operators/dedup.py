@@ -116,6 +116,7 @@ def banded_pairs(
     split_target: int | None = None,
     max_salts: int = 64,
     against: DataFrame | None = None,
+    broadcast_new: bool = True,
 ) -> DataFrame:
     """All within-bucket unordered id pairs ``(id_a < id_b)`` where a
     bucket is the set of rows equal on ``band_cols`` — the pairwise
@@ -207,9 +208,19 @@ def banded_pairs(
                 "not apply in against= (bipartite) mode — the salted "
                 "expansion only exists for the triangular self-join"
             )
+        # STATIC broadcast hint on the new side (r9, found by a plan
+        # pin): without it the planner emits a SortMergeJoin that
+        # shuffles the BASE band index per run — the new side usually
+        # arrives checkpointed with default (huge) stats, so neither
+        # static planning nor AQE's late conversion (which still pays
+        # the base-side shuffle WRITE before switching) can see it is
+        # small.  The mode's contract IS |new| ≪ |base|; pass
+        # broadcast_new=False for an increment too big to broadcast.
+        new_side = sides.select(*band_cols, F.col(id_col).alias("id_a"))
+        if broadcast_new:
+            new_side = F.broadcast(new_side)
         return (
-            sides.select(*band_cols, F.col(id_col).alias("id_a"))
-            .join(
+            new_side.join(
                 against.select(*band_cols, F.col(id_col).alias("id_b")),
                 band_cols,
             )
@@ -316,6 +327,7 @@ def simhash_near_dup_pairs(
     against: DataFrame | None = None,
     against_sigs: DataFrame | None = None,
     docs_sigs: DataFrame | None = None,
+    broadcast_new: bool = True,
 ) -> DataFrame:
     """All pairs with SimHash Hamming distance ≤ ``max_hamming`` —
     EXACT for max_hamming ≤ bands−1 (pigeonhole: see module
@@ -423,13 +435,20 @@ def simhash_near_dup_pairs(
 
     # INCREMENTAL mode: |new|·bands probe rows against the base band
     # index — a bipartite hash join, not a self-join, so per-bucket
-    # work is |new∩bucket|·|base∩bucket| and AQE's skew split applies
+    # work is |new∩bucket|·|base∩bucket| and AQE's skew split applies.
+    # The new side takes a STATIC broadcast hint (see banded_pairs'
+    # against= note): a checkpointed increment carries default stats,
+    # and without the hint the planner SortMergeJoins — shuffling the
+    # whole base band index per run/epoch, exactly the cost the
+    # persisted artifact exists to avoid.
     a = _banded(sigs).select(
         F.col(id_col).alias("id_a"),
         *[F.col(f"s{m}").alias(f"a_s{m}") for m in range(SIG_WORDS)],
         "band_idx",
         "band_val",
     )
+    if broadcast_new:
+        a = F.broadcast(a)
     b = _banded(sigs_b).select(
         F.col(id_col).alias("id_b"),
         *[F.col(f"s{m}").alias(f"b_s{m}") for m in range(SIG_WORDS)],
