@@ -420,29 +420,47 @@ def test_simhash_incremental_probe_broadcasts_batch_side(spark, tmp_path):
         "doc_id long, text string",
     )
     inc_sigs = drop_inherited_stats(simhash128(batch).localCheckpoint())
-    pairs = simhash_near_dup_pairs(
-        batch,
-        max_hamming=5,
-        docs_sigs=inc_sigs,
-        against_sigs=spark.read.parquet(art),
-    )
-    plan = pairs._jdf.queryExecution().executedPlan().toString()
-    # the STATIC plan must already be a broadcast join (the hint, not
-    # AQE's late conversion, which still pays the base-side shuffle
-    # write before switching): the base index feeds the join straight
-    # off its scan, and the only hash exchange left is the DISTINCT's —
-    # on pair ids, sized by the candidates, not the corpus
-    assert "BroadcastHashJoin" in plan, plan
-    assert "SortMergeJoin" not in plan, plan
-    assert plan.count("Exchange hashpartitioning") == 1, plan
-    # and the bipartite probe agrees with the unhinted execution
-    unhinted = simhash_near_dup_pairs(
-        batch,
-        max_hamming=5,
-        docs_sigs=inc_sigs,
-        against_sigs=spark.read.parquet(art),
-        broadcast_new=False,
-    )
-    assert sorted(map(tuple, pairs.collect())) == sorted(
-        map(tuple, unhinted.collect())
-    )
+    # drop the size threshold so NO side auto-broadcasts: the only way
+    # the plan below can be a BroadcastHashJoin is the explicit hint
+    # (hints override the threshold).  Without the threshold guard the
+    # test is vacuous at fixture scale — a small BASE artifact
+    # auto-broadcasts, which is exactly the OTHER bad shape (a
+    # corpus-sized hash map built and shipped per epoch; measured 3×
+    # slower than the hinted plan at the 100× shape, and an OOM at
+    # real scale).
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs = simhash_near_dup_pairs(
+            batch,
+            max_hamming=5,
+            docs_sigs=inc_sigs,
+            against_sigs=spark.read.parquet(art),
+        )
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        # the STATIC plan must already be a broadcast join (the hint,
+        # not AQE's late conversion, which still pays the base-side
+        # shuffle write before switching): the base index feeds the
+        # join straight off its scan, and the only hash exchange left
+        # is the DISTINCT's — on pair ids, sized by the candidates,
+        # not the corpus
+        assert "BroadcastHashJoin" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        # the escape hatch reverts to the shuffle join — proving the
+        # hint (and nothing else) carries the plan shape — and agrees
+        # on values
+        unhinted = simhash_near_dup_pairs(
+            batch,
+            max_hamming=5,
+            docs_sigs=inc_sigs,
+            against_sigs=spark.read.parquet(art),
+            broadcast_new=False,
+        )
+        uplan = unhinted._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in uplan or "ShuffledHashJoin" in uplan, uplan
+        assert sorted(map(tuple, pairs.collect())) == sorted(
+            map(tuple, unhinted.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
