@@ -253,6 +253,9 @@ def hyperplane_near_dup_pairs(
     scan of the ids+vectors actually hit by candidates.  ``docs_sigs``
     is the same pre-computed option for the ``df`` side.  All three
     frames must share ``n_bands``/``band_bits``/``seed``/``dim``.
+    The new side broadcasts statically (``broadcast_new``, default
+    True — see ``operators/dedup.banded_pairs``' against= note for
+    why the planner cannot pick that shape itself).
     """
     import numpy as np
     import pandas as pd

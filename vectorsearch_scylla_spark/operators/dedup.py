@@ -133,8 +133,12 @@ def banded_pairs(
     the base band index instead of |base|².  Caller guarantees
     disjoint id spaces.  No salted expansion is needed: per-bucket
     work is |new∩bucket|·|base∩bucket|, AQE's skew split applies to
-    the bipartite join, and the small new side broadcasts, leaving
-    the base band index unshuffled.
+    the bipartite join, and the new side broadcasts STATICALLY
+    (``broadcast_new=True``), leaving the base band index unshuffled —
+    the planner cannot pick that shape itself because checkpointed
+    increments carry default (huge) stats; pass ``broadcast_new=False``
+    for an increment too large to broadcast (reverts to the shuffle
+    join).
 
     The failure mode this kills (diagnosed via jstack on the r6 100×
     union bench): a replica clique puts its whole membership into ONE
@@ -341,7 +345,10 @@ def simhash_near_dup_pairs(
     band-joins against the (already fingerprinted) BASE corpus without
     ever re-pairing the base against itself, so the join is
     |new|·bands probe rows against the base's band index, not
-    |base|².  Caller guarantees disjoint id spaces.
+    |base|².  Caller guarantees disjoint id spaces.  The new side
+    broadcasts statically (``broadcast_new``, default True — see
+    :func:`banded_pairs`' against= note for why the planner cannot
+    pick that shape itself).
 
     Plan shape: one fingerprint pass per join side, bands unpivoted to
     (id, band_idx, band_val) rows, per-band hash equi-join, Hamming
