@@ -157,16 +157,26 @@ def incremental_components(
     star = prev.filter(F.col("node") != F.col("component")).select(
         F.col("component").alias(src), F.col("node").alias(dst)
     )
-    touched_nodes = (
+    # touched_nodes / touched_comps are |increment|-bounded but derive
+    # from the checkpointed edge frame, whose DEFAULT (huge) stats
+    # would otherwise make every probe against the corpus-sized prev /
+    # star tables a SortMergeJoin that SHUFFLES THE CORPUS per
+    # increment — the same planner trap the band joins' broadcast_new
+    # hint fixes (see operators/dedup.banded_pairs).  The static
+    # broadcast hints below keep all three probes corpus-shuffle-free:
+    # prev and star stream straight off their scans.
+    touched_nodes = F.broadcast(
         new_edges.select(F.col(src).alias("node"))
         .union(new_edges.select(F.col(dst).alias("node")))
         .distinct()
     )
-    touched_comps = drop_inherited_stats(
-        prev.join(touched_nodes, "node", "left_semi")
-        .select("component")
-        .distinct()
-        .localCheckpoint()
+    touched_comps = F.broadcast(
+        drop_inherited_stats(
+            prev.join(touched_nodes, "node", "left_semi")
+            .select("component")
+            .distinct()
+            .localCheckpoint()
+        )
     )
     star_affected = star.join(
         touched_comps.withColumnRenamed("component", src), src, "left_semi"

@@ -185,13 +185,16 @@ DRIVER_WINDOW: list[str] = [
     "sq8_ivf_knn",
     "ngram_jaccard_incremental",
     "dedup_clusters_union_cascade",
-    # NOTE (r9 late): the incremental band-join modes gained a static
-    # broadcast-new hint (value-neutral, plan-only — agreement pinned
-    # by test_simhash_incremental_probe_broadcasts_batch_side).  Two
-    # certified consumers of the changed code sit OUT of this window
-    # (dedup_incremental, embedding_neardup_incremental — verified
-    # this round by the all-92 driver-sim + local parity suite); they
-    # MUST lead the r10 window as changed-dependency re-certs.
+    # NOTE (r9 late): the incremental band-join modes and
+    # incremental_components gained static broadcast hints on their
+    # |increment|-bounded sides (value-neutral, plan-only — agreement
+    # pinned by test_simhash_incremental_probe_broadcasts_batch_side
+    # and the chain/property tests).  Three certified consumers of the
+    # changed code sit OUT of this window (dedup_incremental,
+    # dedup_clusters_incremental, embedding_neardup_incremental — all
+    # verified this round by repeated all-92 driver-sims + the local
+    # parity suite); they MUST lead the r10 window as
+    # changed-dependency re-certs.
     # -- streaming e2e LAST: a completed Structured Streaming query
     # leaves residue in the shared local JVM (streaming-state/codegen
     # caches and a stopped-query cleanup thread) that intermittently
