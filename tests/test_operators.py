@@ -1201,6 +1201,44 @@ def test_cogrouped_knn_agrees_with_blocked(spark, sf_dir):
     assert key(cogrouped) == key(blocked)
 
 
+def test_blocked_knn_collect_guard(spark, sf_dir):
+    """r10 (r9 VERDICT low): the blocked sweep's driver collect is the
+    SMALL-Q contract — a corpus-sized Q must be an actionable error
+    naming the large-Q alternatives, not a silent driver OOM; and the
+    cogrouped path must accept the very same inputs."""
+    from pyspark.sql import functions as F
+
+    from vectorsearch_scylla_spark.operators.knn import (
+        topk_similarity_join_blocked,
+        topk_similarity_join_cogrouped,
+    )
+    from vectorsearch_scylla_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"), F.col("embedding").alias("corpus_vec")
+    )
+    with pytest.raises(ValueError, match="cogrouped") as ei:
+        topk_similarity_join_blocked(
+            queries, corpus, k=3, max_collect_rows=queries.count() - 1
+        )
+    assert "hyperplane_topk_join" in str(ei.value)
+    # the named alternative accepts the same inputs (Done-criteria of
+    # the guard: the error is actionable, not a dead end)
+    got = topk_similarity_join_cogrouped(
+        queries, corpus, k=3, n_query_blocks=2, n_corpus_blocks=2
+    )
+    assert got.count() > 0
+    # at the cap exactly (not above), the collect proceeds unchanged
+    ok = topk_similarity_join_blocked(
+        queries, corpus, k=3, max_collect_rows=queries.count()
+    )
+    assert ok.count() > 0
+
+
 def test_sq8_recall_vs_exact(spark, sf_dir):
     """SQ8's quality claim made concrete: top-1 neighbors under the
     int8-dequantized corpus match the exact full-precision top-1 for
@@ -1670,7 +1708,10 @@ def test_lloyd_kmeans_bc_threshold_threads_through(spark, emb):
 def test_banded_pairs_against_rejects_skew_params(spark):
     """r8 ADVICE (low): the bipartite (against=) mode never salts, so
     non-default oversized_at/split_target/max_salts would be silently
-    ignored — they must be rejected instead."""
+    ignored — they must be rejected instead.  r9 ADVICE upgrade: the
+    detection is structural (None sentinels), so even passing the
+    resolved default VALUES explicitly is rejected — no drift if the
+    defaults ever change."""
     from vectorsearch_scylla_spark.operators.dedup import banded_pairs
 
     sides = spark.createDataFrame([(1, 10)], "doc_id long, b0 long")
@@ -1679,6 +1720,11 @@ def test_banded_pairs_against_rejects_skew_params(spark):
         {"oversized_at": 64},
         {"split_target": 8},
         {"max_salts": 16},
+        # the resolved defaults, passed explicitly — structurally
+        # "caller supplied a knob", so still rejected
+        {"oversized_at": 256},
+        {"max_salts": 64},
+        {"split_target": 64},
     ):
         with pytest.raises(ValueError, match="against"):
             banded_pairs(sides, ["b0"], against=base, **kwargs)
@@ -2496,6 +2542,76 @@ def test_compact_signature_artifact(spark, tmp_path):
         ).collect()
     }
     assert (400, 2) in pairs
+
+
+def test_compact_signature_artifact_crash_recovery(spark, tmp_path):
+    """r10 (r9 ADVICE medium): the two-rename swap has crash windows;
+    deterministic staging/old names + on-entry recovery must heal every
+    one of them, so a daily pipeline that crashed mid-compaction simply
+    re-runs compaction (or any probe re-reads the restored artifact)
+    instead of failing path-not-found with the data stranded."""
+    import glob
+    import os
+    import shutil
+
+    from vectorsearch_scylla_spark.operators.dedup import (
+        compact_signature_artifact,
+    )
+
+    def mk_artifact(path, n=5):
+        spark.createDataFrame(
+            [(i, i * 7) for i in range(n)], "doc_id long, sig long"
+        ).repartition(4).write.parquet(path)
+        return {tuple(r) for r in spark.read.parquet(path).collect()}
+
+    # window 1: crash mid-staging-write — stale .compact.staging exists
+    art = str(tmp_path / "a1")
+    rows = mk_artifact(art)
+    os.makedirs(art + ".compact.staging")
+    with open(art + ".compact.staging/part-junk.parquet", "w") as f:
+        f.write("torn")
+    n = compact_signature_artifact(spark, art, target_partitions=1)
+    assert n == 1
+    assert {tuple(r) for r in spark.read.parquet(art).collect()} == rows
+    assert not os.path.exists(art + ".compact.staging")
+    assert not os.path.exists(art + ".compact.old")
+
+    # window 2: crash between the two renames — live dir MISSING, the
+    # pre-compaction artifact stranded at .compact.old (plus a complete
+    # staging dir, which recovery must discard, not promote)
+    art = str(tmp_path / "a2")
+    rows = mk_artifact(art)
+    os.rename(art, art + ".compact.old")
+    os.makedirs(art + ".compact.staging")
+    n = compact_signature_artifact(spark, art, target_partitions=1)
+    assert n == 1
+    assert {tuple(r) for r in spark.read.parquet(art).collect()} == rows
+
+    # window 2b: same crash from a PRE-r10 version (random .old.<hex>)
+    art = str(tmp_path / "a3")
+    rows = mk_artifact(art)
+    os.rename(art, art + ".old.deadbeef")
+    n = compact_signature_artifact(spark, art, target_partitions=1)
+    assert n == 1
+    assert {tuple(r) for r in spark.read.parquet(art).collect()} == rows
+
+    # window 3: crash after promote, before cleanup — live dir is the
+    # compacted artifact, .compact.old left behind; recovery deletes it
+    art = str(tmp_path / "a4")
+    rows = mk_artifact(art)
+    shutil.copytree(art, art + ".compact.old")
+    n = compact_signature_artifact(spark, art, target_partitions=1)
+    assert n == 1
+    assert {tuple(r) for r in spark.read.parquet(art).collect()} == rows
+    assert not os.path.exists(art + ".compact.old")
+
+    # ambiguous: live missing AND >1 old sibling — refuse loudly
+    art = str(tmp_path / "a5")
+    mk_artifact(art)
+    os.rename(art, art + ".compact.old")
+    os.makedirs(art + ".old.cafe0000")
+    with pytest.raises(RuntimeError, match="cannot pick the survivor"):
+        compact_signature_artifact(spark, art, target_partitions=1)
 
 
 def test_incremental_funnel_chain_two_days(spark, sf_dir, tmp_path):

@@ -32,6 +32,7 @@ _BNLJ_OK = {
     "unigram_logprob_score",
     "pq_knn",
     "ivfpq_knn",
+    "retention_sweep",  # 1-row broadcast scalar (the cutoff aggregate)
 }
 # collect_list allowed: per-group cardinality is structurally bounded
 # (device_profile_build folds ≤ |METRICS| entries per group).
@@ -100,6 +101,7 @@ _PINNED = [
     "doc_repetition_stats",
     "semantic_dedup_keepers",
     "unigram_logprob_score",
+    "retention_sweep",
 ]
 
 _NEARDUP_PAIR_QUERIES = [
@@ -197,6 +199,30 @@ def test_range_scan_filter_pushdown(plans):
 
     assert re.search(r"PushedFilters:[^\n]*GreaterThanOrEqual\(ts", p), p
     assert re.search(r"PushedFilters:[^\n]*LessThan\(ts", p), p
+
+
+def test_retention_sweep_builds_lazily(spark, sf_dir):
+    """r10 (r9 VERDICT low): the TTL sweep used to run a separate
+    .collect() job at BUILD time just to embed the max-ts cutoff as a
+    literal — an extra full-column scan per invocation.  The cutoff is
+    now a 1-row broadcast aggregate inside the single returned plan, so
+    constructing the query must launch zero driver collects."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+
+    real_collect = DataFrame.collect
+    with mock.patch.object(
+        DataFrame, "collect", autospec=True, side_effect=real_collect
+    ) as mc:
+        df = REGISTRY["retention_sweep"].fn(spark, sf_dir)
+        assert mc.call_count == 0, "query construction ran a driver job"
+    # and the single plan actually carries the scalar-cutoff join
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "BroadcastNestedLoopJoin" in buf.getvalue()
+    assert df.columns == ["device_id", "date", "rows_kept"]
 
 
 def test_sessionization_single_partitioning(plans):

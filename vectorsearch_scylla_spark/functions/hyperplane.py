@@ -255,7 +255,10 @@ def hyperplane_near_dup_pairs(
     frames must share ``n_bands``/``band_bits``/``seed``/``dim``.
     The new side broadcasts statically (``broadcast_new``, default
     True — see ``operators/dedup.banded_pairs``' against= note for
-    why the planner cannot pick that shape itself).
+    why the planner cannot pick that shape itself, and for the
+    oversized-increment failure mode: Spark's 8 GB broadcast-table cap
+    or a driver OOM building the relation — a hard failure whose cure
+    is ``broadcast_new=False``, not more driver memory).
     """
     import numpy as np
     import pandas as pd

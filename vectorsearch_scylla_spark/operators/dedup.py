@@ -112,9 +112,9 @@ def banded_pairs(
     sides: DataFrame,
     band_cols: list[str],
     id_col: str = "doc_id",
-    oversized_at: int = 256,
+    oversized_at: int | None = None,
     split_target: int | None = None,
-    max_salts: int = 64,
+    max_salts: int | None = None,
     against: DataFrame | None = None,
     broadcast_new: bool = True,
 ) -> DataFrame:
@@ -138,7 +138,12 @@ def banded_pairs(
     the planner cannot pick that shape itself because checkpointed
     increments carry default (huge) stats; pass ``broadcast_new=False``
     for an increment too large to broadcast (reverts to the shuffle
-    join).
+    join).  KNOW THE FAILURE MODE: with the default hint, an oversized
+    increment does not degrade — it HARD-FAILS, either at Spark's 8 GB
+    broadcast-table cap (``SparkException: Cannot broadcast the table
+    that is larger than 8GB``) or as a driver OOM while building the
+    broadcast relation; either symptom means reach for
+    ``broadcast_new=False``, not a bigger driver.
 
     The failure mode this kills (diagnosed via jstack on the r6 100×
     union bench): a replica clique puts its whole membership into ONE
@@ -203,10 +208,14 @@ def banded_pairs(
     if against is not None:
         # the bipartite mode never salts (per-bucket work is
         # |new∩bucket|·|base∩bucket|, handled by AQE's skew split +
-        # the broadcast of the small new side), so non-default skew
-        # knobs would be silently ignored — reject them instead of
-        # letting a caller believe they took effect
-        if (oversized_at, split_target, max_salts) != (256, None, 64):
+        # the broadcast of the small new side), so explicitly passed
+        # skew knobs would be silently ignored — reject them instead
+        # of letting a caller believe they took effect.  The knobs
+        # default to None sentinels (resolved inside the triangular
+        # branch) precisely so "caller passed a value" is detected
+        # structurally, not by comparing against default values that
+        # could drift (r9 ADVICE).
+        if (oversized_at, split_target, max_salts) != (None, None, None):
             raise ValueError(
                 "banded_pairs: oversized_at/split_target/max_salts do "
                 "not apply in against= (bipartite) mode — the salted "
@@ -230,6 +239,12 @@ def banded_pairs(
             )
             .select("id_a", "id_b")
         )
+    # resolve the None sentinels to the documented defaults (kept out
+    # of the signature so against= mode can tell explicit from default)
+    if oversized_at is None:
+        oversized_at = 256
+    if max_salts is None:
+        max_salts = 64
     if max_salts < 2:
         raise ValueError(f"max_salts={max_salts}: need >= 2 to split a bucket")
     if split_target is None:
@@ -348,7 +363,9 @@ def simhash_near_dup_pairs(
     |base|².  Caller guarantees disjoint id spaces.  The new side
     broadcasts statically (``broadcast_new``, default True — see
     :func:`banded_pairs`' against= note for why the planner cannot
-    pick that shape itself).
+    pick that shape itself, and for the oversized-increment failure
+    mode: the 8 GB broadcast cap / driver OOM, cured by
+    ``broadcast_new=False``, reads as a hard failure, not a slowdown).
 
     Plan shape: one fingerprint pass per join side, bands unpivoted to
     (id, band_idx, band_val) rows, per-band hash equi-join, Hamming
@@ -533,13 +550,50 @@ def compact_signature_artifact(
     the old.  Run it in the same maintenance window the daily append
     owns — the swap is two renames, not atomic as a pair, so a READER
     racing it belongs to a deployment that violated the single-writer
-    window this artifact already requires.  Rows are preserved exactly
-    (pinned by ``test_compact_signature_artifact``); returns the new
-    file count."""
+    window this artifact already requires.
+
+    WRITER-CRASH RECOVERY: the staging/old names are DETERMINISTIC
+    (``<artifact>.compact.staging`` / ``<artifact>.compact.old``), so
+    every crash window is distinguishable on the next entry and healed
+    before compacting:
+
+    * crash mid-write → a stale staging dir exists; it is deleted;
+    * crash between the two renames → the live path is missing and the
+      old dir holds the full pre-compaction artifact; the old dir is
+      renamed back (the staging copy is discarded rather than promoted
+      because its completeness cannot be proven from names alone);
+    * crash after the promote, before cleanup → both live and old
+      exist; the old dir is deleted (the live dir is already the
+      compacted artifact).
+
+    Legacy ``<artifact>.old.<hex>`` dirs from pre-recovery versions are
+    healed the same way when the live path is missing and exactly one
+    such sibling exists.  Rows are preserved exactly (pinned by
+    ``test_compact_signature_artifact`` and the crash-window tests);
+    returns the new file count."""
     import glob
     import os
     import shutil
-    import uuid
+
+    staging = f"{artifact_path}.compact.staging"
+    old = f"{artifact_path}.compact.old"
+    # --- on-entry recovery from a previously crashed compaction ---
+    old_candidates = [p for p in [old] if os.path.exists(p)]
+    old_candidates += sorted(glob.glob(f"{artifact_path}.old.*"))
+    if os.path.exists(artifact_path):
+        for p in old_candidates:  # crashed after promote: live wins
+            shutil.rmtree(p, ignore_errors=True)
+    elif len(old_candidates) == 1:
+        os.rename(old_candidates[0], artifact_path)  # restore pre-compaction
+    elif old_candidates:
+        raise RuntimeError(
+            f"compact_signature_artifact: {artifact_path} is missing and "
+            f"{len(old_candidates)} .old siblings exist ({old_candidates}); "
+            "cannot pick the survivor automatically — inspect and rename "
+            "the correct one back to the artifact path"
+        )
+    if os.path.exists(staging):
+        shutil.rmtree(staging)  # incomplete write from a crashed run
 
     df = spark.read.parquet(artifact_path)
     if target_partitions is None:
@@ -548,9 +602,7 @@ def compact_signature_artifact(
             for p in glob.glob(os.path.join(artifact_path, "*.parquet"))
         )
         target_partitions = max(1, int(total / (128 * 2**20)))
-    staging = f"{artifact_path}.compact.{uuid.uuid4().hex[:8]}"
     df.repartition(int(target_partitions)).write.parquet(staging)
-    old = f"{artifact_path}.old.{uuid.uuid4().hex[:8]}"
     os.rename(artifact_path, old)
     os.rename(staging, artifact_path)
     shutil.rmtree(old, ignore_errors=True)

@@ -156,6 +156,10 @@ def incremental_components(
     against= note describes).  Pass False for an increment so large
     its touched set cannot broadcast — the update degrades to the
     shuffle joins, which at that increment size is the right plan.
+    With the hint left on, such an increment HARD-FAILS (Spark's 8 GB
+    broadcast-table cap, or a driver OOM while building the broadcast
+    relation) rather than slowing down — that symptom means
+    ``broadcast_touched=False``, not a bigger driver.
     """
     # Truncate the NEW-edge lineage once: this frame feeds the sym
     # checkpoint, the touched-component probe, and (via touched) the

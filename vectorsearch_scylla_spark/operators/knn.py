@@ -119,6 +119,7 @@ def topk_similarity_join_blocked(
     dtype: str = "float32",
     join_keys: list[str] | None = None,
     max_query_rows: int = 4096,
+    max_collect_rows: int = 1_048_576,
 ) -> DataFrame:
     """Exact top-k via per-partition NumPy matmul + global re-rank.
 
@@ -169,6 +170,12 @@ def topk_similarity_join_blocked(
     Q·CB + N·QB replica rows.  Banding remains the only way to beat
     that product, which is why the distributed default stays
     LSH-first.
+
+    ``max_collect_rows`` enforces that bounded-Q contract (r9 VERDICT:
+    a corpus-sized Q here was a silent driver OOM, not an actionable
+    error): the collect is capped at ``max_collect_rows + 1`` rows —
+    so the guard itself can never OOM the driver — and exceeding the
+    cap raises, naming the two large-Q paths above.
     """
     import math
 
@@ -179,7 +186,25 @@ def topk_similarity_join_blocked(
     np_dtype = np.dtype(dtype)
     join_keys = join_keys or []
     sc = queries.sparkSession
-    qrows_all = queries.select(query_id, query_vec, *join_keys).collect()
+    # limit(cap+1) bounds the driver transfer BEFORE it happens; on an
+    # in-contract query side (≤ cap rows) it is the identity and the
+    # plan is still evaluated exactly once.
+    qrows_all = (
+        queries.select(query_id, query_vec, *join_keys)
+        .limit(int(max_collect_rows) + 1)
+        .collect()
+    )
+    if len(qrows_all) > max_collect_rows:
+        raise ValueError(
+            "topk_similarity_join_blocked: query side exceeds "
+            f"max_collect_rows={max_collect_rows} — this exact sweep "
+            "collects Q to the driver and is the SMALL-Q path.  For a "
+            "corpus-sized Q use topk_similarity_join_cogrouped (exact, "
+            "no collect on either side) or "
+            "functions.hyperplane.hyperplane_topk_join (approximate, "
+            "banded); or raise max_collect_rows if the driver can "
+            "genuinely hold Q."
+        )
     n_q = len(qrows_all)
     if not n_q:
         return topk_similarity_join(
