@@ -180,6 +180,25 @@ def main() -> None:
     spark.range(32).repartition(32).mapInPandas(
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
+    # ... and the NumPy import inside those workers + the broadcast-hash
+    # and window-rank codegen the kNN family leans on (r10, VERDICT #6:
+    # the identity warm-up above reuses workers but never imports numpy
+    # there, so the FIRST real kernel — knn_bruteforce / path2_anomaly —
+    # absorbed ~1-2 s of per-worker import as bench "retry" noise).
+    # Unmeasured, runs before the canary and every timed query.
+    from vectorsearch_scylla_spark.operators.knn import (
+        topk_similarity_join_blocked,
+    )
+
+    _wv = spark.range(256).selectExpr(
+        "id",
+        "transform(sequence(0, 15), i -> cast(pmod(id * (i + 3), 97) AS double)) AS v",
+    )
+    topk_similarity_join_blocked(
+        _wv.limit(8).selectExpr("id AS query_id", "v AS query_vec"),
+        _wv.selectExpr("id AS corpus_id", "v AS corpus_vec"),
+        k=3,
+    ).write.format("noop").mode("overwrite").save()
 
     def canary() -> float:
         # fixed-work calibration probe (range -> hash -> 32-way shuffle

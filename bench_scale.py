@@ -456,23 +456,31 @@ def _incremental_study(spark, docs, base: str) -> dict:
     return out
 
 
-def _chain_study(spark, docs, base: str) -> dict:
-    """Multi-day CHAINED increments (r9): the r7/r8 incremental rows
-    price ONE increment against a frozen base; a deployment runs the
-    loop daily, rolling each certified increment's signatures into the
-    persisted artifact (``roll_forward_signatures``) so day d+1 probes
-    base ∪ days 1..d.  This study runs THREE consecutive ~1 %
-    increments and prices each day's full loop — bipartite pair probe
-    vs the (growing) artifact, within-increment self-join, star-replay
-    label update, artifact append — then the honest comparator: one
-    batch recompute over base ∪ all three increments.
+def _chain_study(
+    spark, docs, base: str, n_days: int = 3, compact_day: int | None = None
+) -> dict:
+    """Multi-day CHAINED increments (r9; week-long variant r10): the
+    r7/r8 incremental rows price ONE increment against a frozen base;
+    a deployment runs the loop daily, rolling each certified
+    increment's signatures into the persisted artifact
+    (``roll_forward_signatures``) so day d+1 probes base ∪ days 1..d.
+    This study runs ``n_days`` consecutive ~1 % increments and prices
+    each day's full loop — bipartite pair probe vs the (growing)
+    artifact, within-increment self-join, star-replay label update,
+    artifact append — then the honest comparator: one batch recompute
+    over base ∪ all increments.  ``compact_day`` interleaves the
+    small-files maintenance (``compact_signature_artifact``) after
+    that day's roll-forward, priced as its own stage inside the day
+    total — the week-scale run (--sections chain7: 7 days, compact
+    after day 4) shows the chain stays flat THROUGH a compaction.
 
     The claim being priced: per-day cost is FLAT in the number of
     days already absorbed (the artifact grows by |inc| rows/day, the
     probe stays |new|·bands against a hash join, the label update
     stays O(affected)), while the batch alternative re-pays the whole
-    corpus every day.  day3/day1 ≈ 1.0 is the flatness witness."""
+    corpus every day.  dayN/day1 ≈ 1.0 is the flatness witness."""
     from vectorsearch_scylla_spark.operators.dedup import (
+        compact_signature_artifact,
         roll_forward_signatures,
         simhash128,
         simhash_near_dup_pairs,
@@ -516,7 +524,7 @@ def _chain_study(spark, docs, base: str) -> dict:
 
     prev = spark.read.parquet(labels_path)
     day_totals: list[float] = []
-    for day in (1, 2, 3):
+    for day in range(1, n_days + 1):
         # each day's increment: a disjoint ~1 % slice, perturbed so it
         # both extends old clusters and forms new within-day pairs
         inc_path = os.path.join(base, f"chain_inc_{day}")
@@ -554,23 +562,25 @@ def _chain_study(spark, docs, base: str) -> dict:
         stage(f"day{day}_pairs", day_pairs)
         stage(f"day{day}_update", day_update)
         stage(f"day{day}_roll_forward", day_roll)
+        day_stages = [
+            f"day{day}_pairs", f"day{day}_update", f"day{day}_roll_forward"
+        ]
+        if day == compact_day:
+            stage(
+                f"day{day}_compact",
+                lambda: compact_signature_artifact(spark, art_path),
+            )
+            day_stages.append(f"day{day}_compact")
         io_mark(f"day{day}_end")
         prev = spark.read.parquet(box["labels"])
-        day_totals.append(
-            round(
-                stages[f"day{day}_pairs"]
-                + stages[f"day{day}_update"]
-                + stages[f"day{day}_roll_forward"],
-                3,
-            )
-        )
+        day_totals.append(round(sum(stages[s] for s in day_stages), 3))
     counts["artifact_rows_final"] = spark.read.parquet(art_path).count()
 
     # honest comparator: ONE batch recompute at the final corpus (what
-    # a no-incremental deployment would pay EVERY day by day 3)
+    # a no-incremental deployment would pay EVERY day by day n_days)
     def batch_recompute() -> None:
         allrows = nn
-        for day in (1, 2, 3):
+        for day in range(1, n_days + 1):
             allrows = allrows.unionByName(
                 spark.read.parquet(os.path.join(base, f"chain_inc_{day}"))
             )
@@ -580,14 +590,15 @@ def _chain_study(spark, docs, base: str) -> dict:
         connected_components(pairs).write.format("noop").mode("overwrite").save()
 
     io_mark("batch_start")
-    stage("batch_recompute_day3", batch_recompute)
+    stage(f"batch_recompute_day{n_days}", batch_recompute)
     io_mark("batch_end")
     moved: dict = {}
     for phase, a, b in [
-        ("day1", "day1_start", "day1_end"),
-        ("day2", "day2_start", "day2_end"),
-        ("day3", "day3_start", "day3_end"),
-        ("batch_day3", "batch_start", "batch_end"),
+        *[
+            (f"day{d}", f"day{d}_start", f"day{d}_end")
+            for d in range(1, n_days + 1)
+        ],
+        (f"batch_day{n_days}", "batch_start", "batch_end"),
     ]:
         if a in io_marks and b in io_marks:
             moved[phase] = {
@@ -599,33 +610,40 @@ def _chain_study(spark, docs, base: str) -> dict:
         "counts": counts,
         "data_moved_mib": moved,
         "day_totals_sec": day_totals,
-        "flatness_day3_over_day1": round(day_totals[2] / day_totals[0], 2)
+        f"flatness_day{n_days}_over_day1": round(
+            day_totals[-1] / day_totals[0], 2
+        )
         if day_totals[0]
         else None,
-        "batch_day3_sec": stages["batch_recompute_day3"],
-        "day3_speedup_vs_batch": round(
-            stages["batch_recompute_day3"] / day_totals[2], 1
+        f"batch_day{n_days}_sec": stages[f"batch_recompute_day{n_days}"],
+        f"day{n_days}_speedup_vs_batch": round(
+            stages[f"batch_recompute_day{n_days}"] / day_totals[-1], 1
         )
-        if day_totals[2]
+        if day_totals[-1]
         else None,
     }
 
 
-def _neardup_stream_study(spark, docs, base: str) -> dict:
-    """Continuous ingestion-time dedup at scale (r9): the upgraded
-    ``streaming_neardup_e2e`` loop — per micro-batch: fingerprint once,
-    within-batch self-join + band join vs every signature seen so far
-    (base + prior epochs), roll own signatures into the epoch-keyed
-    artifact — driven over 8 micro-batches against the 100× corpus.
-    The claim being priced: per-epoch cost is FLAT as the epoch
-    artifact grows (the probe is |batch|·bands rows against a hash
-    join; the base index dominates `seen` and is constant), so the
-    gate can run at ingestion forever.  Epochs 2-8 probe an artifact
-    that grew by ~|batch| rows each step; epoch8/epoch2 ≈ 1.0 is the
-    flatness witness (epoch 1 additionally pays stream spin-up)."""
+def _neardup_stream_study(
+    spark, docs, base: str, n_epochs: int = 8, fold: bool = True, tag: str = "nds"
+) -> dict:
+    """Continuous ingestion-time dedup at scale (r9; fold added r10):
+    the ``streaming_neardup_e2e`` loop — per micro-batch: fingerprint
+    once, within-batch self-join + band join vs every signature seen
+    so far (base + prior epochs), roll own signatures forward — driven
+    over ``n_epochs`` micro-batches against the scaled corpus.  The
+    claim being priced: per-epoch cost is FLAT as the epoch artifact
+    grows, so the gate can run at ingestion forever.  ``fold=True`` is
+    the r10 registered shape (prior epoch dirs MOVE into one rolled
+    artifact each batch, `seen` is a constant-arity union);
+    ``fold=False`` is the r9 shape whose `seen` unions every prior
+    ``epoch=`` dir — at 50 epochs the difference is the O(epochs)
+    plan/listing term the fold exists to kill."""
     from vectorsearch_scylla_spark.operators.dedup import (
+        fold_streaming_epochs,
         simhash128,
         simhash_near_dup_pairs,
+        streaming_seen_signatures,
     )
     from vectorsearch_scylla_spark.session import drop_inherited_stats
 
@@ -636,18 +654,19 @@ def _neardup_stream_study(spark, docs, base: str) -> dict:
         t0 = time.perf_counter()
         r = fn()
         stages[name] = round(time.perf_counter() - t0, 3)
-        print(f"[bench_scale] ndstream {name}: {stages[name]} s", file=sys.stderr)
+        print(f"[bench_scale] {tag} {name}: {stages[name]} s", file=sys.stderr)
         return r
 
     nn = docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
     counts["n_base"] = nn.count()
     sigs_path = os.path.join(base, "nds_base_sigs")
-    stage("base_signatures", lambda: simhash128(nn).write.parquet(sigs_path))
+    if not os.path.isdir(sigs_path):
+        stage("base_signatures", lambda: simhash128(nn).write.parquet(sigs_path))
     base_sigs = spark.read.parquet(sigs_path)
 
-    # the stream: ~8 % of the corpus as 8 range-split files — half are
-    # perturbed dups of base docs, half dups of OTHER stream docs (the
-    # cross-epoch case the roll-forward exists for)
+    # the stream: ~8 % of the corpus as n_epochs range-split files —
+    # half are perturbed dups of base docs, half dups of OTHER stream
+    # docs (the cross-epoch case the roll-forward exists for)
     inc = nn.filter(F.col("doc_id") % 25 == 1).select(
         (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" nds")).alias("text"),
@@ -657,26 +676,33 @@ def _neardup_stream_study(spark, docs, base: str) -> dict:
             (F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text"
         )
     )
-    src = os.path.join(base, "nds_src")
-    inc.repartitionByRange(8, "doc_id").write.parquet(src)
+    src = os.path.join(base, f"{tag}_src")
+    inc.repartitionByRange(n_epochs, "doc_id").write.parquet(src)
     counts["n_stream"] = spark.read.parquet(src).count()
 
-    sig_root = os.path.join(base, "nds_sigs_seen")
+    sig_root = os.path.join(base, f"{tag}_sigs_seen")
+    rolled_dir = os.path.join(base, f"{tag}_sigs_rolled")
     os.makedirs(sig_root, exist_ok=True)
-    out_dir = os.path.join(base, "nds_pairs")
+    out_dir = os.path.join(base, f"{tag}_pairs")
     epoch_secs: list = []
 
     def detect_batch(batch_df, epoch_id: int) -> None:
         t0 = time.perf_counter()
         inc_sigs = drop_inherited_stats(simhash128(batch_df).localCheckpoint())
-        seen = base_sigs
-        if any(e.startswith("epoch=") for e in os.listdir(sig_root)):
-            seen = seen.unionByName(
-                spark.read.option("basePath", sig_root)
-                .parquet(sig_root)
-                .filter(F.col("epoch") != int(epoch_id))
-                .drop("epoch")
+        if fold:
+            fold_streaming_epochs(spark, sig_root, rolled_dir, int(epoch_id))
+            seen = streaming_seen_signatures(
+                spark, base_sigs, sig_root, rolled_dir, int(epoch_id)
             )
+        else:
+            seen = base_sigs
+            if any(e.startswith("epoch=") for e in os.listdir(sig_root)):
+                seen = seen.unionByName(
+                    spark.read.option("basePath", sig_root)
+                    .parquet(sig_root)
+                    .filter(F.col("epoch") != int(epoch_id))
+                    .drop("epoch")
+                )
         cross = simhash_near_dup_pairs(
             batch_df, max_hamming=5, docs_sigs=inc_sigs, against_sigs=seen
         )
@@ -697,26 +723,38 @@ def _neardup_stream_study(spark, docs, base: str) -> dict:
             .option("maxFilesPerTrigger", 1)
             .parquet(src)
             .writeStream.foreachBatch(detect_batch)
-            .option("checkpointLocation", os.path.join(base, "nds_ckpt"))
+            .option("checkpointLocation", os.path.join(base, f"{tag}_ckpt"))
             .trigger(availableNow=True)
             .start()
         )
-        if not q.awaitTermination(600):
+        if not q.awaitTermination(1800):
             q.stop()
-            raise RuntimeError("neardup stream did not drain within 600s")
+            raise RuntimeError("neardup stream did not drain within 1800s")
 
-    stage("drain_8_epochs", drain)
+    stage(f"drain_{n_epochs}_epochs", drain)
     counts["pairs_total"] = spark.read.parquet(out_dir).count()
     counts["epochs"] = len(epoch_secs)
+    half = len(epoch_secs) // 2
     return {
         "stages_sec": stages,
         "counts": counts,
+        "fold": fold,
         "epoch_secs": epoch_secs,
         "flatness_last_over_second": round(epoch_secs[-1] / epoch_secs[1], 2)
         if len(epoch_secs) > 2 and epoch_secs[1]
         else None,
+        # tail/head mean ratio: steadier flatness witness than a single
+        # epoch pair once n_epochs is large enough for host noise to hit
+        # individual epochs
+        "flatness_tail_over_head": round(
+            (sum(epoch_secs[half:]) / (len(epoch_secs) - half))
+            / (sum(epoch_secs[1:half]) / (half - 1)),
+            2,
+        )
+        if half >= 2
+        else None,
         "per_doc_ms": round(
-            1000.0 * stages["drain_8_epochs"] / counts["n_stream"], 3
+            1000.0 * stages[f"drain_{n_epochs}_epochs"] / counts["n_stream"], 3
         )
         if counts["n_stream"]
         else None,
@@ -1339,7 +1377,7 @@ def main() -> None:
         # rounds produce >1000 stages at 100× and the default retention
         # would silently undercount the data-movement deltas
         {"spark.ui.enabled": "true", "spark.ui.retainedStages": "20000"}
-        if sections & {"clique", "funnel", "inc", "incfunnel", "chain", "bucketed"}
+        if sections & {"clique", "funnel", "inc", "incfunnel", "chain", "chain7", "bucketed"}
         else None
     )
     spark = get_spark("vectorsearch-scylla-spark-scale-bench", extra_configs=extra)
@@ -1385,7 +1423,7 @@ def main() -> None:
         # =funnel run ONLY the named study and print their own JSON —
         # both are additive long-running measurements that must not
         # balloon the default battery
-        if sections and sections <= {"clique", "funnel", "sweep", "inc", "bigk", "incfunnel", "compact", "chain", "bucketed", "ndstream"}:
+        if sections and sections <= {"clique", "funnel", "sweep", "inc", "bigk", "incfunnel", "compact", "chain", "chain7", "bucketed", "ndstream", "ndepochs"}:
             study: dict = {}
             if "clique" in sections:
                 study["clique_study"] = _clique_study(spark, docs0, base)
@@ -1403,10 +1441,28 @@ def main() -> None:
                 study["compaction"] = _compaction_study(spark, emb0)
             if "chain" in sections:
                 study["chained_increments"] = _chain_study(spark, docs, base)
+            if "chain7" in sections:
+                # week-long chain with the mid-week maintenance window
+                # (r10): 7 days, artifact compacted after day 4's roll
+                study["chained_week"] = _chain_study(
+                    spark, docs, base, n_days=7, compact_day=4
+                )
             if "bucketed" in sections:
                 study["bucketed_artifact"] = _bucketed_study(spark, docs, base)
             if "ndstream" in sections:
                 study["neardup_stream"] = _neardup_stream_study(spark, docs, base)
+            if "ndepochs" in sections:
+                # the 'continuous past a day' witness (r10): 50 epochs,
+                # fold (r10 registered shape) vs no-fold (r9 shape whose
+                # `seen` unions every prior epoch dir) — same data, same
+                # stream; the no-fold run's per-epoch growth is exactly
+                # the O(epochs) plan term fold_streaming_epochs kills
+                study["neardup_epochs_fold"] = _neardup_stream_study(
+                    spark, docs, base, n_epochs=50, fold=True, tag="nde_f"
+                )
+                study["neardup_epochs_nofold"] = _neardup_stream_study(
+                    spark, docs, base, n_epochs=50, fold=False, tag="nde_n"
+                )
             print(
                 json.dumps(
                     {

@@ -2357,6 +2357,126 @@ def test_incremental_chain_roll_forward_equals_batch(spark, tmp_path):
     assert final[103] == 103 and final[201] == 201 and final[302] == 302
 
 
+def test_incremental_chain_seven_days_with_compaction(spark, tmp_path):
+    """r10 (r9 VERDICT #3): a WEEK of chained increments with the
+    small-files compaction a real deployment runs mid-chain.  Seven
+    consecutive days roll forward; after day 4 the artifact is
+    compacted (crash-safe rewrite) and days 5-7 probe the COMPACTED
+    artifact — after every day, chained labels == batch recompute and
+    artifact rows == fresh fingerprints of the corpus so far (in
+    particular immediately after compaction).  The planted pattern
+    keeps the hard cases alive all week: every day merges a doc into a
+    base component, extends a single family transitively (7 hops by
+    day 7), pairs with the PREVIOUS day's singleton (findable only via
+    the rolled artifact), and plants a fresh singleton."""
+    import glob
+    import os
+
+    from vectorsearch_scylla_spark.operators.dedup import (
+        compact_signature_artifact,
+        roll_forward_signatures,
+        simhash128,
+        simhash_near_dup_pairs,
+    )
+    from vectorsearch_scylla_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+    from vectorsearch_scylla_spark.session import drop_inherited_stats
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    base_rows = [
+        (i, f"unique base document number {i} carrying payload {i * 7919}")
+        for i in range(12)
+    ]
+    family = "the long-running replica family text alpha beta gamma"
+
+    def day_rows(d):
+        return [
+            (d * 100, base_rows[d % 12][1]),  # merges into a base comp
+            (d * 100 + 1, family),  # extends the family another hop
+            # pairs with yesterday's singleton — cross-day, artifact-only
+            (d * 100 + 2, f"day {d - 1} singleton standalone payload"),
+            (d * 100 + 3, f"day {d} singleton standalone payload"),
+        ]
+
+    base = mk(base_rows)
+    art = str(tmp_path / "sig_artifact")
+    base_sigs = drop_inherited_stats(simhash128(base).localCheckpoint())
+    base_sigs.write.parquet(art)
+    labels = (
+        base.select(F.col("doc_id").alias("node"))
+        .join(
+            connected_components(
+                simhash_near_dup_pairs(base, docs_sigs=base_sigs).select(
+                    "id_a", "id_b"
+                )
+            ),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce("component", "node").alias("component"))
+    )
+    corpus_rows = list(base_rows)
+    for d in range(1, 8):
+        rows = day_rows(d)
+        inc = mk(rows)
+        inc_sigs = drop_inherited_stats(simhash128(inc).localCheckpoint())
+        artifact = spark.read.parquet(art)
+        cross = simhash_near_dup_pairs(
+            inc, docs_sigs=inc_sigs, against_sigs=artifact
+        ).select("id_a", "id_b")
+        within = simhash_near_dup_pairs(inc, docs_sigs=inc_sigs).select(
+            "id_a", "id_b"
+        )
+        updated = incremental_components(labels, cross.unionByName(within))
+        labels = drop_inherited_stats(
+            mk(corpus_rows + rows)
+            .select(F.col("doc_id").alias("node"))
+            .join(updated, "node", "left")
+            .select("node", F.coalesce("component", "node").alias("component"))
+            .localCheckpoint()
+        )
+        roll_forward_signatures(inc_sigs, art)
+        corpus_rows = corpus_rows + rows
+
+        if d == 4:  # mid-chain maintenance window
+            n_files_before = len(glob.glob(os.path.join(art, "*.parquet")))
+            compact_signature_artifact(spark, art, target_partitions=2)
+            assert len(glob.glob(os.path.join(art, "*.parquet"))) == 2 < n_files_before
+
+        corpus = mk(corpus_rows)
+        batch = (
+            corpus.select(F.col("doc_id").alias("node"))
+            .join(
+                connected_components(
+                    simhash_near_dup_pairs(corpus).select("id_a", "id_b")
+                ),
+                "node",
+                "left",
+            )
+            .select("node", F.coalesce("component", "node").alias("component"))
+        )
+        got = {(r["node"], r["component"]) for r in labels.collect()}
+        want = {(r["node"], r["component"]) for r in batch.collect()}
+        assert got == want, (d, got - want, want - got)
+        art_rows = {tuple(r) for r in spark.read.parquet(art).collect()}
+        fresh = {tuple(r) for r in simhash128(corpus).collect()}
+        assert art_rows == fresh, d
+
+    final = {r["node"]: r["component"] for r in labels.collect()}
+    # the family chained through all seven days
+    assert len({final[d * 100 + 1] for d in range(1, 8)}) == 1
+    # every day's base-merge doc landed in its base component
+    for d in range(1, 8):
+        assert final[d * 100] == final[d % 12]
+    # each cross-day pair (day d's +2 doc with day d-1's +3 singleton)
+    for d in range(2, 8):
+        assert final[d * 100 + 2] == final[(d - 1) * 100 + 3]
+
+
 def test_roll_forward_signatures_rejects_schema_drift(spark, tmp_path):
     """A near-miss schema (renamed column, narrowed type) must be
     rejected, not silently appended into a mixed-schema artifact."""

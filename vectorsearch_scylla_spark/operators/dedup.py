@@ -536,6 +536,117 @@ def roll_forward_signatures(inc_sigs: DataFrame, artifact_path: str) -> None:
     inc_sigs.write.mode("append").parquet(artifact_path)
 
 
+def fold_streaming_epochs(
+    spark,
+    sig_root: str,
+    rolled_dir: str,
+    current_epoch: int,
+    compact_at_files: int = 64,
+) -> int:
+    """Fold COMMITTED streaming epoch signature dirs into one rolled
+    artifact — the maintenance step that makes a continuous dedup gate
+    (``streaming_neardup_e2e``) truly continuous: without it, every
+    micro-batch's ``seen`` frame unions base + EVERY prior ``epoch=N``
+    dir, so plan size and file-listing cost grow O(epochs) — fine for
+    an afternoon, broken after a day of micro-batches.
+
+    Mechanics — MOVE, never rewrite: each ``epoch=N`` dir with
+    ``N < current_epoch`` has its parquet part files renamed into
+    ``rolled_dir`` (part-file names carry globally unique UUIDs, so no
+    collisions), then the emptied dir is removed.  A rename is atomic
+    and moves — it cannot duplicate — so a crash at ANY point leaves
+    every signature row present exactly once across
+    rolled ∪ remaining epoch dirs, and re-running the fold finishes
+    the job (idempotent).  Cost per batch is O(files in one epoch)
+    renames, ZERO data rewrite — the difference matters because the
+    rolled artifact grows to stream-corpus size, and rewriting it per
+    fold would be O(|stream|) per batch.
+
+    RETRY SAFETY (the in-flight-epoch exclusion): only epochs strictly
+    below ``current_epoch`` fold.  A retried epoch's own
+    failed-attempt dir is therefore never folded, so the caller's
+    ``epoch != current`` filter on the leftover dirs keeps excluding
+    it — a doc can never pair with its own retry.
+
+    The file-count debt the moves accrue is paid by
+    :func:`compact_signature_artifact` (crash-safe since r10): when
+    ``rolled_dir`` exceeds ``compact_at_files`` part files it is
+    rewritten to size-based balanced files — amortized O(|rolled| /
+    compact_at_files) per epoch.  Pass ``compact_at_files=0`` to
+    disable auto-compaction (callers owning their own maintenance
+    window).
+
+    Returns the number of epoch dirs folded.  Per-batch plan-shape
+    independence from epoch count is pinned by
+    ``tests/test_streaming.py::test_fold_streaming_epochs_bounds_plan``.
+    """
+    import glob
+    import os
+    import shutil
+
+    folded = 0
+    if not os.path.isdir(sig_root):
+        return folded
+    for d in sorted(os.listdir(sig_root)):
+        if not d.startswith("epoch="):
+            continue
+        try:
+            epoch = int(d.split("=", 1)[1])
+        except ValueError:
+            continue
+        if epoch >= int(current_epoch):
+            continue
+        src_dir = os.path.join(sig_root, d)
+        os.makedirs(rolled_dir, exist_ok=True)
+        for part in glob.glob(os.path.join(src_dir, "*.parquet")):
+            os.rename(
+                part, os.path.join(rolled_dir, os.path.basename(part))
+            )
+        shutil.rmtree(src_dir, ignore_errors=True)
+        folded += 1
+    if (
+        compact_at_files
+        and os.path.isdir(rolled_dir)
+        and len(glob.glob(os.path.join(rolled_dir, "*.parquet")))
+        > int(compact_at_files)
+    ):
+        compact_signature_artifact(spark, rolled_dir)
+    return folded
+
+
+def streaming_seen_signatures(
+    spark,
+    base_sigs: DataFrame,
+    sig_root: str,
+    rolled_dir: str,
+    current_epoch: int,
+) -> DataFrame:
+    """The ``seen`` frame a continuous dedup micro-batch probes:
+    base corpus signatures ∪ rolled prior-epoch signatures ∪ any
+    not-yet-folded epoch dirs (excluding ``current_epoch`` — a RETRIED
+    epoch must not see its own failed attempt's signatures, or every
+    doc pairs with itself).  After :func:`fold_streaming_epochs` the
+    leftover-dir arm is empty or the retry dir alone, so the union
+    arity — and the per-batch plan — is CONSTANT in epoch count.
+    """
+    import glob
+    import os
+
+    seen = base_sigs
+    if os.path.isdir(rolled_dir) and glob.glob(
+        os.path.join(rolled_dir, "*.parquet")
+    ):
+        seen = seen.unionByName(spark.read.parquet(rolled_dir))
+    if glob.glob(os.path.join(sig_root, "epoch=*", "*.parquet")):
+        seen = seen.unionByName(
+            spark.read.option("basePath", sig_root)
+            .parquet(sig_root)
+            .filter(F.col("epoch") != int(current_epoch))
+            .drop("epoch")
+        )
+    return seen
+
+
 def compact_signature_artifact(
     spark, artifact_path: str, target_partitions: int | None = None
 ) -> int:

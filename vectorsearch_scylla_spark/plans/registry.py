@@ -125,84 +125,81 @@ def query(name: str, oracle: str | None, survey_ids: list[str], doc: str = ""):
 # verification via tests/test_oracle_parity.py, which replicates the
 # driver gate over the ENTIRE registry at sf0.001.
 DRIVER_WINDOW: list[str] = [
-    # -- r9 must-rotate set: every query whose last driver row is r7
-    # (the full 42-query set tools/rotate_window.py printed after the
-    # r8 stamp; the two streaming members are deferred to the
-    # streaming tail below) -------------------------------------------
-    "asof_event_snapshot_join",
-    "asof_nearest_join",
-    "benchmark_decontam",
-    "conditional_counts",
-    "corpus_quality_filter",
-    "dedup_canonical",
-    "dedup_exact",
-    "dedup_pipeline_funnel",
-    "device_profile_build",
-    "device_statistics",
-    "doc_chunking",
-    "doc_fingerprint",
-    "embedding_neardup_pairs",
-    "fleet_simulator",
-    "ivf_incremental_add",
-    "ivf_sampled_train_knn",
-    "ivfpq_residual_knn",
-    "knn_distributed",
+    # -- changed-dependency re-certs LEAD (r9 VERDICT #1): these three
+    # consumed the LATE-r9 broadcast-hint changes (banded_pairs /
+    # simhash / hyperplane against= static broadcast_new, and
+    # incremental_components' touched-probe broadcasts) while sitting
+    # OUT of the r9 window — the driver gate re-certifies them against
+    # the changed plan shape first ------------------------------------
+    "dedup_incremental",
+    "dedup_clusters_incremental",
+    "embedding_neardup_incremental",
+    # -- the rest of the r10 must-rotate set: every other query whose
+    # last driver row is r8 (the 42-query set tools/rotate_window.py
+    # printed after the r9 stamp; its five streaming members are
+    # deferred to the streaming tail below) ----------------------------
+    "ann_recall_report",
+    "anomaly_events_build",
+    "approx_distinct_check",
+    "bpe_token_estimate",
+    "chunk_dedup",
+    "customer_order_coverage",
+    "dedup_clusters",
+    "detect_consensus",
+    "doc_repetition_stats",
+    "domain_doc_cap",
+    "embedding_input_text",
+    "event_props_stats",
+    "event_sessionization",
+    "fleet_config_source",
+    "knn_bruteforce",
+    "lsh_knn",
+    "media_byte_features",
+    "media_frame_sample",
+    "metric_percentiles",
+    "metric_percentiles_approx",
+    "ngram_jaccard_pairs",
+    "path2_anomaly",
+    "path3_novelty_flags",
+    "pii_redaction",
+    "profile_rebuild_after_feedback",
+    "resample_daily_locf",
+    "retention_sweep",
+    "source_lang_rollup",
+    "source_mix_summary",
+    "tfidf_top_terms",
+    "threshold_rules",
+    "token_budget_sample",
+    "unigram_logprob_score",
+    "zscore_outliers",
+    # -- implementation-touched in round 10 (re-certify): knn.py's
+    # blocked sweep gained the max_collect_rows guard (the collect now
+    # goes through limit(cap+1)), so its two r9-certified registered
+    # consumers re-run under the driver gate; banded_pairs' skew knobs
+    # became None sentinels (resolution values unchanged), so
+    # representative r9-certified consumers of each banded family
+    # (simhash / minhash / hyperplane / against=-bipartite / the
+    # all-class funnel) re-run to prove value-neutrality ---------------
     "knn_same_label",
-    "language_id",
-    "latest_event_per_user",
-    "lww_window_snapshot",
-    "market_share",
-    "minhash_dup_buckets",
-    "minhash_signatures",
-    "pricing_summary",
-    "range_scan",
-    "relationship_rules",
-    "rolling_metric_stats",
-    "semantic_dedup_keepers",
-    "simhash_dup_pairs",
-    "simhash_fingerprints",
-    "similar_state_metric_diff",
-    "stratified_sample",
-    "text_quality",
-    "token_packing",
-    "token_stats_by_lang",
-    "top_orders_per_customer",
-    "tumbling_window_counts",
-    "window_pivot_snapshot",
-    # -- implementation-touched in round 9 (re-certify): ivf.py gained
-    # entry validation for the compaction id mint, bc_threshold
-    # threading into lloyd_kmeans, and per-iteration broadcast
-    # unpersist — behavior-neutral by design, so every certified
-    # consumer of lloyd_kmeans/split_oversized_clusters re-runs under
-    # the driver gate to prove it (the PQ family trains its codebooks
-    # through lloyd_kmeans); banded_pairs gained the against=-mode
-    # skew-knob rejection, so its two r8-certified consumers re-run --
-    "ivf_compaction",
-    "ivf_grouped_knn",
-    "pq_knn",
-    "ivfpq_knn",
     "sq8_knn",
-    "sq8_ivf_knn",
+    "simhash_dup_pairs",
+    "minhash_dup_buckets",
+    "embedding_neardup_pairs",
     "ngram_jaccard_incremental",
-    "dedup_clusters_union_cascade",
-    # NOTE (r9 late): the incremental band-join modes and
-    # incremental_components gained static broadcast hints on their
-    # |increment|-bounded sides (value-neutral, plan-only — agreement
-    # pinned by test_simhash_incremental_probe_broadcasts_batch_side
-    # and the chain/property tests).  Three certified consumers of the
-    # changed code sit OUT of this window (dedup_incremental,
-    # dedup_clusters_incremental, embedding_neardup_incremental — all
-    # verified this round by repeated all-92 driver-sims + the local
-    # parity suite); they MUST lead the r10 window as
-    # changed-dependency re-certs.
+    "dedup_pipeline_funnel",
     # -- streaming e2e LAST: a completed Structured Streaming query
     # leaves residue in the shared local JVM (streaming-state/codegen
     # caches and a stopped-query cleanup thread) that intermittently
     # slows later heavy batch queries 10-50x in the same process —
     # so every batch query must run before the first stream starts.
-    # Both are in the r9 must-rotate set.
+    # Five are r10 must-rotates; streaming_neardup_e2e re-certifies
+    # because r10 wired fold_streaming_epochs into its per-batch loop.
+    "streaming_dedup_e2e",
+    "streaming_detect_e2e",
+    "streaming_novelty_e2e",
+    "streaming_rolling_stats",
     "streaming_neardup_e2e",
-    "streaming_ivf_add_e2e",
+    "streaming_window_pivot",
 ]
 
 
@@ -6896,7 +6893,11 @@ def q_streaming_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(maxFilesPerTrigger=1 forces several), which is exactly what "
     "lets the batch all-pairs oracle certify the streaming pipeline.  "
     "A third planted family (+3M exact copies of the +1M docs) makes "
-    "the cross-epoch case non-vacuous.",
+    "the cross-epoch case non-vacuous.  r10: each batch first FOLDS "
+    "committed prior epoch dirs into a rolled artifact (file MOVES, "
+    "zero rewrite — fold_streaming_epochs), so the per-batch `seen` "
+    "plan is CONSTANT in epoch count instead of O(epochs) — the fix "
+    "that makes 'continuous' true past a day of micro-batches.",
 )
 def q_streaming_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     import atexit
@@ -6905,8 +6906,10 @@ def q_streaming_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from vectorsearch_scylla_spark.operators.dedup import (
+        fold_streaming_epochs,
         simhash128,
         simhash_near_dup_pairs,
+        streaming_seen_signatures,
     )
     from vectorsearch_scylla_spark.session import drop_inherited_stats
 
@@ -6943,22 +6946,20 @@ def q_streaming_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     out_dir = os.path.join(base, "pairs")
     sig_root = os.path.join(base, "sigs_seen")
+    rolled_dir = os.path.join(base, "sigs_rolled")
     os.makedirs(sig_root, exist_ok=True)
 
     def detect_batch(batch_df: DataFrame, epoch_id: int) -> None:
         inc_sigs = drop_inherited_stats(simhash128(batch_df).localCheckpoint())
-        # `seen` = the SHARED base artifact (read in place — never
-        # copied per run) ∪ every prior epoch's rolled signatures
-        seen = base_sigs
-        if any(e.startswith("epoch=") for e in os.listdir(sig_root)):
-            seen = seen.unionByName(
-                spark.read.option("basePath", sig_root)
-                .parquet(sig_root)
-                # a RETRIED epoch must not see its own failed attempt's
-                # signatures (it would pair every doc with itself)
-                .filter(F.col("epoch") != int(epoch_id))
-                .drop("epoch")
-            )
+        # fold committed prior epochs into the rolled artifact (file
+        # moves only; in-flight epoch excluded for retry safety), then
+        # build `seen` = shared base artifact (read in place — never
+        # copied per run) ∪ rolled ∪ any leftover epoch dirs — a
+        # CONSTANT-arity union regardless of how many epochs have run
+        fold_streaming_epochs(spark, sig_root, rolled_dir, int(epoch_id))
+        seen = streaming_seen_signatures(
+            spark, base_sigs, sig_root, rolled_dir, int(epoch_id)
+        )
         cross = simhash_near_dup_pairs(
             batch_df, max_hamming=5, docs_sigs=inc_sigs, against_sigs=seen
         )
