@@ -521,6 +521,19 @@ def test_cosine_pairs_blocked_threshold(spark, emb):
     assert all(r["similarity"] > 0.9 and r["id_a"] < r["id_b"] for r in pairs)
 
 
+def test_cosine_pairs_blocked_collect_guard(spark, emb):
+    """r10: the bounded-inputs contract is enforced, not just
+    documented — above the cap the kernel raises an actionable error
+    naming the corpus-scale path; at the cap it proceeds."""
+    n = emb.count()
+    with pytest.raises(ValueError, match="hyperplane_near_dup_pairs"):
+        cosine_pairs_blocked(emb, threshold=0.9, max_collect_rows=n - 1)
+    assert (
+        cosine_pairs_blocked(emb, threshold=0.99, max_collect_rows=n).count()
+        >= 0
+    )
+
+
 def test_media_kernels_byte_exact_on_non_ascii(spark):
     """Both the Spark media kernels AND the registered DuckDB oracles
     must agree with ground-truth BYTE semantics on non-ASCII UTF-8 —

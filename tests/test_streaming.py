@@ -555,13 +555,16 @@ def test_streaming_neardup_roll_forward_catches_cross_batch_pairs(spark, tmp_pat
     LATER doc's epoch, via the epoch-keyed signature artifact; and an
     epoch's own signatures must be invisible to itself (the retry
     guard), so a same-batch pair surfaces only through the within-batch
-    self-join.  Mirrors the registered streaming_neardup_e2e loop with
-    a hand-built two-batch stream."""
+    self-join.  Mirrors the registered streaming_neardup_e2e loop
+    (r10 shape: per-batch fold into the rolled artifact) with a
+    hand-built two-batch stream."""
     import os
 
     from vectorsearch_scylla_spark.operators.dedup import (
+        fold_streaming_epochs,
         simhash128,
         simhash_near_dup_pairs,
+        streaming_seen_signatures,
     )
     from vectorsearch_scylla_spark.session import drop_inherited_stats
 
@@ -579,9 +582,11 @@ def test_streaming_neardup_roll_forward_catches_cross_batch_pairs(spark, tmp_pat
     inc2 = [(201, "one two three four five six seven eight")]
 
     sig_root = str(tmp_path / "sigs_seen")
-    simhash128(to_df(base_rows)).write.parquet(
-        os.path.join(sig_root, "epoch=-1")
-    )
+    rolled = str(tmp_path / "sigs_rolled")
+    os.makedirs(sig_root, exist_ok=True)
+    base_sigs_path = str(tmp_path / "base_sigs")
+    simhash128(to_df(base_rows)).write.parquet(base_sigs_path)
+    base_sigs = spark.read.parquet(base_sigs_path)
     src = str(tmp_path / "src")
     to_df(inc1).coalesce(1).write.parquet(src + "/f=1")
     to_df(inc2).coalesce(1).write.parquet(src + "/f=2")
@@ -589,11 +594,9 @@ def test_streaming_neardup_roll_forward_catches_cross_batch_pairs(spark, tmp_pat
 
     def detect(batch_df, epoch_id):
         inc_sigs = drop_inherited_stats(simhash128(batch_df).localCheckpoint())
-        seen = (
-            spark.read.option("basePath", sig_root)
-            .parquet(sig_root)
-            .filter(F.col("epoch") != int(epoch_id))
-            .drop("epoch")
+        fold_streaming_epochs(spark, sig_root, rolled, int(epoch_id))
+        seen = streaming_seen_signatures(
+            spark, base_sigs, sig_root, rolled, int(epoch_id)
         )
         cross = simhash_near_dup_pairs(
             batch_df, max_hamming=5, docs_sigs=inc_sigs, against_sigs=seen
@@ -746,12 +749,17 @@ def test_streaming_neardup_roll_forward_survives_restart(spark, tmp_path):
     checkpoint: the artifact state built before the restart must serve
     the resumed stream (the new doc's only dup arrived pre-restart),
     epochs must not replay (no duplicate pairs), and the final pair set
-    must equal the one-shot drain's."""
+    must equal the one-shot drain's.  r10: the loop folds per batch, so
+    this also pins fold across the restart — the resumed epoch probes
+    signatures that were MOVED into the rolled artifact before the
+    stop."""
     import os
 
     from vectorsearch_scylla_spark.operators.dedup import (
+        fold_streaming_epochs,
         simhash128,
         simhash_near_dup_pairs,
+        streaming_seen_signatures,
     )
     from vectorsearch_scylla_spark.session import drop_inherited_stats
 
@@ -764,6 +772,7 @@ def test_streaming_neardup_roll_forward_survives_restart(spark, tmp_path):
     f3 = [(201, "one two three four five six seven eight")]  # dups 102 only
 
     sig_root = str(tmp_path / "sigs_seen")
+    rolled = str(tmp_path / "sigs_rolled")
     os.makedirs(sig_root, exist_ok=True)
     base_sigs_path = str(tmp_path / "base_sigs")
     simhash128(to_df(base_rows)).write.parquet(base_sigs_path)
@@ -773,14 +782,10 @@ def test_streaming_neardup_roll_forward_survives_restart(spark, tmp_path):
 
     def detect(batch_df, epoch_id):
         inc_sigs = drop_inherited_stats(simhash128(batch_df).localCheckpoint())
-        seen = base_sigs
-        if any(e.startswith("epoch=") for e in os.listdir(sig_root)):
-            seen = seen.unionByName(
-                spark.read.option("basePath", sig_root)
-                .parquet(sig_root)
-                .filter(F.col("epoch") != int(epoch_id))
-                .drop("epoch")
-            )
+        fold_streaming_epochs(spark, sig_root, rolled, int(epoch_id))
+        seen = streaming_seen_signatures(
+            spark, base_sigs, sig_root, rolled, int(epoch_id)
+        )
         cross = simhash_near_dup_pairs(
             batch_df, max_hamming=5, docs_sigs=inc_sigs, against_sigs=seen
         )

@@ -432,6 +432,7 @@ def cosine_pairs_blocked(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_collect_rows: int = 1_048_576,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine similarity > threshold, via
     per-partition NumPy float64 matmul against a broadcast of the full
@@ -452,12 +453,28 @@ def cosine_pairs_blocked(
     Ids keep the input column's type (orderable — pairs are deduped by
     ``id_a < id_b``).  float64 end-to-end so results hash-match a
     double-precision SQL oracle.
+
+    ``max_collect_rows`` enforces the bounded-inputs contract the same
+    way ``topk_similarity_join_blocked`` does (r10): the collect is
+    capped at ``max_collect_rows + 1`` rows — the guard itself cannot
+    OOM the driver — and exceeding the cap raises, naming the
+    corpus-scale alternative.
     """
     import numpy as np
     import pandas as pd
 
     id_dt = df.schema[id_col].dataType.simpleString()
-    rows = df.select(id_col, vec_col).collect()
+    rows = df.select(id_col, vec_col).limit(int(max_collect_rows) + 1).collect()
+    if len(rows) > max_collect_rows:
+        raise ValueError(
+            "cosine_pairs_blocked: input exceeds max_collect_rows="
+            f"{max_collect_rows} — this kernel broadcasts the full "
+            "(id, vector) set and is the BOUNDED-INPUT path (per LSH/"
+            "MinHash bucket, one detection microbatch).  For a whole "
+            "corpus use functions.hyperplane.hyperplane_near_dup_pairs "
+            "(banded candidates + exact per-candidate cosine); or raise "
+            "max_collect_rows if the driver can genuinely hold the set."
+        )
     ids = np.asarray([r[id_col] for r in rows])
     mat = np.asarray([r[vec_col] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)

@@ -39,7 +39,6 @@ from vectorsearch_scylla_spark.functions.vector import cosine_similarity
 from vectorsearch_scylla_spark.sources.tables import load_table, device_metrics_raw
 from vectorsearch_scylla_spark.operators.window_pivot import window_start
 from vectorsearch_scylla_spark.operators.knn import (
-    cosine_pairs_blocked,
     topk_similarity_join,
     topk_similarity_join_blocked,
 )
