@@ -2490,6 +2490,79 @@ def test_incremental_chain_seven_days_with_compaction(spark, tmp_path):
         assert final[d * 100 + 2] == final[(d - 1) * 100 + 3]
 
 
+def test_roll_forward_signatures_bucketed(spark, tmp_path):
+    """r10: the bucketed-artifact layout the r9 storage study priced,
+    as product — create + append accumulate exactly, schema drift is
+    rejected, the id-equi re-attach join reads the bucketed scan with
+    NO artifact-side Exchange (the plain-parquet twin pays one), and
+    the against_sigs probe from the table is value-identical."""
+    import contextlib
+    import io
+    import re
+
+    from vectorsearch_scylla_spark.operators.dedup import (
+        roll_forward_signatures_bucketed,
+        simhash128,
+        simhash_near_dup_pairs,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    base_rows = [(i, f"bucketed base doc {i} payload {i * 271}") for i in range(8)]
+    inc_rows = [(100, base_rows[3][1]), (101, "bucketed increment singleton")]
+    tbl = "vss_test_bkt_sigs"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+    roll_forward_signatures_bucketed(
+        simhash128(mk(base_rows)), tbl, path=str(tmp_path / "bkt_tbl")
+    )
+    roll_forward_signatures_bucketed(simhash128(mk(inc_rows)), tbl)
+    got_ids = sorted(r["doc_id"] for r in spark.table(tbl).select("doc_id").collect())
+    assert got_ids == sorted([r[0] for r in base_rows + inc_rows])
+
+    # near-miss schema rejected before any write
+    drifted = simhash128(mk([(999, "x")])).withColumnRenamed("s0", "sig0")
+    with pytest.raises(ValueError, match="schema does not match"):
+        roll_forward_signatures_bucketed(drifted, tbl)
+
+    # plan: the id-equi join's artifact side must carry NO Exchange
+    # when read from the bucketed table (broadcast disabled so the
+    # fixture-scale planner cannot hide the exchange this layout kills)
+    pairs = mk([(100, ""), (3, "")]).select(F.col("doc_id").alias("id_a"))
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def n_exchanges(artifact):
+            j = pairs.join(
+                artifact.withColumnRenamed("doc_id", "id_a"), "id_a"
+            )
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                j.explain("formatted")
+            return len(re.findall(r"\(\d+\) Exchange", buf.getvalue()))
+
+        pq = str(tmp_path / "plain_sigs")
+        spark.table(tbl).write.parquet(pq)
+        assert n_exchanges(spark.table(tbl)) == n_exchanges(
+            spark.read.parquet(pq)
+        ) - 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+    # value parity: probing against the bucketed table == the parquet
+    # artifact (the verifier's band join + Hamming re-attach)
+    probe = mk([(200, base_rows[5][1])])
+    def pair_set(art):
+        return {
+            (r["id_a"], r["id_b"])
+            for r in simhash_near_dup_pairs(probe, against_sigs=art).collect()
+        }
+    assert pair_set(spark.table(tbl)) == pair_set(spark.read.parquet(pq))
+    assert (200, 5) in pair_set(spark.table(tbl))
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_roll_forward_signatures_rejects_schema_drift(spark, tmp_path):
     """A near-miss schema (renamed column, narrowed type) must be
     rejected, not silently appended into a mixed-schema artifact."""

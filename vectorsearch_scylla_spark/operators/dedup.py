@@ -536,6 +536,62 @@ def roll_forward_signatures(inc_sigs: DataFrame, artifact_path: str) -> None:
     inc_sigs.write.mode("append").parquet(artifact_path)
 
 
+def roll_forward_signatures_bucketed(
+    inc_sigs: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+    path: str | None = None,
+) -> None:
+    """:func:`roll_forward_signatures` with the artifact kept as a
+    BUCKETED table instead of a plain parquet dir — the layout the r9
+    storage study priced (BENCH_SCALE.md "Bucketed signature
+    artifact"): the artifact is read every day by ``id_col``
+    equi-joins (the Hamming re-attach inside the near-dup verifiers,
+    the incremental probes' payload joins), and a ``bucketBy(n_buckets,
+    id_col)`` table's scan satisfies those joins' clustering
+    requirement by itself — the corpus-sized artifact NEVER shuffles
+    for them (measured: 2.8× less shuffle written / 4.6× less read, 1
+    Exchange vs 2 per re-attach; wall a wash at fixture scale because
+    the eliminated term is the one that grows with the corpus).
+
+    First call creates the table (``path`` pins an external location);
+    subsequent calls append — Spark itself refuses an append whose
+    bucketing spec differs from the table's, and the same (name, type)
+    schema gate as the parquet twin rejects near-miss increments
+    before any write.  Readers use ``spark.table(table)``; pass that
+    frame as ``against_sigs`` exactly like the parquet artifact.
+
+    Trade to know: every append writes up to ``n_buckets`` files per
+    task (the bucketed-write fan-out), so file-count debt accrues
+    FASTER than plain appends — rewrite the table in the same
+    maintenance window the daily append owns once file counts hurt
+    (read → stage to parquet → ``mode("overwrite")`` saveAsTable with
+    the same spec).  The parquet artifact + ``compact_signature_
+    artifact`` remains the default; this layout is the opt-in for
+    deployments whose daily cost is dominated by artifact-side
+    shuffle in the id joins.
+    """
+    spark = inc_sigs.sparkSession
+    writer = inc_sigs.write.bucketBy(int(n_buckets), id_col).sortBy(id_col)
+    if path is not None:
+        writer = writer.option("path", path)
+    if not spark.catalog.tableExists(table):
+        writer.saveAsTable(table)
+        return
+    existing = spark.table(table)
+    if [(f.name, f.dataType) for f in existing.schema] != [
+        (f.name, f.dataType) for f in inc_sigs.schema
+    ]:
+        raise ValueError(
+            "roll_forward_signatures_bucketed: increment schema does not "
+            f"match the table {table}:\n"
+            f"  table:     {existing.schema.simpleString()}\n"
+            f"  increment: {inc_sigs.schema.simpleString()}"
+        )
+    writer.mode("append").saveAsTable(table)
+
+
 def fold_streaming_epochs(
     spark,
     sig_root: str,
