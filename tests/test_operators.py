@@ -2820,6 +2820,66 @@ def test_compact_signature_artifact_crash_recovery(spark, tmp_path):
         compact_signature_artifact(spark, art, target_partitions=1)
 
 
+def test_compact_signature_artifact_partitioned_store(spark, tmp_path):
+    """r10: compaction on a Hive-partitioned artifact (the IVF
+    inverted-list store shape: partitionBy(cluster_id), daily adds
+    appending small files into each cluster dir) must PRESERVE the
+    partition layout — a naive rewrite would silently flatten it and
+    kill partition pruning.  Rows exact, per-cluster dirs intact, file
+    count reduced, pruned read still correct."""
+    import contextlib
+    import glob
+    import io
+    import os
+
+    from vectorsearch_scylla_spark.operators.dedup import (
+        compact_signature_artifact,
+    )
+
+    store = str(tmp_path / "lists")
+    # base build: one file per cluster
+    base = spark.createDataFrame(
+        [(i, i % 4, float(i)) for i in range(40)],
+        "vec_id long, cluster_id int, sim double",
+    )
+    base.repartition(4, "cluster_id").write.partitionBy("cluster_id").parquet(
+        store
+    )
+    # five "daily" appends, each scattering small files into the dirs
+    for day in range(5):
+        spark.createDataFrame(
+            [(1000 + day * 10 + i, i % 4, 0.5) for i in range(4)],
+            "vec_id long, cluster_id int, sim double",
+        ).repartition(2).write.mode("append").partitionBy(
+            "cluster_id"
+        ).parquet(store)
+    before = {
+        (r["vec_id"], r["cluster_id"]) for r in spark.read.parquet(store).collect()
+    }
+    files_before = len(
+        glob.glob(os.path.join(store, "**", "*.parquet"), recursive=True)
+    )
+
+    n_files = compact_signature_artifact(spark, store)
+    assert n_files < files_before
+    # layout preserved: the four cluster dirs, nothing at the root
+    assert sorted(
+        d for d in os.listdir(store) if d.startswith("cluster_id=")
+    ) == [f"cluster_id={c}" for c in range(4)]
+    assert not glob.glob(os.path.join(store, "*.parquet"))
+    after = {
+        (r["vec_id"], r["cluster_id"]) for r in spark.read.parquet(store).collect()
+    }
+    assert after == before
+    # pruning still works: the filtered scan carries a PartitionFilter
+    df = spark.read.parquet(store).filter("cluster_id = 2")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "PartitionFilters: [" in buf.getvalue()
+    assert {r["cluster_id"] for r in df.collect()} == {2}
+
+
 def test_incremental_funnel_chain_two_days(spark, sf_dir, tmp_path):
     """r9 capstone: the full THREE-class evidence funnel CHAINS — all
     three persisted artifact kinds (exact-key table, SimHash signature

@@ -737,7 +737,19 @@ def compact_signature_artifact(
     healed the same way when the live path is missing and exactly one
     such sibling exists.  Rows are preserved exactly (pinned by
     ``test_compact_signature_artifact`` and the crash-window tests);
-    returns the new file count."""
+    returns the new file count.
+
+    PARTITIONED artifacts (r10): a Hive-layout dir (``col=value``
+    subdirs, no root part files — e.g. the IVF inverted-list store,
+    ``partitionBy("cluster_id")``, whose daily ``ivf_incremental_add``
+    appends accrue small files PER CLUSTER DIR) compacts
+    partition-preservingly: the rewrite repartitions on the detected
+    partition columns and writes ``partitionBy(them)``, so partition
+    pruning — the whole point of that layout — survives the rewrite
+    (a naive single-dir rewrite would silently flatten it).  Default
+    ``target_partitions`` there is the partition-dir count (~1 file
+    per partition); the crash recovery above is layout-agnostic
+    (dir-level renames)."""
     import glob
     import os
     import shutil
@@ -763,14 +775,38 @@ def compact_signature_artifact(
         shutil.rmtree(staging)  # incomplete write from a crashed run
 
     df = spark.read.parquet(artifact_path)
+    # Hive-partitioned layout detection: col=value subdirs and no root
+    # part files.  Single-level only — that is the only layout the
+    # repo's artifacts use (lists store: cluster_id=N).
+    part_dirs = [
+        d
+        for d in os.listdir(artifact_path)
+        if "=" in d and os.path.isdir(os.path.join(artifact_path, d))
+    ]
+    part_cols = sorted({d.split("=", 1)[0] for d in part_dirs})
+    is_partitioned = bool(part_cols) and not glob.glob(
+        os.path.join(artifact_path, "*.parquet")
+    )
     if target_partitions is None:
-        total = sum(
-            os.path.getsize(p)
-            for p in glob.glob(os.path.join(artifact_path, "*.parquet"))
-        )
-        target_partitions = max(1, int(total / (128 * 2**20)))
-    df.repartition(int(target_partitions)).write.parquet(staging)
+        if is_partitioned:
+            target_partitions = max(1, len(part_dirs))
+        else:
+            total = sum(
+                os.path.getsize(p)
+                for p in glob.glob(os.path.join(artifact_path, "*.parquet"))
+            )
+            target_partitions = max(1, int(total / (128 * 2**20)))
+    if is_partitioned:
+        df.repartition(int(target_partitions), *part_cols).write.partitionBy(
+            *part_cols
+        ).parquet(staging)
+    else:
+        df.repartition(int(target_partitions)).write.parquet(staging)
     os.rename(artifact_path, old)
     os.rename(staging, artifact_path)
     shutil.rmtree(old, ignore_errors=True)
-    return len(glob.glob(os.path.join(artifact_path, "*.parquet")))
+    return len(
+        glob.glob(
+            os.path.join(artifact_path, "**", "*.parquet"), recursive=True
+        )
+    )
