@@ -245,6 +245,11 @@ def main() -> None:
     raw_times = dict(times)  # first-run numbers, before the retry pass
     for name in [n for n in batch if times[n] > 1.5]:
         times[name] = min(times[name], time_once(name))
+    # third canary sample at the batch/streaming boundary (r10): the
+    # start/end pair cannot say WHICH section a host-steal window hit —
+    # three samples attribute it (e.g. [2.1, 0.8, 0.8] = the batch
+    # section ran degraded, the streaming numbers are clean)
+    canary_mid = canary()
     for name in [n for n in streaming if n in REGISTRY]:
         t = time_once(name)
         raw_times[name] = t
@@ -270,7 +275,7 @@ def main() -> None:
     # divided by the same-run mean canary, so cross-round comparisons
     # read drift without the host-escrow paragraph.  Unit: bench
     # totals per canary-second — comparable across rounds on any host.
-    canary_mean = (canary_start + canary_end) / 2.0
+    canary_mean = (canary_start + canary_mid + canary_end) / 3.0
     norm = round(total / canary_mean, 3) if canary_mean > 0 else -1.0
     # NO SILENT CAPS: name the registry queries the headline bench
     # skips.  These are cheap relational/scalar variants whose plan
@@ -289,7 +294,7 @@ def main() -> None:
             "retry_absorbed_sec": retry_delta,
             "retry_absorbed_top": retry_top,
             "queries_skipped": skipped,
-            "canary_sec": [canary_start, canary_end],
+            "canary_sec": [canary_start, canary_mid, canary_end],
             "sf": sf,
         }
     )
@@ -310,7 +315,7 @@ def main() -> None:
     print(
         final_line(
             total, norm, times, retry_delta, retry_top,
-            [canary_start, canary_end], sf,
+            [canary_start, canary_mid, canary_end], sf,
         )
     )
 

@@ -457,7 +457,12 @@ def _incremental_study(spark, docs, base: str) -> dict:
 
 
 def _chain_study(
-    spark, docs, base: str, n_days: int = 3, compact_day: int | None = None
+    spark,
+    docs,
+    base: str,
+    n_days: int = 3,
+    compact_day: int | None = None,
+    tag: str = "chain",
 ) -> dict:
     """Multi-day CHAINED increments (r9; week-long variant r10): the
     r7/r8 incremental rows price ONE increment against a frozen base;
@@ -510,8 +515,10 @@ def _chain_study(
     nn = docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
     counts["n_base"] = nn.count()
 
-    art_path = os.path.join(base, "chain_sig_artifact")
-    labels_path = os.path.join(base, "chain_labels_0")
+    # tag-scoped paths so several chain variants (chain, chain7) can
+    # run inside ONE invocation without colliding on errorIfExists
+    art_path = os.path.join(base, f"{tag}_sig_artifact")
+    labels_path = os.path.join(base, f"{tag}_labels_0")
     stage("base_signatures", lambda: simhash128(nn).write.parquet(art_path))
     stage(
         "base_components",
@@ -527,7 +534,7 @@ def _chain_study(
     for day in range(1, n_days + 1):
         # each day's increment: a disjoint ~1 % slice, perturbed so it
         # both extends old clusters and forms new within-day pairs
-        inc_path = os.path.join(base, f"chain_inc_{day}")
+        inc_path = os.path.join(base, f"{tag}_inc_{day}")
         nn.filter(F.col("doc_id") % 97 == day).select(
             (F.col("doc_id") + day * 1_000_000_000).alias("doc_id"),
             F.concat(F.col("text"), F.lit(f" day{day}")).alias("text"),
@@ -551,7 +558,7 @@ def _chain_study(
             counts[f"edges_day{day}"] = box["edges"].count()
 
         def day_update() -> None:
-            out = os.path.join(base, f"chain_labels_{day}")
+            out = os.path.join(base, f"{tag}_labels_{day}")
             incremental_components(prev, box["edges"]).write.parquet(out)
             box["labels"] = out
 
@@ -582,7 +589,7 @@ def _chain_study(
         allrows = nn
         for day in range(1, n_days + 1):
             allrows = allrows.unionByName(
-                spark.read.parquet(os.path.join(base, f"chain_inc_{day}"))
+                spark.read.parquet(os.path.join(base, f"{tag}_inc_{day}"))
             )
         pairs = simhash_near_dup_pairs(allrows, max_hamming=5).select(
             "id_a", "id_b"
@@ -751,7 +758,7 @@ def _neardup_stream_study(
             / (sum(epoch_secs[1:half]) / (half - 1)),
             2,
         )
-        if half >= 2
+        if half >= 2 and sum(epoch_secs[1:half]) > 0
         else None,
         "per_doc_ms": round(
             1000.0 * stages[f"drain_{n_epochs}_epochs"] / counts["n_stream"], 3
@@ -1445,7 +1452,7 @@ def main() -> None:
                 # week-long chain with the mid-week maintenance window
                 # (r10): 7 days, artifact compacted after day 4's roll
                 study["chained_week"] = _chain_study(
-                    spark, docs, base, n_days=7, compact_day=4
+                    spark, docs, base, n_days=7, compact_day=4, tag="chain7"
                 )
             if "bucketed" in sections:
                 study["bucketed_artifact"] = _bucketed_study(spark, docs, base)

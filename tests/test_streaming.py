@@ -742,6 +742,36 @@ def test_fold_streaming_epochs_bounds_plan(spark, tmp_path):
     got = sorted(r["doc_id"] for r in spark.read.parquet(rolled).collect())
     assert got == [0, 1, 2, 3]
 
+    # crash DURING the auto-compaction of rolled (between its two
+    # renames): the rolled artifact is missing, its data stranded at
+    # .compact.old — BOTH fold and the seen builder must heal it before
+    # touching the live path, or the next fold recreates rolled and the
+    # stranded pre-crash signatures are later deleted as debris
+    # (r10 review finding — permanent silent data loss)
+    import shutil as _sh
+
+    _sh.rmtree(rolled + ".compact.old", ignore_errors=True)
+    os.rename(rolled, rolled + ".compact.old")
+    os.makedirs(rolled + ".compact.staging")  # stale staging too
+    sig_frame([40]).write.parquet(os.path.join(sig_root, "epoch=4"))
+    folded = fold_streaming_epochs(
+        spark, sig_root, rolled, current_epoch=5, compact_at_files=0
+    )
+    assert folded == 1
+    assert not os.path.exists(rolled + ".compact.old")
+    assert not os.path.exists(rolled + ".compact.staging")
+    got = sorted(r["doc_id"] for r in spark.read.parquet(rolled).collect())
+    assert got == [0, 1, 2, 3, 40]  # pre-crash rows restored + new fold
+    # the standalone reader heals the same window
+    os.rename(rolled, rolled + ".compact.old")
+    seen_ids = {
+        r["doc_id"]
+        for r in streaming_seen_signatures(
+            spark, base_sigs, sig_root, rolled, current_epoch=5
+        ).collect()
+    }
+    assert {0, 1, 2, 3, 40} <= seen_ids
+
 
 def test_streaming_neardup_roll_forward_survives_restart(spark, tmp_path):
     """r9: the continuous near-dup gate across a STOP/RESUME boundary —

@@ -519,21 +519,68 @@ def roll_forward_signatures(inc_sigs: DataFrame, artifact_path: str) -> None:
     test_incremental_chain_roll_forward_equals_batch``.
     """
     spark = inc_sigs.sparkSession
-    existing = spark.read.parquet(artifact_path)
-    # compare (name, type) pairs, not full StructTypes: a parquet
-    # read-back reports every column nullable, while kernel-produced
-    # frames declare non-null fields — that difference is harmless
-    # (parquet append never widens types), so only names/types gate
+    _check_artifact_schema(
+        spark.read.parquet(artifact_path),
+        inc_sigs,
+        f"the artifact at {artifact_path}",
+    )
+    inc_sigs.write.mode("append").parquet(artifact_path)
+
+
+def _check_artifact_schema(existing: DataFrame, inc: DataFrame, label: str) -> None:
+    """Shared (name, type) schema gate for the two roll-forward twins:
+    compare name/type pairs, not full StructTypes — a parquet/table
+    read-back reports every column nullable while kernel-produced
+    frames declare non-null fields, a harmless difference (appends
+    never widen types)."""
     if [(f.name, f.dataType) for f in existing.schema] != [
-        (f.name, f.dataType) for f in inc_sigs.schema
+        (f.name, f.dataType) for f in inc.schema
     ]:
         raise ValueError(
-            "roll_forward_signatures: increment schema does not match "
-            f"the artifact at {artifact_path}:\n"
+            f"increment schema does not match {label}:\n"
             f"  artifact:  {existing.schema.simpleString()}\n"
-            f"  increment: {inc_sigs.schema.simpleString()}"
+            f"  increment: {inc.schema.simpleString()}"
         )
-    inc_sigs.write.mode("append").parquet(artifact_path)
+
+
+def _recover_interrupted_compaction(artifact_path: str) -> None:
+    """Heal the crash windows of :func:`compact_signature_artifact`'s
+    two-rename swap for ``artifact_path`` — shared by the compactor's
+    own entry AND by every reader/maintainer of an auto-compacted
+    artifact (:func:`fold_streaming_epochs`,
+    :func:`streaming_seen_signatures`).  The reader-side call is what
+    makes the streaming gate's auto-compaction actually crash-safe: if
+    the stream died between the compactor's two renames, the live dir
+    is missing and the data sits in ``.compact.old`` — a reader that
+    doesn't recover would silently see an EMPTY artifact (missing
+    every rolled signature), and a later fold would recreate the live
+    dir, after which the stranded ``.compact.old`` looks like
+    post-promote debris and gets deleted: permanent loss.  Idempotent
+    and cheap (two existence checks) when there is nothing to heal.
+    """
+    import glob
+    import os
+    import shutil
+
+    old_candidates = [
+        p for p in [f"{artifact_path}.compact.old"] if os.path.exists(p)
+    ]
+    old_candidates += sorted(glob.glob(f"{artifact_path}.old.*"))
+    if os.path.exists(artifact_path):
+        for p in old_candidates:  # crashed after promote: live wins
+            shutil.rmtree(p, ignore_errors=True)
+    elif len(old_candidates) == 1:
+        os.rename(old_candidates[0], artifact_path)  # restore pre-compaction
+    elif old_candidates:
+        raise RuntimeError(
+            f"interrupted compaction: {artifact_path} is missing and "
+            f"{len(old_candidates)} .old siblings exist ({old_candidates}); "
+            "cannot pick the survivor automatically — inspect and rename "
+            "the correct one back to the artifact path"
+        )
+    staging = f"{artifact_path}.compact.staging"
+    if os.path.exists(staging):
+        shutil.rmtree(staging)  # incomplete write from a crashed run
 
 
 def roll_forward_signatures_bucketed(
@@ -579,16 +626,7 @@ def roll_forward_signatures_bucketed(
     if not spark.catalog.tableExists(table):
         writer.saveAsTable(table)
         return
-    existing = spark.table(table)
-    if [(f.name, f.dataType) for f in existing.schema] != [
-        (f.name, f.dataType) for f in inc_sigs.schema
-    ]:
-        raise ValueError(
-            "roll_forward_signatures_bucketed: increment schema does not "
-            f"match the table {table}:\n"
-            f"  table:     {existing.schema.simpleString()}\n"
-            f"  increment: {inc_sigs.schema.simpleString()}"
-        )
+    _check_artifact_schema(spark.table(table), inc_sigs, f"the table {table}")
     writer.mode("append").saveAsTable(table)
 
 
@@ -628,14 +666,27 @@ def fold_streaming_epochs(
     :func:`compact_signature_artifact` (crash-safe since r10): when
     ``rolled_dir`` exceeds ``compact_at_files`` part files it is
     rewritten to size-based balanced files — amortized O(|rolled| /
-    compact_at_files) per epoch.  Pass ``compact_at_files=0`` to
-    disable auto-compaction (callers owning their own maintenance
-    window).
+    compact_at_files) per epoch.  A crash DURING that auto-compaction
+    is healed here on the next entry (the shared
+    ``_recover_interrupted_compaction`` runs before any move) — this
+    entry-side recovery is load-bearing: without it, a crash between
+    the compactor's two renames would leave the rolled artifact
+    missing, the next fold would recreate it, and the stranded
+    pre-crash data would later be deleted as post-promote debris.
+    Pass ``compact_at_files=0`` to disable auto-compaction (callers
+    owning their own maintenance window).
+
+    ``sig_root`` and ``rolled_dir`` must live on the SAME filesystem:
+    the move is ``os.rename``, which cannot cross devices — a
+    cross-device layout fails fast here with an actionable error
+    rather than degrading to a copy (a copy+delete would reopen the
+    duplication crash window the rename design exists to close).
 
     Returns the number of epoch dirs folded.  Per-batch plan-shape
     independence from epoch count is pinned by
     ``tests/test_streaming.py::test_fold_streaming_epochs_bounds_plan``.
     """
+    import errno
     import glob
     import os
     import shutil
@@ -643,6 +694,9 @@ def fold_streaming_epochs(
     folded = 0
     if not os.path.isdir(sig_root):
         return folded
+    # heal a crashed auto-compaction of the rolled artifact BEFORE any
+    # existence check or move touches it (see docstring)
+    _recover_interrupted_compaction(rolled_dir)
     for d in sorted(os.listdir(sig_root)):
         if not d.startswith("epoch="):
             continue
@@ -655,9 +709,22 @@ def fold_streaming_epochs(
         src_dir = os.path.join(sig_root, d)
         os.makedirs(rolled_dir, exist_ok=True)
         for part in glob.glob(os.path.join(src_dir, "*.parquet")):
-            os.rename(
-                part, os.path.join(rolled_dir, os.path.basename(part))
-            )
+            try:
+                os.rename(
+                    part, os.path.join(rolled_dir, os.path.basename(part))
+                )
+            except OSError as e:
+                if e.errno == errno.EXDEV:
+                    raise OSError(
+                        errno.EXDEV,
+                        "fold_streaming_epochs: sig_root and rolled_dir "
+                        "are on different filesystems — the fold moves "
+                        "files with rename (atomic, no duplication "
+                        "window) and cannot cross devices; co-locate "
+                        f"rolled_dir ({rolled_dir}) with sig_root "
+                        f"({sig_root})",
+                    ) from e
+                raise
         shutil.rmtree(src_dir, ignore_errors=True)
         folded += 1
     if (
@@ -684,10 +751,16 @@ def streaming_seen_signatures(
     doc pairs with itself).  After :func:`fold_streaming_epochs` the
     leftover-dir arm is empty or the retry dir alone, so the union
     arity — and the per-batch plan — is CONSTANT in epoch count.
+
+    Entry heals a crashed auto-compaction of ``rolled_dir`` first
+    (idempotent; see ``_recover_interrupted_compaction``) so a
+    standalone reader can never mistake a mid-swap artifact for an
+    empty one.
     """
     import glob
     import os
 
+    _recover_interrupted_compaction(rolled_dir)
     seen = base_sigs
     if os.path.isdir(rolled_dir) and glob.glob(
         os.path.join(rolled_dir, "*.parquet")
@@ -757,22 +830,9 @@ def compact_signature_artifact(
     staging = f"{artifact_path}.compact.staging"
     old = f"{artifact_path}.compact.old"
     # --- on-entry recovery from a previously crashed compaction ---
-    old_candidates = [p for p in [old] if os.path.exists(p)]
-    old_candidates += sorted(glob.glob(f"{artifact_path}.old.*"))
-    if os.path.exists(artifact_path):
-        for p in old_candidates:  # crashed after promote: live wins
-            shutil.rmtree(p, ignore_errors=True)
-    elif len(old_candidates) == 1:
-        os.rename(old_candidates[0], artifact_path)  # restore pre-compaction
-    elif old_candidates:
-        raise RuntimeError(
-            f"compact_signature_artifact: {artifact_path} is missing and "
-            f"{len(old_candidates)} .old siblings exist ({old_candidates}); "
-            "cannot pick the survivor automatically — inspect and rename "
-            "the correct one back to the artifact path"
-        )
-    if os.path.exists(staging):
-        shutil.rmtree(staging)  # incomplete write from a crashed run
+    # (shared with the readers/maintainers of auto-compacted artifacts
+    # — see _recover_interrupted_compaction for why they need it too)
+    _recover_interrupted_compaction(artifact_path)
 
     df = spark.read.parquet(artifact_path)
     # Hive-partitioned layout detection: col=value subdirs and no root
