@@ -1252,6 +1252,39 @@ def test_blocked_knn_collect_guard(spark, sf_dir):
     assert ok.count() > 0
 
 
+def test_pq_adc_collect_guard(spark, sf_dir):
+    """r10: the ADC kernel's driver-built LUT has the same bounded-Q
+    contract — above the cap it raises naming the large-Q path."""
+    from pyspark.sql import functions as F
+
+    from vectorsearch_scylla_spark.operators.pq import (
+        encode_pq,
+        pq_adc_topk_np,
+        train_pq,
+    )
+    from vectorsearch_scylla_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dim = len(emb.first()["embedding"])
+    dsub = dim // 4
+    books = train_pq(emb, m=4, ksub=4, iters=1, dsub=dsub)
+    codes = encode_pq(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        books,
+        dsub,
+    ).drop("embedding")
+    queries = emb.limit(10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    with pytest.raises(ValueError, match="hyperplane_topk_join"):
+        pq_adc_topk_np(queries, codes, books, k=3, dsub=dsub, max_collect_rows=5)
+    assert (
+        pq_adc_topk_np(queries, codes, books, k=3, dsub=dsub).count() > 0
+    )
+
+
 def test_sq8_recall_vs_exact(spark, sf_dir):
     """SQ8's quality claim made concrete: top-1 neighbors under the
     int8-dequantized corpus match the exact full-precision top-1 for

@@ -360,6 +360,7 @@ def pq_adc_topk_np(
     dtype: str = "float32",
     probes: DataFrame | None = None,
     probe_col: str = "cluster_id",
+    max_collect_rows: int = 1_048_576,
 ) -> DataFrame:
     """Blocked NumPy ADC kernel — the shipped-quality ADC path (the
     declarative LUT-join twin :func:`pq_adc_topk` is retained as its
@@ -390,7 +391,24 @@ def pq_adc_topk_np(
     from pyspark.sql import Window
 
     m = len(books)
-    qrows = queries.select(query_id, query_vec).collect()
+    # bounded-Q contract enforced the same way as
+    # operators.knn.topk_similarity_join_blocked (r10): the collect is
+    # capped at max_collect_rows + 1 — the guard itself cannot OOM the
+    # driver — and exceeding it raises naming the large-Q path
+    qrows = (
+        queries.select(query_id, query_vec)
+        .limit(int(max_collect_rows) + 1)
+        .collect()
+    )
+    if len(qrows) > max_collect_rows:
+        raise ValueError(
+            "pq_adc_topk_np: query side exceeds max_collect_rows="
+            f"{max_collect_rows} — the ADC LUT is built on the driver "
+            "(O(Q·m·ksub)), so this is the SMALL-Q path.  For a "
+            "corpus-sized Q use functions.hyperplane.hyperplane_topk_join "
+            "(approximate, no collect) or raise max_collect_rows if the "
+            "driver can genuinely hold the LUT."
+        )
     qids = np.array([r[query_id] for r in qrows])
     Qv = np.asarray([list(r[query_vec]) for r in qrows], dtype=dtype)
     qn = np.linalg.norm(Qv, axis=1).astype(np.float64)

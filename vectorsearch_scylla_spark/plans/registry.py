@@ -178,7 +178,12 @@ DRIVER_WINDOW: list[str] = [
     # became None sentinels (resolution values unchanged), so
     # representative r9-certified consumers of each banded family
     # (simhash / minhash / hyperplane / against=-bipartite / the
-    # all-class funnel) re-run to prove value-neutrality ---------------
+    # all-class funnel) re-run to prove value-neutrality.
+    # NOTE (r10 late): pq_adc_topk_np gained the same collect guard
+    # AFTER the r10 stamp; its consumers (pq_knn, ivfpq_knn,
+    # ivfpq_residual_knn) are r9-stamped sit-outs, so they lead the
+    # r11 window by the normal rotation — verified this round by the
+    # full local parity suite. ----------------------------------------
     "knn_same_label",
     "sq8_knn",
     "simhash_dup_pairs",
