@@ -217,11 +217,19 @@ def test_retention_sweep_builds_lazily(spark, sf_dir):
     ) as mc:
         df = REGISTRY["retention_sweep"].fn(spark, sf_dir)
         assert mc.call_count == 0, "query construction ran a driver job"
-    # and the single plan actually carries the scalar-cutoff join
+    # and the single plan actually carries the scalar-cutoff join;
+    # the cutoff subtree's scan must be pruned to the timestamp column
+    # alone (the "second scan" is a cheap single-column columnar pass,
+    # not a second full-table read)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
-    assert "BroadcastNestedLoopJoin" in buf.getvalue()
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" in plan
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert any(s == "ts:timestamp_ntz" for s in schemas), schemas
     assert df.columns == ["device_id", "date", "rows_kept"]
 
 
