@@ -1288,6 +1288,194 @@ def _compaction_study(spark, emb0) -> dict:
     return out
 
 
+def _ivf_week_study(spark, emb, base: str) -> dict:
+    """A WEEK of IVF index maintenance (r10) — the vector-store twin
+    of the chained dedup week: seven daily vector increments routed
+    through the FROZEN base-trained coarse quantizer (map-only,
+    |inc|-proportional — never a retrain, never a base rescan),
+    appended to a cluster-partitioned list store, with the mid-week
+    maintenance window a real deployment runs after day 4:
+
+    * file-level: ``compact_signature_artifact`` on the store — the
+      r10 partition-aware path, paying back 4 days of per-partition
+      append debt with the layout (and pruning) preserved;
+    * logical: ``split_oversized_clusters`` — drifted increments pile
+      into few lists; the split rewrites ONLY those lists (children
+      append as new partitions + parent dirs deleted, work
+      proportional to the oversized lists, not the corpus).
+
+    Each day's increment DRIFTS progressively from the training
+    distribution (a growing offset on the leading coordinates — the
+    covariate-shift case a frozen quantizer eventually loses to), and
+    each day measures recall@5 of the nprobe=4 probe against the
+    exact blocked ground truth for THAT day's queries over the
+    CURRENT corpus.  The recall curve is the retrain trigger
+    quantified: the day it crosses the budget is the day you retrain
+    — until then the week costs |inc| routing per day.
+    """
+    from vectorsearch_scylla_spark.operators.dedup import (
+        compact_signature_artifact,
+    )
+    from vectorsearch_scylla_spark.operators.ivf import (
+        assign_clusters_np,
+        ivf_probe_topk_grouped,
+        lloyd_kmeans,
+        probe_clusters_np,
+        split_oversized_clusters,
+    )
+    from vectorsearch_scylla_spark.operators.knn import (
+        topk_similarity_join_blocked,
+    )
+
+    import glob as _glob
+    import shutil as _shutil
+
+    out: dict = {"days": {}}
+    n0 = emb.count()
+    k = max(8, int(round(n0**0.5)))
+    t0 = time.perf_counter()
+    cents = lloyd_kmeans(emb, k=k, iters=2, kernel="numpy", train_rows=256 * k)
+    out["build_sec"] = round(time.perf_counter() - t0, 3)
+    out["n_base"], out["k"] = n0, k
+    max_size = int(2.0 * n0 / k)  # balance budget fixed at day 0
+    out["max_size"] = max_size
+
+    store = os.path.join(base, "ivfweek_lists")
+    t0 = time.perf_counter()
+    assign_clusters_np(emb, cents, dtype="float32").select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("corpus_vec"),
+        "cluster_id",
+    ).repartition(32, "cluster_id").write.partitionBy("cluster_id").parquet(store)
+    out["base_assign_sec"] = round(time.perf_counter() - t0, 3)
+
+    def day_recall(
+        queries, cents_now, store_df, nprobe: int = 4
+    ) -> tuple[float, float, int]:
+        corpus = store_df.select(
+            "corpus_id", "corpus_vec"
+        )
+        exact = (
+            topk_similarity_join_blocked(
+                queries, corpus, k=5, exclude_self=True, dtype="float32"
+            )
+            .select("query_id", F.col("corpus_id").alias("exact_id"))
+            .persist()
+        )
+        denom = exact.count()
+        t0 = time.perf_counter()
+        probes = probe_clusters_np(
+            queries, cents_now, nprobe=nprobe, vec_col="query_vec"
+        )
+        approx = ivf_probe_topk_grouped(
+            probes, store_df, k=5, exclude_self=True, dtype="float32"
+        ).select("query_id", F.col("corpus_id").alias("approx_id"))
+        hits = exact.join(
+            approx,
+            (exact["query_id"] == approx["query_id"])
+            & (exact["exact_id"] == approx["approx_id"]),
+            "left_semi",
+        ).count()
+        probe_sec = round(time.perf_counter() - t0, 3)
+        exact.unpersist()
+        return (round(hits / denom, 4) if denom else None), probe_sec, denom
+
+    for day in range(1, 8):
+        # disjoint ~5 % slice, drifted: +0.05·day on the 8 leading
+        # coordinates — the covariate shift the frozen quantizer was
+        # never trained on
+        inc = emb.filter(F.col("vec_id") % 20 == day).select(
+            (F.col("vec_id") + day * 1_000_000_000).alias("vec_id"),
+            F.expr(
+                "transform(cast(embedding as array<double>), "
+                f"(x, i) -> CASE WHEN i < 8 THEN x + {0.05 * day!r} "
+                "ELSE x END)"
+            ).alias("embedding"),
+        )
+        t0 = time.perf_counter()
+        routed = assign_clusters_np(inc, cents, dtype="float32").select(
+            F.col("vec_id").alias("corpus_id"),
+            F.col("embedding").alias("corpus_vec"),
+            "cluster_id",
+        )
+        routed.write.mode("append").partitionBy("cluster_id").parquet(store)
+        route_sec = round(time.perf_counter() - t0, 3)
+
+        store_df = spark.read.parquet(store)
+        sizes = (
+            store_df.groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
+        )
+        oversized = sum(1 for r in sizes if r["n"] > max_size)
+        queries = inc.filter(F.col("vec_id") % 97 == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        recall, probe_sec, denom = day_recall(queries, cents, store_df)
+        out["days"][str(day)] = {
+            "route_sec": route_sec,
+            "probe_sec": probe_sec,
+            "recall_at_5": recall,
+            "oversized_lists": oversized,
+            "n_corpus": int(sum(r["n"] for r in sizes)),
+            "n_query_pairs": denom,
+        }
+        if day > 4:
+            # post-split the cluster granularity is finer — track the
+            # deployment response (nprobe 4 → 8) alongside the old knob
+            r8, p8, _ = day_recall(queries, cents, store_df, nprobe=8)
+            out["days"][str(day)]["recall_at_5_np8"] = r8
+            out["days"][str(day)]["probe_sec_np8"] = p8
+        print(f"[bench_scale] ivfweek day{day}: {out['days'][str(day)]}", file=sys.stderr)
+
+        if day == 4:
+            # maintenance window: file compaction (partition-aware),
+            # then the logical split of drift-bloated lists — children
+            # APPEND as brand-new partitions, parent dirs are deleted,
+            # so the rewrite touches only the oversized lists
+            t0 = time.perf_counter()
+            n_files = compact_signature_artifact(spark, store)
+            compact_sec = round(time.perf_counter() - t0, 3)
+            store_df = spark.read.parquet(store)
+            t0 = time.perf_counter()
+            cents, new_members = split_oversized_clusters(
+                store_df, cents, max_size=max_size, split_k=4, iters=2,
+                id_col="corpus_id", vec_col="corpus_vec",
+            )
+            changed = new_members.filter(
+                F.col("cluster_id") >= 1_000_000
+            ).localCheckpoint()
+            parents = {
+                int(r["parent"])
+                for r in changed.select(
+                    (F.floor(F.col("cluster_id") / 1_000_000) - 1).alias("parent")
+                ).distinct().collect()
+            }
+            changed.write.mode("append").partitionBy("cluster_id").parquet(store)
+            for p in parents:
+                _shutil.rmtree(
+                    os.path.join(store, f"cluster_id={p}"), ignore_errors=True
+                )
+            split_sec = round(time.perf_counter() - t0, 3)
+            store_df = spark.read.parquet(store)
+            # the split makes clusters FINER: at fixed nprobe the probe
+            # covers less volume, so recall drops — the paired knob is
+            # nprobe, priced here as the post-split sweep (the saved
+            # per-list cost funds the extra probes)
+            post = {}
+            for np_i in (4, 8, 16):
+                r, p, _ = day_recall(queries, cents, store_df, nprobe=np_i)
+                post[str(np_i)] = {"recall_at_5": r, "probe_sec": p}
+            out["maintenance_day4"] = {
+                "compact_sec": compact_sec,
+                "files_after_compact": n_files,
+                "split_sec": split_sec,
+                "parents_split": len(parents),
+                "post_split_nprobe_sweep": post,
+            }
+            print(f"[bench_scale] ivfweek maint: {out['maintenance_day4']}", file=sys.stderr)
+    return out
+
+
 def _bigk_assign_study(spark) -> dict:
     """r7 judge item #4: price the closure-embedded vs broadcast
     centroid transport for the full-corpus assignment pass at the
@@ -1430,7 +1618,7 @@ def main() -> None:
         # =funnel run ONLY the named study and print their own JSON —
         # both are additive long-running measurements that must not
         # balloon the default battery
-        if sections and sections <= {"clique", "funnel", "sweep", "inc", "bigk", "incfunnel", "compact", "chain", "chain7", "bucketed", "ndstream", "ndepochs"}:
+        if sections and sections <= {"clique", "funnel", "sweep", "inc", "bigk", "incfunnel", "compact", "chain", "chain7", "bucketed", "ndstream", "ndepochs", "ivfweek"}:
             study: dict = {}
             if "clique" in sections:
                 study["clique_study"] = _clique_study(spark, docs0, base)
@@ -1458,6 +1646,8 @@ def main() -> None:
                 study["bucketed_artifact"] = _bucketed_study(spark, docs, base)
             if "ndstream" in sections:
                 study["neardup_stream"] = _neardup_stream_study(spark, docs, base)
+            if "ivfweek" in sections:
+                study["ivf_week"] = _ivf_week_study(spark, emb, base)
             if "ndepochs" in sections:
                 # the 'continuous past a day' witness (r10): 50 epochs,
                 # fold (r10 registered shape) vs no-fold (r9 shape whose
