@@ -850,6 +850,16 @@ def split_oversized_clusters(
     ``cluster_col`` rewritten for split members, and ``new_centroids``
     is the updated (sorted) centroid table.
 
+    OPERATIONAL NOTE (measured, BENCH_SCALE.md "IVF maintenance week
+    under drift"): splitting makes the affected clusters FINER, so a
+    probe at the PRE-split ``nprobe`` covers less volume and recall
+    drops (measured 0.89 → 0.66 at nprobe=4 after splitting 51
+    drift-bloated lists).  The split also shrinks each probed list by
+    the same factor, so the paired deployment move is raising nprobe
+    with the granularity — nprobe 8–16 post-split measured the SAME
+    probe wall as nprobe 4 pre-split and recall 0.87–0.95.  Budget
+    compaction and the nprobe bump together.
+
     FAISS parity note: this is the in-place half of what
     ``IndexIVF`` deployments do by periodic retrain; the frozen-outer
     contract matches ``ivf_incremental_add``'s (no existing
