@@ -772,6 +772,27 @@ def test_fold_streaming_epochs_bounds_plan(spark, tmp_path):
     }
     assert {0, 1, 2, 3, 40} <= seen_ids
 
+    # cross-device layout fails FAST with an actionable message (the
+    # fold must never degrade to copy+delete — that reopens the
+    # duplication window renames exist to close)
+    import errno
+    from unittest import mock
+
+    sig_root2 = str(tmp_path / "xdev" / "sigs_seen")
+    rolled2 = str(tmp_path / "xdev" / "sigs_rolled")
+    os.makedirs(sig_root2, exist_ok=True)
+    sig_frame([7]).write.parquet(os.path.join(sig_root2, "epoch=0"))
+    real_rename = os.rename
+
+    def xdev_rename(src, dst):
+        if src.endswith(".parquet"):
+            raise OSError(errno.EXDEV, "Invalid cross-device link")
+        return real_rename(src, dst)
+
+    with mock.patch("os.rename", side_effect=xdev_rename):
+        with pytest.raises(OSError, match="different filesystems"):
+            fold_streaming_epochs(spark, sig_root2, rolled2, current_epoch=1)
+
 
 def test_streaming_neardup_roll_forward_survives_restart(spark, tmp_path):
     """r9: the continuous near-dup gate across a STOP/RESUME boundary —
