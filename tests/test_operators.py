@@ -2596,6 +2596,103 @@ def test_roll_forward_signatures_bucketed(spark, tmp_path):
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
 
 
+def test_incremental_chain_bucketed_artifact(spark, tmp_path):
+    """r10: the bucketed artifact through the FULL chained loop — the
+    unit test pins plan shape and one probe; this certifies that a
+    3-day incremental chain probing and rolling forward the BUCKETED
+    table (spark.table as against_sigs, bucketed appends as the
+    roll-forward) ends at labels identical to the batch recompute —
+    i.e. the layout swap is a pure storage decision, invisible to the
+    pipeline's semantics."""
+    from vectorsearch_scylla_spark.operators.dedup import (
+        roll_forward_signatures_bucketed,
+        simhash128,
+        simhash_near_dup_pairs,
+    )
+    from vectorsearch_scylla_spark.operators.graph import (
+        connected_components,
+        incremental_components,
+    )
+    from vectorsearch_scylla_spark.session import drop_inherited_stats
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    base_rows = [
+        (i, f"bucketed chain base doc {i} payload {i * 6101}") for i in range(10)
+    ]
+    days = [
+        [(100, base_rows[2][1]),  # merges into a base component
+         (101, "bucketed chain family text one two three")],
+        [(200, "bucketed chain family text one two three")],  # via artifact
+        [(300, base_rows[7][1]),
+         (301, "bucketed chain family text one two three")],
+    ]
+    tbl = "vss_test_bkt_chain"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+    base = mk(base_rows)
+    roll_forward_signatures_bucketed(
+        simhash128(base), tbl, path=str(tmp_path / "bkt_chain_tbl")
+    )
+    labels = (
+        base.select(F.col("doc_id").alias("node"))
+        .join(
+            connected_components(
+                simhash_near_dup_pairs(base).select("id_a", "id_b")
+            ),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce("component", "node").alias("component"))
+    )
+    corpus_rows = list(base_rows)
+    for day_rows in days:
+        inc = mk(day_rows)
+        inc_sigs = drop_inherited_stats(simhash128(inc).localCheckpoint())
+        cross = simhash_near_dup_pairs(
+            inc, docs_sigs=inc_sigs, against_sigs=spark.table(tbl)
+        ).select("id_a", "id_b")
+        within = simhash_near_dup_pairs(inc, docs_sigs=inc_sigs).select(
+            "id_a", "id_b"
+        )
+        updated = incremental_components(labels, cross.unionByName(within))
+        labels = drop_inherited_stats(
+            mk(corpus_rows + day_rows)
+            .select(F.col("doc_id").alias("node"))
+            .join(updated, "node", "left")
+            .select("node", F.coalesce("component", "node").alias("component"))
+            .localCheckpoint()
+        )
+        roll_forward_signatures_bucketed(inc_sigs, tbl)
+        corpus_rows = corpus_rows + day_rows
+
+    corpus = mk(corpus_rows)
+    batch = (
+        corpus.select(F.col("doc_id").alias("node"))
+        .join(
+            connected_components(
+                simhash_near_dup_pairs(corpus).select("id_a", "id_b")
+            ),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce("component", "node").alias("component"))
+    )
+    got = {(r["node"], r["component"]) for r in labels.collect()}
+    want = {(r["node"], r["component"]) for r in batch.collect()}
+    assert got == want, (got - want, want - got)
+    # the table holds exactly the fresh fingerprints of the corpus
+    art = {tuple(r) for r in spark.table(tbl).collect()}
+    fresh = {tuple(r) for r in simhash128(corpus).collect()}
+    assert art == fresh
+    # and the cross-day family actually chained through the artifact
+    final = {r["node"]: r["component"] for r in labels.collect()}
+    assert final[101] == final[200] == final[301]
+    assert final[100] == final[2] and final[300] == final[7]
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
 def test_roll_forward_signatures_rejects_schema_drift(spark, tmp_path):
     """A near-miss schema (renamed column, narrowed type) must be
     rejected, not silently appended into a mixed-schema artifact."""
