@@ -37,6 +37,16 @@ def _norm(v):
     return v
 
 
+def _row_key(row):
+    """Sort key robust to NULLs and mixed types: Python 3 refuses to
+    order None against anything, and a nullable column with a NULL in
+    one row would crash the plain tuple sort.  (None-ness, type name,
+    str) is totally ordered, and within one (type, str) key the values
+    are equal for every type the queries emit — so two equal multisets
+    sort into identical sequences and the list equality stays exact."""
+    return tuple((v is None, type(v).__name__, str(v)) for v in row)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -74,9 +84,16 @@ def main() -> int:
         )
 
     oracles = e.oracle_sql()
+    queries = e.queries()
+    if args.only:
+        unknown = sorted(set(args.only) - set(queries))
+        if unknown:
+            # a typo'd --only must not produce a green "FAILS: 0 / 0"
+            print(f"unknown query names in --only: {unknown}", file=sys.stderr)
+            return 2
     fails = 0
     checked = 0
-    for name, fn in e.queries().items():
+    for name, fn in queries.items():
         if args.only and name not in args.only:
             continue
         sdf = fn(spark, args.sf_dir)
@@ -92,8 +109,12 @@ def main() -> int:
         drows = res.fetchall()
         o_s = sorted(range(len(scols)), key=lambda i: scols[i])
         o_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
-        ms = sorted(tuple(_norm(r[i]) for i in o_s) for r in srows)
-        md = sorted(tuple(_norm(r[i]) for i in o_d) for r in drows)
+        ms = sorted(
+            (tuple(_norm(r[i]) for i in o_s) for r in srows), key=_row_key
+        )
+        md = sorted(
+            (tuple(_norm(r[i]) for i in o_d) for r in drows), key=_row_key
+        )
         ok = (
             sorted(scols) == sorted(dcols)
             and len(srows) == len(drows)

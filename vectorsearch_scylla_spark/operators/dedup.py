@@ -727,6 +727,13 @@ def fold_streaming_epochs(
                 raise
         shutil.rmtree(src_dir, ignore_errors=True)
         folded += 1
+    if folded:
+        # moves happened OUTSIDE Spark: a stale file-status cache on
+        # sig_root would reference moved-away epoch files
+        # (FAILED_READ_FILE) and one on rolled_dir would silently MISS
+        # the newly arrived files — invalidate both.
+        spark.catalog.refreshByPath(sig_root)
+        spark.catalog.refreshByPath(rolled_dir)
     if (
         compact_at_files
         and os.path.isdir(rolled_dir)
@@ -865,6 +872,11 @@ def compact_signature_artifact(
     os.rename(artifact_path, old)
     os.rename(staging, artifact_path)
     shutil.rmtree(old, ignore_errors=True)
+    # the swap happened OUTSIDE Spark (os renames), so this session's
+    # shared file-status cache can still serve the pre-compaction
+    # listing for the path — a later read would hit FAILED_READ_FILE
+    # on the replaced part files.  Invalidate explicitly.
+    spark.catalog.refreshByPath(artifact_path)
     return len(
         glob.glob(
             os.path.join(artifact_path, "**", "*.parquet"), recursive=True

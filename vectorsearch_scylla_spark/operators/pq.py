@@ -423,7 +423,22 @@ def pq_adc_topk_np(
         )
         code_maps.append(bids)
     if probes is not None:
-        prows = probes.select(query_id, probe_col).collect()
+        # same cap as the query side: probes is Q × nprobe rows by
+        # contract, but a caller that passes a corpus-sized frame by
+        # mistake must get the actionable error, not a driver OOM
+        prows = (
+            probes.select(query_id, probe_col)
+            .limit(int(max_collect_rows) + 1)
+            .collect()
+        )
+        if len(prows) > max_collect_rows:
+            raise ValueError(
+                "pq_adc_topk_np: probes side exceeds max_collect_rows="
+                f"{max_collect_rows} — probes must be the Q × nprobe "
+                "per-query fan-out (probe_clusters output), never a "
+                "corpus-sized assignment table; or raise "
+                "max_collect_rows if the driver can genuinely hold it."
+            )
         pkeys = np.array(sorted({r[probe_col] for r in prows}))
         qpos = {qid: i for i, qid in enumerate(qids.tolist())}
         probemat = np.zeros((len(qids), len(pkeys)), dtype=bool)
