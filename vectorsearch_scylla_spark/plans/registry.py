@@ -124,86 +124,79 @@ def query(name: str, oracle: str | None, survey_ids: list[str], doc: str = ""):
 # verification via tests/test_oracle_parity.py, which replicates the
 # driver gate over the ENTIRE registry at sf0.001.
 DRIVER_WINDOW: list[str] = [
-    # -- changed-dependency re-certs LEAD (r9 VERDICT #1): these three
-    # consumed the LATE-r9 broadcast-hint changes (banded_pairs /
-    # simhash / hyperplane against= static broadcast_new, and
-    # incremental_components' touched-probe broadcasts) while sitting
-    # OUT of the r9 window — the driver gate re-certifies them against
-    # the changed plan shape first ------------------------------------
-    "dedup_incremental",
-    "dedup_clusters_incremental",
-    "embedding_neardup_incremental",
-    # -- the rest of the r10 must-rotate set: every other query whose
-    # last driver row is r8 (the 42-query set tools/rotate_window.py
-    # printed after the r9 stamp; its five streaming members are
-    # deferred to the streaming tail below) ----------------------------
-    "ann_recall_report",
-    "anomaly_events_build",
-    "approx_distinct_check",
-    "bpe_token_estimate",
-    "chunk_dedup",
-    "customer_order_coverage",
-    "dedup_clusters",
-    "detect_consensus",
-    "doc_repetition_stats",
-    "domain_doc_cap",
-    "embedding_input_text",
-    "event_props_stats",
-    "event_sessionization",
-    "fleet_config_source",
+    # -- changed-dependency re-certs LEAD (r10 VERDICT #1, the exact
+    # r9→r10 pattern): pq_adc_topk_np gained the limit(cap+1) collect
+    # guard (operators/pq.py:363) AFTER the r10 stamp, so its three
+    # registered consumers shipped a changed collect path with only the
+    # local parity suite behind them — the driver gate re-certifies
+    # them against the guarded plan first ------------------------------
+    "pq_knn",
+    "ivfpq_knn",
+    "ivfpq_residual_knn",
+    # -- the rest of the r11 must-rotate set: every other query whose
+    # last driver row is r9 (the 42-query set tools/rotate_window.py
+    # printed after the r10 stamp; its one streaming member,
+    # streaming_ivf_add_e2e, is deferred to the streaming tail) --------
+    "asof_event_snapshot_join",
+    "asof_nearest_join",
+    "benchmark_decontam",
+    "conditional_counts",
+    "corpus_quality_filter",
+    "dedup_canonical",
+    "dedup_clusters_union_cascade",
+    "dedup_exact",
+    "device_profile_build",
+    "device_statistics",
+    "doc_chunking",
+    "doc_fingerprint",
+    "fleet_simulator",
+    "ivf_compaction",
+    "ivf_grouped_knn",
+    "ivf_incremental_add",
+    "ivf_sampled_train_knn",
+    "knn_distributed",
+    "language_id",
+    "latest_event_per_user",
+    "lww_window_snapshot",
+    "market_share",
+    "minhash_signatures",
+    "pricing_summary",
+    "range_scan",
+    "relationship_rules",
+    "rolling_metric_stats",
+    "semantic_dedup_keepers",
+    "simhash_fingerprints",
+    "similar_state_metric_diff",
+    "sq8_ivf_knn",
+    "stratified_sample",
+    "text_quality",
+    "token_packing",
+    "token_stats_by_lang",
+    "top_orders_per_customer",
+    "tumbling_window_counts",
+    "window_pivot_snapshot",
+    # -- flagship re-certifications filling the 8 free slots (7 batch
+    # here + streaming_neardup_e2e in the tail): one representative per
+    # heavy operator family, all r10-stamped, none code-changed --------
     "knn_bruteforce",
-    "lsh_knn",
-    "media_byte_features",
-    "media_frame_sample",
-    "metric_percentiles",
-    "metric_percentiles_approx",
-    "ngram_jaccard_pairs",
+    "ann_recall_report",
+    "dedup_clusters",
+    "dedup_incremental",
+    "detect_consensus",
     "path2_anomaly",
-    "path3_novelty_flags",
-    "pii_redaction",
-    "profile_rebuild_after_feedback",
-    "resample_daily_locf",
-    "retention_sweep",
-    "source_lang_rollup",
-    "source_mix_summary",
-    "tfidf_top_terms",
-    "threshold_rules",
-    "token_budget_sample",
-    "unigram_logprob_score",
-    "zscore_outliers",
-    # -- implementation-touched in round 10 (re-certify): knn.py's
-    # blocked sweep gained the max_collect_rows guard (the collect now
-    # goes through limit(cap+1)), so its two r9-certified registered
-    # consumers re-run under the driver gate; banded_pairs' skew knobs
-    # became None sentinels (resolution values unchanged), so
-    # representative r9-certified consumers of each banded family
-    # (simhash / minhash / hyperplane / against=-bipartite / the
-    # all-class funnel) re-run to prove value-neutrality.
-    # NOTE (r10 late): pq_adc_topk_np gained the same collect guard
-    # AFTER the r10 stamp; its consumers (pq_knn, ivfpq_knn,
-    # ivfpq_residual_knn) are r9-stamped sit-outs, so they lead the
-    # r11 window by the normal rotation — verified this round by the
-    # full local parity suite. ----------------------------------------
-    "knn_same_label",
-    "sq8_knn",
-    "simhash_dup_pairs",
-    "minhash_dup_buckets",
     "embedding_neardup_pairs",
-    "ngram_jaccard_incremental",
-    "dedup_pipeline_funnel",
     # -- streaming e2e LAST: a completed Structured Streaming query
     # leaves residue in the shared local JVM (streaming-state/codegen
     # caches and a stopped-query cleanup thread) that intermittently
     # slows later heavy batch queries 10-50x in the same process —
     # so every batch query must run before the first stream starts.
-    # Five are r10 must-rotates; streaming_neardup_e2e re-certifies
-    # because r10 wired fold_streaming_epochs into its per-batch loop.
-    "streaming_dedup_e2e",
-    "streaming_detect_e2e",
-    "streaming_novelty_e2e",
-    "streaming_rolling_stats",
+    # streaming_ivf_add_e2e is the must-rotate set's one streaming
+    # member AND gains the partition-aware fold/compaction wiring this
+    # round; streaming_neardup_e2e re-certifies because r11 touches its
+    # fold_streaming_epochs / compact_signature_artifact dependencies
+    # (recovery-ordering fix + mixed-layout guard).
+    "streaming_ivf_add_e2e",
     "streaming_neardup_e2e",
-    "streaming_window_pivot",
 ]
 
 
