@@ -3164,3 +3164,188 @@ def test_incremental_funnel_chain_two_days(spark, sf_dir, tmp_path):
         (n, c) for n, c in got.items() if n >= 7_000_000 and c < 5_000_000
     ]
     assert chained, got
+
+
+def test_compact_signature_artifact_mixed_layout_raises(spark, tmp_path):
+    """r11 (r10 ADVICE low): a Hive-partitioned store polluted with a
+    stray root part file used to flip layout detection to flat and the
+    rewrite silently FLATTENED the store (pruning gone, stray rows'
+    partition values unrecoverable).  No automatic choice is safe —
+    the compactor must refuse loudly and name the mix."""
+    import os
+
+    from vectorsearch_scylla_spark.operators.dedup import (
+        compact_signature_artifact,
+    )
+
+    store = str(tmp_path / "mixed")
+    spark.createDataFrame(
+        [(i, i % 2, float(i)) for i in range(8)],
+        "vec_id long, cluster_id int, sim double",
+    ).write.partitionBy("cluster_id").parquet(store)
+    # one stray flat-layout part file at the root
+    spark.createDataFrame(
+        [(99, 0.0)], "vec_id long, sim double"
+    ).coalesce(1).write.parquet(str(tmp_path / "stray"))
+    import glob as _g
+
+    stray = _g.glob(str(tmp_path / "stray" / "*.parquet"))[0]
+    os.rename(stray, os.path.join(store, os.path.basename(stray)))
+
+    with pytest.raises(ValueError, match="mixes a Hive partition layout"):
+        compact_signature_artifact(spark, store)
+    # nothing was touched: both layouts' files still present
+    assert _g.glob(os.path.join(store, "*.parquet"))
+    assert os.path.isdir(os.path.join(store, "cluster_id=0"))
+
+
+def test_compact_bucketed_artifact(spark, tmp_path):
+    """r11 (r10 VERDICT #4): automated file-count maintenance for the
+    BUCKETED signature artifact — after daily bucketed appends the
+    table holds up to n_buckets files per append; compaction must land
+    exactly one file per bucket, preserve rows, keep the table's
+    location/spec, and keep the layout's whole point: the id-equi join
+    still reads the bucketed scan with NO artifact-side Exchange."""
+    import contextlib
+    import glob
+    import io
+    import os
+    import re
+
+    from vectorsearch_scylla_spark.operators.dedup import (
+        compact_bucketed_artifact,
+        roll_forward_signatures_bucketed,
+        simhash128,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    tbl = "vss_test_bkt_compact"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    loc = str(tmp_path / "bkt_compact_tbl")
+    n_buckets = 4
+    roll_forward_signatures_bucketed(
+        simhash128(mk([(i, f"bucketed doc {i} payload {i * 37}") for i in range(8)])),
+        tbl,
+        n_buckets=n_buckets,
+        path=loc,
+    )
+    for day in (1, 2, 3):
+        roll_forward_signatures_bucketed(
+            simhash128(mk([(day * 100 + j, f"day {day} doc {j}") for j in range(3)])),
+            tbl,
+            n_buckets=n_buckets,
+        )
+    before = {tuple(r) for r in spark.table(tbl).collect()}
+    files_before = len(glob.glob(os.path.join(loc, "*.parquet")))
+    assert files_before > n_buckets  # the append debt is real
+
+    n_files = compact_bucketed_artifact(spark, tbl)
+    assert n_files == n_buckets  # exactly one file per bucket
+    assert len(glob.glob(os.path.join(loc, "*.parquet"))) == n_buckets
+    assert {tuple(r) for r in spark.table(tbl).collect()} == before
+    # no orphan staging table, no crash debris
+    assert not spark.catalog.tableExists(f"{tbl}__compact_staging")
+    assert not os.path.exists(loc + ".compact.staging")
+    assert not os.path.exists(loc + ".compact.old")
+
+    # the layout's raison d'être survives: id-equi join against the
+    # compacted table still plans ZERO artifact-side Exchange vs the
+    # plain-parquet copy's one (broadcast disabled so the fixture-scale
+    # planner cannot hide it)
+    pairs = mk([(100, ""), (3, "")]).select(F.col("doc_id").alias("id_a"))
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        def n_exchanges(artifact):
+            j = pairs.join(artifact.withColumnRenamed("doc_id", "id_a"), "id_a")
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                j.explain("formatted")
+            return len(re.findall(r"\(\d+\) Exchange", buf.getvalue()))
+
+        pq = str(tmp_path / "plain_copy")
+        spark.table(tbl).write.parquet(pq)
+        assert n_exchanges(spark.table(tbl)) == n_exchanges(
+            spark.read.parquet(pq)
+        ) - 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+    # the compacted table still serves appends
+    roll_forward_signatures_bucketed(
+        simhash128(mk([(999, "post compact append")])), tbl, n_buckets=n_buckets
+    )
+    assert 999 in {r["doc_id"] for r in spark.table(tbl).collect()}
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+    # plain parquet artifact (no bucket spec) is rejected with guidance
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}_plain")
+    mk([(1, "x")]).write.option(
+        "path", str(tmp_path / "plain_tbl")
+    ).saveAsTable(f"{tbl}_plain")
+    with pytest.raises(ValueError, match="no bucket spec"):
+        compact_bucketed_artifact(spark, f"{tbl}_plain")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}_plain")
+
+
+def test_compact_bucketed_artifact_crash_recovery(spark, tmp_path):
+    """r11: every crash window of the bucketed compactor's
+    write-staging → two-rename → drop-staging sequence heals on the
+    next entry, exactly like the parquet twin's windows — plus this
+    twin's extra orphan, the staging TABLE metadata."""
+    import glob
+    import os
+    import shutil
+
+    from vectorsearch_scylla_spark.operators.dedup import (
+        compact_bucketed_artifact,
+    )
+
+    def mk_table(name, loc):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.createDataFrame(
+            [(i, i * 7) for i in range(10)], "doc_id long, sig long"
+        ).repartition(3).write.bucketBy(2, "doc_id").sortBy("doc_id").option(
+            "path", loc
+        ).saveAsTable(name)
+        return {tuple(r) for r in spark.table(name).collect()}
+
+    # window 1: crash mid-staging-write — stale staging dir AND an
+    # orphan staging-table metadata entry exist
+    tbl, loc = "vss_bktcr_1", str(tmp_path / "t1")
+    rows = mk_table(tbl, loc)
+    os.makedirs(loc + ".compact.staging")
+    with open(loc + ".compact.staging/part-junk.parquet", "w") as f:
+        f.write("torn")
+    spark.createDataFrame([(0, 0)], "doc_id long, sig long").write.option(
+        "path", str(tmp_path / "orphan_loc")
+    ).saveAsTable(f"{tbl}__compact_staging")
+    n = compact_bucketed_artifact(spark, tbl)
+    assert n == 2
+    assert {tuple(r) for r in spark.table(tbl).collect()} == rows
+    assert not spark.catalog.tableExists(f"{tbl}__compact_staging")
+    assert not os.path.exists(loc + ".compact.staging")
+
+    # window 2: crash between the two renames — live dir missing, full
+    # artifact stranded at .compact.old
+    tbl, loc = "vss_bktcr_2", str(tmp_path / "t2")
+    rows = mk_table(tbl, loc)
+    os.rename(loc, loc + ".compact.old")
+    n = compact_bucketed_artifact(spark, tbl)
+    assert n == 2
+    assert {tuple(r) for r in spark.table(tbl).collect()} == rows
+
+    # window 3: crash after promote, before cleanup — live dir already
+    # compacted, .compact.old left behind
+    tbl, loc = "vss_bktcr_3", str(tmp_path / "t3")
+    rows = mk_table(tbl, loc)
+    shutil.copytree(loc, loc + ".compact.old")
+    n = compact_bucketed_artifact(spark, tbl)
+    assert n == 2
+    assert not os.path.exists(loc + ".compact.old")
+    assert {tuple(r) for r in spark.table(tbl).collect()} == rows
+    assert len(glob.glob(os.path.join(loc, "*.parquet"))) == 2
+    for t in ("vss_bktcr_1", "vss_bktcr_2", "vss_bktcr_3"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

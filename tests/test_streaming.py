@@ -880,3 +880,117 @@ def test_streaming_neardup_roll_forward_survives_restart(spark, tmp_path):
     # 201's only dup (102) arrived BEFORE the restart — found via the
     # persisted artifact; pre-restart pairs present exactly once
     assert final == [(1, 101), (102, 201)]
+
+
+def test_fold_heals_rolled_even_without_sig_root(spark, tmp_path):
+    """r11 (r10 ADVICE low): a standalone maintenance caller whose
+    sig_root was removed (or never created) still owns a possibly
+    mid-swap rolled artifact — fold_streaming_epochs must heal a
+    crashed compaction BEFORE its sig_root early-return, or the
+    stranded .compact.old is later mistaken for post-promote debris
+    and deleted (permanent loss)."""
+    import os
+
+    from vectorsearch_scylla_spark.operators.dedup import (
+        fold_streaming_epochs,
+    )
+
+    rolled = str(tmp_path / "rolled_only")
+    spark.createDataFrame(
+        [(i, i * 3) for i in range(4)], "doc_id long, sig long"
+    ).write.parquet(rolled)
+    # crash between the compactor's two renames: live dir missing
+    os.rename(rolled, rolled + ".compact.old")
+    os.makedirs(rolled + ".compact.staging")
+    folded = fold_streaming_epochs(
+        spark, str(tmp_path / "no_such_sig_root"), rolled, current_epoch=9
+    )
+    assert folded == 0
+    # the heal ran anyway: artifact restored, crash debris gone
+    assert os.path.isdir(rolled)
+    assert not os.path.exists(rolled + ".compact.old")
+    assert not os.path.exists(rolled + ".compact.staging")
+    got = sorted(r["doc_id"] for r in spark.read.parquet(rolled).collect())
+    assert got == [0, 1, 2, 3]
+
+
+def test_fold_streaming_epochs_partitioned_layout(spark, tmp_path):
+    """r11: the cluster-routed IVF add stream writes each epoch
+    partitionBy("cluster_id") — the fold must move each partition's
+    files into the SAME cluster_id= subdir of the rolled store (layout
+    and pruning preserved), the auto-compaction hook must take the
+    partition-aware branch (never flatten), and the per-batch read
+    plan must stay constant in epoch count, mirroring the flat-layout
+    guarantee test_fold_streaming_epochs_bounds_plan pins."""
+    import contextlib
+    import glob
+    import io
+    import os
+    import re
+
+    from vectorsearch_scylla_spark.operators.dedup import (
+        fold_streaming_epochs,
+    )
+
+    def routed_frame(ids):
+        return spark.createDataFrame(
+            [(i, i % 3, 0.5 + i / 100.0) for i in ids],
+            "vec_id long, cluster_id int, sim double",
+        )
+
+    def scan_count(n_epochs, root):
+        sig_root = str(tmp_path / root / "epochs")
+        rolled = str(tmp_path / root / "rolled")
+        os.makedirs(sig_root, exist_ok=True)
+        all_ids = []
+        for e in range(n_epochs):
+            ids = [e * 10, e * 10 + 1, e * 10 + 2]
+            all_ids += ids
+            routed_frame(ids).write.partitionBy("cluster_id").parquet(
+                os.path.join(sig_root, f"epoch={e}")
+            )
+        folded = fold_streaming_epochs(
+            spark, sig_root, rolled, current_epoch=n_epochs, compact_at_files=0
+        )
+        assert folded == n_epochs
+        # layout preserved: files live under cluster_id= dirs, none at root
+        assert not glob.glob(os.path.join(rolled, "*.parquet"))
+        assert sorted(
+            d for d in os.listdir(rolled) if d.startswith("cluster_id=")
+        ) == [f"cluster_id={c}" for c in range(3)]
+        got = sorted(r["vec_id"] for r in spark.read.parquet(rolled).collect())
+        assert got == sorted(all_ids)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            spark.read.parquet(rolled).explain("formatted")
+        return len(re.findall(r"\(\d+\) Scan parquet", buf.getvalue()))
+
+    assert scan_count(2, "p2") == scan_count(8, "p8")
+
+    # auto-compaction past the recursive file threshold takes the
+    # partition-aware branch: still one dir per cluster, fewer files,
+    # rows exact, pruning alive
+    sig_root = str(tmp_path / "pc" / "epochs")
+    rolled = str(tmp_path / "pc" / "rolled")
+    os.makedirs(sig_root, exist_ok=True)
+    all_ids = []
+    for e in range(4):
+        ids = [e * 10, e * 10 + 1, e * 10 + 2]
+        all_ids += ids
+        routed_frame(ids).write.partitionBy("cluster_id").parquet(
+            os.path.join(sig_root, f"epoch={e}")
+        )
+    fold_streaming_epochs(
+        spark, sig_root, rolled, current_epoch=4, compact_at_files=5
+    )
+    files = glob.glob(os.path.join(rolled, "**", "*.parquet"), recursive=True)
+    assert len(files) <= 5
+    assert not glob.glob(os.path.join(rolled, "*.parquet"))  # never flattened
+    got = sorted(r["vec_id"] for r in spark.read.parquet(rolled).collect())
+    assert got == sorted(all_ids)
+    pruned = spark.read.parquet(rolled).filter("cluster_id = 1")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    assert "PartitionFilters: [" in buf.getvalue()
+    assert {r["cluster_id"] for r in pruned.collect()} == {1}

@@ -647,7 +647,13 @@ def fold_streaming_epochs(
     Mechanics — MOVE, never rewrite: each ``epoch=N`` dir with
     ``N < current_epoch`` has its parquet part files renamed into
     ``rolled_dir`` (part-file names carry globally unique UUIDs, so no
-    collisions), then the emptied dir is removed.  A rename is atomic
+    collisions), then the emptied dir is removed.  Epoch dirs may be
+    flat OR single-level Hive-partitioned (``col=value`` subdirs — the
+    cluster-routed IVF add stream writes ``partitionBy("cluster_id")``
+    per epoch): partitioned epochs move each partition's files into
+    the same ``col=value`` subdir of ``rolled_dir``, so the rolled
+    artifact keeps the prunable layout and the auto-compaction below
+    takes :func:`compact_signature_artifact`'s partition-aware branch.  A rename is atomic
     and moves — it cannot duplicate — so a crash at ANY point leaves
     every signature row present exactly once across
     rolled ∪ remaining epoch dirs, and re-running the fold finishes
@@ -664,11 +670,15 @@ def fold_streaming_epochs(
 
     The file-count debt the moves accrue is paid by
     :func:`compact_signature_artifact` (crash-safe since r10): when
-    ``rolled_dir`` exceeds ``compact_at_files`` part files it is
-    rewritten to size-based balanced files — amortized O(|rolled| /
-    compact_at_files) per epoch.  A crash DURING that auto-compaction
-    is healed here on the next entry (the shared
-    ``_recover_interrupted_compaction`` runs before any move) — this
+    ``rolled_dir`` exceeds ``compact_at_files`` part files (counted
+    recursively — a partitioned rolled artifact keeps them inside its
+    ``col=value`` subdirs) it is rewritten to balanced files —
+    amortized O(|rolled| / compact_at_files) per epoch.  A crash
+    DURING that auto-compaction is healed here on the next entry (the
+    shared ``_recover_interrupted_compaction`` runs before ANYTHING
+    else, including the sig_root existence check — a standalone
+    maintenance caller whose sig_root is gone, or not yet created,
+    still owns a possibly-mid-swap rolled artifact) — this
     entry-side recovery is load-bearing: without it, a crash between
     the compactor's two renames would leave the rolled artifact
     missing, the next fold would recreate it, and the stranded
@@ -691,28 +701,22 @@ def fold_streaming_epochs(
     import os
     import shutil
 
-    folded = 0
-    if not os.path.isdir(sig_root):
-        return folded
-    # heal a crashed auto-compaction of the rolled artifact BEFORE any
-    # existence check or move touches it (see docstring)
+    # heal a crashed auto-compaction of the rolled artifact BEFORE
+    # anything — including the sig_root existence check below: a
+    # standalone maintenance caller whose sig_root was removed (or not
+    # yet created) still owns a possibly-mid-swap rolled artifact, and
+    # returning early without healing it would break the docstring's
+    # "heal before any touch" contract (r10 ADVICE).
     _recover_interrupted_compaction(rolled_dir)
-    for d in sorted(os.listdir(sig_root)):
-        if not d.startswith("epoch="):
-            continue
-        try:
-            epoch = int(d.split("=", 1)[1])
-        except ValueError:
-            continue
-        if epoch >= int(current_epoch):
-            continue
-        src_dir = os.path.join(sig_root, d)
-        os.makedirs(rolled_dir, exist_ok=True)
-        for part in glob.glob(os.path.join(src_dir, "*.parquet")):
+
+    def _move_parts(src: str, dst: str) -> None:
+        parts = glob.glob(os.path.join(src, "*.parquet"))
+        if not parts:
+            return
+        os.makedirs(dst, exist_ok=True)
+        for part in parts:
             try:
-                os.rename(
-                    part, os.path.join(rolled_dir, os.path.basename(part))
-                )
+                os.rename(part, os.path.join(dst, os.path.basename(part)))
             except OSError as e:
                 if e.errno == errno.EXDEV:
                     raise OSError(
@@ -725,6 +729,32 @@ def fold_streaming_epochs(
                         f"({sig_root})",
                     ) from e
                 raise
+
+    folded = 0
+    if not os.path.isdir(sig_root):
+        return folded
+    for d in sorted(os.listdir(sig_root)):
+        if not d.startswith("epoch="):
+            continue
+        try:
+            epoch = int(d.split("=", 1)[1])
+        except ValueError:
+            continue
+        if epoch >= int(current_epoch):
+            continue
+        src_dir = os.path.join(sig_root, d)
+        # flat epoch dirs move root part files; Hive-partitioned epoch
+        # dirs (one level of col=value subdirs — the cluster-routed IVF
+        # add stream writes partitionBy("cluster_id") per epoch) move
+        # each partition's files into the SAME partition subdir of the
+        # rolled artifact, so partition pruning survives the fold and
+        # compact_signature_artifact's partition-aware branch keeps the
+        # layout when the auto-compaction below fires.
+        _move_parts(src_dir, rolled_dir)
+        for sub in sorted(os.listdir(src_dir)) if os.path.isdir(src_dir) else []:
+            sub_src = os.path.join(src_dir, sub)
+            if "=" in sub and os.path.isdir(sub_src):
+                _move_parts(sub_src, os.path.join(rolled_dir, sub))
         shutil.rmtree(src_dir, ignore_errors=True)
         folded += 1
     if folded:
@@ -737,7 +767,13 @@ def fold_streaming_epochs(
     if (
         compact_at_files
         and os.path.isdir(rolled_dir)
-        and len(glob.glob(os.path.join(rolled_dir, "*.parquet")))
+        # recursive: a partitioned rolled artifact keeps its files
+        # inside col=value subdirs, which a root-only glob never sees
+        and len(
+            glob.glob(
+                os.path.join(rolled_dir, "**", "*.parquet"), recursive=True
+            )
+        )
         > int(compact_at_files)
     ):
         compact_signature_artifact(spark, rolled_dir)
@@ -851,9 +887,24 @@ def compact_signature_artifact(
         if "=" in d and os.path.isdir(os.path.join(artifact_path, d))
     ]
     part_cols = sorted({d.split("=", 1)[0] for d in part_dirs})
-    is_partitioned = bool(part_cols) and not glob.glob(
-        os.path.join(artifact_path, "*.parquet")
-    )
+    root_parts = glob.glob(os.path.join(artifact_path, "*.parquet"))
+    if part_dirs and root_parts:
+        # a partitioned store polluted with stray root part files would
+        # otherwise flip is_partitioned to False and the rewrite would
+        # silently FLATTEN the Hive layout — pruning gone, and the
+        # stray rows' partition values gone with it (they were never in
+        # the root files' columns).  No automatic choice is safe here:
+        # refuse loudly and let the owner classify the strays (r10
+        # ADVICE).
+        raise ValueError(
+            f"compact_signature_artifact: {artifact_path} mixes a Hive "
+            f"partition layout ({len(part_dirs)} col=value dirs, e.g. "
+            f"{part_dirs[0]}) with {len(root_parts)} root-level part "
+            "file(s) — compacting would silently flatten the layout or "
+            "drop the strays' partition values; move the stray root "
+            "files into their partitions (or delete them) first"
+        )
+    is_partitioned = bool(part_cols) and not root_parts
     if target_partitions is None:
         if is_partitioned:
             target_partitions = max(1, len(part_dirs))
@@ -882,3 +933,111 @@ def compact_signature_artifact(
             os.path.join(artifact_path, "**", "*.parquet"), recursive=True
         )
     )
+
+
+def compact_bucketed_artifact(spark, table: str) -> int:
+    """Small-files maintenance for the BUCKETED signature artifact —
+    :func:`compact_signature_artifact`'s twin for the
+    :func:`roll_forward_signatures_bucketed` layout, closing the
+    asymmetry the r10 review named: the opt-in layout for the biggest
+    deployments (bucketed ⇒ the corpus-sized artifact never shuffles
+    for its daily id-equi-joins) accrued up to ``n_buckets`` files PER
+    APPEND with only a documented manual rewrite behind it.
+
+    Mechanics — ONE data rewrite + two renames, same crash story as
+    the parquet twin: the bucket spec (bucket count, bucket columns,
+    sort columns, location) is read from the catalog so the caller
+    cannot mis-specify it; the table is rewritten through a STAGING
+    table with the identical spec at ``<location>.compact.staging``;
+    then the live location dir is swapped in with the deterministic
+    two-rename dance and the staging table's metadata is dropped.  The
+    swap moves FILES ONLY — bucketed part-file names carry their
+    bucket id (``..._00003.c000``), which is how Spark maps files to
+    buckets on read, so a renamed file keeps its bucket identity and
+    the table's no-Exchange join property survives (pinned by
+    ``tests/test_operators.py::test_compact_bucketed_artifact``).
+
+    The rewrite lands EXACTLY one file per bucket:
+    ``repartition(n_buckets, bucket_cols)`` uses the same
+    murmur3-hash partitioning as the bucketed write itself, so each
+    task holds exactly one bucket's rows (this alignment is why
+    bucketed joins skip the Exchange in the first place) and the
+    bucketed writer emits one file per (task, bucket) pair it sees.
+    At 100 TB the rewrite is one full scan + one full write — run it
+    in the same maintenance window the daily append owns, amortized
+    over however many appends it took for file counts to hurt.
+
+    WRITER-CRASH RECOVERY (shared ``_recover_interrupted_compaction``
+    on the location dir, plus a staging-table metadata drop on entry):
+
+    * crash mid-write → stale staging dir + orphan staging table; both
+      are dropped on the next entry;
+    * crash between the renames → live dir missing, full artifact in
+      ``.compact.old``; renamed back on the next entry;
+    * crash after the promote → stale ``.compact.old`` deleted.
+
+    Rows are preserved exactly and the table keeps its location and
+    spec (managed or external alike — the swap never touches
+    metadata for ``table`` itself).  Returns the new file count.
+    """
+    import glob
+    import os
+    import re
+    import shutil
+
+    desc = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    }
+    if "Num Buckets" not in desc:
+        raise ValueError(
+            f"compact_bucketed_artifact: table {table} has no bucket "
+            "spec — use compact_signature_artifact for plain parquet "
+            "artifacts"
+        )
+    n_buckets = int(desc["Num Buckets"])
+
+    def _cols(key: str) -> list[str]:
+        return re.findall(r"`([^`]+)`", desc.get(key, ""))
+
+    bucket_cols = _cols("Bucket Columns")
+    sort_cols = _cols("Sort Columns")
+    location = desc["Location"]
+    location = location[len("file:"):] if location.startswith("file:") else location
+
+    staging_table = f"{table}__compact_staging"
+    staging_dir = f"{location}.compact.staging"
+    old = f"{location}.compact.old"
+    # --- on-entry recovery (dir-level shared with the parquet twin;
+    # the staging TABLE metadata is this twin's extra orphan) ---------
+    spark.sql(f"DROP TABLE IF EXISTS {staging_table}")
+    _recover_interrupted_compaction(location)
+
+    # Read the table's files BY PATH, not via spark.table: the bucketed
+    # scan's output partitioning already satisfies the repartition
+    # below, so Catalyst removes it as redundant — and then the
+    # DisableUnnecessaryBucketedScan rule (which cannot see the WRITE's
+    # distribution need) independently falls back to arbitrary file
+    # partitions, leaving the writer with one file per (input file ×
+    # bucket) instead of one per bucket.  A plain path scan carries no
+    # partitioning claim, so the repartition stands.
+    writer = (
+        spark.read.parquet(location)
+        .repartition(n_buckets, *bucket_cols)
+        .write.bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.option("path", staging_dir).saveAsTable(staging_table)
+    os.rename(location, old)
+    os.rename(staging_dir, location)
+    # the staging table served only as the bucketed writer's target;
+    # its metadata now points at a moved-away dir — drop it.  External
+    # table: the drop removes metadata only, never the (moved) files.
+    spark.sql(f"DROP TABLE IF EXISTS {staging_table}")
+    shutil.rmtree(old, ignore_errors=True)
+    # the swap happened OUTSIDE Spark — invalidate both the table's
+    # catalog file-status cache and the path-keyed one.
+    spark.catalog.refreshTable(table)
+    spark.catalog.refreshByPath(location)
+    return len(glob.glob(os.path.join(location, "*.parquet")))
