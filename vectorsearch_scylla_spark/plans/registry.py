@@ -7013,7 +7013,12 @@ def q_streaming_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     "This is the ingest path a 100 TB vector store actually runs: "
     "inserts land in their probed partition as appends "
     "(scylladb_setup/create_iot_schema.py:137-155's HNSW insert, "
-    "re-expressed as partitioned appends).",
+    "re-expressed as partitioned appends).  r11: each committed epoch "
+    "FOLDS (rename-only) into a rolled cluster-partitioned store with "
+    "partition-aware auto-compaction past a file threshold — the "
+    "per-batch plan and the store's file count stay constant in epoch "
+    "count, the same maintenance contract streaming_neardup_e2e's "
+    "signature artifact got in r10.",
 )
 def q_streaming_ivf_add_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     import atexit
@@ -7021,6 +7026,9 @@ def q_streaming_ivf_add_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from vectorsearch_scylla_spark.operators.dedup import (
+        fold_streaming_epochs,
+    )
     from vectorsearch_scylla_spark.operators.ivf import (
         assign_clusters,
         build_ivf_index,
@@ -7054,16 +7062,34 @@ def q_streaming_ivf_add_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = tempfile.mkdtemp(prefix="vss_ivfadd_e2e_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
-    out_dir = os.path.join(base, "added")
+    epoch_root = os.path.join(base, "epochs")
+    rolled = os.path.join(base, "rolled")
+    # past this many part files (counted recursively across the
+    # cluster_id= dirs) the in-stream fold auto-compacts the rolled
+    # store through compact_signature_artifact's PARTITION-AWARE branch
+    # — the r11 wiring that keeps a long-running add stream's
+    # per-cluster small-file debt bounded the same way
+    # streaming_neardup_e2e's rolled signature artifact is (r10)
+    compact_at = 48
 
     def route_batch(batch_df: DataFrame, epoch_id: int) -> None:
         routed = assign_clusters(batch_df, cents, sim_col="__sim")
-        # production: .partitionBy("cluster_id") append onto the list
-        # store; here each epoch lands in its own overwrite dir so a
-        # replayed epoch replaces rather than duplicates (T5)
-        routed.select("vec_id", "cluster_id", "__sim").write.mode(
+        # each epoch lands as its own CLUSTER-PARTITIONED overwrite dir
+        # (a replayed epoch replaces rather than duplicates — T5), then
+        # committed PRIOR epochs move (rename-only, crash-idempotent)
+        # into the rolled cluster-partitioned store: per-batch plan
+        # arity and file counts stay constant in epoch count, and the
+        # store keeps the prunable cluster_id= layout the probe path
+        # relies on — plan/layout pinned by tests/test_streaming.py::
+        # test_fold_streaming_epochs_partitioned_layout.
+        routed.select("vec_id", "__sim", "cluster_id").write.mode(
             "overwrite"
-        ).parquet(os.path.join(out_dir, f"batch={epoch_id}"))
+        ).partitionBy("cluster_id").parquet(
+            os.path.join(epoch_root, f"epoch={epoch_id}")
+        )
+        fold_streaming_epochs(
+            spark, epoch_root, rolled, int(epoch_id), compact_at_files=compact_at
+        )
 
     stream = (
         spark.readStream.schema(inc.schema)
@@ -7082,8 +7108,21 @@ def q_streaming_ivf_add_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             "streaming_ivf_add_e2e: availableNow query did not drain within 600s"
         )
+    # the drain committed every epoch; the in-stream folds always
+    # exclude the then-current epoch, so fold the remainder now
+    last = max(
+        (
+            int(d.split("=", 1)[1])
+            for d in os.listdir(epoch_root)
+            if d.startswith("epoch=")
+        ),
+        default=-1,
+    )
+    fold_streaming_epochs(
+        spark, epoch_root, rolled, last + 1, compact_at_files=compact_at
+    )
     return (
-        spark.read.parquet(out_dir)
+        spark.read.parquet(rolled)
         .join(F.broadcast(sizes), "cluster_id", "left")
         .select(
             F.col("vec_id").alias("new_vec_id"),
