@@ -1319,7 +1319,9 @@ def _ivf_week_study(spark, emb, base: str) -> dict:
     from vectorsearch_scylla_spark.operators.ivf import (
         assign_clusters_np,
         ivf_probe_topk_grouped,
+        ivf_recall_audit,
         lloyd_kmeans,
+        maybe_retrain,
         probe_clusters_np,
         split_oversized_clusters,
     )
@@ -1496,6 +1498,127 @@ def _ivf_week_study(spark, emb, base: str) -> dict:
                 "post_split_nprobe_sweep": post,
             }
             print(f"[bench_scale] ivfweek maint: {out['maintenance_day4']}", file=sys.stderr)
+
+    # --- r11 extension: drive the week INTO the retrain trigger ------
+    # (r10 VERDICT #5 — the trigger was prose; maybe_retrain makes it
+    # executable).  The responded knob (nprobe=8 post-split) held
+    # budget through day 7 because the week's linear drift is cohort-
+    # UNIFORM: every day-d vector shifts identically, so a query and
+    # its true neighbors move TOGETHER into the same few lists and
+    # recall survives any shift magnitude (measured: the linear drift
+    # alone never crosses budget even by day 14).  What actually
+    # defeats a frozen quantizer is covariate shift that DIVERSIFIES
+    # per row — day 8 models it as a new data source joining the
+    # stream: on top of the continuing linear term, each row also
+    # shifts +1.0 along its OWN axis (coordinate 8 + vec_id mod 48),
+    # scattering true-neighbor sets across Voronoi cells the quantizer
+    # never tiled.  The audit-driven trigger runs DAILY at the
+    # responded probe budget; the day the sampled recall crosses, the
+    # escalation fires for real: bounded-sample retrain (256·K md5
+    # draw over the grown corpus, K re-derived ≈ √N), one map-only
+    # re-route pass, store rewritten cluster-partitioned under the NEW
+    # quantizer, and the next day's increment routes map-only through
+    # it — pricing every rung of the ladder: route (daily) « split
+    # (occasional) « retrain (rare).
+    budget = float(os.environ.get("SPARK_GRAFT_IVF_BUDGET", "0.90"))
+    nprobe_b = int(os.environ.get("SPARK_GRAFT_IVF_NPROBE", "8"))
+    ext: dict = {"recall_budget": budget, "nprobe": nprobe_b, "days": {}}
+    out["retrain_extension"] = ext
+    store_df = spark.read.parquet(store)
+
+    def _regime_inc(day: int):
+        return emb.filter(F.col("vec_id") % 20 == (day % 20)).select(
+            (F.col("vec_id") + day * 1_000_000_000).alias("vec_id"),
+            F.expr(
+                "transform(cast(embedding as array<double>), "
+                f"(x, i) -> CASE WHEN i < 8 THEN x + {0.05 * day!r} "
+                "WHEN i = 8 + pmod(vec_id, 48) THEN x + 1.0 "
+                "ELSE x END)"
+            ).alias("embedding"),
+        )
+
+    for day in range(8, 15):
+        inc = _regime_inc(day)
+        t0 = time.perf_counter()
+        assign_clusters_np(inc, cents, dtype="float32").select(
+            F.col("vec_id").alias("corpus_id"),
+            F.col("embedding").alias("corpus_vec"),
+            "cluster_id",
+        ).write.mode("append").partitionBy("cluster_id").parquet(store)
+        route_sec = round(time.perf_counter() - t0, 3)
+        spark.catalog.refreshByPath(store)
+        store_df = spark.read.parquet(store)
+        queries = inc.filter(F.col("vec_id") % 97 == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        t0 = time.perf_counter()
+        new_cents, new_members, rep = maybe_retrain(
+            store_df, cents, queries,
+            recall_budget=budget, nprobe_max=nprobe_b, k=5,
+            max_audit_queries=512, dtype="float32",
+            audit_after=False,  # audit the PERSISTED store below instead
+        )
+        trigger_sec = round(time.perf_counter() - t0, 3)
+        row = {
+            "route_sec": route_sec,
+            "trigger_sec": trigger_sec,  # audit only until the day it fires
+            "recall_at_budget_nprobe": rep["recall_before"],
+            "retrained": rep["retrained"],
+        }
+        ext["days"][str(day)] = row
+        if rep["retrained"]:
+            # persist the re-routed store as a VERSIONED dir + pointer
+            # flip (the deployment move; compact_signature_artifact's
+            # two-rename swap is the in-place alternative)
+            store2 = f"{store}_retrained_d{day}"
+            t0 = time.perf_counter()
+            new_members.repartition(rep["k_after"], "cluster_id").write.partitionBy(
+                "cluster_id"
+            ).parquet(store2)
+            row["persist_sec"] = round(time.perf_counter() - t0, 3)
+            store, store_df = store2, spark.read.parquet(store2)
+            cents = new_cents
+            row["k_before"], row["k_after"] = rep["k_before"], rep["k_after"]
+            row["n_corpus"] = rep["n_corpus"]
+            r_after, _ = ivf_recall_audit(
+                queries, cents, store_df, k=5, nprobe=nprobe_b,
+                dtype="float32", max_queries=512,
+            )
+            row["recall_after_persisted"] = r_after
+            print(f"[bench_scale] ivfweek retrain d{day}: {row}", file=sys.stderr)
+            # witness day: the new source keeps streaming; the NEXT
+            # increment routes map-only through the NEW frozen
+            # quantizer and holds budget again
+            wday = day + 1
+            winc = _regime_inc(wday)
+            t0 = time.perf_counter()
+            assign_clusters_np(winc, cents, dtype="float32").select(
+                F.col("vec_id").alias("corpus_id"),
+                F.col("embedding").alias("corpus_vec"),
+                "cluster_id",
+            ).write.mode("append").partitionBy("cluster_id").parquet(store)
+            w_route = round(time.perf_counter() - t0, 3)
+            spark.catalog.refreshByPath(store)
+            wq = winc.filter(F.col("vec_id") % 97 == 0).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"),
+            )
+            w_recall, _ = ivf_recall_audit(
+                wq, cents, spark.read.parquet(store), k=5, nprobe=nprobe_b,
+                dtype="float32", max_queries=512,
+            )
+            ext["witness_day"] = {
+                "day": wday, "route_sec": w_route,
+                "recall_at_budget_nprobe": w_recall,
+            }
+            print(f"[bench_scale] ivfweek witness: {ext['witness_day']}", file=sys.stderr)
+            break
+        print(f"[bench_scale] ivfweek ext d{day}: {row}", file=sys.stderr)
+    else:
+        # no silent caps: the drift never crossed the budget in the
+        # extension window — say so rather than implying it fired
+        ext["note"] = "trigger never crossed budget through day 14"
     return out
 
 

@@ -3349,3 +3349,100 @@ def test_compact_bucketed_artifact_crash_recovery(spark, tmp_path):
     assert len(glob.glob(os.path.join(loc, "*.parquet"))) == 2
     for t in ("vss_bktcr_1", "vss_bktcr_2", "vss_bktcr_3"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_maybe_retrain_fires_on_drift_and_noops_in_budget(spark, sf_dir):
+    """r11 (r10 VERDICT #5): the executable IVF retrain trigger — the
+    escalation past split+nprobe the drift week left as prose.  A
+    corpus grown by six progressively drifted increments routed through
+    the FROZEN base quantizer must fail the recall budget at the max
+    probe spend and trigger the bounded-sample retrain + one-pass
+    re-route, recovering recall; an in-budget audit must be a pure
+    no-op (identical centroids and members returned, no training pass).
+    """
+    from vectorsearch_scylla_spark.operators.ivf import (
+        assign_clusters_np,
+        ivf_recall_audit,
+        lloyd_kmeans,
+        maybe_retrain,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    k = max(8, int(round(base.count() ** 0.5)))
+    cents = lloyd_kmeans(base, k=k, iters=2, kernel="numpy", train_rows=256 * k)
+    store = assign_clusters_np(base, cents, dtype="float32").select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("corpus_vec"),
+        "cluster_id",
+    )
+    # six daily increments, each drifting further from the training
+    # distribution (the bench_scale drift-week shape, compressed),
+    # routed through the FROZEN quantizer exactly as
+    # ivf_incremental_add does
+    for day in range(1, 7):
+        inc = emb.filter(F.col("vec_id") % 20 == day).select(
+            (F.col("vec_id") + day * 1_000_000_000).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, i) -> CASE WHEN i < 8 "
+                f"THEN x + {0.15 * day!r} ELSE x END)"
+            ).alias("embedding"),
+        )
+        store = store.unionByName(
+            assign_clusters_np(inc, cents, dtype="float32").select(
+                F.col("vec_id").alias("corpus_id"),
+                F.col("embedding").alias("corpus_vec"),
+                "cluster_id",
+            )
+        )
+    store = store.localCheckpoint()
+    # the audit sample a deployment watches: the newest (most drifted)
+    # increment's own vectors
+    queries = store.filter(F.col("corpus_id") >= 6_000_000_000).select(
+        F.col("corpus_id").alias("query_id"),
+        F.col("corpus_vec").alias("query_vec"),
+    )
+
+    budget, nprobe_max = 0.85, 4
+    new_cents, new_members, rep = maybe_retrain(
+        store, cents, queries,
+        recall_budget=budget, nprobe_max=nprobe_max, k=5,
+        max_audit_queries=64,
+    )
+    assert rep["retrained"] is True
+    assert rep["recall_before"] is not None and rep["recall_before"] < budget
+    assert rep["recall_after"] is not None
+    assert rep["recall_after"] >= budget  # the retrain actually recovers
+    assert rep["recall_after"] > rep["recall_before"]
+    # K re-derived from the grown corpus, every row re-routed exactly once
+    assert rep["k_after"] == len(new_cents) == max(8, round(rep["n_corpus"] ** 0.5))
+    assert new_members.count() == store.count()
+    assert sorted(new_members.columns) == sorted(store.columns)
+    new_ids = {cid for cid, _ in new_cents}
+    assert {
+        r["cluster_id"] for r in new_members.select("cluster_id").distinct().collect()
+    } <= new_ids
+
+    # the audit itself is deterministic (md5-ordered bounded sample)
+    r1, d1 = ivf_recall_audit(
+        queries, cents, store, k=5, nprobe=nprobe_max, max_queries=64
+    )
+    r2, d2 = ivf_recall_audit(
+        queries, cents, store, k=5, nprobe=nprobe_max, max_queries=64
+    )
+    assert (r1, d1) == (r2, d2) == (rep["recall_before"], rep["n_audit_pairs"])
+
+    # in-budget: probing every cluster makes the probe exact — recall
+    # 1.0 >= any budget, so the trigger must NOT fire and must hand
+    # back the inputs untouched (no silent re-route)
+    same_cents, same_members, rep2 = maybe_retrain(
+        store, cents, queries,
+        recall_budget=budget, nprobe_max=len(cents), k=5,
+        max_audit_queries=64,
+    )
+    assert rep2["retrained"] is False
+    assert rep2["recall_before"] == 1.0
+    assert rep2["recall_after"] is None
+    assert same_cents is cents and same_members is store

@@ -998,3 +998,206 @@ def split_oversized_clusters(
         .select(*members.columns)
     )
     return new_cents, untouched.unionByName(moved)
+
+
+def ivf_recall_audit(
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    members: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "corpus_id",
+    corpus_vec: str = "corpus_vec",
+    cluster_col: str = "cluster_id",
+    exclude_self: bool = True,
+    dtype: str = "float32",
+    max_queries: int = 512,
+) -> tuple[float | None, int]:
+    """Sampled recall@k of the IVF multi-probe search against the exact
+    blocked sweep — the measurement half of the index-maintenance loop
+    (the registered ``ann_recall_report`` query certifies this shape
+    against the DuckDB oracle; ``bench_scale.py``'s drift week runs it
+    daily).  Returns ``(recall, n_exact_pairs)``; recall is ``None``
+    when the sample yields no ground-truth pairs.
+
+    The audit is BOUNDED by construction: ``max_queries`` queries are
+    drawn by the same deterministic md5-order the trainers sample with
+    (smallest ``md5(cast(id as string))``, tie-break id), so repeated
+    audits of an unchanged index agree exactly and the exact-truth
+    pass costs O(sample·N) — never O(N²) — while the corpus itself is
+    scanned, not collected (the blocked sweep collects only the
+    bounded query sample; ``max_collect_rows`` still guards it).
+    """
+    from vectorsearch_scylla_spark.operators.knn import (
+        topk_similarity_join_blocked,
+    )
+
+    sample = drop_inherited_stats(
+        queries.orderBy(
+            F.md5(F.col(query_id).cast("string")), F.col(query_id)
+        )
+        .limit(int(max_queries))
+        .localCheckpoint()
+    )
+    exact = topk_similarity_join_blocked(
+        sample,
+        members.select(corpus_id, corpus_vec),
+        k=k,
+        query_id=query_id,
+        corpus_id=corpus_id,
+        query_vec=query_vec,
+        corpus_vec=corpus_vec,
+        exclude_self=exclude_self,
+        dtype=dtype,
+    ).select(query_id, F.col(corpus_id).alias("__exact_id"))
+    probes = probe_clusters_np(
+        sample, centroids, nprobe=nprobe, vec_col=query_vec,
+        out_col=cluster_col, dtype=dtype,
+    )
+    approx = ivf_probe_topk_grouped(
+        probes,
+        members,
+        k=k,
+        query_id=query_id,
+        corpus_id=corpus_id,
+        query_vec=query_vec,
+        corpus_vec=corpus_vec,
+        cluster_col=cluster_col,
+        exclude_self=exclude_self,
+        dtype=dtype,
+    ).select(query_id, F.col(corpus_id).alias("__approx_id"))
+    exact = exact.localCheckpoint()  # one exact pass, reused by both counts
+    denom = exact.count()
+    if not denom:
+        return None, 0
+    hits = exact.join(
+        approx,
+        (exact[query_id] == approx[query_id])
+        & (exact["__exact_id"] == approx["__approx_id"]),
+        "left_semi",
+    ).count()
+    return hits / denom, denom
+
+
+def maybe_retrain(
+    members: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    queries: DataFrame,
+    recall_budget: float = 0.85,
+    nprobe_max: int = 8,
+    k: int = 5,
+    retrain_k: int | None = None,
+    iters: int = 2,
+    train_rows: int | None = None,
+    id_col: str = "corpus_id",
+    vec_col: str = "corpus_vec",
+    cluster_col: str = "cluster_id",
+    dtype: str = "float32",
+    max_audit_queries: int = 512,
+    decimals: int = 6,
+    kernel: str = "numpy",
+    bc_threshold: int = 4096,
+    audit_after: bool = True,
+) -> tuple[list[tuple[int, list[float]]], DataFrame, dict]:
+    """The EXECUTABLE retrain trigger closing the IVF maintenance loop
+    (r10 VERDICT #5): evaluate the sampled recall audit at the maximum
+    probe budget the deployment will pay, and — only past budget —
+    retrain the coarse quantizer on a bounded sample and re-route the
+    corpus in one map-only pass.  Returns ``(centroids, members,
+    report)``: unchanged inputs plus ``report["retrained"]=False`` when
+    the index still holds budget (the no-op path costs one bounded
+    audit, never a training pass).
+
+    Maintenance semantics (the week study in BENCH_SCALE.md "IVF
+    maintenance week under drift" quantifies the escalation ladder this
+    sits atop): daily drifted increments route through the FROZEN
+    quantizer (``ivf_incremental_add``); bloated lists split in place
+    (:func:`split_oversized_clusters`) with the paired nprobe bump;
+    and when even ``nprobe_max`` probes cannot hold ``recall_budget``
+    — the quantizer itself no longer tiles the data — this trigger
+    fires the full retrain.  That is the same ladder FAISS IndexIVF
+    deployments operate (add → rebalance → periodic re-train), and the
+    Spark re-expression of rebuilding the reference's HNSW index
+    (scylladb_setup/create_iot_schema.py:137-155 recreates the index
+    to retile the graph).
+
+    Retrain path — certified pieces only, nothing novel: the trainer
+    is :func:`lloyd_kmeans` with the bounded md5-ordered sample
+    (default ``256·k`` rows — the binding-sample semantics the
+    registered ``ivf_sampled_train_knn`` certifies end-to-end), and
+    the re-route is one :func:`assign_clusters_np` pass over the
+    corpus (the same map-only kernel every routed append uses).  The
+    default ``retrain_k`` re-derives K ≈ √N from the CURRENT corpus
+    size, so a store that grew under appends retrains to the coarse
+    granularity its size now warrants, not the one it was born with.
+    At 100 TB: audit O(sample·N), training O(iters·sample), re-route
+    one full scan — the corpus never collects to the driver and never
+    self-joins.  ``audit_after=False`` skips the post-retrain audit
+    for callers that persist the re-routed store first and audit the
+    persisted artifact instead (cheaper: the audit's passes then scan
+    parquet rather than recompute the assignment lineage).
+
+    The returned ``members`` frame has ``cluster_col`` rewritten for
+    EVERY row (ids from the new quantizer's id space, starting at 0);
+    the caller owns persisting it (``partitionBy(cluster_col)``) and
+    swapping the store — see ``compact_signature_artifact``'s staged
+    two-rename pattern for the crash-safe swap.  ``queries`` carries
+    ``(query_id, query_vec)`` — the audit sample the deployment
+    watches, typically the most recent increment's vectors (drift
+    shows up in NEW queries first; the week study samples exactly
+    that).
+    """
+    recall_before, denom = ivf_recall_audit(
+        queries, centroids, members,
+        k=k, nprobe=nprobe_max,
+        query_id="query_id", query_vec="query_vec",
+        corpus_id=id_col, corpus_vec=vec_col, cluster_col=cluster_col,
+        dtype=dtype, max_queries=max_audit_queries,
+    )
+    report = {
+        "recall_budget": float(recall_budget),
+        "nprobe": int(nprobe_max),
+        "k": int(k),
+        "n_audit_pairs": int(denom),
+        "recall_before": recall_before,
+        "k_before": len(centroids),
+        "retrained": False,
+        "recall_after": None,
+        "k_after": len(centroids),
+    }
+    if recall_before is None or recall_before >= recall_budget:
+        return centroids, members, report
+
+    n = members.count()
+    kk = int(retrain_k) if retrain_k is not None else max(8, int(round(n**0.5)))
+    cap = 256 * kk if train_rows is None else int(train_rows)
+    vecs = members.drop(cluster_col)
+    new_cents = lloyd_kmeans(
+        vecs,
+        k=kk,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        decimals=decimals,
+        kernel=kernel,
+        train_rows=cap,
+        bc_threshold=bc_threshold,
+    )
+    routed = assign_clusters_np(
+        vecs, new_cents, vec_col=vec_col, out_col=cluster_col, dtype=dtype
+    )
+    report["retrained"] = True
+    report["k_after"] = len(new_cents)
+    report["n_corpus"] = int(n)
+    if audit_after:
+        recall_after, _ = ivf_recall_audit(
+            queries, new_cents, routed,
+            k=k, nprobe=nprobe_max,
+            query_id="query_id", query_vec="query_vec",
+            corpus_id=id_col, corpus_vec=vec_col, cluster_col=cluster_col,
+            dtype=dtype, max_queries=max_audit_queries,
+        )
+        report["recall_after"] = recall_after
+    return new_cents, routed, report
