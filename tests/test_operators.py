@@ -3446,3 +3446,91 @@ def test_maybe_retrain_fires_on_drift_and_noops_in_budget(spark, sf_dir):
     assert rep2["recall_before"] == 1.0
     assert rep2["recall_after"] is None
     assert same_cents is cents and same_members is store
+
+
+def test_retune_nprobe_finds_knee_and_signals_escalation(spark, sf_dir):
+    """r11: the probe-budget knee finder pairing every granularity
+    change the maintenance ladder makes (split re-fines, retrain
+    re-tiles — BENCH_SCALE.md measured nprobe 4->8 and 8->16 after
+    them).  On a drifted store the knee must be the SMALLEST grid
+    point meeting budget, the report must carry every evaluated point
+    (ascending, early-stopped), and an unreachable budget must return
+    None — the caller's escalation signal."""
+    from vectorsearch_scylla_spark.operators.ivf import (
+        assign_clusters_np,
+        ivf_recall_audit,
+        lloyd_kmeans,
+        retune_nprobe,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    k = max(8, int(round(base.count() ** 0.5)))
+    cents = lloyd_kmeans(base, k=k, iters=2, kernel="numpy", train_rows=256 * k)
+    store = assign_clusters_np(base, cents, dtype="float32").select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("corpus_vec"),
+        "cluster_id",
+    )
+    inc = emb.filter(F.col("vec_id") % 20 == 3).select(
+        (F.col("vec_id") + 1_000_000_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> CASE WHEN i < 8 "
+            "THEN x + 0.45 ELSE x END)"
+        ).alias("embedding"),
+    )
+    store = store.unionByName(
+        assign_clusters_np(inc, cents, dtype="float32").select(
+            F.col("vec_id").alias("corpus_id"),
+            F.col("embedding").alias("corpus_vec"),
+            "cluster_id",
+        )
+    ).localCheckpoint()
+    queries = store.filter(F.col("corpus_id") >= 1_000_000_000).select(
+        F.col("corpus_id").alias("query_id"),
+        F.col("corpus_vec").alias("query_vec"),
+    )
+
+    # per-point recalls at the fixed audit sample are deterministic and
+    # monotone in nprobe (more probed lists can only add candidates) —
+    # establish the landscape once with the single-point audit
+    grid = (1, 2, 4, 8, len(cents))
+    landscape = {
+        n: ivf_recall_audit(
+            queries, cents, store, k=5, nprobe=n, max_queries=64
+        )[0]
+        for n in grid
+    }
+    assert landscape[len(cents)] == 1.0  # probing everything is exact
+    assert all(
+        landscape[a] <= landscape[b] + 1e-12
+        for a, b in zip(grid, grid[1:])
+    )
+
+    # pick a budget strictly between two landscape points so the knee
+    # is unambiguous: the first grid point at-or-above it
+    lo, hi = landscape[1], 1.0
+    budget = (lo + hi) / 2 if lo < 1.0 else 0.999
+    expect = next(n for n in grid if landscape[n] >= budget)
+    knee, rep = retune_nprobe(
+        queries, cents, store,
+        recall_budget=budget, nprobe_grid=grid, k=5, max_queries=64,
+    )
+    assert knee == expect
+    assert rep["n_audit_pairs"] > 0
+    # ascending walk, early-stopped at the knee; every evaluated point
+    # agrees exactly with the single-point audit (same md5 sample)
+    assert list(rep["recall_at"]) == [n for n in grid if n <= knee]
+    for n, r in rep["recall_at"].items():
+        assert r == landscape[n]
+
+    # unreachable budget on a truncated grid -> None, all points in
+    # the report (the escalation signal maybe_retrain answers)
+    knee2, rep2 = retune_nprobe(
+        queries, cents, store,
+        recall_budget=1.01, nprobe_grid=(1, 2), k=5, max_queries=64,
+    )
+    assert knee2 is None
+    assert list(rep2["recall_at"]) == [1, 2]

@@ -1030,6 +1030,31 @@ def ivf_recall_audit(
     scanned, not collected (the blocked sweep collects only the
     bounded query sample; ``max_collect_rows`` still guards it).
     """
+    sample, exact, denom = _audit_ground_truth(
+        queries, members,
+        k=k, query_id=query_id, query_vec=query_vec,
+        corpus_id=corpus_id, corpus_vec=corpus_vec,
+        exclude_self=exclude_self, dtype=dtype, max_queries=max_queries,
+    )
+    if not denom:
+        return None, 0
+    recall = _audit_recall_at(
+        sample, exact, denom, centroids, members,
+        nprobe=nprobe, k=k, query_id=query_id, query_vec=query_vec,
+        corpus_id=corpus_id, corpus_vec=corpus_vec,
+        cluster_col=cluster_col, exclude_self=exclude_self, dtype=dtype,
+    )
+    return recall, denom
+
+
+def _audit_ground_truth(
+    queries, members, *, k, query_id, query_vec, corpus_id, corpus_vec,
+    exclude_self, dtype, max_queries,
+):
+    """Bounded md5-ordered query sample + its exact top-k over the
+    corpus — the expensive O(sample·N) half of every recall audit,
+    computed ONCE and reused across however many nprobe points the
+    caller evaluates against it."""
     from vectorsearch_scylla_spark.operators.knn import (
         topk_similarity_join_blocked,
     )
@@ -1041,17 +1066,32 @@ def ivf_recall_audit(
         .limit(int(max_queries))
         .localCheckpoint()
     )
-    exact = topk_similarity_join_blocked(
-        sample,
-        members.select(corpus_id, corpus_vec),
-        k=k,
-        query_id=query_id,
-        corpus_id=corpus_id,
-        query_vec=query_vec,
-        corpus_vec=corpus_vec,
-        exclude_self=exclude_self,
-        dtype=dtype,
-    ).select(query_id, F.col(corpus_id).alias("__exact_id"))
+    exact = (
+        topk_similarity_join_blocked(
+            sample,
+            members.select(corpus_id, corpus_vec),
+            k=k,
+            query_id=query_id,
+            corpus_id=corpus_id,
+            query_vec=query_vec,
+            corpus_vec=corpus_vec,
+            exclude_self=exclude_self,
+            dtype=dtype,
+        )
+        .select(query_id, F.col(corpus_id).alias("__exact_id"))
+        .localCheckpoint()
+    )
+    return sample, exact, exact.count()
+
+
+def _audit_recall_at(
+    sample, exact, denom, centroids, members, *, nprobe, k,
+    query_id, query_vec, corpus_id, corpus_vec, cluster_col,
+    exclude_self, dtype,
+):
+    """Recall of the IVF multi-probe search at one nprobe point
+    against a precomputed ground truth (cheap half: O(sample·probed
+    lists))."""
     probes = probe_clusters_np(
         sample, centroids, nprobe=nprobe, vec_col=query_vec,
         out_col=cluster_col, dtype=dtype,
@@ -1068,17 +1108,87 @@ def ivf_recall_audit(
         exclude_self=exclude_self,
         dtype=dtype,
     ).select(query_id, F.col(corpus_id).alias("__approx_id"))
-    exact = exact.localCheckpoint()  # one exact pass, reused by both counts
-    denom = exact.count()
-    if not denom:
-        return None, 0
     hits = exact.join(
         approx,
         (exact[query_id] == approx[query_id])
         & (exact["__exact_id"] == approx["__approx_id"]),
         "left_semi",
     ).count()
-    return hits / denom, denom
+    return hits / denom
+
+
+def retune_nprobe(
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    members: DataFrame,
+    recall_budget: float = 0.85,
+    nprobe_grid: tuple[int, ...] = (4, 8, 16, 32),
+    k: int = 5,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "corpus_id",
+    corpus_vec: str = "corpus_vec",
+    cluster_col: str = "cluster_id",
+    exclude_self: bool = True,
+    dtype: str = "float32",
+    max_queries: int = 512,
+) -> tuple[int | None, dict]:
+    """Find the probe-budget KNEE of the current index: the smallest
+    ``nprobe`` in ``nprobe_grid`` whose sampled recall@k meets
+    ``recall_budget``.  Returns ``(nprobe, report)`` with ``nprobe``
+    ``None`` when the grid is exhausted below budget (the caller's
+    signal to escalate — split or :func:`maybe_retrain`) or when the
+    sample yields no ground-truth pairs.
+
+    This is the paired knob of BOTH granularity changes the
+    maintenance ladder makes (quantified in BENCH_SCALE.md "IVF
+    maintenance week under drift"): a :func:`split_oversized_clusters`
+    makes lists finer, so fixed nprobe covers less volume and recall
+    drops while per-probe cost falls by the same factor; a
+    :func:`maybe_retrain` re-tiles the space under a re-derived K.
+    After either, the probe budget that matched the OLD tiling is not
+    the knee of the new one — the week measured nprobe 4→8 after the
+    split and 8→16 after the retrain, each restoring budget at
+    roughly the pre-change probe wall because the re-balanced lists
+    are cheaper to scan.
+
+    Cost: ONE exact ground-truth pass (O(sample·N), sample capped at
+    ``max_queries`` by the same deterministic md5 order every trainer
+    and audit uses) + one cheap probe evaluation per grid point, in
+    ascending order with early stop at the first point meeting
+    budget.  The corpus is scanned, never collected.  Report maps
+    each evaluated grid point to its recall, plus ``n_audit_pairs``.
+
+    Reference parity: the reference tunes HNSW ef_search per
+    collection by recall sweeps offline (docs/THREE_DETECTION_PATHS
+    .md discusses the recall/latency trade); this is the IVF
+    equivalent, executable in-pipeline.
+    """
+    sample, exact, denom = _audit_ground_truth(
+        queries, members,
+        k=k, query_id=query_id, query_vec=query_vec,
+        corpus_id=corpus_id, corpus_vec=corpus_vec,
+        exclude_self=exclude_self, dtype=dtype, max_queries=max_queries,
+    )
+    report: dict = {
+        "recall_budget": float(recall_budget),
+        "n_audit_pairs": int(denom),
+        "recall_at": {},
+    }
+    if not denom:
+        return None, report
+    for np_i in sorted(int(n) for n in nprobe_grid):
+        recall = _audit_recall_at(
+            sample, exact, denom, centroids, members,
+            nprobe=np_i, k=k, query_id=query_id, query_vec=query_vec,
+            corpus_id=corpus_id, corpus_vec=corpus_vec,
+            cluster_col=cluster_col, exclude_self=exclude_self,
+            dtype=dtype,
+        )
+        report["recall_at"][np_i] = recall
+        if recall >= recall_budget:
+            return np_i, report
+    return None, report
 
 
 def maybe_retrain(
