@@ -3534,3 +3534,98 @@ def test_retune_nprobe_finds_knee_and_signals_escalation(spark, sf_dir):
     )
     assert knee2 is None
     assert list(rep2["recall_at"]) == [1, 2]
+
+
+def test_ivf_maintenance_step_walks_ladder_cheap_to_expensive(spark, sf_dir):
+    """r11: one scheduled pass of the composed maintenance ladder.
+    Healthy index -> audit only (inputs returned untouched); bloated
+    lists -> split rung rewrites ids but never rows; stale tiling
+    (drifted queries, grid exhausted) -> retrain rung fires WITHOUT
+    re-paying the entry audit, then re-tunes against the new tiling."""
+    from vectorsearch_scylla_spark.operators.ivf import (
+        assign_clusters_np,
+        ivf_maintenance_step,
+        lloyd_kmeans,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    k = max(8, int(round(base.count() ** 0.5)))
+    cents = lloyd_kmeans(base, k=k, iters=2, kernel="numpy", train_rows=256 * k)
+    store = assign_clusters_np(base, cents, dtype="float32").select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("corpus_vec"),
+        "cluster_id",
+    ).localCheckpoint()
+    self_queries = store.limit(200).select(
+        F.col("corpus_id").alias("query_id"),
+        F.col("corpus_vec").alias("query_vec"),
+    )
+
+    # healthy day: probing every cluster is exact -> knee at the first
+    # grid point, nothing rewritten, inputs handed back untouched
+    c1, m1, rep1 = ivf_maintenance_step(
+        store, cents, self_queries,
+        recall_budget=0.5, nprobe_grid=(len(cents),),
+        max_audit_queries=32,
+    )
+    assert rep1["actions"] == ["retune"]
+    assert rep1["nprobe"] == len(cents)
+    assert c1 is cents and m1 is store
+
+    # bloated lists: a tiny max_size forces the split rung; ids are
+    # rewritten (children minted), rows never are
+    c2, m2, rep2 = ivf_maintenance_step(
+        store, cents, self_queries,
+        recall_budget=0.5, nprobe_grid=(len(cents) * 4,),
+        max_size=15, split_k=2, max_audit_queries=32,
+    )
+    assert rep2["actions"][0] == "split"
+    assert rep2["oversized_lists"] > 0
+    assert rep2["k_after_split"] > len(cents)
+    assert m2.count() == store.count()
+    assert "retrain" not in rep2["actions"]
+
+    # stale tiling: six progressively drifted increments routed through
+    # the frozen quantizer (the maybe_retrain fixture), audited by the
+    # newest increment's own vectors on a grid whose max still misses
+    # budget -> retrain fires, then the re-tune finds a knee on the
+    # NEW tiling
+    drifted = store
+    for day in range(1, 7):
+        inc = emb.filter(F.col("vec_id") % 20 == day).select(
+            (F.col("vec_id") + day * 1_000_000_000).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, i) -> CASE WHEN i < 8 "
+                f"THEN x + {0.15 * day!r} ELSE x END)"
+            ).alias("embedding"),
+        )
+        drifted = drifted.unionByName(
+            assign_clusters_np(inc, cents, dtype="float32").select(
+                F.col("vec_id").alias("corpus_id"),
+                F.col("embedding").alias("corpus_vec"),
+                "cluster_id",
+            )
+        )
+    drifted = drifted.localCheckpoint()
+    queries = drifted.filter(F.col("corpus_id") >= 6_000_000_000).select(
+        F.col("corpus_id").alias("query_id"),
+        F.col("corpus_vec").alias("query_vec"),
+    )
+    c3, m3, rep3 = ivf_maintenance_step(
+        drifted, cents, queries,
+        recall_budget=0.85, nprobe_grid=(2, 4),
+        max_audit_queries=64,
+    )
+    assert rep3["actions"] == ["retune", "retrain", "retune"]
+    assert rep3["retrain"]["retrained"] is True
+    # the entry audit was NOT re-paid: the trigger consumed the
+    # retune's grid-max measurement verbatim
+    assert rep3["retrain"]["recall_before"] == rep3["retune"]["recall_at"][4]
+    assert rep3["retrain"]["n_audit_pairs"] == -1
+    assert rep3["nprobe"] in (2, 4)  # budget restored on the new tiling
+    assert rep3["retune_after_retrain"]["recall_at"][rep3["nprobe"]] >= 0.85
+    assert m3.count() == drifted.count()
+    assert len(c3) == rep3["k_after"] == rep3["retrain"]["k_after"]

@@ -1210,6 +1210,7 @@ def maybe_retrain(
     kernel: str = "numpy",
     bc_threshold: int = 4096,
     audit_after: bool = True,
+    recall_before: float | None = None,
 ) -> tuple[list[tuple[int, list[float]]], DataFrame, dict]:
     """The EXECUTABLE retrain trigger closing the IVF maintenance loop
     (r10 VERDICT #5): evaluate the sampled recall audit at the maximum
@@ -1258,14 +1259,25 @@ def maybe_retrain(
     watches, typically the most recent increment's vectors (drift
     shows up in NEW queries first; the week study samples exactly
     that).
+
+    ``recall_before`` short-circuits the entry audit when the caller
+    has ALREADY measured recall at ``nprobe_max`` on this exact
+    (queries, centroids, members) state — :func:`ivf_maintenance_step`
+    passes the grid-max point of the retune it just ran, saving the
+    redundant O(sample·N) exact pass.  Never pass a stale or
+    different-state measurement; the trigger decision is only as
+    honest as this number.
     """
-    recall_before, denom = ivf_recall_audit(
-        queries, centroids, members,
-        k=k, nprobe=nprobe_max,
-        query_id="query_id", query_vec="query_vec",
-        corpus_id=id_col, corpus_vec=vec_col, cluster_col=cluster_col,
-        dtype=dtype, max_queries=max_audit_queries,
-    )
+    if recall_before is None:
+        recall_before, denom = ivf_recall_audit(
+            queries, centroids, members,
+            k=k, nprobe=nprobe_max,
+            query_id="query_id", query_vec="query_vec",
+            corpus_id=id_col, corpus_vec=vec_col, cluster_col=cluster_col,
+            dtype=dtype, max_queries=max_audit_queries,
+        )
+    else:
+        denom = -1  # caller-supplied measurement; pair count unknown here
     report = {
         "recall_budget": float(recall_budget),
         "nprobe": int(nprobe_max),
@@ -1311,3 +1323,121 @@ def maybe_retrain(
         )
         report["recall_after"] = recall_after
     return new_cents, routed, report
+
+
+def ivf_maintenance_step(
+    members: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    queries: DataFrame,
+    recall_budget: float = 0.85,
+    nprobe_grid: tuple[int, ...] = (4, 8, 16, 32),
+    max_size: int | None = None,
+    split_k: int = 4,
+    k: int = 5,
+    id_col: str = "corpus_id",
+    vec_col: str = "corpus_vec",
+    cluster_col: str = "cluster_id",
+    dtype: str = "float32",
+    max_audit_queries: int = 512,
+    retrain_k: int | None = None,
+    iters: int = 2,
+) -> tuple[list[tuple[int, list[float]]], DataFrame, dict]:
+    """One scheduled pass of the full IVF maintenance ladder — the
+    single production entrypoint composing the rungs the drift weeks
+    in BENCH_SCALE.md priced individually: **split** bloated lists in
+    place when ``max_size`` is given (cheap, work ∝ oversized lists),
+    **re-tune** the probe budget to the current tiling's knee
+    (:func:`retune_nprobe` — one bounded exact pass), and only when
+    the whole grid is exhausted below budget, **retrain** the coarse
+    quantizer (:func:`maybe_retrain`'s bounded-sample path) and
+    re-tune once more against the new tiling.  Escalation is strictly
+    cheap-to-expensive; the common healthy day costs one bounded
+    audit and touches nothing.
+
+    Returns ``(centroids, members, report)``.  ``report["actions"]``
+    lists what actually ran (subset of ``["split", "retune",
+    "retrain"]`` in execution order); ``report["nprobe"]`` is the
+    re-tuned probe budget to serve with, or ``None`` if even the
+    post-retrain grid missed budget — the deployment's signal that
+    the budget/grid themselves need revisiting (report carries every
+    measured recall for that conversation).  The returned ``members``
+    has rewritten cluster ids iff ``"split"`` or ``"retrain"`` is in
+    actions; the caller owns persisting it partition-by-cluster and
+    swapping the store (``compact_signature_artifact``'s staged
+    two-rename is the crash-safe pattern).
+
+    The measured week (BENCH_SCALE.md "IVF maintenance week under
+    drift" + "Week 2"): days 1-7 this step would no-op or split
+    (day 4: 51 lists, 4.6 s) and re-tune 4→8; day 8's new-source
+    scatter exhausts the grid at the old tiling, the retrain fires
+    (19.8 s total on 280 k rows), and the re-tune lands 16 at the old
+    nprobe-8 wall.  Reference parity: the reference recreates its
+    HNSW index wholesale to re-tile (scylladb_setup/
+    create_iot_schema.py:137-155); this is the same lifecycle with
+    each rung priced and the cheap ones tried first.
+    """
+    report: dict = {
+        "recall_budget": float(recall_budget),
+        "actions": [],
+        "k_before": len(centroids),
+        "nprobe": None,
+    }
+    if max_size is not None:
+        sizes = members.groupBy(cluster_col).count()
+        n_oversized = sizes.filter(F.col("count") > int(max_size)).count()
+        report["oversized_lists"] = int(n_oversized)
+        if n_oversized:
+            centroids, members = split_oversized_clusters(
+                members, centroids, max_size=int(max_size),
+                split_k=split_k, iters=iters,
+                id_col=id_col, vec_col=vec_col, cluster_col=cluster_col,
+            )
+            members = drop_inherited_stats(members.localCheckpoint())
+            report["actions"].append("split")
+            report["k_after_split"] = len(centroids)
+
+    knee, tune = retune_nprobe(
+        queries, centroids, members,
+        recall_budget=recall_budget, nprobe_grid=nprobe_grid, k=k,
+        corpus_id=id_col, corpus_vec=vec_col, cluster_col=cluster_col,
+        dtype=dtype, max_queries=max_audit_queries,
+    )
+    report["actions"].append("retune")
+    report["retune"] = tune
+    if knee is not None or not tune["n_audit_pairs"]:
+        # budget holds at some grid point (or there is nothing to
+        # audit yet) — the ladder stops at the cheap rung
+        report["nprobe"] = knee
+        report["k_after"] = len(centroids)
+        return centroids, members, report
+
+    # grid exhausted below budget: the tiling itself is stale.  The
+    # retune already measured recall at the grid max on this exact
+    # state — hand it to maybe_retrain so the trigger skips its
+    # redundant entry audit (the O(sample·N) half).
+    grid_max = max(int(n) for n in nprobe_grid)
+    centroids, members, retrain_rep = maybe_retrain(
+        members, centroids, queries,
+        recall_budget=recall_budget,
+        nprobe_max=grid_max,
+        k=k, retrain_k=retrain_k, iters=iters,
+        id_col=id_col, vec_col=vec_col, cluster_col=cluster_col,
+        dtype=dtype, max_audit_queries=max_audit_queries,
+        audit_after=False,
+        recall_before=tune["recall_at"][grid_max],
+    )
+    report["retrain"] = retrain_rep
+    if retrain_rep["retrained"]:
+        members = drop_inherited_stats(members.localCheckpoint())
+        report["actions"].append("retrain")
+        knee, tune2 = retune_nprobe(
+            queries, centroids, members,
+            recall_budget=recall_budget, nprobe_grid=nprobe_grid, k=k,
+            corpus_id=id_col, corpus_vec=vec_col, cluster_col=cluster_col,
+            dtype=dtype, max_queries=max_audit_queries,
+        )
+        report["actions"].append("retune")
+        report["retune_after_retrain"] = tune2
+        report["nprobe"] = knee
+    report["k_after"] = len(centroids)
+    return centroids, members, report
