@@ -3629,3 +3629,121 @@ def test_ivf_maintenance_step_walks_ladder_cheap_to_expensive(spark, sf_dir):
     assert rep3["retune_after_retrain"]["recall_at"][rep3["nprobe"]] >= 0.85
     assert m3.count() == drifted.count()
     assert len(c3) == rep3["k_after"] == rep3["retrain"]["k_after"]
+
+
+def test_maybe_retrain_pq_fires_on_drift_and_noops_in_budget(spark, sf_dir):
+    """r11: the codebook-staleness trigger for the quantized family —
+    the PQ twin of maybe_retrain.  On a cohort corpus (5 near-copies
+    per base vector: wide neighbor margins, the regime PQ is FOR),
+    codebooks trained on the base distribution mis-score an increment
+    whose cohorts each drift along their own shared axis — the twins'
+    codes collapse onto the base codeword, ADC can no longer separate
+    drifted twins from undrifted copies, and sampled recall drops.
+    Retraining the same codebook SHAPE on the current corpus recovers
+    scoring quality (PQ staleness decays and recovers SMOOTHLY — no
+    cliff, unlike the IVF mis-route).  An in-budget audit must be a
+    pure no-op.  All recalls are deterministic (md5 sampling,
+    md5-seeded training), so the crossings asserted here are exact."""
+    from vectorsearch_scylla_spark.operators.pq import (
+        encode_pq_np,
+        maybe_retrain_pq,
+        pq_recall_audit,
+        train_pq,
+    )
+
+    m, ksub, dsub = 8, 32, 8
+    emb0 = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").cast("array<double>").alias("corpus_vec"),
+    )
+    reps = spark.range(5).select(F.col("id").cast("int").alias("rep"))
+    emb = emb0.crossJoin(F.broadcast(reps)).select(
+        (F.col("corpus_id") + F.col("rep").cast("long") * 10_000).alias(
+            "corpus_id"
+        ),
+        F.expr(
+            "transform(corpus_vec, (x, i) -> CASE WHEN i = pmod(rep, 64) "
+            "THEN x + 0.01 * rep ELSE x END)"
+        ).alias("corpus_vec"),
+    )
+    base = emb.filter(F.col("corpus_id") % 10 != 7).localCheckpoint()
+    books = train_pq(
+        base, m=m, ksub=ksub, iters=2, dsub=dsub,
+        id_col="corpus_id", vec_col="corpus_vec", kernel="numpy",
+    )
+    base_codes = encode_pq_np(
+        base, books, dsub=dsub, vec_col="corpus_vec"
+    ).drop("corpus_vec").localCheckpoint()
+
+    self_queries = base.limit(100).select(
+        F.col("corpus_id").alias("query_id"),
+        F.col("corpus_vec").alias("query_vec"),
+    )
+    healthy, d0 = pq_recall_audit(
+        self_queries, base_codes, books, base,
+        k=5, dsub=dsub, max_queries=64,
+    )
+    assert d0 > 0 and healthy is not None and healthy >= 0.6
+    # audit is deterministic (same md5 sample both calls)
+    again, d1 = pq_recall_audit(
+        self_queries, base_codes, books, base,
+        k=5, dsub=dsub, max_queries=64,
+    )
+    assert (healthy, d0) == (again, d1)
+
+    # in-budget at exactly the healthy level: pure no-op
+    b2, c2, rep2 = maybe_retrain_pq(
+        base, base_codes, books, self_queries,
+        recall_budget=healthy, k=5, dsub=dsub, max_audit_queries=64,
+    )
+    assert rep2["retrained"] is False and rep2["recall_after"] is None
+    assert b2 is books and c2 is base_codes
+    assert rep2["recall_before"] == healthy
+
+    # drifted increment: every cohort (same base id mod 10k) shifts
+    # +0.5 along ITS OWN hashed axis — shared within the cohort, so
+    # the twins' stale codes collapse onto the base codeword and ADC
+    # stops separating them from the undrifted copies; encoded with
+    # the STALE books, audited by its own vectors (the watch a
+    # deployment runs on the newest increment)
+    inc = emb.filter(F.col("corpus_id") % 20 == 3).select(
+        (F.col("corpus_id") + 1_000_000_000).alias("corpus_id"),
+        F.expr(
+            "transform(corpus_vec, (x, i) -> CASE WHEN i = "
+            "pmod(xxhash64(pmod(corpus_id, 10000)), 64) "
+            "THEN x + 0.5 ELSE x END)"
+        ).alias("corpus_vec"),
+    )
+    grown = base.unionByName(inc).localCheckpoint()
+    grown_codes = base_codes.unionByName(
+        encode_pq_np(inc, books, dsub=dsub, vec_col="corpus_vec").drop(
+            "corpus_vec"
+        )
+    ).localCheckpoint()
+    drift_queries = inc.select(
+        F.col("corpus_id").alias("query_id"),
+        F.col("corpus_vec").alias("query_vec"),
+    )
+    stale, _ = pq_recall_audit(
+        drift_queries, grown_codes, books, grown,
+        k=5, dsub=dsub, max_queries=64,
+    )
+    assert stale is not None and stale < healthy - 0.05
+
+    b3, c3, rep3 = maybe_retrain_pq(
+        grown, grown_codes, books, drift_queries,
+        recall_budget=min(healthy, stale + 0.05),
+        k=5, dsub=dsub, max_audit_queries=64,
+    )
+    assert rep3["retrained"] is True
+    assert rep3["recall_before"] == stale
+    # shape preserved: m subspaces, <= ksub codewords each (k-means may
+    # drop empty clusters), every corpus row re-encoded exactly once
+    assert len(b3) == m and all(len(b) <= ksub for b in b3)
+    assert c3.count() == grown.count()
+    assert {f"code{s}" for s in range(m)} | {"corpus_id", "rnorm"} == set(
+        c3.columns
+    )
+    # refreshed codewords score the drifted neighborhood better
+    assert rep3["recall_after"] is not None
+    assert rep3["recall_after"] > rep3["recall_before"]

@@ -524,3 +524,155 @@ def pq_adc_topk_np(
         .filter(F.col("rank") <= k)
         .select(query_id, corpus_id, "approx_sim", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def pq_recall_audit(
+    queries: DataFrame,
+    codes: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    members: DataFrame,
+    k: int = 5,
+    dsub: int = 16,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "corpus_id",
+    corpus_vec: str = "corpus_vec",
+    exclude_self: bool = True,
+    dtype: str = "float32",
+    max_queries: int = 512,
+) -> tuple[float | None, int]:
+    """Sampled recall@k of the PQ ADC scan against the exact
+    full-precision sweep — the codebook-staleness watch for the
+    quantized index family (the registered ``ann_recall_report`` query
+    certifies the audit SHAPE for the IVF pruning; this is the same
+    measurement for the LOSSY side: how much of the neighborhood the
+    m-subspace code approximation still captures as the corpus drifts
+    away from the distribution the codebooks were trained on).
+
+    ``codes`` is the at-rest code table (``corpus_id``, ``code0..``,
+    ``rnorm``); ``members`` carries the full-precision vectors the
+    exact side sweeps (at 100 TB that is the source table the encode
+    pass read — the audit never decodes, it re-reads).  Bounded like
+    :func:`~vectorsearch_scylla_spark.operators.ivf.ivf_recall_audit`:
+    same deterministic md5 query draw, one O(sample·N) exact pass, ADC
+    cost candidates-only.  Returns ``(recall, n_exact_pairs)``.
+    """
+    from vectorsearch_scylla_spark.operators.ivf import (
+        _audit_ground_truth,
+    )
+
+    sample, exact, denom = _audit_ground_truth(
+        queries, members,
+        k=k, query_id=query_id, query_vec=query_vec,
+        corpus_id=corpus_id, corpus_vec=corpus_vec,
+        exclude_self=exclude_self, dtype=dtype, max_queries=max_queries,
+    )
+    if not denom:
+        return None, 0
+    approx = pq_adc_topk_np(
+        sample, codes, books, k=k, dsub=dsub,
+        query_id=query_id, corpus_id=corpus_id, query_vec=query_vec,
+        exclude_self=exclude_self, dtype=dtype,
+    ).select(query_id, F.col(corpus_id).alias("__approx_id"))
+    hits = exact.join(
+        approx,
+        (exact[query_id] == approx[query_id])
+        & (exact["__exact_id"] == approx["__approx_id"]),
+        "left_semi",
+    ).count()
+    return hits / denom, denom
+
+
+def maybe_retrain_pq(
+    members: DataFrame,
+    codes: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    queries: DataFrame,
+    recall_budget: float = 0.7,
+    k: int = 5,
+    dsub: int = 16,
+    iters: int = 2,
+    train_rows: int | None = None,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "corpus_id",
+    corpus_vec: str = "corpus_vec",
+    exclude_self: bool = True,
+    dtype: str = "float32",
+    max_audit_queries: int = 512,
+    decimals: int = 6,
+    audit_after: bool = True,
+    recall_before: float | None = None,
+) -> tuple[list[list[tuple[int, list[float]]]], DataFrame, dict]:
+    """Codebook-staleness trigger for the PQ family — the quantized
+    twin of :func:`~vectorsearch_scylla_spark.operators.ivf.
+    maybe_retrain`: evaluate the sampled ADC recall and, only past
+    budget, retrain the per-subspace codebooks on the bounded
+    md5-ordered sample of the CURRENT corpus and re-encode in one
+    map-only pass.  Returns ``(books, codes, report)`` with the inputs
+    handed back untouched (``report["retrained"]=False``) while the
+    codebooks still hold budget.
+
+    Unlike the IVF coarse quantizer, stale codebooks do not mis-ROUTE
+    anything — they lossily mis-SCORE: drifted vectors fall between
+    codewords trained on the old distribution and reconstruction error
+    grows, so ADC ranking quality decays smoothly rather than
+    cliff-ing.  The deployment watch is therefore the same (sampled
+    recall vs exact on the newest increment's vectors) but the budget
+    is typically set looser (default 0.7 — ADC is the candidate
+    generator; exact re-rank upstream absorbs moderate decay).
+    Retraining keeps the codebook SHAPE (m = ``len(books)``, ksub =
+    ``len(books[0])``, ``dsub``) — byte budget is a storage contract;
+    what refreshes is where the codewords sit.  Cost at 100 TB:
+    training O(m · iters · 256·ksub) corpus-independent, re-encode one
+    map-only scan (the same pass every index build pays), audit
+    bounded as ever.  The caller owns persisting the returned code
+    table and swapping the store (``compact_signature_artifact``'s
+    staged two-rename pattern).
+    """
+    m, ksub = len(books), max(len(b) for b in books)
+    if recall_before is None:
+        recall_before, denom = pq_recall_audit(
+            queries, codes, books, members,
+            k=k, dsub=dsub, query_id=query_id, query_vec=query_vec,
+            corpus_id=corpus_id, corpus_vec=corpus_vec,
+            exclude_self=exclude_self, dtype=dtype,
+            max_queries=max_audit_queries,
+        )
+    else:
+        denom = -1  # caller-supplied measurement (see maybe_retrain)
+    report = {
+        "recall_budget": float(recall_budget),
+        "k": int(k),
+        "m": int(m),
+        "ksub": int(ksub),
+        "n_audit_pairs": int(denom),
+        "recall_before": recall_before,
+        "retrained": False,
+        "recall_after": None,
+    }
+    if recall_before is None or recall_before >= recall_budget:
+        return books, codes, report
+
+    vecs = members.select(corpus_id, corpus_vec)
+    cap = 256 * ksub if train_rows is None else int(train_rows)
+    new_books = train_pq(
+        vecs, m=m, ksub=ksub, iters=iters, dsub=dsub,
+        id_col=corpus_id, vec_col=corpus_vec, decimals=decimals,
+        kernel="numpy", train_rows=cap,
+    )
+    new_codes = encode_pq_np(
+        vecs, new_books, dsub=dsub, vec_col=corpus_vec, dtype=dtype
+    ).drop(corpus_vec)
+    report["retrained"] = True
+    report["n_corpus"] = int(members.count())
+    if audit_after:
+        recall_after, _ = pq_recall_audit(
+            queries, new_codes, new_books, members,
+            k=k, dsub=dsub, query_id=query_id, query_vec=query_vec,
+            corpus_id=corpus_id, corpus_vec=corpus_vec,
+            exclude_self=exclude_self, dtype=dtype,
+            max_queries=max_audit_queries,
+        )
+        report["recall_after"] = recall_after
+    return new_books, new_codes, report
