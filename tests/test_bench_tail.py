@@ -39,6 +39,10 @@ def _worst_case_line() -> str:
         retry_top=retry_top,
         canary=[999.999, 999.999],
         sf=0.1,
+        retry_stall=99999.999,
+        retry_warmup=99999.999,
+        canary_skew=999.999,
+        degraded_window=True,
     )
 
 
