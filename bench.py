@@ -354,7 +354,12 @@ def main() -> None:
     # accumulates ~0.5-1.5 s x 30 retried queries on a perfectly
     # healthy host, so the RAW absorbed total can never read clean —
     # the stall component is the honest "host noise this run absorbed"
-    # number and the one the <5 %-of-total gate applies to.
+    # number and the one the <5 %-of-total gate applies to.  Caveat
+    # (measured, run 8 of the agreement study): a query's FIRST
+    # execution can also exceed 2x its retry for structural reasons
+    # (its own codegen, Python-worker pool growth, build-once disk
+    # caches), so retry_stall_sec is an UPPER BOUND on host noise,
+    # not a pure measurement of it.
     retry_stall = round(
         sum(
             raw_times[n] - times[n]
@@ -378,18 +383,21 @@ def main() -> None:
     # the two-window agreement check).
     samples = [canary_start, canary_mid, canary_end]
     composite = [round(sum(c.values()), 3) for c in samples]
-    canary_mean = sum(composite) / 3.0
+    # The START sample is structurally incomparable to mid/end even
+    # after the untimed warm-up round: it runs in a ~1-minute-old JVM
+    # whose C2 compilation of the scheduler/shuffle machinery is still
+    # settling (measured start/mid ratio 0.78-2.73, median ~1.4,
+    # across the eight r11 agreement runs — BENCH_SCALE.md "Canary
+    # composite").  It is recorded for section attribution only; the
+    # skew flag and the normalization use the SETTLED samples (mid +
+    # end), whose max/min cleanly separated every healthy run (skew
+    # 1.03-1.13, totals 104-115 s) from every mid-flight regime change
+    # (skew 1.96-2.81, totals 120-160 s) in that study.
+    settled = composite[1:]
+    canary_mean = sum(settled) / len(settled)
     norm = round(total / canary_mean, 3) if canary_mean > 0 else -1.0
-    # Degraded-window flag (r11, measured in the three-run agreement
-    # study — BENCH_SCALE.md "Canary composite"): dividing by the MEAN
-    # canary is a first-order correction that under-corrects when the
-    # degradation concentrates in one section (a 2x end-canary run
-    # normalized 18% away from its healthy-window siblings; healthy
-    # runs sit at skew <= ~1.45).  A skewed triple means the run
-    # crossed host regimes mid-flight — its normalized total is not
-    # comparable; re-run rather than reading drift into it.
     canary_skew = (
-        round(max(composite) / min(composite), 3) if min(composite) > 0 else -1.0
+        round(max(settled) / min(settled), 3) if min(settled) > 0 else -1.0
     )
     degraded_window = canary_skew > 1.5
     # NO SILENT CAPS: name the registry queries the headline bench
