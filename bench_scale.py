@@ -1592,6 +1592,10 @@ def _ivf_week_study(spark, emb, base: str) -> dict:
                 "cluster_id"
             ).parquet(store2)
             row["persist_sec"] = round(time.perf_counter() - t0, 3)
+            # keep the frozen pre-retrain state for the entrypoint
+            # replay below (the old dir is never rewritten — the
+            # retrain persisted to a VERSIONED sibling)
+            pre_retrain_store, pre_retrain_cents = store, cents
             store, store_df = store2, spark.read.parquet(store2)
             cents = new_cents
             row["k_before"], row["k_after"] = rep["k_before"], rep["k_after"]
@@ -1652,6 +1656,88 @@ def _ivf_week_study(spark, emb, base: str) -> dict:
                 "recall_at_responded_nprobe": w_recall,
             }
             print(f"[bench_scale] ivfweek witness: {ext['witness_day']}", file=sys.stderr)
+
+            # Library coherence check (r11): replay the SAME frozen
+            # day-8 state through the composed production entrypoint
+            # (ivf_maintenance_step) under TWO policies.  The audit
+            # sample is identical by construction (103 day-8 queries
+            # < the 512 md5 cap) and the trainer draws are md5-
+            # deterministic, so agreement means BIT-IDENTICAL recall
+            # numbers, not merely similar ones.
+            #   era policy — the week's own: the responded nprobe (8)
+            #     is the spend ceiling for THIS tiling era
+            #     (nprobe_grid=(8,)); a fresh tiling may re-tune
+            #     upward (post_retrain_grid=(8,16,32)).  Must take
+            #     the manual escalation exactly: retrain, K 600→529,
+            #     knee 16.
+            #   wide policy — ceiling (8,16,32) on the CURRENT
+            #     tiling: measures what deferring the retrain costs.
+            #     The first run of this replay (committed in git
+            #     history) found the old tiling holds budget at
+            #     nprobe=32 (recall 0.913) — i.e. the retrain is a
+            #     POLICY decision: serving the stale tiling at 32/600
+            #     lists probes ~1.8× the volume of the fresh tiling's
+            #     16/529 knee, on an index that keeps decaying.
+            from vectorsearch_scylla_spark.operators.ivf import (
+                ivf_maintenance_step,
+            )
+
+            t0 = time.perf_counter()
+            _, _, mrep = ivf_maintenance_step(
+                spark.read.parquet(pre_retrain_store),
+                pre_retrain_cents, queries,
+                recall_budget=budget,
+                nprobe_grid=(nprobe_b,),
+                post_retrain_grid=(nprobe_b, 2 * nprobe_b, 4 * nprobe_b),
+                max_audit_queries=512, dtype="float32",
+            )
+            ext["maintenance_step_replay_era_policy"] = {
+                "wall_sec": round(time.perf_counter() - t0, 3),
+                "actions": mrep["actions"],
+                "nprobe": mrep["nprobe"],
+                "k_after": mrep["k_after"],
+                "recall_before": mrep["retune"]["recall_at"].get(nprobe_b),
+                "recall_at_knee": (
+                    mrep.get("retune_after_retrain", {})
+                    .get("recall_at", {})
+                    .get(mrep["nprobe"])
+                ),
+                "agrees_with_manual": bool(
+                    mrep["actions"] == ["retune", "retrain", "retune"]
+                    and mrep["nprobe"] == nprobe_resp
+                    and mrep["k_after"] == rep["k_after"]
+                    and mrep["retune"]["recall_at"].get(nprobe_b)
+                    == rep["recall_before"]
+                ),
+            }
+            print(
+                "[bench_scale] ivfweek step replay (era): "
+                f"{ext['maintenance_step_replay_era_policy']}",
+                file=sys.stderr,
+            )
+            t0 = time.perf_counter()
+            _, _, wrep = ivf_maintenance_step(
+                spark.read.parquet(pre_retrain_store),
+                pre_retrain_cents, queries,
+                recall_budget=budget,
+                nprobe_grid=(nprobe_b, 2 * nprobe_b, 4 * nprobe_b),
+                max_audit_queries=512, dtype="float32",
+            )
+            ext["maintenance_step_replay_wide_policy"] = {
+                "wall_sec": round(time.perf_counter() - t0, 3),
+                "actions": wrep["actions"],
+                "nprobe": wrep["nprobe"],
+                "k_after": wrep["k_after"],
+                "recall_at": {
+                    str(n): r for n, r in wrep["retune"]["recall_at"].items()
+                },
+                "deferred_retrain": "retrain" not in wrep["actions"],
+            }
+            print(
+                "[bench_scale] ivfweek step replay (wide): "
+                f"{ext['maintenance_step_replay_wide_policy']}",
+                file=sys.stderr,
+            )
             break
         print(f"[bench_scale] ivfweek ext d{day}: {row}", file=sys.stderr)
     else:

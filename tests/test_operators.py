@@ -3630,6 +3630,22 @@ def test_ivf_maintenance_step_walks_ladder_cheap_to_expensive(spark, sf_dir):
     assert m3.count() == drifted.count()
     assert len(c3) == rep3["k_after"] == rep3["retrain"]["k_after"]
 
+    # era policy (the grid IS the policy — BENCH_SCALE.md week-2
+    # replay): a single-point CURRENT-era ceiling with a wider
+    # fresh-tiling range must take the same escalation, trigger on
+    # the same measurement (identical md5 sample), and re-tune the
+    # knee from the post grid
+    c4, m4, rep4 = ivf_maintenance_step(
+        drifted, cents, queries,
+        recall_budget=0.85, nprobe_grid=(2,), post_retrain_grid=(2, 4),
+        max_audit_queries=64,
+    )
+    assert rep4["actions"] == ["retune", "retrain", "retune"]
+    assert rep4["retrain"]["recall_before"] == rep4["retune"]["recall_at"][2]
+    assert list(rep4["retune_after_retrain"]["recall_at"]) != []
+    assert rep4["nprobe"] in (2, 4)
+    assert rep4["k_after"] == rep3["k_after"]  # same deterministic retrain
+
 
 def test_maybe_retrain_pq_fires_on_drift_and_noops_in_budget(spark, sf_dir):
     """r11: the codebook-staleness trigger for the quantized family —

@@ -1341,6 +1341,7 @@ def ivf_maintenance_step(
     max_audit_queries: int = 512,
     retrain_k: int | None = None,
     iters: int = 2,
+    post_retrain_grid: tuple[int, ...] | None = None,
 ) -> tuple[list[tuple[int, list[float]]], DataFrame, dict]:
     """One scheduled pass of the full IVF maintenance ladder — the
     single production entrypoint composing the rungs the drift weeks
@@ -1366,15 +1367,30 @@ def ivf_maintenance_step(
     swapping the store (``compact_signature_artifact``'s staged
     two-rename is the crash-safe pattern).
 
+    **The grid IS the policy** (measured — the week-2 replay in
+    BENCH_SCALE.md): ``nprobe_grid`` is the spend ceiling you will
+    pay on the CURRENT tiling before declaring it stale, and
+    ``post_retrain_grid`` (defaults to ``nprobe_grid``) is the range
+    re-tuned on a FRESH tiling — two different economic decisions.
+    On the drift week's day-8 state, a wide current-era grid
+    ``(8,16,32)`` finds the old tiling still holds budget at
+    nprobe=32 (recall 0.913) and defers the retrain — paying ~1.8×
+    the probed volume of the fresh tiling's knee (32/600 vs 16/529
+    lists) every day, on an index that keeps decaying under drift;
+    the week's policy ``nprobe_grid=(8,), post_retrain_grid=
+    (8,16,32)`` ("8 is the ceiling for THIS era; a fresh tiling may
+    re-tune upward") fires the retrain and reproduces the manual
+    study bit-for-bit (K 600→529, knee 16, recall 0.918).
+
     The measured week (BENCH_SCALE.md "IVF maintenance week under
     drift" + "Week 2"): days 1-7 this step would no-op or split
     (day 4: 51 lists, 4.6 s) and re-tune 4→8; day 8's new-source
-    scatter exhausts the grid at the old tiling, the retrain fires
-    (19.8 s total on 280 k rows), and the re-tune lands 16 at the old
-    nprobe-8 wall.  Reference parity: the reference recreates its
-    HNSW index wholesale to re-tile (scylladb_setup/
-    create_iot_schema.py:137-155); this is the same lifecycle with
-    each rung priced and the cheap ones tried first.
+    scatter exhausts the era grid, the retrain fires (19.8 s total
+    on 280 k rows), and the re-tune lands 16 at the old nprobe-8
+    wall.  Reference parity: the reference recreates its HNSW index
+    wholesale to re-tile (scylladb_setup/create_iot_schema.py:
+    137-155); this is the same lifecycle with each rung priced and
+    the cheap ones tried first.
     """
     report: dict = {
         "recall_budget": float(recall_budget),
@@ -1432,7 +1448,12 @@ def ivf_maintenance_step(
         report["actions"].append("retrain")
         knee, tune2 = retune_nprobe(
             queries, centroids, members,
-            recall_budget=recall_budget, nprobe_grid=nprobe_grid, k=k,
+            recall_budget=recall_budget,
+            nprobe_grid=(
+                post_retrain_grid if post_retrain_grid is not None
+                else nprobe_grid
+            ),
+            k=k,
             corpus_id=id_col, corpus_vec=vec_col, cluster_col=cluster_col,
             dtype=dtype, max_queries=max_audit_queries,
         )
