@@ -1747,6 +1747,120 @@ def _ivf_week_study(spark, emb, base: str) -> dict:
     return out
 
 
+def _pq_stale_study(spark, emb, base: str) -> dict:
+    """r11: the PQ codebook-staleness loop at scale — the quantized
+    twin of the IVF drift week's retrain rung (same corpus shapes, so
+    the two studies price the same deployment).  Codebooks are trained
+    once on the 200 k cohort corpus and frozen; a 10 k 'new source'
+    day joins whose cohorts each shift +0.5 along their own hashed
+    axis (the regime the unit test derives: shared WITHIN a cohort so
+    the twins' stale codes collapse onto the base codeword; per-row
+    scatter and uniform shifts were both measured NOT to degrade ADC
+    recall — see test_maybe_retrain_pq_fires_on_drift_and_noops_in_
+    budget).  The trigger (maybe_retrain_pq) audits the newest
+    increment's vectors, retrains the SAME codebook shape on the
+    current corpus, and re-encodes in one map-only pass — every rung
+    walled here.
+    """
+    from vectorsearch_scylla_spark.operators.pq import (
+        encode_pq_np,
+        maybe_retrain_pq,
+        pq_recall_audit,
+        train_pq,
+    )
+
+    m, dsub = 8, 8
+    ksub = int(os.environ.get("SPARK_GRAFT_PQ_KSUB", "64"))
+    out: dict = {"m": m, "ksub": ksub, "dsub": dsub}
+    corpus = emb.select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("corpus_vec"),
+    )
+    t0 = time.perf_counter()
+    books = train_pq(
+        corpus, m=m, ksub=ksub, iters=2, dsub=dsub,
+        id_col="corpus_id", vec_col="corpus_vec", kernel="numpy",
+    )
+    out["train_sec"] = round(time.perf_counter() - t0, 3)
+    codes_path = os.path.join(base, "pq_codes")
+    t0 = time.perf_counter()
+    encode_pq_np(corpus, books, dsub=dsub, vec_col="corpus_vec").drop(
+        "corpus_vec"
+    ).write.parquet(codes_path)
+    out["encode_sec"] = round(time.perf_counter() - t0, 3)
+    codes = spark.read.parquet(codes_path)
+    out["n_corpus"] = corpus.count()
+
+    self_queries = corpus.filter(F.col("corpus_id") % 97 == 0).select(
+        F.col("corpus_id").alias("query_id"),
+        F.col("corpus_vec").alias("query_vec"),
+    )
+    t0 = time.perf_counter()
+    healthy, d0 = pq_recall_audit(
+        self_queries, codes, books, corpus, k=5, dsub=dsub, max_queries=512,
+    )
+    out["audit_sec"] = round(time.perf_counter() - t0, 3)
+    out["recall_healthy"] = healthy
+    out["n_audit_pairs"] = d0
+    print(f"[bench_scale] pqstale healthy: {out}", file=sys.stderr)
+
+    # the new source day: cohort-shared hashed-axis shift, routed
+    # through the FROZEN books (the daily path: encode is map-only)
+    inc = emb.filter(F.col("vec_id") % 20 == 8).select(
+        (F.col("vec_id") + 1_000_000_000).alias("corpus_id"),
+        F.expr(
+            "transform(cast(embedding as array<double>), (x, i) -> "
+            "CASE WHEN i = pmod(xxhash64(pmod(corpus_id, 10000000)), 64) "
+            "THEN x + 0.5 ELSE x END)"
+        ).alias("corpus_vec"),
+    )
+    t0 = time.perf_counter()
+    encode_pq_np(inc, books, dsub=dsub, vec_col="corpus_vec").drop(
+        "corpus_vec"
+    ).write.mode("append").parquet(codes_path)
+    out["inc_encode_sec"] = round(time.perf_counter() - t0, 3)
+    spark.catalog.refreshByPath(codes_path)
+    codes = spark.read.parquet(codes_path)
+    grown = corpus.unionByName(inc).localCheckpoint()
+    drift_queries = inc.filter(F.col("corpus_id") % 97 == 0).select(
+        F.col("corpus_id").alias("query_id"),
+        F.col("corpus_vec").alias("query_vec"),
+    )
+    budget = float(os.environ.get("SPARK_GRAFT_PQ_BUDGET", "0"))
+    t0 = time.perf_counter()
+    new_books, new_codes, rep = maybe_retrain_pq(
+        grown, codes, books, drift_queries,
+        recall_budget=budget if budget else round(healthy - 0.05, 4),
+        k=5, dsub=dsub, max_audit_queries=512, audit_after=False,
+    )
+    out["trigger_sec"] = round(time.perf_counter() - t0, 3)
+    out["recall_stale"] = rep["recall_before"]
+    out["retrained"] = rep["retrained"]
+    out["recall_budget"] = rep["recall_budget"]
+    if rep["retrained"]:
+        # persist the re-encoded table (versioned dir — the same
+        # pointer-flip deployment move as the IVF store swap)
+        t0 = time.perf_counter()
+        new_codes.write.parquet(f"{codes_path}_retrained")
+        out["persist_sec"] = round(time.perf_counter() - t0, 3)
+        new_codes = spark.read.parquet(f"{codes_path}_retrained")
+        t0 = time.perf_counter()
+        r_after, _ = pq_recall_audit(
+            drift_queries, new_codes, new_books, grown,
+            k=5, dsub=dsub, max_queries=512,
+        )
+        out["audit_after_sec"] = round(time.perf_counter() - t0, 3)
+        out["recall_after"] = r_after
+        # the base workload must not regress under the refreshed books
+        r_base, _ = pq_recall_audit(
+            self_queries, new_codes, new_books, grown,
+            k=5, dsub=dsub, max_queries=512,
+        )
+        out["recall_healthy_after"] = r_base
+    print(f"[bench_scale] pqstale: {out}", file=sys.stderr)
+    return out
+
+
 def _bigk_assign_study(spark) -> dict:
     """r7 judge item #4: price the closure-embedded vs broadcast
     centroid transport for the full-corpus assignment pass at the
@@ -1889,7 +2003,7 @@ def main() -> None:
         # =funnel run ONLY the named study and print their own JSON —
         # both are additive long-running measurements that must not
         # balloon the default battery
-        if sections and sections <= {"clique", "funnel", "sweep", "inc", "bigk", "incfunnel", "compact", "chain", "chain7", "bucketed", "ndstream", "ndepochs", "ivfweek"}:
+        if sections and sections <= {"clique", "funnel", "sweep", "inc", "bigk", "incfunnel", "compact", "chain", "chain7", "bucketed", "ndstream", "ndepochs", "ivfweek", "pqstale"}:
             study: dict = {}
             if "clique" in sections:
                 study["clique_study"] = _clique_study(spark, docs0, base)
@@ -1919,6 +2033,8 @@ def main() -> None:
                 study["neardup_stream"] = _neardup_stream_study(spark, docs, base)
             if "ivfweek" in sections:
                 study["ivf_week"] = _ivf_week_study(spark, emb, base)
+            if "pqstale" in sections:
+                study["pq_stale"] = _pq_stale_study(spark, emb, base)
             if "ndepochs" in sections:
                 # the 'continuous past a day' witness (r10): 50 epochs,
                 # fold (r10 registered shape) vs no-fold (r9 shape whose
