@@ -3763,3 +3763,25 @@ def test_maybe_retrain_pq_fires_on_drift_and_noops_in_budget(spark, sf_dir):
     # refreshed codewords score the drifted neighborhood better
     assert rep3["recall_after"] is not None
     assert rep3["recall_after"] > rep3["recall_before"]
+
+    # rollback rail (the capacity-starved lesson from the scale
+    # study): an unreachable budget fires the retrain but the
+    # post-audit misses, so with rollback_below_budget the originals
+    # come back untouched and the report carries the rejected
+    # measurement — the escalate-to-composition signal
+    b5, c5, rep5 = maybe_retrain_pq(
+        grown, grown_codes, books, drift_queries,
+        recall_budget=1.01, k=5, dsub=dsub, max_audit_queries=64,
+        rollback_below_budget=True,
+    )
+    assert rep5["rolled_back"] is True and rep5["retrained"] is False
+    assert b5 is books and c5 is grown_codes
+    assert rep5["recall_after"] is not None  # the rejected measurement
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="audit_after"):
+        maybe_retrain_pq(
+            grown, grown_codes, books, drift_queries,
+            recall_budget=0.5, audit_after=False,
+            rollback_below_budget=True,
+        )

@@ -603,6 +603,7 @@ def maybe_retrain_pq(
     decimals: int = 6,
     audit_after: bool = True,
     recall_before: float | None = None,
+    rollback_below_budget: bool = False,
 ) -> tuple[list[list[tuple[int, list[float]]]], DataFrame, dict]:
     """Codebook-staleness trigger for the PQ family — the quantized
     twin of :func:`~vectorsearch_scylla_spark.operators.ivf.
@@ -629,7 +630,26 @@ def maybe_retrain_pq(
     bounded as ever.  The caller owns persisting the returned code
     table and swapping the store (``compact_signature_artifact``'s
     staged two-rename pattern).
+
+    ``rollback_below_budget`` is the safety rail the two-capacity-cell
+    study motivates (BENCH_SCALE.md "PQ codebook staleness at scale"):
+    without capacity headroom (~3 k corpus rows per codeword in the
+    measured ksub=64 cell) a fixed-shape retrain just RE-SPREADS
+    scarcity — the drifted region wins ~1 codeword per subspace while
+    the old manifold loses words, and recall came back BELOW the
+    stale value (0.462 → 0.446).  With the flag set (requires
+    ``audit_after``), a retrain whose post-audit still misses budget
+    is NOT adopted: the original ``(books, codes)`` come back with
+    ``report["rolled_back"]=True`` and ``recall_after`` carrying the
+    rejected measurement — the escalate-to-composition signal
+    (residual IVF-PQ: let the coarse quantizer absorb the shift and
+    encode near-stationary residuals) without spending the persist.
     """
+    if rollback_below_budget and not audit_after:
+        raise ValueError(
+            "rollback_below_budget requires audit_after=True — the "
+            "rollback decision IS the post-retrain audit"
+        )
     m, ksub = len(books), max(len(b) for b in books)
     if recall_before is None:
         recall_before, denom = pq_recall_audit(
@@ -675,4 +695,11 @@ def maybe_retrain_pq(
             max_queries=max_audit_queries,
         )
         report["recall_after"] = recall_after
+        if (
+            rollback_below_budget
+            and (recall_after is None or recall_after < recall_budget)
+        ):
+            report["retrained"] = False
+            report["rolled_back"] = True
+            return books, codes, report
     return new_books, new_codes, report
