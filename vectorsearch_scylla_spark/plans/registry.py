@@ -198,6 +198,15 @@ DRIVER_WINDOW: list[str] = [
     "streaming_ivf_add_e2e",
     "streaming_neardup_e2e",
 ]
+# r12 rotation note: the late-r11 session changed ONLY non-registry
+# maintenance operators (ivf.retune_nprobe / ivf_maintenance_step /
+# maybe_retrain's recall_before param; pq.pq_recall_audit /
+# maybe_retrain_pq; the _audit_ground_truth refactor inside
+# ivf_recall_audit, which no registry query imports) plus bench
+# tooling — zero registered queries gained changed dependencies after
+# the r11 stamp, so r12 has NO must-lead set: rotate the 42 r10
+# sit-outs in via tools/rotate_window.py --write 12 and fill with
+# r11-stamped members per the normal oldest-first order.
 
 
 def _exposure_order() -> list[str]:
