@@ -158,10 +158,11 @@ def final_line(
             "retry_warmup_sec": retry_warmup,
             "retry_absorbed_top": retry_top,
             "canary_sec": canary,
-            # max/min of the canary triple; > 1.5 = the run crossed
-            # host regimes mid-flight and its normalized total is not
-            # cross-run comparable (see BENCH_SCALE.md "Canary
-            # composite")
+            # max/min of the SETTLED canary samples (mid + end —
+            # canary_sec[1:]; the start sample runs in a young JVM and
+            # is excluded); > 1.5 = the run crossed host regimes
+            # mid-flight and its normalized total is not cross-run
+            # comparable (see BENCH_SCALE.md "Canary composite")
             "canary_skew": canary_skew,
             "degraded_window": degraded_window,
             "sf": sf,

@@ -994,3 +994,81 @@ def test_fold_streaming_epochs_partitioned_layout(spark, tmp_path):
         pruned.explain("formatted")
     assert "PartitionFilters: [" in buf.getvalue()
     assert {r["cluster_id"] for r in pruned.collect()} == {1}
+
+
+def test_fold_streaming_epochs_refuses_layout_mix(spark, tmp_path):
+    """r11 review (verified by execution before the guard existed): a
+    flat epoch folded into the same rolled_dir as a partitioned epoch
+    produced a mixed artifact whose ROOT-level rows every Spark read
+    silently dropped — rolled signatures vanished and duplicates
+    passed the gate.  The fold must refuse all three mix shapes
+    BEFORE moving anything: mixed epoch dir, flat-epoch-into-
+    partitioned-rolled, partitioned-epoch-into-flat-rolled — and
+    matched layouts must keep folding."""
+    import os
+
+    import pytest
+
+    from vectorsearch_scylla_spark.operators.dedup import (
+        fold_streaming_epochs,
+    )
+
+    flat = spark.createDataFrame(
+        [(1, 0.5)], "vec_id long, sim double"
+    )
+    routed = spark.createDataFrame(
+        [(2, 1, 0.5)], "vec_id long, cluster_id int, sim double"
+    )
+
+    # flat epoch + partitioned epoch under ONE sig_root: epoch 0 folds
+    # first and fixes the rolled layout, epoch 1 must be refused with
+    # epoch 0's rows intact in the rolled store
+    sig_root = str(tmp_path / "mix" / "epochs")
+    rolled = str(tmp_path / "mix" / "rolled")
+    os.makedirs(sig_root, exist_ok=True)
+    flat.write.parquet(os.path.join(sig_root, "epoch=0"))
+    routed.write.partitionBy("cluster_id").parquet(
+        os.path.join(sig_root, "epoch=1")
+    )
+    with pytest.raises(ValueError, match="mixed layout|is partitioned"):
+        fold_streaming_epochs(
+            spark, sig_root, rolled, current_epoch=2, compact_at_files=0
+        )
+    assert [r["vec_id"] for r in spark.read.parquet(rolled).collect()] == [1]
+    # the refused epoch was not touched — re-layout and refold finishes
+    assert os.path.isdir(os.path.join(sig_root, "epoch=1"))
+
+    # a single epoch dir that ITSELF mixes layouts is refused outright
+    sig2 = str(tmp_path / "mix2" / "epochs")
+    rolled2 = str(tmp_path / "mix2" / "rolled")
+    os.makedirs(sig2, exist_ok=True)
+    flat.write.parquet(os.path.join(sig2, "epoch=0"))
+    routed.write.partitionBy("cluster_id").mode("append").parquet(
+        os.path.join(sig2, "epoch=0")
+    )
+    with pytest.raises(ValueError, match="mixes root part files"):
+        fold_streaming_epochs(
+            spark, sig2, rolled2, current_epoch=1, compact_at_files=0
+        )
+
+    # matched layouts still fold (both directions)
+    for tag, frame, writer in (
+        ("ff", flat, lambda df, p: df.write.parquet(p)),
+        (
+            "pp",
+            routed,
+            lambda df, p: df.write.partitionBy("cluster_id").parquet(p),
+        ),
+    ):
+        sroot = str(tmp_path / tag / "epochs")
+        rdir = str(tmp_path / tag / "rolled")
+        os.makedirs(sroot, exist_ok=True)
+        writer(frame, os.path.join(sroot, "epoch=0"))
+        writer(frame, os.path.join(sroot, "epoch=1"))
+        assert (
+            fold_streaming_epochs(
+                spark, sroot, rdir, current_epoch=2, compact_at_files=0
+            )
+            == 2
+        )
+        assert spark.read.parquet(rdir).count() == 2

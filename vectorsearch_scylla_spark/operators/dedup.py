@@ -730,9 +730,39 @@ def fold_streaming_epochs(
                     ) from e
                 raise
 
+    def _layout(path: str) -> str:
+        """'flat' | 'partitioned' | 'mixed' | 'empty' for one level of
+        a signature dir — the same classification
+        compact_signature_artifact guards on."""
+        if not os.path.isdir(path):
+            return "empty"
+        has_root = bool(glob.glob(os.path.join(path, "*.parquet")))
+        has_part = any(
+            "=" in sub
+            and os.path.isdir(os.path.join(path, sub))
+            and glob.glob(os.path.join(path, sub, "*.parquet"))
+            for sub in os.listdir(path)
+        )
+        if has_root and has_part:
+            return "mixed"
+        if has_part:
+            return "partitioned"
+        if has_root:
+            return "flat"
+        return "empty"
+
     folded = 0
     if not os.path.isdir(sig_root):
         return folded
+    rolled_layout = _layout(rolled_dir)
+    if rolled_layout == "mixed":
+        raise ValueError(
+            f"fold_streaming_epochs: rolled artifact {rolled_dir} already "
+            "mixes root part files with col=value partition dirs — a "
+            "mixed layout is silently HALF-read by Spark (root files "
+            "are dropped when partition dirs exist).  Classify or "
+            "delete the stray files before folding."
+        )
     for d in sorted(os.listdir(sig_root)):
         if not d.startswith("epoch="):
             continue
@@ -749,7 +779,37 @@ def fold_streaming_epochs(
         # each partition's files into the SAME partition subdir of the
         # rolled artifact, so partition pruning survives the fold and
         # compact_signature_artifact's partition-aware branch keeps the
-        # layout when the auto-compaction below fires.
+        # layout when the auto-compaction below fires.  REFUSE to mix
+        # layouts (r11, found by layout-fuzzing the fold): folding a
+        # flat epoch into a partitioned rolled artifact (or vice
+        # versa) produces exactly the mixed store whose root-level
+        # rows every Spark read then silently DROPS — for the dedup
+        # gate that means rolled signatures vanish and duplicates
+        # pass.  The refusal happens BEFORE any move of the offending
+        # epoch, so the store stays consistent (each epoch folds
+        # atomically-per-file or not at all).
+        epoch_layout = _layout(src_dir)
+        if epoch_layout == "mixed":
+            raise ValueError(
+                f"fold_streaming_epochs: epoch dir {src_dir} mixes root "
+                "part files with col=value partition dirs — refusing to "
+                "fold a layout Spark cannot fully read.  Two different "
+                "streams writing one sig_root is the usual cause."
+            )
+        if (
+            epoch_layout != "empty"
+            and rolled_layout != "empty"
+            and epoch_layout != rolled_layout
+        ):
+            raise ValueError(
+                f"fold_streaming_epochs: epoch dir {src_dir} is "
+                f"{epoch_layout} but the rolled artifact {rolled_dir} is "
+                f"{rolled_layout} — folding them together would produce "
+                "a mixed layout whose root-level rows Spark silently "
+                "drops.  Use a separate rolled_dir per stream layout."
+            )
+        if epoch_layout != "empty" and rolled_layout == "empty":
+            rolled_layout = epoch_layout
         _move_parts(src_dir, rolled_dir)
         for sub in sorted(os.listdir(src_dir)) if os.path.isdir(src_dir) else []:
             sub_src = os.path.join(src_dir, sub)
@@ -1004,6 +1064,21 @@ def compact_bucketed_artifact(spark, table: str) -> int:
     sort_cols = _cols("Sort Columns")
     location = desc["Location"]
     location = location[len("file:"):] if location.startswith("file:") else location
+    # fail fast on a non-local location BEFORE the full staging
+    # rewrite is paid (r11 review): the swap below is os.rename /
+    # shutil on the catalog Location, which only works on a local
+    # filesystem — on hdfs://... or s3a://... the rewrite would
+    # complete and then strand its output when the rename throws on
+    # the URI string
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", location):
+        raise ValueError(
+            f"compact_bucketed_artifact: table location {location!r} is "
+            "not on the local filesystem — the crash-safe swap uses "
+            "os.rename and cannot operate on a remote URI.  On a "
+            "cluster, rewrite via a staging TABLE + "
+            "ALTER TABLE ... SET LOCATION (or a filesystem-native "
+            "rename) instead."
+        )
 
     staging_table = f"{table}__compact_staging"
     staging_dir = f"{location}.compact.staging"

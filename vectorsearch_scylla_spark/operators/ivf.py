@@ -1412,12 +1412,54 @@ def ivf_maintenance_step(
             report["actions"].append("split")
             report["k_after_split"] = len(centroids)
 
-    knee, tune = retune_nprobe(
-        queries, centroids, members,
-        recall_budget=recall_budget, nprobe_grid=nprobe_grid, k=k,
-        corpus_id=id_col, corpus_vec=vec_col, cluster_col=cluster_col,
-        dtype=dtype, max_queries=max_audit_queries,
+    if not nprobe_grid or (
+        post_retrain_grid is not None and not post_retrain_grid
+    ):
+        # fail fast BEFORE the split/audit spend — an empty grid would
+        # otherwise surface as a bare max() ValueError after the
+        # expensive rungs already ran
+        raise ValueError(
+            "ivf_maintenance_step: nprobe_grid and post_retrain_grid "
+            "must be non-empty — the grid IS the probe-spend policy"
+        )
+
+    # ONE exact ground-truth pass funds the entire pass (r11 review):
+    # neither the split nor the retrain ever rewrites a ROW — both
+    # rewrite cluster ids only — so the (queries × members) exact
+    # top-k computed here stays valid across every rung below, exactly
+    # as the manual week study reuses its per-day truth.  Paying
+    # _audit_ground_truth again after the retrain (what two separate
+    # retune_nprobe calls would do) doubles the dominant O(sample·N)
+    # cost of a retrain day for zero information.
+    sample, exact, denom = _audit_ground_truth(
+        queries, members,
+        k=k, query_id="query_id", query_vec="query_vec",
+        corpus_id=id_col, corpus_vec=vec_col,
+        exclude_self=True, dtype=dtype, max_queries=max_audit_queries,
     )
+
+    def _walk_grid(grid, cents_now, members_now) -> tuple[int | None, dict]:
+        tune_rep: dict = {
+            "recall_budget": float(recall_budget),
+            "n_audit_pairs": int(denom),
+            "recall_at": {},
+        }
+        if not denom:
+            return None, tune_rep
+        for np_i in sorted(int(n) for n in grid):
+            recall = _audit_recall_at(
+                sample, exact, denom, cents_now, members_now,
+                nprobe=np_i, k=k, query_id="query_id",
+                query_vec="query_vec", corpus_id=id_col,
+                corpus_vec=vec_col, cluster_col=cluster_col,
+                exclude_self=True, dtype=dtype,
+            )
+            tune_rep["recall_at"][np_i] = recall
+            if recall >= recall_budget:
+                return np_i, tune_rep
+        return None, tune_rep
+
+    knee, tune = _walk_grid(nprobe_grid, centroids, members)
     report["actions"].append("retune")
     report["retune"] = tune
     if knee is not None or not tune["n_audit_pairs"]:
@@ -1428,7 +1470,7 @@ def ivf_maintenance_step(
         return centroids, members, report
 
     # grid exhausted below budget: the tiling itself is stale.  The
-    # retune already measured recall at the grid max on this exact
+    # walk already measured recall at the grid max on this exact
     # state — hand it to maybe_retrain so the trigger skips its
     # redundant entry audit (the O(sample·N) half).
     grid_max = max(int(n) for n in nprobe_grid)
@@ -1446,16 +1488,10 @@ def ivf_maintenance_step(
     if retrain_rep["retrained"]:
         members = drop_inherited_stats(members.localCheckpoint())
         report["actions"].append("retrain")
-        knee, tune2 = retune_nprobe(
-            queries, centroids, members,
-            recall_budget=recall_budget,
-            nprobe_grid=(
-                post_retrain_grid if post_retrain_grid is not None
-                else nprobe_grid
-            ),
-            k=k,
-            corpus_id=id_col, corpus_vec=vec_col, cluster_col=cluster_col,
-            dtype=dtype, max_queries=max_audit_queries,
+        knee, tune2 = _walk_grid(
+            post_retrain_grid if post_retrain_grid is not None
+            else nprobe_grid,
+            centroids, members,
         )
         report["actions"].append("retune")
         report["retune_after_retrain"] = tune2
