@@ -198,15 +198,20 @@ DRIVER_WINDOW: list[str] = [
     "streaming_ivf_add_e2e",
     "streaming_neardup_e2e",
 ]
-# r12 rotation note: the late-r11 session changed ONLY non-registry
-# maintenance operators (ivf.retune_nprobe / ivf_maintenance_step /
-# maybe_retrain's recall_before param; pq.pq_recall_audit /
-# maybe_retrain_pq; the _audit_ground_truth refactor inside
-# ivf_recall_audit, which no registry query imports) plus bench
-# tooling — zero registered queries gained changed dependencies after
-# the r11 stamp, so r12 has NO must-lead set: rotate the 42 r10
-# sit-outs in via tools/rotate_window.py --write 12 and fill with
-# r11-stamped members per the normal oldest-first order.
+# r12 rotation note: after the r11 stamp, the late-r11 session changed
+# (a) non-registry maintenance operators (ivf.retune_nprobe /
+# ivf_maintenance_step / maybe_retrain's recall_before param;
+# pq.pq_recall_audit / maybe_retrain_pq / rollback rail; the
+# _audit_ground_truth refactor inside ivf_recall_audit, which no
+# registry query imports) plus bench tooling — no consumers to
+# front-load — and (b) fold_streaming_epochs (layout-mix refusal,
+# r11 review fix), whose consumers streaming_neardup_e2e and
+# streaming_ivf_add_e2e sat in the r11 window and were driver-
+# certified against the changed code THIS round, but by the pinned
+# changed-dependency policy they LEAD the r12 window again (the
+# post-stamp-change rule, exactly like the r10 PQ-guard consumers).
+# Then rotate the 42 r10 sit-outs in via tools/rotate_window.py
+# --write 12 and fill per the normal oldest-first order.
 
 
 def _exposure_order() -> list[str]:
