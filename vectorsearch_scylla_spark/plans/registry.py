@@ -124,94 +124,79 @@ def query(name: str, oracle: str | None, survey_ids: list[str], doc: str = ""):
 # verification via tests/test_oracle_parity.py, which replicates the
 # driver gate over the ENTIRE registry at sf0.001.
 DRIVER_WINDOW: list[str] = [
-    # -- changed-dependency re-certs LEAD (r10 VERDICT #1, the exact
-    # r9→r10 pattern): pq_adc_topk_np gained the limit(cap+1) collect
-    # guard (operators/pq.py:363) AFTER the r10 stamp, so its three
-    # registered consumers shipped a changed collect path with only the
-    # local parity suite behind them — the driver gate re-certifies
-    # them against the guarded plan first ------------------------------
-    "pq_knn",
-    "ivfpq_knn",
-    "ivfpq_residual_knn",
-    # -- the rest of the r11 must-rotate set: every other query whose
-    # last driver row is r9 (the 42-query set tools/rotate_window.py
-    # printed after the r10 stamp; its one streaming member,
-    # streaming_ivf_add_e2e, is deferred to the streaming tail) --------
-    "asof_event_snapshot_join",
-    "asof_nearest_join",
-    "benchmark_decontam",
-    "conditional_counts",
-    "corpus_quality_filter",
-    "dedup_canonical",
-    "dedup_clusters_union_cascade",
-    "dedup_exact",
-    "device_profile_build",
-    "device_statistics",
-    "doc_chunking",
-    "doc_fingerprint",
-    "fleet_simulator",
-    "ivf_compaction",
-    "ivf_grouped_knn",
-    "ivf_incremental_add",
-    "ivf_sampled_train_knn",
-    "knn_distributed",
-    "language_id",
-    "latest_event_per_user",
-    "lww_window_snapshot",
-    "market_share",
-    "minhash_signatures",
-    "pricing_summary",
-    "range_scan",
-    "relationship_rules",
-    "rolling_metric_stats",
-    "semantic_dedup_keepers",
-    "simhash_fingerprints",
-    "similar_state_metric_diff",
-    "sq8_ivf_knn",
-    "stratified_sample",
-    "text_quality",
+    # -- the r12 must-rotate set: the 42 queries whose last driver row
+    # is r10 (tools/rotate_window.py's sit-out report after the r11
+    # stamp).  Its five streaming members are deferred to the
+    # streaming tail; the 37 batch members run here, source order -----
+    "anomaly_events_build",
+    "approx_distinct_check",
+    "bpe_token_estimate",
+    "chunk_dedup",
+    "customer_order_coverage",
+    "dedup_clusters_incremental",
+    "dedup_pipeline_funnel",
+    "doc_repetition_stats",
+    "domain_doc_cap",
+    "embedding_input_text",
+    "embedding_neardup_incremental",
+    "event_props_stats",
+    "event_sessionization",
+    "fleet_config_source",
+    "knn_same_label",
+    "lsh_knn",
+    "media_byte_features",
+    "media_frame_sample",
+    "metric_percentiles",
+    "metric_percentiles_approx",
+    "minhash_dup_buckets",
+    "ngram_jaccard_incremental",
+    "ngram_jaccard_pairs",
+    "path3_novelty_flags",
+    "pii_redaction",
+    "profile_rebuild_after_feedback",
+    "resample_daily_locf",
+    "retention_sweep",
+    "simhash_dup_pairs",
+    "source_lang_rollup",
+    "source_mix_summary",
+    "sq8_knn",
+    "tfidf_top_terms",
+    "threshold_rules",
+    "token_budget_sample",
+    "unigram_logprob_score",
+    "zscore_outliers",
+    # -- flagship re-certifications filling the 6 free batch slots:
+    # one representative per heavy operator family (all r11-stamped),
+    # plus token_packing, which is under active perf attribution this
+    # round (r11 VERDICT task 4) and must hold a hard driver row in
+    # case the attribution lands a fix ---------------------------------
     "token_packing",
-    "token_stats_by_lang",
-    "top_orders_per_customer",
-    "tumbling_window_counts",
-    "window_pivot_snapshot",
-    # -- flagship re-certifications filling the 8 free slots (7 batch
-    # here + streaming_neardup_e2e in the tail): one representative per
-    # heavy operator family, all r10-stamped, none code-changed --------
     "knn_bruteforce",
-    "ann_recall_report",
-    "dedup_clusters",
-    "dedup_incremental",
-    "detect_consensus",
+    "ivf_grouped_knn",
+    "minhash_signatures",
+    "dedup_exact",
     "path2_anomaly",
-    "embedding_neardup_pairs",
     # -- streaming e2e LAST: a completed Structured Streaming query
     # leaves residue in the shared local JVM (streaming-state/codegen
     # caches and a stopped-query cleanup thread) that intermittently
     # slows later heavy batch queries 10-50x in the same process —
     # so every batch query must run before the first stream starts.
-    # streaming_ivf_add_e2e is the must-rotate set's one streaming
-    # member AND gains the partition-aware fold/compaction wiring this
-    # round; streaming_neardup_e2e re-certifies because r11 touches its
-    # fold_streaming_epochs / compact_signature_artifact dependencies
-    # (recovery-ordering fix + mixed-layout guard).
-    "streaming_ivf_add_e2e",
+    # Within the tail, the two changed-dependency re-certs LEAD (the
+    # pinned post-stamp-change rule): the late-r11 session changed
+    # fold_streaming_epochs (layout-mix refusal, 37a41b6) AFTER the
+    # r11 window stamp, so its consumers streaming_neardup_e2e and
+    # streaming_ivf_add_e2e shipped a changed fold path with only the
+    # local parity suite behind them — the driver gate re-certifies
+    # them first.  The remaining five are the must-rotate set's
+    # streaming members.
     "streaming_neardup_e2e",
+    "streaming_ivf_add_e2e",
+    "streaming_dedup_e2e",
+    "streaming_detect_e2e",
+    "streaming_novelty_e2e",
+    "streaming_rolling_stats",
+    "streaming_window_pivot",
 ]
-# r12 rotation note: after the r11 stamp, the late-r11 session changed
-# (a) non-registry maintenance operators (ivf.retune_nprobe /
-# ivf_maintenance_step / maybe_retrain's recall_before param;
-# pq.pq_recall_audit / maybe_retrain_pq / rollback rail; the
-# _audit_ground_truth refactor inside ivf_recall_audit, which no
-# registry query imports) plus bench tooling — no consumers to
-# front-load — and (b) fold_streaming_epochs (layout-mix refusal,
-# r11 review fix), whose consumers streaming_neardup_e2e and
-# streaming_ivf_add_e2e sat in the r11 window and were driver-
-# certified against the changed code THIS round, but by the pinned
-# changed-dependency policy they LEAD the r12 window again (the
-# post-stamp-change rule, exactly like the r10 PQ-guard consumers).
-# Then rotate the 42 r10 sit-outs in via tools/rotate_window.py
-# --write 12 and fill per the normal oldest-first order.
 
 
 def _exposure_order() -> list[str]:
