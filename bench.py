@@ -130,6 +130,8 @@ def final_line(
     retry_warmup: float = -1.0,
     canary_skew: float = -1.0,
     degraded_window: bool = False,
+    stall_pct_batch: float = -1.0,
+    stall_gate_ok: bool = False,
 ) -> str:
     """Render the driver's parse target: a compact single JSON line.
 
@@ -157,6 +159,11 @@ def final_line(
             "retry_stall_sec": retry_stall,
             "retry_warmup_sec": retry_warmup,
             "retry_absorbed_top": retry_top,
+            # stall share of the BATCH wall (the gate's denominator —
+            # streaming seconds can neither stall-retry nor absorb);
+            # the <5 % rule is stall_gate_ok
+            "stall_pct_batch": stall_pct_batch,
+            "stall_gate_ok": stall_gate_ok,
             "canary_sec": canary,
             # max/min of the SETTLED canary samples (mid + end —
             # canary_sec[1:]; the start sample runs in a young JVM and
@@ -165,6 +172,7 @@ def final_line(
             # comparable (see BENCH_SCALE.md "Canary composite")
             "canary_skew": canary_skew,
             "degraded_window": degraded_window,
+            "canary_method": "r11-settled",
             "sf": sf,
             "full_map": "BENCH_LOCAL.json",
         },
@@ -215,6 +223,30 @@ def main() -> None:
         _wv.selectExpr("id AS corpus_id", "v AS corpus_vec"),
         k=3,
     ).write.format("noop").mode("overwrite").save()
+
+    # ... and the persisted "prior day" artifacts the incremental
+    # queries stage via _materialize_once at PLAN-CONSTRUCTION time
+    # (r12; r11 VERDICT task 5): on a cold temp dir that one-time
+    # build lands inside the timed first run — dedup_clusters_
+    # incremental absorbed 11 s of "retry" both rounds from exactly
+    # this — and the 2x stall split then misreads a structural
+    # first-run cost as host noise.  Constructing each such plan once
+    # here (result discarded) pays the build untimed, so the timed
+    # number is the steady-state day cost the query docstrings
+    # describe.  Membership is derived from source, not a hand list:
+    # any BATCH headline query whose body stages an artifact
+    # (streaming queries are excluded — calling their fn DRAINS a
+    # stream, and no stream may run before the batch section; their
+    # first runs are retry-exempt and reported as-is anyway).
+    import inspect
+
+    for _n in HEADLINE:
+        if (
+            _n in REGISTRY
+            and not _n.startswith("streaming_")
+            and "_materialize_once" in inspect.getsource(REGISTRY[_n].fn)
+        ):
+            REGISTRY[_n].fn(spark, sf_dir)
 
     def _py_probe(batches):
         # fixed-work Python/memory-bandwidth kernel: a bounded matmul
@@ -401,6 +433,18 @@ def main() -> None:
         round(max(settled) / min(settled), 3) if min(settled) > 0 else -1.0
     )
     degraded_window = canary_skew > 1.5
+    # The <5 % host-noise gate, stated mechanically (r12; r11 VERDICT
+    # task 3): retry_stall_sec is batch-section-only by construction,
+    # so the denominator is the BATCH wall, not the total (streaming
+    # machinery seconds can neither stall-retry nor absorb).  The gate
+    # reads the STALL share of the batch section; runs failing it
+    # carry visibly steal-inflated batch numbers and should be re-run
+    # rather than stamped, exactly like degraded_window runs.
+    batch_wall = round(sum(times[n] for n in batch if n in times), 3)
+    stall_pct_batch = (
+        round(100.0 * retry_stall / batch_wall, 2) if batch_wall > 0 else -1.0
+    )
+    stall_gate_ok = 0.0 <= stall_pct_batch < 5.0
     # NO SILENT CAPS: name the registry queries the headline bench
     # skips.  These are cheap relational/scalar variants whose plan
     # shape is a strict subset of a benched query (e.g. range_scan vs
@@ -419,10 +463,20 @@ def main() -> None:
             "retry_stall_sec": retry_stall,
             "retry_warmup_sec": retry_warmup,
             "retry_absorbed_top": retry_top,
+            "batch_wall_sec": batch_wall,
+            "stall_pct_batch": stall_pct_batch,
+            "stall_gate_ok": stall_gate_ok,
             "queries_skipped": skipped,
             "canary_sec": composite,
             "canary_skew": canary_skew,
             "degraded_window": degraded_window,
+            # methodology marker (r11 ADVICE): value_canary_normalized
+            # divides by the mean of the SETTLED (mid+end) samples of
+            # the 3-component composite canary with an untimed canary
+            # warm-up round — comparable ONLY with artifacts carrying
+            # the same marker; cross-run tooling must refuse mixed
+            # comparisons mechanically rather than by README footnote
+            "canary_method": "r11-settled",
             "canary_components": {
                 k: [c[k] for c in samples] for k in ("shuffle", "python", "scan")
             },
@@ -448,6 +502,7 @@ def main() -> None:
             total, norm, times, retry_delta, retry_top, composite, sf,
             retry_stall=retry_stall, retry_warmup=retry_warmup,
             canary_skew=canary_skew, degraded_window=degraded_window,
+            stall_pct_batch=stall_pct_batch, stall_gate_ok=stall_gate_ok,
         )
     )
 

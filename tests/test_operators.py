@@ -3536,6 +3536,21 @@ def test_retune_nprobe_finds_knee_and_signals_escalation(spark, sf_dir):
     assert list(rep2["recall_at"]) == [1, 2]
 
 
+def test_ivf_maintenance_step_empty_grid_fails_before_any_spend():
+    """r12 (r11 ADVICE): the empty-grid refusal must fire BEFORE the
+    split rung — with max_size set and an empty grid, the old ordering
+    paid the full split + localCheckpoint and then discarded it.
+    Passing no usable DataFrames at all pins the ordering: validation
+    must raise before anything touches members."""
+    import pytest
+
+    from vectorsearch_scylla_spark.operators.ivf import ivf_maintenance_step
+
+    for grids in ({"nprobe_grid": ()}, {"nprobe_grid": (4,), "post_retrain_grid": ()}):
+        with pytest.raises(ValueError, match="must be non-empty"):
+            ivf_maintenance_step(None, [], None, max_size=10, **grids)
+
+
 def test_ivf_maintenance_step_walks_ladder_cheap_to_expensive(spark, sf_dir):
     """r11: one scheduled pass of the composed maintenance ladder.
     Healthy index -> audit only (inputs returned untouched); bloated
@@ -3624,7 +3639,9 @@ def test_ivf_maintenance_step_walks_ladder_cheap_to_expensive(spark, sf_dir):
     # the entry audit was NOT re-paid: the trigger consumed the
     # retune's grid-max measurement verbatim
     assert rep3["retrain"]["recall_before"] == rep3["retune"]["recall_at"][4]
-    assert rep3["retrain"]["n_audit_pairs"] == -1
+    # pair count unknown on the caller-supplied fast path: None, not a
+    # -1 sentinel, so accidental arithmetic fails loudly (r11 ADVICE)
+    assert rep3["retrain"]["n_audit_pairs"] is None
     assert rep3["nprobe"] in (2, 4)  # budget restored on the new tiling
     assert rep3["retune_after_retrain"]["recall_at"][rep3["nprobe"]] >= 0.85
     assert m3.count() == drifted.count()
@@ -3784,4 +3801,36 @@ def test_maybe_retrain_pq_fires_on_drift_and_noops_in_budget(spark, sf_dir):
             grown, grown_codes, books, drift_queries,
             recall_budget=0.5, audit_after=False,
             rollback_below_budget=True,
+        )
+
+    # capacity is the INTENDED ksub, not the surviving codeword count
+    # (r11 ADVICE): hand in books that lost codewords to empty-cluster
+    # drops — an explicit ksub must restore full capacity on retrain
+    # instead of ratcheting down to the survivors' max
+    starved = [b[: ksub - 2] for b in books]
+    # caller-supplied recall_before: grown_codes were encoded against
+    # the FULL books, so auditing them against the starved list would
+    # index past its codewords — the fast path skips that audit, which
+    # is also how the maintenance ladder invokes this trigger
+    b6, _, rep6 = maybe_retrain_pq(
+        grown, grown_codes, starved, drift_queries,
+        recall_budget=0.5, recall_before=0.0, k=5, dsub=dsub,
+        max_audit_queries=64, ksub=ksub, audit_after=False,
+    )
+    assert rep6["ksub"] == ksub and rep6["retrained"] is True
+    assert rep6["n_audit_pairs"] is None  # unknown, not a -1 sentinel
+    assert all(len(b) <= ksub and len(b) > 0 for b in b6)
+    # and the default (no ksub) keeps the current max — the
+    # backward-compatible behavior
+    _, _, rep7 = maybe_retrain_pq(
+        grown, grown_codes, starved, drift_queries,
+        recall_budget=0.0, recall_before=1.0, k=5, dsub=dsub,
+        max_audit_queries=64,
+    )
+    assert rep7["ksub"] == ksub - 2 and rep7["retrained"] is False
+    # empty books fail loudly, not with a bare max() error
+    with _pytest.raises(ValueError, match="books is empty"):
+        maybe_retrain_pq(
+            grown, grown_codes, [], drift_queries,
+            recall_budget=0.5, k=5, dsub=dsub,
         )

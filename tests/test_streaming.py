@@ -1004,7 +1004,12 @@ def test_fold_streaming_epochs_refuses_layout_mix(spark, tmp_path):
     passed the gate.  The fold must refuse all three mix shapes
     BEFORE moving anything: mixed epoch dir, flat-epoch-into-
     partitioned-rolled, partitioned-epoch-into-flat-rolled — and
-    matched layouts must keep folding."""
+    matched layouts must keep folding.
+
+    r12 (r11 ADVICE): the refusal is now ALL-OR-NOTHING at the batch
+    level — every pending epoch is layout-classified before the first
+    move, so a mixed batch refuses with ZERO epochs folded instead of
+    leaving earlier epochs already moved."""
     import os
 
     import pytest
@@ -1020,9 +1025,9 @@ def test_fold_streaming_epochs_refuses_layout_mix(spark, tmp_path):
         [(2, 1, 0.5)], "vec_id long, cluster_id int, sim double"
     )
 
-    # flat epoch + partitioned epoch under ONE sig_root: epoch 0 folds
-    # first and fixes the rolled layout, epoch 1 must be refused with
-    # epoch 0's rows intact in the rolled store
+    # flat epoch + partitioned epoch under ONE sig_root: the pre-scan
+    # sees epoch 0 would fix the rolled layout to flat and epoch 1
+    # conflicts — the whole batch refuses with ZERO epochs moved
     sig_root = str(tmp_path / "mix" / "epochs")
     rolled = str(tmp_path / "mix" / "rolled")
     os.makedirs(sig_root, exist_ok=True)
@@ -1034,8 +1039,10 @@ def test_fold_streaming_epochs_refuses_layout_mix(spark, tmp_path):
         fold_streaming_epochs(
             spark, sig_root, rolled, current_epoch=2, compact_at_files=0
         )
-    assert [r["vec_id"] for r in spark.read.parquet(rolled).collect()] == [1]
-    # the refused epoch was not touched — re-layout and refold finishes
+    # all-or-nothing: nothing arrived in the rolled store and BOTH
+    # epoch dirs are untouched — re-layout and refold starts clean
+    assert not os.path.isdir(rolled)
+    assert os.path.isdir(os.path.join(sig_root, "epoch=0"))
     assert os.path.isdir(os.path.join(sig_root, "epoch=1"))
 
     # a single epoch dir that ITSELF mixes layouts is refused outright
@@ -1072,3 +1079,152 @@ def test_fold_streaming_epochs_refuses_layout_mix(spark, tmp_path):
             == 2
         )
         assert spark.read.parquet(rdir).count() == 2
+
+
+def test_ivf_add_stream_maintenance_fires_in_stream(spark, tmp_path):
+    """r12 (r11 VERDICT task 6): the composed maintenance ladder must
+    fire INSIDE the add stream, not only as a batch job.  Fixture: a
+    frozen 2-centroid quantizer over two clean directional clusters;
+    the stream then delivers a drift-day — vectors on the diagonal
+    BETWEEN the centroids, whose nearest neighbors scatter across
+    both lists — so the era grid (nprobe=1 of 2) exhausts below
+    budget mid-stream, the retrain rung fires, a new store generation
+    swaps in, and the remaining micro-batches route through the
+    refreshed quantizer."""
+    import json
+    import os
+
+    from vectorsearch_scylla_spark.operators.ivf import assign_clusters_np
+    from vectorsearch_scylla_spark.streaming.pipeline import ivf_add_stream
+
+    dim = 4
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    base_rows = [
+        (i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(20)
+    ] + [
+        (100 + i, [0.001 * i, 1.0, 0.0, 0.0]) for i in range(20)
+    ]
+    base = spark.createDataFrame(
+        base_rows, "vec_id long, embedding array<double>"
+    )
+    base_lists = str(tmp_path / "base_lists")
+    assign_clusters_np(base, cents, dtype="float64").write.partitionBy(
+        "cluster_id"
+    ).parquet(base_lists)
+
+    # drift: PAIRS straddling the decision boundary (second coordinate
+    # 1 ± ε decides the frozen routing), spread along a coordinate
+    # NEITHER centroid sees (t = 0.02·pair) — so each vector's exact
+    # top-5 is its opposite-side partner plus both members of the
+    # adjacent pairs (~3 of 5 on the other list), while frozen nprobe=1
+    # probing only ever sees its own side: recall ≈ 0.4 on drifted
+    # queries, pulling the committed-view audit below budget
+    drift_rows = [
+        (
+            1000 + i,
+            [1.0, 1.0 + (0.0005 if i % 2 else -0.0005), 0.02 * (i // 2), 0.0],
+        )
+        for i in range(32)
+    ]
+    drift = spark.createDataFrame(
+        drift_rows, "vec_id long, embedding array<double>"
+    )
+    src = str(tmp_path / "src")
+    drift.repartition(4).write.parquet(src)
+
+    work = str(tmp_path / "work")
+    os.makedirs(work)
+    state = ivf_add_stream(
+        spark,
+        src,
+        drift.schema,
+        cents,
+        base_lists,
+        work,
+        max_files_per_trigger=1,  # 4 part files -> 4 micro-batches
+        compact_at_files=0,
+        maintenance={
+            "recall_budget": 0.9,
+            "nprobe_grid": (1,),
+            "post_retrain_grid": (1, 2, 3),
+            "retrain_k": 3,
+            "every": 2,
+            "max_audit_queries": 64,
+        },
+    )
+    assert state["epochs"] == 4
+
+    # the maintenance day ran at epoch 2 and escalated to retrain
+    fired = [r for r in state["reports"] if "retrain" in r["actions"]]
+    assert fired, f"no retrain fired; reports={state['reports']}"
+    rep = fired[0]
+    assert rep["epoch"] == 2
+    assert rep["actions"] == ["retune", "retrain", "retune"]
+    # the era grid exhausted below budget, the fresh tiling holds it
+    assert max(rep["retune"]["recall_at"].values()) < 0.9
+    assert rep["nprobe"] is not None
+    assert rep["retune_after_retrain"]["recall_at"][rep["nprobe"]] >= 0.9
+
+    # generation swapped: partitioned store dir + co-located quantizer
+    assert state["generation"] == 1 and state["store"] is not None
+    assert os.path.isdir(state["store"])
+    assert any(
+        d.startswith("cluster_id=") for d in os.listdir(state["store"])
+    )
+    with open(os.path.join(state["store"], "_centroids.json")) as f:
+        persisted = [(int(c), v) for c, v in json.load(f)]
+    assert persisted == [(int(c), list(map(float, v))) for c, v in state["cents"]]
+    # retrain asked for k=3; k-means may drop an empty cluster
+    assert len(state["cents"]) == rep["k_after"] >= 2
+
+    # nothing lost: store (re-routed base + pre-fire adds) ∪ rolled
+    # (post-fire adds) is exactly base ∪ streamed, each id once
+    store_df = spark.read.parquet(state["store"])
+    rolled_df = spark.read.parquet(state["rolled"])
+    all_ids = sorted(
+        r["vec_id"] for r in store_df.unionByName(
+            rolled_df.select(store_df.columns), allowMissingColumns=False
+        ).collect()
+    )
+    assert all_ids == sorted(
+        [r[0] for r in base_rows] + [r[0] for r in drift_rows]
+    )
+
+    # post-fire batches route through the REFRESHED quantizer: the
+    # rolled rows' assignments must equal the new-centroid argmax
+    expected = {
+        r["vec_id"]: r["cluster_id"]
+        for r in assign_clusters_np(
+            rolled_df.select("vec_id", "embedding"),
+            state["cents"],
+            dtype="float64",
+        ).collect()
+    }
+    for r in rolled_df.collect():
+        assert int(r["cluster_id"]) == int(expected[r["vec_id"]])
+
+    # and a healthy-budget twin never escalates: audit-only days, no
+    # generation bump — the regime the registered query certifies
+    work2 = str(tmp_path / "work2")
+    os.makedirs(work2)
+    state2 = ivf_add_stream(
+        spark,
+        src,
+        drift.schema,
+        cents,
+        base_lists,
+        work2,
+        max_files_per_trigger=1,
+        compact_at_files=0,
+        maintenance={
+            "recall_budget": 0.9,
+            "nprobe_grid": (1, 2),  # the probe-ALL ceiling
+            "every": 2,
+            "max_audit_queries": 64,
+        },
+    )
+    assert state2["generation"] == 0 and state2["store"] is None
+    assert state2["reports"] and all(
+        r["actions"] == ["retune"] and r["nprobe"] is not None
+        for r in state2["reports"]
+    )

@@ -662,6 +662,15 @@ def fold_streaming_epochs(
     rolled artifact grows to stream-corpus size, and rewriting it per
     fold would be O(|stream|) per batch.
 
+    LAYOUT REFUSAL IS ALL-OR-NOTHING (r12, from r11 ADVICE): every
+    pending epoch is layout-classified BEFORE the first move, so a
+    batch containing a mixed-layout epoch or a flat/partitioned
+    conflict with the rolled artifact is refused with ZERO epochs
+    folded — operators never face a partially-applied fold after a
+    refusal.  (Crash-interrupted folds remain resumable as below;
+    the all-or-nothing guarantee is about the refusal path, not
+    power loss.)
+
     RETRY SAFETY (the in-flight-epoch exclusion): only epochs strictly
     below ``current_epoch`` fold.  A retried epoch's own
     failed-attempt dir is therefore never folded, so the caller's
@@ -763,6 +772,13 @@ def fold_streaming_epochs(
             "are dropped when partition dirs exist).  Classify or "
             "delete the stray files before folding."
         )
+    # ---- pre-scan: classify EVERY pending epoch before the first
+    # move (r11 ADVICE — the refusal used to raise mid-loop, leaving
+    # earlier epochs already folded; operators had to know the fold
+    # was partially applied.  Pre-scanning makes a mixed batch refuse
+    # with ZERO epochs moved, so the fold is all-or-nothing at the
+    # batch level, not merely resumable).
+    pending: list[tuple[int, str, str]] = []
     for d in sorted(os.listdir(sig_root)):
         if not d.startswith("epoch="):
             continue
@@ -785,16 +801,15 @@ def fold_streaming_epochs(
         # versa) produces exactly the mixed store whose root-level
         # rows every Spark read then silently DROPS — for the dedup
         # gate that means rolled signatures vanish and duplicates
-        # pass.  The refusal happens BEFORE any move of the offending
-        # epoch, so the store stays consistent (each epoch folds
-        # atomically-per-file or not at all).
+        # pass.
         epoch_layout = _layout(src_dir)
         if epoch_layout == "mixed":
             raise ValueError(
                 f"fold_streaming_epochs: epoch dir {src_dir} mixes root "
                 "part files with col=value partition dirs — refusing to "
-                "fold a layout Spark cannot fully read.  Two different "
-                "streams writing one sig_root is the usual cause."
+                "fold a layout Spark cannot fully read (no epoch was "
+                "moved).  Two different streams writing one sig_root is "
+                "the usual cause."
             )
         if (
             epoch_layout != "empty"
@@ -806,10 +821,14 @@ def fold_streaming_epochs(
                 f"{epoch_layout} but the rolled artifact {rolled_dir} is "
                 f"{rolled_layout} — folding them together would produce "
                 "a mixed layout whose root-level rows Spark silently "
-                "drops.  Use a separate rolled_dir per stream layout."
+                "drops (no epoch was moved).  Use a separate rolled_dir "
+                "per stream layout."
             )
         if epoch_layout != "empty" and rolled_layout == "empty":
             rolled_layout = epoch_layout
+        pending.append((epoch, src_dir, epoch_layout))
+
+    for epoch, src_dir, epoch_layout in pending:
         _move_parts(src_dir, rolled_dir)
         for sub in sorted(os.listdir(src_dir)) if os.path.isdir(src_dir) else []:
             sub_src = os.path.join(src_dir, sub)

@@ -173,6 +173,7 @@ def assign_clusters_np(
     vec_col: str = "embedding",
     out_col: str = "cluster_id",
     dtype: str = "float32",
+    sim_col: str | None = None,
 ) -> DataFrame:
     """Blocked NumPy assignment kernel — the documented scale swap-in
     for :func:`assign_clusters` when bit-exact oracle parity is not
@@ -189,10 +190,12 @@ def assign_clusters_np(
     ``tests/test_operators.py`` asserts full agreement on the fixture
     corpus.  ``dtype='float32'`` is the 100 TB default (half the Arrow
     transfer + matmul cost); use ``'float64'`` to match the expression
-    kernel's precision.
+    kernel's precision.  ``sim_col`` optionally also emits the winning
+    cosine (same contract as :func:`assign_clusters`; the block is
+    computed once, both columns read from it).
     """
     import numpy as np
-    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
     ordered = sorted(centroids)
     ids = np.array([cid for cid, _ in ordered], dtype=np.int64)
@@ -202,9 +205,10 @@ def assign_clusters_np(
     Cn = (C / cn[:, None]).T  # d × k, normalized
     spark_t, np_t = _id_out_dtype(centroids)
 
-    schema = StructType(
-        list(df.schema.fields) + [StructField(out_col, spark_t, False)]
-    )
+    fields = list(df.schema.fields) + [StructField(out_col, spark_t, False)]
+    if sim_col is not None:
+        fields.append(StructField(sim_col, DoubleType(), False))
+    schema = StructType(fields)
 
     def assign(batches):
         for pdf in batches:
@@ -214,9 +218,13 @@ def assign_clusters_np(
             vn[zero] = 1.0
             sims = (V / vn[:, None]) @ Cn  # n × k cosine block
             sims[zero, :] = 0.0
-            best = ids[np.argmax(sims, axis=1)]
+            best_ix = np.argmax(sims, axis=1)
             pdf = pdf.copy()
-            pdf[out_col] = best.astype(np_t)
+            pdf[out_col] = ids[best_ix].astype(np_t)
+            if sim_col is not None:
+                pdf[sim_col] = sims[np.arange(len(best_ix)), best_ix].astype(
+                    np.float64
+                )
             yield pdf
 
     return df.mapInPandas(assign, schema)
@@ -1277,12 +1285,16 @@ def maybe_retrain(
             dtype=dtype, max_queries=max_audit_queries,
         )
     else:
-        denom = -1  # caller-supplied measurement; pair count unknown here
+        # caller-supplied measurement; pair count unknown here.  None —
+        # not a -1 sentinel — so a consumer that sums or thresholds
+        # pair counts across reports fails loudly instead of silently
+        # skewing the total (r11 ADVICE).
+        denom = None
     report = {
         "recall_budget": float(recall_budget),
         "nprobe": int(nprobe_max),
         "k": int(k),
-        "n_audit_pairs": int(denom),
+        "n_audit_pairs": None if denom is None else int(denom),
         "recall_before": recall_before,
         "k_before": len(centroids),
         "retrained": False,
@@ -1392,6 +1404,17 @@ def ivf_maintenance_step(
     137-155); this is the same lifecycle with each rung priced and
     the cheap ones tried first.
     """
+    if not nprobe_grid or (
+        post_retrain_grid is not None and not post_retrain_grid
+    ):
+        # fail fast BEFORE the split/audit spend — an empty grid would
+        # otherwise surface as a bare max() ValueError after the
+        # expensive rungs already ran
+        raise ValueError(
+            "ivf_maintenance_step: nprobe_grid and post_retrain_grid "
+            "must be non-empty — the grid IS the probe-spend policy"
+        )
+
     report: dict = {
         "recall_budget": float(recall_budget),
         "actions": [],
@@ -1411,17 +1434,6 @@ def ivf_maintenance_step(
             members = drop_inherited_stats(members.localCheckpoint())
             report["actions"].append("split")
             report["k_after_split"] = len(centroids)
-
-    if not nprobe_grid or (
-        post_retrain_grid is not None and not post_retrain_grid
-    ):
-        # fail fast BEFORE the split/audit spend — an empty grid would
-        # otherwise surface as a bare max() ValueError after the
-        # expensive rungs already ran
-        raise ValueError(
-            "ivf_maintenance_step: nprobe_grid and post_retrain_grid "
-            "must be non-empty — the grid IS the probe-spend policy"
-        )
 
     # ONE exact ground-truth pass funds the entire pass (r11 review):
     # neither the split nor the retrain ever rewrites a ROW — both

@@ -604,6 +604,7 @@ def maybe_retrain_pq(
     audit_after: bool = True,
     recall_before: float | None = None,
     rollback_below_budget: bool = False,
+    ksub: int | None = None,
 ) -> tuple[list[list[tuple[int, list[float]]]], DataFrame, dict]:
     """Codebook-staleness trigger for the PQ family — the quantized
     twin of :func:`~vectorsearch_scylla_spark.operators.ivf.
@@ -650,7 +651,19 @@ def maybe_retrain_pq(
             "rollback_below_budget requires audit_after=True — the "
             "rollback decision IS the post-retrain audit"
         )
-    m, ksub = len(books), max(len(b) for b in books)
+    if not books:
+        raise ValueError(
+            "maybe_retrain_pq: books is empty — nothing to audit or "
+            "retrain; pass the current trained codebooks"
+        )
+    # ksub is the INTENDED per-subspace capacity, not the surviving
+    # codeword count: train_pq drops empty clusters, so deriving ksub
+    # from max(len(b)) would ratchet capacity downward across repeated
+    # retrains — exactly the headroom the two-capacity-cell study shows
+    # decides whether a refresh pays (r11 ADVICE).  Default keeps the
+    # current max for callers that never lost a codeword.
+    m = len(books)
+    ksub = int(ksub) if ksub is not None else max(len(b) for b in books)
     if recall_before is None:
         recall_before, denom = pq_recall_audit(
             queries, codes, books, members,
@@ -660,13 +673,16 @@ def maybe_retrain_pq(
             max_queries=max_audit_queries,
         )
     else:
-        denom = -1  # caller-supplied measurement (see maybe_retrain)
+        # caller-supplied measurement; pair count unknown — None, not a
+        # -1 sentinel, so cross-report arithmetic fails loudly (r11
+        # ADVICE, same rule as ivf.maybe_retrain)
+        denom = None
     report = {
         "recall_budget": float(recall_budget),
         "k": int(k),
         "m": int(m),
         "ksub": int(ksub),
-        "n_audit_pairs": int(denom),
+        "n_audit_pairs": None if denom is None else int(denom),
         "recall_before": recall_before,
         "retrained": False,
         "recall_after": None,

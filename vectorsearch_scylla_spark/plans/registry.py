@@ -7017,21 +7017,27 @@ def q_streaming_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partition-aware auto-compaction past a file threshold — the "
     "per-batch plan and the store's file count stay constant in epoch "
     "count, the same maintenance contract streaming_neardup_e2e's "
-    "signature artifact got in r10.",
+    "signature artifact got in r10.  r12: the drain runs through "
+    "streaming.pipeline.ivf_add_stream with the MAINTENANCE LADDER "
+    "wired in-stream — every post-commit epoch audits the committed "
+    "index (base lists ∪ rolled adds) against the era grid "
+    "(nprobe 4 with the probe-ALL-lists ceiling, budget 0.85, bounded "
+    "64-query exact audit).  The healthy fixture holds budget, so the "
+    "ladder provably never escalates here and the committed state "
+    "stays micro-batch-split independent (the grid ceiling probes "
+    "every list, so the audit cannot exhaust the grid) — the oracle "
+    "certifies the whole pipeline INCLUDING that the in-stream audit "
+    "mutated nothing; the retrain-firing regime is certified by "
+    "tests/test_streaming.py::test_ivf_add_stream_maintenance_fires_"
+    "in_stream and priced in BENCH_SCALE.md.",
 )
 def q_streaming_ivf_add_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     import atexit
-    import os
     import shutil
     import tempfile
 
-    from vectorsearch_scylla_spark.operators.dedup import (
-        fold_streaming_epochs,
-    )
-    from vectorsearch_scylla_spark.operators.ivf import (
-        assign_clusters,
-        build_ivf_index,
-    )
+    from vectorsearch_scylla_spark.operators.ivf import build_ivf_index
+    from vectorsearch_scylla_spark.streaming.pipeline import ivf_add_stream
 
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select(
@@ -7061,67 +7067,38 @@ def q_streaming_ivf_add_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = tempfile.mkdtemp(prefix="vss_ivfadd_e2e_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
-    epoch_root = os.path.join(base, "epochs")
-    rolled = os.path.join(base, "rolled")
-    # past this many part files (counted recursively across the
-    # cluster_id= dirs) the in-stream fold auto-compacts the rolled
-    # store through compact_signature_artifact's PARTITION-AWARE branch
-    # — the r11 wiring that keeps a long-running add stream's
-    # per-cluster small-file debt bounded the same way
-    # streaming_neardup_e2e's rolled signature artifact is (r10)
-    compact_at = 48
-
-    def route_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        routed = assign_clusters(batch_df, cents, sim_col="__sim")
-        # each epoch lands as its own CLUSTER-PARTITIONED overwrite dir
-        # (a replayed epoch replaces rather than duplicates — T5), then
-        # committed PRIOR epochs move (rename-only, crash-idempotent)
-        # into the rolled cluster-partitioned store: per-batch plan
-        # arity and file counts stay constant in epoch count, and the
-        # store keeps the prunable cluster_id= layout the probe path
-        # relies on — plan/layout pinned by tests/test_streaming.py::
-        # test_fold_streaming_epochs_partitioned_layout.
-        routed.select("vec_id", "__sim", "cluster_id").write.mode(
-            "overwrite"
-        ).partitionBy("cluster_id").parquet(
-            os.path.join(epoch_root, f"epoch={epoch_id}")
-        )
-        fold_streaming_epochs(
-            spark, epoch_root, rolled, int(epoch_id), compact_at_files=compact_at
-        )
-
-    stream = (
-        spark.readStream.schema(inc.schema)
-        .option("maxFilesPerTrigger", 8)
-        .parquet(src)
+    state = ivf_add_stream(
+        spark,
+        src,
+        inc.schema,
+        cents,
+        lists_path,
+        base,
+        max_files_per_trigger=8,
+        # past this many part files (counted recursively across the
+        # cluster_id= dirs) the in-stream fold auto-compacts the
+        # rolled store through compact_signature_artifact's
+        # PARTITION-AWARE branch (r11)
+        compact_at_files=48,
+        # the in-stream maintenance day (r12): audit-only on this
+        # healthy fixture — the grid ceiling probes every list, so
+        # escalation past the retune rung is impossible by
+        # construction and the oracle-certified state stays
+        # split-independent
+        maintenance={
+            "recall_budget": 0.85,
+            "nprobe_grid": (4, IVF_GK),
+            "every": 1,
+            "max_audit_queries": 64,
+        },
     )
-    q = (
-        stream.writeStream.foreachBatch(route_batch)
-        .option("checkpointLocation", os.path.join(base, "checkpoint"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise RuntimeError(
-            "streaming_ivf_add_e2e: availableNow query did not drain within 600s"
-        )
-    # the drain committed every epoch; the in-stream folds always
-    # exclude the then-current epoch, so fold the remainder now
-    last = max(
-        (
-            int(d.split("=", 1)[1])
-            for d in os.listdir(epoch_root)
-            if d.startswith("epoch=")
-        ),
-        default=-1,
-    )
-    fold_streaming_epochs(
-        spark, epoch_root, rolled, last + 1, compact_at_files=compact_at
+    assert state["generation"] == 0, (
+        "streaming_ivf_add_e2e: the healthy-fixture ladder must never "
+        "escalate (probe-all grid ceiling) — a generation bump means "
+        "the oracle's frozen-quantizer contract was violated"
     )
     return (
-        spark.read.parquet(rolled)
+        spark.read.parquet(state["rolled"])
         .join(F.broadcast(sizes), "cluster_id", "left")
         .select(
             F.col("vec_id").alias("new_vec_id"),
