@@ -1861,6 +1861,292 @@ def _pq_stale_study(spark, emb, base: str) -> dict:
     return out
 
 
+def _ivf_stream_day_study(spark, emb, base: str) -> dict:
+    """r12 (r11 VERDICT task 6): the maintenance ladder priced INSIDE
+    the add stream — the deployment shape where "maintenance day" is a
+    scheduled in-stream step, not a separate batch job.  Two
+    independent streamed days over the SAME frozen base index
+    (ivfweek's √N build on the scale corpus), each drained through
+    ``ivf_add_stream`` with the drift week's era policy wired in
+    (``nprobe_grid=(8,)``, ``post_retrain_grid=(8,16,32)``, budget
+    0.90, bounded 512-query audit on the NEWEST adds):
+
+    * **no-op day** — a day-1-style increment (cohort-uniform +0.05
+      linear drift).  The in-stream audit finds the era grid holds
+      budget; the day costs route + fold + one bounded audit.
+    * **retrain day** — the week-2 day-8 increment (+0.05·8 linear
+      PLUS +0.5 along a per-row-hashed axis — the neighbor-scattering
+      covariate shift that actually defeats a frozen tiling).  The
+      era grid exhausts mid-stream, the retrain rung fires INSIDE the
+      drain: bounded-sample re-train, full map-only re-route, store
+      generation swap (staged dir + rename), rolled reset, and the
+      REMAINING micro-batches route through the refreshed quantizer.
+
+    The ratio noop/retrain is the in-stream twin of the manual week's
+    "route « audit « retrain" ladder pricing; at 100 TB the retrain
+    day ≈ one extra full-route day amortized over the weeks between
+    firings, now measured with the streaming machinery included."""
+    from vectorsearch_scylla_spark.operators.ivf import (
+        assign_clusters_np,
+        lloyd_kmeans,
+    )
+    from vectorsearch_scylla_spark.streaming.pipeline import ivf_add_stream
+
+    out: dict = {}
+    n0 = emb.count()
+    k = max(8, int(round(n0**0.5)))
+    t0 = time.perf_counter()
+    cents = lloyd_kmeans(emb, k=k, iters=2, kernel="numpy", train_rows=256 * k)
+    out["build_sec"] = round(time.perf_counter() - t0, 3)
+    out["n_base"], out["k"] = n0, k
+
+    lists = os.path.join(base, "ivfstream_lists")
+    t0 = time.perf_counter()
+    assign_clusters_np(emb, cents, dtype="float32").select(
+        "vec_id", "embedding", "cluster_id"
+    ).repartition(32, "cluster_id").write.partitionBy("cluster_id").parquet(lists)
+    out["base_assign_sec"] = round(time.perf_counter() - t0, 3)
+
+    budget = float(os.environ.get("SPARK_GRAFT_IVF_BUDGET", "0.90"))
+    policy = {
+        "recall_budget": budget,
+        "nprobe_grid": (8,),
+        "post_retrain_grid": (8, 16, 32),
+        "every": 1,
+        "max_audit_queries": 512,
+        "audit_source": "recent",
+    }
+    out["policy"] = {
+        k2: (list(v) if isinstance(v, tuple) else v) for k2, v in policy.items()
+    }
+
+    def run_day(tag: str, inc) -> dict:
+        src = os.path.join(base, f"ivfstream_src_{tag}")
+        inc.repartition(8).write.parquet(src)
+        work = os.path.join(base, f"ivfstream_work_{tag}")
+        os.makedirs(work, exist_ok=True)
+        t0 = time.perf_counter()
+        state = ivf_add_stream(
+            spark,
+            src,
+            spark.read.parquet(src).schema,
+            cents,
+            lists,
+            work,
+            max_files_per_trigger=4,  # 8 part files -> 2 micro-batches
+            compact_at_files=64,
+            maintenance=policy,
+            kernel="numpy",
+            timeout_sec=1800,
+        )
+        wall = round(time.perf_counter() - t0, 3)
+        day = {
+            "drain_sec": wall,
+            "epochs": state["epochs"],
+            "generation": state["generation"],
+            "maintenance": [
+                {
+                    "epoch": r["epoch"],
+                    "actions": r["actions"],
+                    "nprobe": r["nprobe"],
+                    "recall_era": r["retune"]["recall_at"],
+                    "recall_post": (r.get("retune_after_retrain") or {}).get(
+                        "recall_at"
+                    ),
+                    "k_after": r.get("k_after"),
+                }
+                for r in state["reports"]
+            ],
+        }
+        print(f"[bench_scale] ivfstream {tag}: {day}", file=sys.stderr)
+        return day
+
+    # no-op day: cohort-uniform linear drift (the week's day-1 shape —
+    # measured robust: queries and neighbors co-move, budget holds)
+    healthy = emb.filter(F.col("vec_id") % 20 == 1).select(
+        (F.col("vec_id") + 1_000_000_000).alias("vec_id"),
+        F.expr(
+            "transform(cast(embedding as array<double>), "
+            "(x, i) -> CASE WHEN i < 8 THEN x + 0.05 ELSE x END)"
+        ).alias("embedding"),
+    )
+    out["noop_day"] = run_day("noop", healthy)
+
+    # retrain day: week-2 day-8 recipe — continuing linear term PLUS
+    # +0.5 along a per-row-hashed axis (xxhash64, NOT pmod — the
+    # cohort-correlation trap measured in the week-2 regime probes)
+    drift = emb.filter(F.col("vec_id") % 20 == 8).select(
+        (F.col("vec_id") + 8_000_000_000).alias("vec_id"),
+        F.expr(
+            "transform(cast(embedding as array<double>), "
+            "(x, i) -> CASE WHEN i < 8 THEN x + 0.4 "
+            "WHEN i = 8 + pmod(xxhash64(vec_id), 48) THEN x + 0.5 "
+            "ELSE x END)"
+        ).alias("embedding"),
+    )
+    out["retrain_day"] = run_day("drift", drift)
+    return out
+
+
+def _sig_compact_knee_study(spark, docs, base: str) -> dict:
+    """r12 (r11 VERDICT task 7): the compaction-CADENCE knee for the
+    bucketed signature artifact — the number the 25 B-doc lifecycle
+    projection needs.  Every ``roll_forward_signatures_bucketed``
+    append adds up to n_buckets files (the bucketed-write fan-out),
+    so files/bucket grows one per day; the daily re-attach join pays
+    file-open/footer cost per file.  This study appends ``n_days``
+    daily ~1 % increments into a 32-bucket artifact, measures the
+    SAME day-shaped re-attach join (pair set ⋈ sigs ⋈ sigs → Hamming
+    filter, broadcast disabled — the 100 TB regime) at files/bucket ∈
+    {1, 2, 4, 8, 16}, then prices one ``compact_bucketed_artifact``
+    rewrite and re-measures the fpb=1 floor.  The knee is the
+    files/bucket level where the accumulated per-day join penalty
+    (vs the compacted floor) first exceeds one rewrite — i.e. the
+    break-even cadence: compact every ceil(rewrite_sec /
+    per_day_penalty_sec) days, equivalently whenever files/bucket
+    crosses the measured knee."""
+    from vectorsearch_scylla_spark.operators.dedup import (
+        SIG_WORDS,
+        compact_bucketed_artifact,
+        roll_forward_signatures_bucketed,
+        simhash128,
+        simhash_near_dup_pairs,
+    )
+
+    out: dict = {"curve": {}}
+    n_days = int(os.environ.get("SPARK_GRAFT_KNEE_DAYS", "16"))
+    nn = docs.filter(F.col("text").isNotNull()).select("doc_id", "text")
+
+    table = "vss_knee_sigs"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    t0 = time.perf_counter()
+    base_sigs = simhash128(nn)
+    roll_forward_signatures_bucketed(
+        base_sigs, table, path=os.path.join(base, "knee_sigs_table")
+    )
+    out["base_write_sec"] = round(time.perf_counter() - t0, 3)
+    out["artifact_rows_base"] = spark.table(table).count()
+
+    # one fixed day-shaped pair set (an increment's candidates vs the
+    # artifact) reused at every measurement point, so the ONLY moving
+    # part across the curve is the artifact's file count
+    inc0 = nn.filter(F.col("doc_id") % 97 == 1).select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" probe")).alias("text"),
+    )
+    inc0_sigs = simhash128(inc0).localCheckpoint()
+    pairs_path = os.path.join(base, "knee_pairs")
+    simhash_near_dup_pairs(
+        inc0, max_hamming=5, docs_sigs=inc0_sigs, against_sigs=spark.table(table)
+    ).select("id_a", "id_b").write.parquet(pairs_path)
+    pairs = spark.read.parquet(pairs_path)
+    out["pair_rows"] = pairs.count()
+
+    hamming = F.expr(
+        " + ".join(f"bit_count(a_s{m} ^ b_s{m})" for m in range(SIG_WORDS))
+    ).cast("long")
+
+    def files_per_bucket() -> float:
+        import glob as _g
+
+        loc = os.path.join(base, "knee_sigs_table")
+        n = len(
+            set(_g.glob(os.path.join(loc, "*.parquet")))
+            | set(_g.glob(os.path.join(loc, "part-*")))
+        )
+        return round(n / 32.0, 2)
+
+    def reattach_sec() -> float:
+        sig_df = spark.table(table)
+        wa = sig_df.select(
+            F.col("doc_id").alias("id_a"),
+            *[F.col(f"s{m}").alias(f"a_s{m}") for m in range(SIG_WORDS)],
+        )
+        wb = sig_df.select(
+            F.col("doc_id").alias("id_b"),
+            *[F.col(f"s{m}").alias(f"b_s{m}") for m in range(SIG_WORDS)],
+        )
+        t0 = time.perf_counter()
+        (
+            pairs.join(wa, "id_a")
+            .join(wb, "id_b")
+            .select("id_a", "id_b", hamming.alias("h"))
+            .filter(F.col("h") <= 5)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return round(time.perf_counter() - t0, 3)
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        marks = set()
+        f = 1
+        while f <= n_days:
+            marks.add(f)
+            f *= 2
+        # warm the re-attach plan once, untimed: its first execution
+        # pays codegen/JIT (+2.5 s measured — larger than every real
+        # file-count penalty on the curve), which polluted the first
+        # two curve points and broke the knee derivation on the first
+        # run of this study.  Each mark then takes min-of-2 — the
+        # penalty signal at small fpb is single-digit-percent, well
+        # under one host-noise swing.
+        reattach_sec()
+        out["curve"]["1"] = {
+            "files_per_bucket": files_per_bucket(),
+            "reattach_sec": min(reattach_sec(), reattach_sec()),
+        }
+        for day in range(1, n_days):
+            inc = nn.filter(F.col("doc_id") % 97 == (day + 1) % 97).select(
+                (F.col("doc_id") + (day + 1) * 1_000_000_000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(f" d{day}")).alias("text"),
+            )
+            t0 = time.perf_counter()
+            roll_forward_signatures_bucketed(simhash128(inc), table)
+            append_sec = round(time.perf_counter() - t0, 3)
+            fpb = day + 1
+            if fpb in marks:
+                out["curve"][str(fpb)] = {
+                    "files_per_bucket": files_per_bucket(),
+                    "reattach_sec": min(reattach_sec(), reattach_sec()),
+                    "append_sec": append_sec,
+                }
+                print(
+                    f"[bench_scale] sigknee fpb={fpb}: " + str(out["curve"][str(fpb)]),
+                    file=sys.stderr,
+                )
+
+        t0 = time.perf_counter()
+        out["files_after_compact"] = compact_bucketed_artifact(spark, table)
+        out["compact_sec"] = round(time.perf_counter() - t0, 3)
+        out["post_compact_reattach_sec"] = reattach_sec()
+        out["artifact_rows_final"] = spark.table(table).count()
+
+        # the knee: the smallest files/bucket from which the re-attach
+        # penalty vs the compacted floor is REAL — >30 % above floor at
+        # that mark AND every larger mark (monotone onset).  A noise
+        # spike at one mark must not mint a knee (the first run of
+        # this study derived knee=8 from exactly that).
+        floor = out["post_compact_reattach_sec"]
+        fpbs = sorted(int(x) for x in out["curve"])
+        knee = None
+        for i, fpb in enumerate(fpbs):
+            if all(
+                out["curve"][str(g)]["reattach_sec"] > 1.3 * floor
+                for g in fpbs[i:]
+            ):
+                knee = fpb
+                break
+        out["knee_files_per_bucket"] = knee
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+    print(f"[bench_scale] sigknee: {out}", file=sys.stderr)
+    return out
+
+
 def _bigk_assign_study(spark) -> dict:
     """r7 judge item #4: price the closure-embedded vs broadcast
     centroid transport for the full-corpus assignment pass at the
@@ -2003,7 +2289,7 @@ def main() -> None:
         # =funnel run ONLY the named study and print their own JSON —
         # both are additive long-running measurements that must not
         # balloon the default battery
-        if sections and sections <= {"clique", "funnel", "sweep", "inc", "bigk", "incfunnel", "compact", "chain", "chain7", "bucketed", "ndstream", "ndepochs", "ivfweek", "pqstale"}:
+        if sections and sections <= {"clique", "funnel", "sweep", "inc", "bigk", "incfunnel", "compact", "chain", "chain7", "bucketed", "ndstream", "ndepochs", "ivfweek", "pqstale", "ivfstream", "sigknee"}:
             study: dict = {}
             if "clique" in sections:
                 study["clique_study"] = _clique_study(spark, docs0, base)
@@ -2033,6 +2319,10 @@ def main() -> None:
                 study["neardup_stream"] = _neardup_stream_study(spark, docs, base)
             if "ivfweek" in sections:
                 study["ivf_week"] = _ivf_week_study(spark, emb, base)
+            if "ivfstream" in sections:
+                study["ivf_stream_day"] = _ivf_stream_day_study(spark, emb, base)
+            if "sigknee" in sections:
+                study["sig_compact_knee"] = _sig_compact_knee_study(spark, docs, base)
             if "pqstale" in sections:
                 study["pq_stale"] = _pq_stale_study(spark, emb, base)
             if "ndepochs" in sections:
