@@ -611,10 +611,11 @@ def roll_forward_signatures_bucketed(
 
     Trade to know: every append writes up to ``n_buckets`` files per
     task (the bucketed-write fan-out), so file-count debt accrues
-    FASTER than plain appends — rewrite the table in the same
-    maintenance window the daily append owns once file counts hurt
-    (read → stage to parquet → ``mode("overwrite")`` saveAsTable with
-    the same spec).  The parquet artifact + ``compact_signature_
+    FASTER than plain appends — run :func:`compact_bucketed_artifact`
+    in the same maintenance window the daily append owns once the
+    artifact reaches ~16 files per bucket (the measured knee — see
+    the cadence policy in that function's docstring and
+    BENCH_SCALE.md "Signature-artifact compaction cadence").  The parquet artifact + ``compact_signature_
     artifact`` remains the default; this layout is the opt-in for
     deployments whose daily cost is dominated by artifact-side
     shuffle in the id joins.
@@ -1058,6 +1059,17 @@ def compact_bucketed_artifact(spark, table: str) -> int:
     Rows are preserved exactly and the table keeps its location and
     spec (managed or external alike — the swap never touches
     metadata for ``table`` itself).  Returns the new file count.
+
+    CADENCE POLICY (measured, BENCH_SCALE.md "Signature-artifact
+    compaction cadence"): run this when the artifact reaches **~16
+    files per bucket**.  The 64-day chain study shows the daily
+    re-attach join flat within noise through 8 files/bucket, then a
+    persistent ~2× step from 16 on (same-data endpoint check: 2.4×
+    at 64 files/bucket); one rewrite costs ~4 floor-rate re-attach
+    days and pays back ~0.6 floor-units/day past the knee — so
+    fortnightly for daily-append deployments, and at the 25 B-doc
+    projection (4096 buckets) the cadence also bounds the artifact
+    at ~65 k files.
     """
     import glob
     import os

@@ -601,7 +601,9 @@ def ivf_add_stream(
     (base lists ∪ rolled adds) is audited against the era grid.  Keys:
     ``recall_budget``, ``nprobe_grid``, optional ``post_retrain_grid``
     / ``max_size`` / ``retrain_k`` / ``max_audit_queries`` (default
-    64) / ``every``.  A healthy day is audit-only (bounded exact pass;
+    64) / ``every`` / ``audit_source`` (``"members"`` default, or
+    ``"recent"`` to audit only the post-generation adds — the
+    drift-sensitive choice; see ``_maintain``).  A healthy day is audit-only (bounded exact pass;
     state untouched).  When the grid exhausts below budget the ladder
     escalates in-stream: the returned re-routed members are persisted
     as a NEW store generation (staged dir + atomic rename — the
@@ -691,7 +693,18 @@ def ivf_add_stream(
 
     def _maintain(epoch_id: int) -> None:
         members = _members_view()
-        queries = members.select(
+        # audit_source picks WHO the recall budget protects:
+        # "members" (default — the registered, oracle-certified shape)
+        # samples the whole committed corpus; "recent" samples only
+        # the post-generation adds (the rolled store) — the
+        # drift-sensitive production choice the BENCH_SCALE drift
+        # weeks use ("sampled recall on the newest increment's
+        # vectors"): corpus-wide sampling dilutes a drifting new
+        # source below the trigger until it dominates the corpus.
+        q_src = members
+        if m.get("audit_source", "members") == "recent" and os.path.isdir(rolled):
+            q_src = spark.read.parquet(rolled)
+        queries = q_src.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
         )
         c2, m2, report = ivf_maintenance_step(
