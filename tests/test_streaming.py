@@ -1203,6 +1203,35 @@ def test_ivf_add_stream_maintenance_fires_in_stream(spark, tmp_path):
     for r in rolled_df.collect():
         assert int(r["cluster_id"]) == int(expected[r["vec_id"]])
 
+    # RESTART after the escalation: re-entering with the same
+    # base_dir + checkpoint must resume from the persisted generation
+    # (its _centroids.json overrides the caller's stale initials) and,
+    # with no new source files, drain zero batches and mutate nothing
+    state_r = ivf_add_stream(
+        spark,
+        src,
+        drift.schema,
+        cents,  # the STALE initials — resume must ignore them
+        base_lists,
+        work,
+        max_files_per_trigger=1,
+        compact_at_files=0,
+        maintenance={
+            "recall_budget": 0.9,
+            "nprobe_grid": (1,),
+            "post_retrain_grid": (1, 2, 3),
+            "retrain_k": 3,
+            "every": 2,
+            "max_audit_queries": 64,
+        },
+    )
+    assert state_r["epochs"] == 0 and state_r["reports"] == []
+    assert state_r["generation"] == 1
+    assert state_r["cents"] == [
+        (int(c), list(map(float, v))) for c, v in state["cents"]
+    ]
+    assert state_r["store"] == state["store"]
+
     # and a healthy-budget twin never escalates: audit-only days, no
     # generation bump — the regime the registered query certifies
     work2 = str(tmp_path / "work2")

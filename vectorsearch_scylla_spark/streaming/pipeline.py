@@ -628,7 +628,13 @@ def ivf_add_stream(
     full-index generation dir, or None while generation 0's base
     lists + rolled view stands), ``generation``, ``reports`` (one
     maintenance report per maintenance day, each stamped with its
-    epoch), ``epochs`` (micro-batch count).
+    epoch), ``epochs`` (micro-batch count).  RESTART: re-entering
+    with the same ``base_dir``/checkpoint resumes from the newest
+    persisted store generation — its ``_centroids.json`` (written
+    atomically with the generation swap) overrides the caller's
+    ``cents``, so a post-escalation restart keeps routing through
+    the refreshed quantizer (pinned by the firing test's re-entry
+    phase).
 
     Reference parity: the reference's HNSW index takes per-row inserts
     and is re-created wholesale to re-tile (scylladb_setup/
@@ -672,6 +678,27 @@ def ivf_add_stream(
         "reports": [],
         "epochs": 0,
     }
+    # RESTART RESUME: a prior run of this stream may have escalated —
+    # its refreshed quantizer rides with the newest store generation
+    # (_centroids.json, written atomically with the generation swap).
+    # A restarted stream must route through THAT quantizer, not the
+    # caller's stale initial, or every post-restart batch re-routes by
+    # the tiling the maintenance ladder already retired.
+    gens = sorted(
+        (
+            int(d[len("store_gen"):])
+            for d in (os.listdir(base_dir) if os.path.isdir(base_dir) else [])
+            if d.startswith("store_gen")
+            and d[len("store_gen"):].isdigit()
+            and os.path.isfile(os.path.join(base_dir, d, "_centroids.json"))
+        ),
+    )
+    if gens:
+        gen_dir = os.path.join(base_dir, f"store_gen{gens[-1]}")
+        with open(os.path.join(gen_dir, "_centroids.json")) as f:
+            state["cents"] = [(int(c), list(v)) for c, v in json.load(f)]
+        state["store"] = gen_dir
+        state["generation"] = gens[-1]
     m = dict(maintenance or {})
     every = int(m.get("every", 1))
 
