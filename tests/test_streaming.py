@@ -1232,6 +1232,31 @@ def test_ivf_add_stream_maintenance_fires_in_stream(spark, tmp_path):
     ]
     assert state_r["store"] == state["store"]
 
+    # CRASH HEAL: simulate a crash between the generation rename and
+    # the rolled reset — absorbed rows sit in BOTH stores.  Re-entry
+    # must drop exactly the absorbed ids from rolled (they'd
+    # double-count in the committed view) and keep post-fire adds.
+    survivors = sorted(r["vec_id"] for r in rolled_df.collect())
+    assert survivors  # post-fire epoch rows are present
+    store_df.limit(3).select(
+        "vec_id", "embedding", F.lit(0.5).alias("__sim"), "cluster_id"
+    ).write.mode("append").partitionBy("cluster_id").parquet(state["rolled"])
+    spark.catalog.refreshByPath(state["rolled"])
+    state_h = ivf_add_stream(
+        spark,
+        src,
+        drift.schema,
+        cents,
+        base_lists,
+        work,
+        max_files_per_trigger=1,
+        compact_at_files=0,
+    )
+    healed = sorted(
+        r["vec_id"] for r in spark.read.parquet(state_h["rolled"]).collect()
+    )
+    assert healed == survivors
+
     # and a healthy-budget twin never escalates: audit-only days, no
     # generation bump — the regime the registered query certifies
     work2 = str(tmp_path / "work2")

@@ -621,7 +621,10 @@ def ivf_add_stream(
     regime is certified by the state/plan tests and priced in
     BENCH_SCALE.md instead.  Single-writer contract: the generation
     swap plus rolled reset is two steps — run maintenance in the same
-    window that owns the fold, exactly like compaction.
+    window that owns the fold, exactly like compaction; a crash
+    BETWEEN the two steps is healed on the next entry (rolled ids
+    already absorbed into the newest generation are dropped before
+    anything else reads the store — see the resume block).
 
     Returns the final state dict: ``cents`` (current quantizer),
     ``rolled`` (path of post-generation adds), ``store`` (current
@@ -699,6 +702,32 @@ def ivf_add_stream(
             state["cents"] = [(int(c), list(v)) for c, v in json.load(f)]
         state["store"] = gen_dir
         state["generation"] = gens[-1]
+        # heal the swap's one crash window: the generation rename and
+        # the rolled reset are two steps, so a crash between them
+        # leaves the just-absorbed rows in BOTH stores — the committed
+        # view would double-count them and the next escalation would
+        # re-absorb them.  The generation was built from the complete
+        # committed view at fire time, so any rolled row whose id is
+        # in the generation is absorbed by construction: drop those
+        # (the pure crash shape empties rolled entirely; rows from
+        # post-fire epochs have new ids and survive untouched).
+        if os.path.isdir(rolled):
+            gen_ids = spark.read.parquet(gen_dir).select(id_col)
+            rolled_df = spark.read.parquet(rolled)
+            n_all = rolled_df.count()
+            kept = rolled_df.join(gen_ids, id_col, "left_anti")
+            n_kept = kept.count()
+            if n_kept == 0:
+                shutil.rmtree(rolled)
+                spark.catalog.refreshByPath(rolled)
+            elif n_kept < n_all:
+                staging = f"{rolled}.heal.{uuid.uuid4().hex[:8]}"
+                kept.write.partitionBy("cluster_id").parquet(staging)
+                old = f"{rolled}.healed.{uuid.uuid4().hex[:8]}"
+                os.rename(rolled, old)
+                os.rename(staging, rolled)
+                shutil.rmtree(old, ignore_errors=True)
+                spark.catalog.refreshByPath(rolled)
     m = dict(maintenance or {})
     every = int(m.get("every", 1))
 
