@@ -496,3 +496,92 @@ def test_chained_roll_forward_split_invariant_property(spark, tmp_path):
         assert got == want, (sorted(got - want), sorted(want - got))
 
     check()
+
+
+def test_fold_epochs_all_or_nothing_property(spark, tmp_path):
+    """r12: the fold's layout refusal is ALL-OR-NOTHING at the batch
+    level — for ANY sequence of flat/partitioned epoch dirs and any
+    starting rolled layout, either every pending epoch folds (layouts
+    all compatible) or ZERO epochs move and every epoch dir survives
+    intact.  Randomizes the layout sequence; the invariant is checked
+    by comparing the total row multiset across rolled ∪ epochs before
+    and after, plus the epoch-dir survivors on refusal."""
+    import glob
+    import os
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vectorsearch_scylla_spark.operators.dedup import (
+        fold_streaming_epochs,
+    )
+
+    counter = {"n": 0}
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        layouts=st.lists(
+            st.sampled_from(["flat", "part"]), min_size=1, max_size=4
+        ),
+        rolled_layout=st.sampled_from(["none", "flat", "part"]),
+    )
+    def run(layouts: list[str], rolled_layout: str) -> None:
+        counter["n"] += 1
+        base = tmp_path / f"case{counter['n']}"
+        sig_root = str(base / "epochs")
+        rolled = str(base / "rolled")
+        os.makedirs(sig_root)
+
+        def write(layout: str, path: str, vid: int) -> None:
+            if layout == "flat":
+                spark.createDataFrame(
+                    [(vid, 0.5)], "vec_id long, sim double"
+                ).write.parquet(path)
+            else:
+                spark.createDataFrame(
+                    [(vid, 1, 0.5)], "vec_id long, cluster_id int, sim double"
+                ).write.partitionBy("cluster_id").parquet(path)
+
+        if rolled_layout != "none":
+            write(rolled_layout, rolled, 999)
+        for i, lay in enumerate(layouts):
+            write(lay, os.path.join(sig_root, f"epoch={i}"), i)
+
+        effective = ([rolled_layout] if rolled_layout != "none" else []) + layouts
+        compatible = len(set(effective)) == 1
+        if compatible:
+            folded = fold_streaming_epochs(
+                spark, sig_root, rolled, len(layouts), compact_at_files=0
+            )
+            assert folded == len(layouts)
+            assert not glob.glob(os.path.join(sig_root, "epoch=*"))
+            got = sorted(
+                r["vec_id"] for r in spark.read.parquet(rolled).collect()
+            )
+            expect = sorted(
+                list(range(len(layouts)))
+                + ([999] if rolled_layout != "none" else [])
+            )
+            assert got == expect
+        else:
+            import pytest as _pytest
+
+            with _pytest.raises(ValueError):
+                fold_streaming_epochs(
+                    spark, sig_root, rolled, len(layouts), compact_at_files=0
+                )
+            # zero epochs moved: every epoch dir intact, rolled holds
+            # exactly its initial row (or still does not exist)
+            for i in range(len(layouts)):
+                assert glob.glob(
+                    os.path.join(sig_root, f"epoch={i}", "**", "*.parquet"),
+                    recursive=True,
+                ), f"epoch={i} was touched by a refused fold"
+            if rolled_layout == "none":
+                assert not os.path.isdir(rolled)
+            else:
+                assert [
+                    r["vec_id"] for r in spark.read.parquet(rolled).collect()
+                ] == [999]
+
+    run()
