@@ -197,6 +197,23 @@ DRIVER_WINDOW: list[str] = [
     "streaming_rolling_stats",
     "streaming_window_pivot",
 ]
+# r13 rotation note (the pinned post-stamp-change rule): the r12
+# session changed, AFTER the r12 stamp, (a) assign_clusters_np
+# (optional sim_col param + kernel body restructure — the assignment
+# path inside build_ivf_index's numpy kernel), whose registered
+# consumers NOT in the r12 window shipped the change with only the
+# local parity suite behind them: ivf_sampled_train_knn,
+# ivf_compaction, sq8_ivf_knn, ivf_incremental_add, ivfpq_knn,
+# ivfpq_residual_knn — these LEAD the r13 window; (b)
+# fold_streaming_epochs (all-or-nothing pre-scan), ivf_maintenance_
+# step/maybe_retrain (fail-fast ordering, None sentinel), and the new
+# ivf_add_stream entrypoint, whose registered consumers
+# streaming_ivf_add_e2e / streaming_neardup_e2e / ivf_grouped_knn sat
+# IN the r12 window and were driver-certified against the changed
+# code this round — by the same precedent the r11 judge applied to
+# the fold consumers, they lead r13 again (streaming members in the
+# tail as always).  Then rotate the r11-stamped sit-outs in via
+# tools/rotate_window.py --write 13 and fill oldest-first.
 
 
 def _exposure_order() -> list[str]:
