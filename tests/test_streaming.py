@@ -1257,6 +1257,27 @@ def test_ivf_add_stream_maintenance_fires_in_stream(spark, tmp_path):
     )
     assert healed == survivors
 
+    # GENERATION RETIREMENT: a crash between a swap's rename and the
+    # superseded-generation delete leaves two gens on disk — re-entry
+    # keeps only the newest.  Fabricate a stranded OLDER generation
+    # and re-enter: it must be swept, the newest stays live.
+    import shutil as _shutil
+
+    stale_gen = os.path.join(work, "store_gen0")
+    _shutil.copytree(state["store"], stale_gen)
+    state_g = ivf_add_stream(
+        spark,
+        src,
+        drift.schema,
+        cents,
+        base_lists,
+        work,
+        max_files_per_trigger=1,
+        compact_at_files=0,
+    )
+    assert not os.path.isdir(stale_gen)
+    assert state_g["store"] == state["store"] and state_g["generation"] == 1
+
     # and a healthy-budget twin never escalates: audit-only days, no
     # generation bump — the regime the registered query certifies
     work2 = str(tmp_path / "work2")

@@ -702,6 +702,13 @@ def ivf_add_stream(
             state["cents"] = [(int(c), list(v)) for c, v in json.load(f)]
         state["store"] = gen_dir
         state["generation"] = gens[-1]
+        # sweep superseded generations a crash left behind (the swap
+        # retires the previous one; a crash between the rename and
+        # that delete leaves two) — only the newest is live
+        for g in gens[:-1]:
+            old_dir = os.path.join(base_dir, f"store_gen{g}")
+            shutil.rmtree(old_dir, ignore_errors=True)
+            spark.catalog.refreshByPath(old_dir)
         # heal the swap's one crash window: the generation rename and
         # the rolled reset are two steps, so a crash between them
         # leaves the just-absorbed rows in BOTH stores — the committed
@@ -803,7 +810,15 @@ def ivf_add_stream(
         if os.path.isdir(rolled):
             shutil.rmtree(rolled)
             spark.catalog.refreshByPath(rolled)
+        prev_store = state["store"]
         state.update(cents=c2, store=gen_dir, generation=gen)
+        # retire the superseded generation: the new one was built from
+        # the complete committed view, so the old dir is pure disk
+        # debt (a crash before this delete is healed by the entry-side
+        # newest-generation sweep)
+        if prev_store and os.path.isdir(prev_store):
+            shutil.rmtree(prev_store, ignore_errors=True)
+            spark.catalog.refreshByPath(prev_store)
 
     def route_batch(batch_df: DataFrame, epoch_id: int) -> None:
         # ORDER IS LOAD-BEARING: fold first (every epoch < current
