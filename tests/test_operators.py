@@ -177,6 +177,22 @@ def test_assign_clusters_np_matches_expr_kernel(spark, emb):
     }
     assert expr_out == np_out
 
+    # r12: the optional sim_col output must agree too — the winning
+    # cosine the NumPy kernel reads off its block (float64) vs the
+    # expression kernel's fold, to fp reduction-order tolerance
+    expr_sim = {
+        r["vec_id"]: r["s"]
+        for r in assign_clusters(vecs, cents, sim_col="s").collect()
+    }
+    np_sim = {
+        r["vec_id"]: r["s"]
+        for r in assign_clusters_np(
+            vecs, cents, sim_col="s", dtype="float64"
+        ).collect()
+    }
+    assert expr_sim.keys() == np_sim.keys()
+    assert all(abs(expr_sim[k] - np_sim[k]) < 1e-9 for k in expr_sim)
+
 
 def test_assign_clusters_bc_agreement(spark, emb):
     """r7 judge item #4: the broadcast-centroid assignment kernel (the
