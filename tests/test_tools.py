@@ -106,3 +106,81 @@ def test_sort_key_survives_exotic_eq():
         ["a", "b"], [(np.array([1.0]), 1)], ["a", "b"], [("x", 1)]
     )
     assert not ok and "mismatch" in reason
+
+
+# ---------------------------------------------------------------------
+# tools/compare_bench.py (r12): the methodology marker is enforced by
+# tooling, not a README footnote
+# ---------------------------------------------------------------------
+import compare_bench  # noqa: E402
+
+
+def _bench(tmp_path, name, wrap=False, **fields):
+    d = {
+        "value": 100.0,
+        "value_canary_normalized": 50.0,
+        "queries": {"q1": 1.0, "q2": 2.0},
+        "canary_method": "r11-settled",
+        "degraded_window": False,
+        "stall_gate_ok": True,
+        **fields,
+    }
+    d = {k: v for k, v in d.items() if v is not None}
+    p = tmp_path / name
+    p.write_text(json.dumps({"parsed": d, "tail": "..."} if wrap else d))
+    return str(p)
+
+
+def _run_cmp(argv, capsys):
+    import sys as _sys
+
+    old = _sys.argv
+    _sys.argv = ["compare_bench.py"] + argv
+    try:
+        rc = compare_bench.main()
+    finally:
+        _sys.argv = old
+    return rc, capsys.readouterr().out
+
+
+def test_compare_bench_refuses_missing_marker(tmp_path, capsys):
+    a = _bench(tmp_path, "a.json", canary_method=None)
+    b = _bench(tmp_path, "b.json")
+    rc, out = _run_cmp([a, b], capsys)
+    assert rc == 2 and "no canary_method" in out
+    # --assume-method vouches for the unmarked artifact
+    rc, out = _run_cmp([a, b, "--assume-method", "r11-settled"], capsys)
+    assert rc == 0 and "normalized: 50.0 -> 50.0" in out
+
+
+def test_compare_bench_refuses_method_mismatch(tmp_path, capsys):
+    a = _bench(tmp_path, "a.json", canary_method="r10-shuffle")
+    b = _bench(tmp_path, "b.json")
+    rc, out = _run_cmp([a, b], capsys)
+    assert rc == 2 and "mismatch" in out
+
+
+def test_compare_bench_refuses_degraded_endpoint(tmp_path, capsys):
+    a = _bench(tmp_path, "a.json")
+    b = _bench(tmp_path, "b.json", degraded_window=True)
+    rc, out = _run_cmp([a, b], capsys)
+    assert rc == 2 and "not a comparable endpoint" in out
+    rc, out = _run_cmp([a, b, "--force"], capsys)
+    assert rc == 0 and "WARNING" in out
+    # a failing stall gate refuses the same way
+    c = _bench(tmp_path, "c.json", stall_gate_ok=False)
+    rc, out = _run_cmp([a, c], capsys)
+    assert rc == 2 and "stall gate failed" in out
+
+
+def test_compare_bench_unwraps_driver_artifact_and_reports_movers(
+    tmp_path, capsys
+):
+    a = _bench(tmp_path, "a.json", wrap=True)
+    b = _bench(
+        tmp_path, "b.json", queries={"q1": 2.0, "q2": 2.0}, value=110.0
+    )
+    rc, out = _run_cmp([a, b], capsys)
+    assert rc == 0
+    assert "q1: 1.0 -> 2.0  (2.00x)" in out
+    assert "q2" not in out.split("movers")[1]
