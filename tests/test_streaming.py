@@ -1303,3 +1303,165 @@ def test_ivf_add_stream_maintenance_fires_in_stream(spark, tmp_path):
         r["actions"] == ["retune"] and r["nprobe"] is not None
         for r in state2["reports"]
     )
+
+
+def test_pq_add_stream_refresh_fires_in_stream(spark, sf_dir, tmp_path):
+    """r12: the codebook-staleness trigger must fire INSIDE the code
+    ingest stream — the quantized twin of the ivf_add_stream firing
+    test, on the operator test's cohort-drift fixture: codebooks
+    trained on the base distribution mis-score a streamed increment
+    whose cohorts each shift along their own hashed axis, the
+    in-stream audit (on the NEWEST adds) crosses the budget, the
+    rollback-gated retrain adopts, a re-encoded generation swaps in,
+    and the remaining micro-batches encode with the refreshed books."""
+    import os
+
+    from vectorsearch_scylla_spark.operators.pq import (
+        encode_pq_np,
+        pq_recall_audit,
+        train_pq,
+    )
+    from vectorsearch_scylla_spark.streaming.pipeline import pq_add_stream
+
+    m, ksub, dsub = 8, 32, 8
+    emb0 = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").cast("array<double>").alias("corpus_vec"),
+    )
+    reps = spark.range(5).select(F.col("id").cast("int").alias("rep"))
+    emb = emb0.crossJoin(F.broadcast(reps)).select(
+        (F.col("corpus_id") + F.col("rep").cast("long") * 10_000).alias(
+            "corpus_id"
+        ),
+        F.expr(
+            "transform(corpus_vec, (x, i) -> CASE WHEN i = pmod(rep, 64) "
+            "THEN x + 0.01 * rep ELSE x END)"
+        ).alias("corpus_vec"),
+    )
+    base = emb.filter(F.col("corpus_id") % 10 != 7).localCheckpoint()
+    books = train_pq(
+        base, m=m, ksub=ksub, iters=2, dsub=dsub,
+        id_col="corpus_id", vec_col="corpus_vec", kernel="numpy",
+    )
+    base_store = str(tmp_path / "pq_base")
+    encode_pq_np(base, books, dsub=dsub, vec_col="corpus_vec").write.parquet(
+        base_store
+    )
+    healthy, d0 = pq_recall_audit(
+        base.limit(100).select(
+            F.col("corpus_id").alias("query_id"),
+            F.col("corpus_vec").alias("query_vec"),
+        ),
+        spark.read.parquet(base_store).drop("corpus_vec"),
+        books,
+        base,
+        k=5, dsub=dsub, max_queries=64,
+    )
+    assert d0 > 0 and healthy is not None
+
+    # the drifted increment (cohort-shared hashed axis — the operator
+    # test's recipe) streamed in 4 micro-batches
+    inc = emb.filter(F.col("corpus_id") % 20 == 3).select(
+        (F.col("corpus_id") + 1_000_000_000).alias("corpus_id"),
+        F.expr(
+            "transform(corpus_vec, (x, i) -> CASE WHEN i = "
+            "pmod(xxhash64(pmod(corpus_id, 10000)), 64) "
+            "THEN x + 0.5 ELSE x END)"
+        ).alias("corpus_vec"),
+    )
+    # four SINGLE files with controlled names + strictly increasing
+    # mtimes: the file source orders by (modificationTime, path), so
+    # the epoch -> rows mapping — and therefore every audited recall —
+    # is exactly reproducible (repartition(4) left the split to
+    # listing order and the measured recall wobbled run-to-run)
+    src = str(tmp_path / "pq_src")
+    os.makedirs(src)
+    pdf = inc.toPandas().sort_values("corpus_id").reset_index(drop=True)
+    t0 = 1_700_000_000
+    for qf in range(4):
+        # quarter by COHORT (base id) so a drifted query's twins
+        # commit WITH it — the staleness mechanism is the cohort's
+        # codes collapsing together, invisible if twins straggle
+        part = pdf[((pdf.corpus_id % 10_000) // 20) % 4 == qf]
+        fp = os.path.join(src, f"f{qf}.parquet")
+        part.to_parquet(fp, index=False)
+        os.utime(fp, times=(t0 + qf, t0 + qf))
+    work = str(tmp_path / "pq_work")
+    os.makedirs(work)
+    # the committed-view audit at epoch 2 (queries = the two committed
+    # cohort-quarters) measures 0.7125 on this deterministic fixture
+    # and the post-retrain audit 0.7906 — the budget sits between, so
+    # the day fires AND the recovery clears it (adopted, not rolled
+    # back; the rollback rail itself is pinned by the operator test)
+    budget = 0.75
+    state = pq_add_stream(
+        spark,
+        src,
+        inc.schema,
+        books,
+        base_store,
+        work,
+        id_col="corpus_id",
+        vec_col="corpus_vec",
+        dsub=dsub,
+        max_files_per_trigger=1,
+        compact_at_files=0,
+        maintenance={
+            "recall_budget": budget,
+            "every": 2,
+            "max_audit_queries": 64,
+            "audit_source": "recent",
+        },
+    )
+    assert state["epochs"] == 4
+
+    fired = [r for r in state["reports"] if r["retrained"]]
+    assert fired, f"no refresh adopted; reports={state['reports']}"
+    rep = fired[0]
+    assert rep["epoch"] == 2 and not rep["rolled_back"]
+    assert rep["recall_before"] < budget
+    assert rep["recall_after"] is not None and rep["recall_after"] >= budget
+    assert rep["ksub"] == ksub  # intended capacity, not survivor count
+
+    # generation swapped: books persisted with the store, state updated
+    assert state["generation"] == 1 and os.path.isdir(state["store"])
+    assert os.path.isfile(os.path.join(state["store"], "_books.json"))
+    assert state["books"] is not books
+
+    # nothing lost, each id exactly once across store ∪ rolled
+    store_df = spark.read.parquet(state["store"])
+    rolled_df = spark.read.parquet(state["rolled"])
+    all_ids = [
+        r["corpus_id"]
+        for r in store_df.select("corpus_id")
+        .unionByName(rolled_df.select("corpus_id"))
+        .collect()
+    ]
+    assert len(all_ids) == len(set(all_ids)) == base.count() + inc.count()
+
+    # post-fire epochs encoded with the REFRESHED books: rolled codes
+    # must equal a fresh encode of their vectors under state["books"]
+    code_cols = [f"code{s}" for s in range(m)]
+    expected = {
+        r["corpus_id"]: tuple(r[c] for c in code_cols)
+        for r in encode_pq_np(
+            rolled_df.select("corpus_id", "corpus_vec"),
+            state["books"],
+            dsub=dsub,
+            vec_col="corpus_vec",
+        ).collect()
+    }
+    for r in rolled_df.collect():
+        assert tuple(r[c] for c in code_cols) == expected[r["corpus_id"]]
+
+    # restart resumes from the persisted generation books
+    state_r = pq_add_stream(
+        spark, src, inc.schema, books, base_store, work,
+        id_col="corpus_id", vec_col="corpus_vec", dsub=dsub,
+        max_files_per_trigger=1, compact_at_files=0,
+    )
+    assert state_r["epochs"] == 0 and state_r["generation"] == 1
+    assert state_r["ksub"] == ksub
+    assert state_r["books"] == [
+        [(int(c), list(map(float, v))) for c, v in b] for b in state["books"]
+    ]

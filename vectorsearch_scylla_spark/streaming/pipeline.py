@@ -562,6 +562,151 @@ def snapshot_sink(
     return writer.start()
 
 
+def _resume_newest_generation(
+    spark, base_dir: str, rolled: str, id_col: str, sidecar: str,
+    partition_col: str | None,
+):
+    """Entry-side generation recovery shared by the ``*_add_stream``
+    entrypoints: pick the newest persisted store generation (its
+    underscore-prefixed sidecar JSON carries the model state adopted
+    at swap time), sweep superseded generations a crash left behind,
+    and heal the swap's one crash window — a crash between the
+    generation rename and the rolled reset leaves the just-absorbed
+    rows in BOTH stores, so rolled ids already present in the
+    generation are dropped before anything reads the store (the pure
+    crash shape empties rolled; post-fire adds have new ids and
+    survive).  Returns ``(gen_dir, generation, sidecar_obj)`` or
+    ``(None, 0, None)`` when no generation exists."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    gens = sorted(
+        int(d[len("store_gen"):])
+        for d in (os.listdir(base_dir) if os.path.isdir(base_dir) else [])
+        if d.startswith("store_gen")
+        and d[len("store_gen"):].isdigit()
+        and os.path.isfile(os.path.join(base_dir, d, sidecar))
+    )
+    if not gens:
+        return None, 0, None
+    gen_dir = os.path.join(base_dir, f"store_gen{gens[-1]}")
+    with open(os.path.join(gen_dir, sidecar)) as f:
+        obj = json.load(f)
+    for g in gens[:-1]:
+        old_dir = os.path.join(base_dir, f"store_gen{g}")
+        shutil.rmtree(old_dir, ignore_errors=True)
+        spark.catalog.refreshByPath(old_dir)
+    if os.path.isdir(rolled):
+        gen_ids = spark.read.parquet(gen_dir).select(id_col)
+        rolled_df = spark.read.parquet(rolled)
+        n_all = rolled_df.count()
+        kept = rolled_df.join(gen_ids, id_col, "left_anti")
+        n_kept = kept.count()
+        if n_kept == 0:
+            shutil.rmtree(rolled)
+            spark.catalog.refreshByPath(rolled)
+        elif n_kept < n_all:
+            staging = f"{rolled}.heal.{uuid.uuid4().hex[:8]}"
+            w = kept.write
+            if partition_col:
+                w = w.partitionBy(partition_col)
+            w.parquet(staging)
+            old = f"{rolled}.healed.{uuid.uuid4().hex[:8]}"
+            os.rename(rolled, old)
+            os.rename(staging, rolled)
+            shutil.rmtree(old, ignore_errors=True)
+            spark.catalog.refreshByPath(rolled)
+    return gen_dir, gens[-1], obj
+
+
+def _swap_in_generation(
+    spark, base_dir: str, generation: int, frame: DataFrame, sidecar: str,
+    sidecar_obj, rolled: str, prev_store: str | None,
+    partition_col: str | None = None, n_parts: int = 32,
+):
+    """Adopt a rewritten full-index frame as the next store
+    generation — staged dir + atomic rename (the
+    ``compact_signature_artifact`` swap pattern), sidecar JSON
+    co-located so a restart resumes the adopted model state, rolled
+    reset (its rows are absorbed into the generation), superseded
+    generation retired (pure disk debt; a crash before the delete is
+    healed by :func:`_resume_newest_generation`).  Returns
+    ``(gen_dir, generation + 1)``."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    gen = generation + 1
+    gen_dir = os.path.join(base_dir, f"store_gen{gen}")
+    staging = f"{gen_dir}.staging.{uuid.uuid4().hex[:8]}"
+    out = frame
+    if partition_col:
+        out = out.repartition(max(1, int(n_parts)), partition_col)
+    writer = out.write
+    if partition_col:
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(staging)
+    with open(os.path.join(staging, sidecar), "w") as f:
+        json.dump(sidecar_obj, f)
+    os.rename(staging, gen_dir)
+    if os.path.isdir(rolled):
+        shutil.rmtree(rolled)
+        spark.catalog.refreshByPath(rolled)
+    if prev_store and os.path.isdir(prev_store):
+        shutil.rmtree(prev_store, ignore_errors=True)
+        spark.catalog.refreshByPath(prev_store)
+    return gen_dir, gen
+
+
+def _drain_file_stream(
+    spark, src_path: str, src_schema, base_dir: str, route_batch,
+    max_files_per_trigger: int, timeout_sec: int, name: str,
+    rolled: str, compact_at_files: int,
+) -> None:
+    """availableNow drain of a parquet file source through
+    ``route_batch``, then the post-drain fold (in-stream folds always
+    exclude the then-current epoch, so the last committed epoch is
+    folded here)."""
+    import os
+
+    from vectorsearch_scylla_spark.operators.dedup import (
+        fold_streaming_epochs,
+    )
+
+    epoch_root = os.path.join(base_dir, "epochs")
+    stream = (
+        spark.readStream.schema(src_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_path)
+    )
+    q = (
+        stream.writeStream.foreachBatch(route_batch)
+        .option("checkpointLocation", os.path.join(base_dir, "checkpoint"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise RuntimeError(
+            f"{name}: availableNow query did not drain within {timeout_sec}s"
+        )
+    last = max(
+        (
+            int(d.split("=", 1)[1])
+            for d in os.listdir(epoch_root)
+            if d.startswith("epoch=")
+        ),
+        default=-1,
+    ) if os.path.isdir(epoch_root) else -1
+    fold_streaming_epochs(
+        spark, epoch_root, rolled, last + 1, compact_at_files=compact_at_files
+    )
+
+
 def ivf_add_stream(
     spark: SparkSession,
     src_path: str,
@@ -645,10 +790,7 @@ def ivf_add_stream(
     insert path); this is the same lifecycle with the re-tile decision
     automated, priced, and escalation-laddered.
     """
-    import json
     import os
-    import shutil
-    import uuid
 
     from vectorsearch_scylla_spark.operators.dedup import (
         fold_streaming_epochs,
@@ -681,60 +823,21 @@ def ivf_add_stream(
         "reports": [],
         "epochs": 0,
     }
-    # RESTART RESUME: a prior run of this stream may have escalated —
-    # its refreshed quantizer rides with the newest store generation
-    # (_centroids.json, written atomically with the generation swap).
-    # A restarted stream must route through THAT quantizer, not the
-    # caller's stale initial, or every post-restart batch re-routes by
-    # the tiling the maintenance ladder already retired.
-    gens = sorted(
-        (
-            int(d[len("store_gen"):])
-            for d in (os.listdir(base_dir) if os.path.isdir(base_dir) else [])
-            if d.startswith("store_gen")
-            and d[len("store_gen"):].isdigit()
-            and os.path.isfile(os.path.join(base_dir, d, "_centroids.json"))
-        ),
+    # RESTART RESUME (shared machinery): a prior run of this stream
+    # may have escalated — its refreshed quantizer rides with the
+    # newest store generation (_centroids.json, written atomically
+    # with the generation swap).  A restarted stream must route
+    # through THAT quantizer, not the caller's stale initial, or
+    # every post-restart batch re-routes by the tiling the
+    # maintenance ladder already retired.  The helper also sweeps
+    # superseded generations and heals the swap's crash window.
+    gen_dir, gen_n, sidecar = _resume_newest_generation(
+        spark, base_dir, rolled, id_col, "_centroids.json", "cluster_id"
     )
-    if gens:
-        gen_dir = os.path.join(base_dir, f"store_gen{gens[-1]}")
-        with open(os.path.join(gen_dir, "_centroids.json")) as f:
-            state["cents"] = [(int(c), list(v)) for c, v in json.load(f)]
+    if gen_dir is not None:
+        state["cents"] = [(int(c), list(v)) for c, v in sidecar]
         state["store"] = gen_dir
-        state["generation"] = gens[-1]
-        # sweep superseded generations a crash left behind (the swap
-        # retires the previous one; a crash between the rename and
-        # that delete leaves two) — only the newest is live
-        for g in gens[:-1]:
-            old_dir = os.path.join(base_dir, f"store_gen{g}")
-            shutil.rmtree(old_dir, ignore_errors=True)
-            spark.catalog.refreshByPath(old_dir)
-        # heal the swap's one crash window: the generation rename and
-        # the rolled reset are two steps, so a crash between them
-        # leaves the just-absorbed rows in BOTH stores — the committed
-        # view would double-count them and the next escalation would
-        # re-absorb them.  The generation was built from the complete
-        # committed view at fire time, so any rolled row whose id is
-        # in the generation is absorbed by construction: drop those
-        # (the pure crash shape empties rolled entirely; rows from
-        # post-fire epochs have new ids and survive untouched).
-        if os.path.isdir(rolled):
-            gen_ids = spark.read.parquet(gen_dir).select(id_col)
-            rolled_df = spark.read.parquet(rolled)
-            n_all = rolled_df.count()
-            kept = rolled_df.join(gen_ids, id_col, "left_anti")
-            n_kept = kept.count()
-            if n_kept == 0:
-                shutil.rmtree(rolled)
-                spark.catalog.refreshByPath(rolled)
-            elif n_kept < n_all:
-                staging = f"{rolled}.heal.{uuid.uuid4().hex[:8]}"
-                kept.write.partitionBy("cluster_id").parquet(staging)
-                old = f"{rolled}.healed.{uuid.uuid4().hex[:8]}"
-                os.rename(rolled, old)
-                os.rename(staging, rolled)
-                shutil.rmtree(old, ignore_errors=True)
-                spark.catalog.refreshByPath(rolled)
+        state["generation"] = gen_n
     m = dict(maintenance or {})
     every = int(m.get("every", 1))
 
@@ -789,36 +892,20 @@ def ivf_add_stream(
         if not ({"split", "retrain"} & set(report["actions"])):
             return
         # the ladder rewrote cluster ids: persist the re-routed
-        # members as a new generation and swap (staged dir + atomic
-        # rename), absorb the rolled adds, refresh the quantizer for
-        # every subsequent batch
-        gen = state["generation"] + 1
-        gen_dir = os.path.join(base_dir, f"store_gen{gen}")
-        staging = f"{gen_dir}.staging.{uuid.uuid4().hex[:8]}"
-        m2.select(id_col, vec_col, "cluster_id").repartition(
-            max(1, len(c2)), "cluster_id"
-        ).write.partitionBy("cluster_id").parquet(staging)
-        # the refreshed quantizer rides WITH its generation (the same
-        # co-location build_ivf_index uses): a restarted stream can
-        # resume from the newest generation's centroids instead of the
-        # caller's stale initials.  Underscore-prefixed so Spark's
-        # file index treats it as metadata and the parquet scan of
-        # the generation dir never trips on it
-        with open(os.path.join(staging, "_centroids.json"), "w") as f:
-            json.dump([[int(c), list(map(float, v))] for c, v in c2], f)
-        os.rename(staging, gen_dir)
-        if os.path.isdir(rolled):
-            shutil.rmtree(rolled)
-            spark.catalog.refreshByPath(rolled)
-        prev_store = state["store"]
+        # members as a new generation and swap (shared machinery:
+        # staged dir + atomic rename, quantizer sidecar co-located —
+        # underscore-prefixed so Spark's file index treats it as
+        # metadata — rolled absorbed, superseded generation retired);
+        # THIS and every subsequent batch route through c2
+        gen_dir, gen = _swap_in_generation(
+            spark, base_dir, state["generation"],
+            m2.select(id_col, vec_col, "cluster_id"),
+            "_centroids.json",
+            [[int(c), list(map(float, v))] for c, v in c2],
+            rolled, state["store"],
+            partition_col="cluster_id", n_parts=len(c2),
+        )
         state.update(cents=c2, store=gen_dir, generation=gen)
-        # retire the superseded generation: the new one was built from
-        # the complete committed view, so the old dir is pure disk
-        # debt (a crash before this delete is healed by the entry-side
-        # newest-generation sweep)
-        if prev_store and os.path.isdir(prev_store):
-            shutil.rmtree(prev_store, ignore_errors=True)
-            spark.catalog.refreshByPath(prev_store)
 
     def route_batch(batch_df: DataFrame, epoch_id: int) -> None:
         # ORDER IS LOAD-BEARING: fold first (every epoch < current
@@ -845,34 +932,214 @@ def ivf_add_stream(
         )
         state["epochs"] += 1
 
-    stream = (
-        spark.readStream.schema(src_schema)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(src_path)
+    _drain_file_stream(
+        spark, src_path, src_schema, base_dir, route_batch,
+        max_files_per_trigger, timeout_sec, "ivf_add_stream",
+        rolled, compact_at_files,
     )
-    q = (
-        stream.writeStream.foreachBatch(route_batch)
-        .option("checkpointLocation", os.path.join(base_dir, "checkpoint"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    return state
+
+
+def pq_add_stream(
+    spark: SparkSession,
+    src_path: str,
+    src_schema,
+    books: list[list[tuple[int, list[float]]]],
+    base_store_path: str,
+    base_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dsub: int = 16,
+    max_files_per_trigger: int = 8,
+    compact_at_files: int = 48,
+    maintenance: dict | None = None,
+    timeout_sec: int = 600,
+    dtype: str = "float32",
+) -> dict:
+    """STREAMING PQ code ingest + codebook lifecycle — the quantized
+    twin of :func:`ivf_add_stream`, completing the in-stream half of
+    the r11 PQ staleness story: new vectors arrive as a file-source
+    stream, each micro-batch is ADC-encoded with the CURRENT
+    codebooks (:func:`~vectorsearch_scylla_spark.operators.pq.
+    encode_pq_np` — map-only, blocked BLAS) and lands as a flat
+    epoch-dir overwrite (exactly-once under replay), then committed
+    prior epochs fold (rename-only) into the rolled code store with
+    auto-compaction past ``compact_at_files``.  Stores co-locate the
+    RAW vectors with the codes (id, vec, code0.., rnorm): a code
+    table that cannot reach its vectors can neither audit its own
+    staleness nor re-encode under refreshed books.
+
+    ``maintenance`` wires the codebook-staleness trigger in-stream:
+    every ``every`` epochs (skipping epoch 0), after the fold, the
+    committed view's sampled ADC recall is measured against the exact
+    sweep (:func:`~vectorsearch_scylla_spark.operators.pq.
+    pq_recall_audit`, bounded md5 draw) on ``audit_source``
+    (``"members"`` | ``"recent"`` — same semantics as
+    :func:`ivf_add_stream`).  Past budget, :func:`~vectorsearch_
+    scylla_spark.operators.pq.maybe_retrain_pq` fires with the
+    ROLLBACK RAIL ON by default (the capacity-starved lesson: a
+    fixed-shape retrain without codeword headroom makes recall WORSE
+    — a retrain whose post-audit still misses budget is not adopted)
+    and the caller-supplied ``recall_before`` fast path (the entry
+    audit is never paid twice).  An ADOPTED retrain re-encodes the
+    full committed view under the new books in one map-only pass —
+    re-encoding during the generation scan beats joining the
+    trigger's internal code table back to its vectors, which would
+    shuffle the corpus — and swaps it in as a new store generation
+    (shared machinery: staged rename, ``_books.json`` sidecar with
+    the INTENDED ksub capacity, rolled absorbed, superseded
+    generation retired, crash windows healed on re-entry).
+    Maintenance keys: ``recall_budget`` (default 0.7 — ADC is a
+    candidate generator; exact re-rank upstream absorbs moderate
+    decay), ``every``, ``max_audit_queries`` (default 64), ``k``,
+    ``audit_source``, ``train_rows``, ``iters``, ``rollback``
+    (default True).
+
+    Returns the state dict: ``books``, ``ksub`` (intended capacity —
+    survives codeword drops across retrains), ``rolled``, ``store``,
+    ``generation``, ``reports`` (one per maintenance day: recall,
+    pair count, trigger report when fired), ``epochs``.  Restart
+    resumes from the newest generation's persisted books exactly like
+    :func:`ivf_add_stream`.
+
+    Reference parity: the reference re-creates its HNSW index
+    wholesale when the embedding space moves
+    (scylladb_setup/create_iot_schema.py:137-155); this is the lossy
+    code layer's version of that lifecycle with the refresh decision
+    audited, budget-gated, and rollback-protected.
+    """
+    import os
+
+    from vectorsearch_scylla_spark.operators.dedup import (
+        fold_streaming_epochs,
     )
-    if not q.awaitTermination(timeout_sec):
-        q.stop()
-        raise RuntimeError(
-            f"ivf_add_stream: availableNow query did not drain within {timeout_sec}s"
+    from vectorsearch_scylla_spark.operators.pq import (
+        encode_pq_np,
+        maybe_retrain_pq,
+        pq_recall_audit,
+    )
+
+    m_sub = len(books)
+    code_cols = [f"code{s}" for s in range(m_sub)]
+    epoch_root = os.path.join(base_dir, "epochs")
+    rolled = os.path.join(base_dir, "rolled")
+    state: dict = {
+        "books": books,
+        "ksub": max(len(b) for b in books),
+        "rolled": rolled,
+        "store": None,
+        "generation": 0,
+        "reports": [],
+        "epochs": 0,
+    }
+    gen_dir, gen_n, sidecar = _resume_newest_generation(
+        spark, base_dir, rolled, id_col, "_books.json", None
+    )
+    if gen_dir is not None:
+        state["books"] = [
+            [(int(c), list(v)) for c, v in b] for b in sidecar["books"]
+        ]
+        state["ksub"] = int(sidecar["ksub"])
+        state["store"] = gen_dir
+        state["generation"] = gen_n
+    m = dict(maintenance or {})
+    every = int(m.get("every", 1))
+
+    def _view() -> DataFrame:
+        cols = [id_col, vec_col, *code_cols, "rnorm"]
+        base = spark.read.parquet(state["store"] or base_store_path).select(cols)
+        if os.path.isdir(rolled):
+            base = base.unionByName(spark.read.parquet(rolled).select(cols))
+        return base
+
+    def _maintain(epoch_id: int) -> None:
+        view = _view()
+        codes = view.select(id_col, *code_cols, "rnorm")
+        members_v = view.select(id_col, vec_col)
+        q_src = view
+        if m.get("audit_source", "members") == "recent" and os.path.isdir(rolled):
+            q_src = spark.read.parquet(rolled)
+        queries = q_src.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
         )
-    # the drain committed every epoch; in-stream folds always exclude
-    # the then-current epoch, so fold the remainder now
-    last = max(
-        (
-            int(d.split("=", 1)[1])
-            for d in os.listdir(epoch_root)
-            if d.startswith("epoch=")
-        ),
-        default=-1,
-    ) if os.path.isdir(epoch_root) else -1
-    fold_streaming_epochs(
-        spark, epoch_root, rolled, last + 1, compact_at_files=compact_at_files
+        budget = float(m.get("recall_budget", 0.7))
+        k = int(m.get("k", 5))
+        maq = int(m.get("max_audit_queries", 64))
+        recall, denom = pq_recall_audit(
+            queries, codes, state["books"], members_v,
+            k=k, dsub=dsub, corpus_id=id_col, corpus_vec=vec_col,
+            dtype=dtype, max_queries=maq,
+        )
+        report: dict = {
+            "epoch": int(epoch_id),
+            "recall_before": recall,
+            "n_audit_pairs": int(denom),
+            "retrained": False,
+            "rolled_back": False,
+        }
+        if recall is None or recall >= budget:
+            state["reports"].append(report)
+            return
+        b2, _, rep = maybe_retrain_pq(
+            members_v, codes, state["books"], queries,
+            recall_budget=budget, recall_before=recall,
+            k=k, dsub=dsub, iters=int(m.get("iters", 2)),
+            train_rows=m.get("train_rows"),
+            corpus_id=id_col, corpus_vec=vec_col,
+            dtype=dtype, max_audit_queries=maq,
+            ksub=state["ksub"],
+            audit_after=True,
+            rollback_below_budget=bool(m.get("rollback", True)),
+        )
+        report.update(
+            retrained=bool(rep.get("retrained")),
+            rolled_back=bool(rep.get("rolled_back")),
+            recall_after=rep.get("recall_after"),
+            ksub=rep.get("ksub"),
+        )
+        state["reports"].append(report)
+        if not report["retrained"] or report["rolled_back"]:
+            return
+        # adopted: re-encode the full committed view under the new
+        # books during the generation scan (map-only — cheaper than
+        # shuffling the trigger's code table back onto its vectors)
+        gen_frame = encode_pq_np(
+            view.select(id_col, vec_col), b2, dsub, vec_col=vec_col, dtype=dtype
+        )
+        new_dir, new_gen = _swap_in_generation(
+            spark, base_dir, state["generation"], gen_frame,
+            "_books.json",
+            {
+                "ksub": int(state["ksub"]),
+                "books": [
+                    [[int(c), list(map(float, v))] for c, v in b] for b in b2
+                ],
+            },
+            rolled, state["store"], partition_col=None,
+        )
+        state.update(books=b2, store=new_dir, generation=new_gen)
+
+    def route_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        # same load-bearing order as ivf_add_stream: fold -> maintain
+        # -> encode+write, so the audit sees the complete committed
+        # view and an adopted refresh can never leave an old-books
+        # epoch dir pending
+        fold_streaming_epochs(
+            spark, epoch_root, rolled, int(epoch_id), compact_at_files=compact_at_files
+        )
+        if maintenance and epoch_id >= every and epoch_id % every == 0:
+            _maintain(int(epoch_id))
+        encoded = encode_pq_np(
+            batch_df, state["books"], dsub, vec_col=vec_col, dtype=dtype
+        )
+        encoded.select(id_col, vec_col, *code_cols, "rnorm").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(epoch_root, f"epoch={epoch_id}"))
+        state["epochs"] += 1
+
+    _drain_file_stream(
+        spark, src_path, src_schema, base_dir, route_batch,
+        max_files_per_trigger, timeout_sec, "pq_add_stream",
+        rolled, compact_at_files,
     )
     return state
