@@ -1988,6 +1988,171 @@ def _ivf_stream_day_study(spark, emb, base: str) -> dict:
     return out
 
 
+def _pq_stream_day_study(spark, emb, base: str) -> dict:
+    """r12 (late): the codebook-staleness loop priced INSIDE the code
+    ingest stream — pq_add_stream's twin of the ivfstream study, on
+    the pqstale study's corpus and drift recipe (200 k cohort corpus,
+    m=8/dsub=8, ksub=256 — the capacity cell the two-cell study shows
+    CAN recover).  Two independent streamed days over the same frozen
+    base code store, each drained in 3 micro-batches (two ~45 %
+    files, then a ~10 % tail file written later so its mtime orders
+    it last) with the maintenance day at epoch 2 — the audit then
+    sees ~90 % of the increment, matching the batch study's
+    full-increment measurement:
+
+    * no-op day: an undrifted 10 k slice — the sampled ADC recall on
+      the newest adds holds the healthy−0.05 budget; the day costs
+      encode + fold + one bounded audit.
+    * refresh day: the cohort-shared hashed-axis +0.5 shift — the
+      audit crosses, maybe_retrain_pq fires IN-STREAM with the
+      rollback rail on; an adopted refresh re-encodes the committed
+      view map-only into a new store generation (books sidecar), and
+      the remaining micro-batch encodes with the refreshed books.
+      Whether adoption or rollback wins is itself the measurement
+      (the two-capacity-cell lesson, now in-stream)."""
+    from vectorsearch_scylla_spark.operators.pq import (
+        encode_pq_np,
+        pq_recall_audit,
+        train_pq,
+    )
+    from vectorsearch_scylla_spark.streaming.pipeline import pq_add_stream
+
+    m, dsub = 8, 8
+    ksub = int(os.environ.get("SPARK_GRAFT_PQ_KSUB", "256"))
+    out: dict = {"m": m, "ksub": ksub, "dsub": dsub}
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    t0 = time.perf_counter()
+    books = train_pq(
+        corpus, m=m, ksub=ksub, iters=2, dsub=dsub,
+        id_col="vec_id", vec_col="embedding", kernel="numpy",
+    )
+    out["train_sec"] = round(time.perf_counter() - t0, 3)
+    store = os.path.join(base, "pqstream_base")
+    t0 = time.perf_counter()
+    encode_pq_np(corpus, books, dsub=dsub, vec_col="embedding").write.parquet(
+        store
+    )
+    out["base_encode_sec"] = round(time.perf_counter() - t0, 3)
+    out["n_base"] = corpus.count()
+
+    self_queries = corpus.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    healthy, _ = pq_recall_audit(
+        self_queries,
+        spark.read.parquet(store).drop("embedding"),
+        books,
+        corpus,
+        k=5, dsub=dsub, corpus_id="vec_id", corpus_vec="embedding",
+        max_queries=512,
+    )
+    out["recall_healthy_base_self"] = healthy
+
+    # the no-op increment is small PER-ROW hashed scatter (+0.02), not
+    # verbatim copies: exact duplicates tie with their originals
+    # across the whole top-k boundary and audit tie-set mismatch, not
+    # staleness (first run of this study: duplicate adds audited at
+    # 0.42 and spuriously fired the trigger)
+    healthy_inc = emb.filter(F.col("vec_id") % 20 == 1).select(
+        (F.col("vec_id") + 1_000_000_000).alias("vec_id"),
+        F.expr(
+            "transform(cast(embedding as array<double>), (x, i) -> "
+            "CASE WHEN i = pmod(xxhash64(vec_id), 64) "
+            "THEN x + 0.02 ELSE x END)"
+        ).alias("embedding"),
+    )
+    # COMMISSIONING BASELINE (the study's core finding — see the
+    # BENCH_SCALE.md write-up): on this 100-replica cohort corpus the
+    # fresh-add watch's recall is TIE-DOMINATED (ADC cannot order
+    # within a 100-member near-duplicate pile, so any fresh add
+    # audits far below the base self-audit even with zero drift) —
+    # a budget calibrated on base-self recall mis-fires on every
+    # healthy day.  The deployment-correct budget is calibrated on
+    # the SAME watch population it will gate: an undrifted
+    # commissioning day's audit, minus the margin.
+    grown0 = corpus.unionByName(healthy_inc)
+    codes0 = (
+        spark.read.parquet(store)
+        .drop("embedding")
+        .unionByName(
+            encode_pq_np(
+                healthy_inc, books, dsub=dsub, vec_col="embedding"
+            ).drop("embedding")
+        )
+    )
+    commissioning, _ = pq_recall_audit(
+        healthy_inc.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        ),
+        codes0, books, grown0,
+        k=5, dsub=dsub, corpus_id="vec_id", corpus_vec="embedding",
+        max_queries=512,
+    )
+    budget = round(commissioning - 0.05, 4)
+    out["recall_commissioning"], out["recall_budget"] = commissioning, budget
+    print(f"[bench_scale] pqstream healthy: {out}", file=sys.stderr)
+
+    policy = {
+        "recall_budget": budget,
+        "every": 2,
+        "max_audit_queries": 512,
+        "audit_source": "recent",
+        "rollback": True,
+    }
+
+    def run_day(tag: str, inc) -> dict:
+        src = os.path.join(base, f"pqstream_src_{tag}")
+        # two ~45 % files first, the ~10 % tail written AFTER (later
+        # mtime -> last epoch): maintenance at epoch 2 audits ~90 %
+        main = inc.filter(F.col("vec_id") % 10 != 0)
+        tail = inc.filter(F.col("vec_id") % 10 == 0)
+        main.coalesce(2).write.parquet(src)
+        tail.coalesce(1).write.mode("append").parquet(src)
+        work = os.path.join(base, f"pqstream_work_{tag}")
+        os.makedirs(work, exist_ok=True)
+        t0 = time.perf_counter()
+        state = pq_add_stream(
+            spark,
+            src,
+            spark.read.parquet(src).schema,
+            books,
+            store,
+            work,
+            id_col="vec_id",
+            vec_col="embedding",
+            dsub=dsub,
+            max_files_per_trigger=1,
+            compact_at_files=64,
+            maintenance=policy,
+            timeout_sec=1800,
+        )
+        day = {
+            "drain_sec": round(time.perf_counter() - t0, 3),
+            "epochs": state["epochs"],
+            "generation": state["generation"],
+            "maintenance": state["reports"],
+        }
+        print(f"[bench_scale] pqstream {tag}: {day}", file=sys.stderr)
+        return day
+
+    out["noop_day"] = run_day("noop", healthy_inc)
+
+    drift_inc = emb.filter(F.col("vec_id") % 20 == 8).select(
+        (F.col("vec_id") + 8_000_000_000).alias("vec_id"),
+        F.expr(
+            "transform(cast(embedding as array<double>), (x, i) -> "
+            "CASE WHEN i = pmod(xxhash64(pmod(vec_id, 10000000)), 64) "
+            "THEN x + 0.5 ELSE x END)"
+        ).alias("embedding"),
+    )
+    out["refresh_day"] = run_day("drift", drift_inc)
+    return out
+
+
 def _sig_compact_knee_study(spark, docs, base: str) -> dict:
     """r12 (r11 VERDICT task 7): the compaction-CADENCE knee for the
     bucketed signature artifact — the number the 25 B-doc lifecycle
@@ -2289,7 +2454,7 @@ def main() -> None:
         # =funnel run ONLY the named study and print their own JSON —
         # both are additive long-running measurements that must not
         # balloon the default battery
-        if sections and sections <= {"clique", "funnel", "sweep", "inc", "bigk", "incfunnel", "compact", "chain", "chain7", "bucketed", "ndstream", "ndepochs", "ivfweek", "pqstale", "ivfstream", "sigknee"}:
+        if sections and sections <= {"clique", "funnel", "sweep", "inc", "bigk", "incfunnel", "compact", "chain", "chain7", "bucketed", "ndstream", "ndepochs", "ivfweek", "pqstale", "ivfstream", "sigknee", "pqstream"}:
             study: dict = {}
             if "clique" in sections:
                 study["clique_study"] = _clique_study(spark, docs0, base)
@@ -2321,6 +2486,8 @@ def main() -> None:
                 study["ivf_week"] = _ivf_week_study(spark, emb, base)
             if "ivfstream" in sections:
                 study["ivf_stream_day"] = _ivf_stream_day_study(spark, emb, base)
+            if "pqstream" in sections:
+                study["pq_stream_day"] = _pq_stream_day_study(spark, emb, base)
             if "sigknee" in sections:
                 study["sig_compact_knee"] = _sig_compact_knee_study(spark, docs, base)
             if "pqstale" in sections:

@@ -993,7 +993,16 @@ def pq_add_stream(
     candidate generator; exact re-rank upstream absorbs moderate
     decay), ``every``, ``max_audit_queries`` (default 64), ``k``,
     ``audit_source``, ``train_rows``, ``iters``, ``rollback``
-    (default True).
+    (default True).  CALIBRATE THE BUDGET ON THE WATCH'S OWN
+    POPULATION: on near-duplicate-heavy corpora a fresh-add audit is
+    tie-dominated (ADC cannot order within a large near-duplicate
+    cohort, so even a zero-drift add day audits far below the base
+    self-audit) — a budget derived from base-self recall mis-fires
+    on every healthy day.  Measure an undrifted commissioning day
+    through this same watch and set the budget from that baseline
+    (BENCH_SCALE.md "In-stream PQ refresh day" measures the gap:
+    base-self 0.632 vs commissioning 0.47 on the 100-replica cohort
+    corpus).
 
     Returns the state dict: ``books``, ``ksub`` (intended capacity —
     survives codeword drops across retrains), ``rolled``, ``store``,
