@@ -3850,3 +3850,69 @@ def test_maybe_retrain_pq_fires_on_drift_and_noops_in_budget(spark, sf_dir):
             grown, grown_codes, [], drift_queries,
             recall_budget=0.5, k=5, dsub=dsub,
         )
+
+
+def test_pq_recall_audit_tie_aware_on_duplicate_heavy_corpus(spark):
+    """r12 (the pqstream study's calibration finding, mechanized): on
+    a corpus of exact-duplicate groups, the id-set recall punishes ADC
+    for returning a different-but-equally-near duplicate — every group
+    member ties the exact kth score, the exact side retains all
+    boundary ties, and tie-blind recall reads ~k/(group-1) no matter
+    how healthy the codebooks are.  tie_aware=True scores a returned
+    neighbor by its TRUE cosine against the query's exact kth score,
+    so the same healthy state reads 1.0."""
+    from vectorsearch_scylla_spark.operators.pq import (
+        encode_pq_np,
+        pq_recall_audit,
+        train_pq,
+    )
+
+    # each group: 7 members at pairwise-EQUAL true cosine (cos²θ —
+    # every member is center + sinθ along its OWN orthogonal axis), so
+    # the exact side id-breaks a 6-way tie while ADC orders the same
+    # tie by QUANTIZED score (the members' distinct axes quantize to
+    # different codewords) — the two deterministic tie-breaks diverge,
+    # which is exactly what happens at scale between the float32
+    # blocked ground truth and the quantized ADC scan
+    import math
+
+    dim, m, ksub, dsub, groups, reps = 16, 2, 8, 8, 2, 7
+    ct, st = math.cos(0.45), math.sin(0.45)
+    rows = []
+    for g in range(groups):
+        axes = [a for a in range(dim) if a != g]
+        for i in range(reps):
+            v = [0.0] * dim
+            v[g] = ct
+            v[axes[(i * 3) % len(axes)]] += st
+            rows.append((g * 100 + i, v))
+    corpus = spark.createDataFrame(
+        rows, "corpus_id long, corpus_vec array<double>"
+    )
+    books = train_pq(
+        corpus, m=m, ksub=ksub, iters=2, dsub=dsub,
+        id_col="corpus_id", vec_col="corpus_vec", kernel="numpy",
+    )
+    codes = encode_pq_np(corpus, books, dsub=dsub, vec_col="corpus_vec").drop(
+        "corpus_vec"
+    )
+    queries = corpus.select(
+        F.col("corpus_id").alias("query_id"),
+        F.col("corpus_vec").alias("query_vec"),
+    )
+
+    blind, blind_pairs = pq_recall_audit(
+        queries, codes, books, corpus, k=3, dsub=dsub, max_queries=16
+    )
+    aware, aware_pairs = pq_recall_audit(
+        queries, codes, books, corpus, k=3, dsub=dsub, max_queries=16,
+        tie_aware=True,
+    )
+    # tie-blind: exact and ADC resolve the 6-way true-cosine tie
+    # differently (id vs quantized score), so the id-set intersection
+    # reads well below 1.0 on a perfectly healthy state; tie-aware:
+    # every returned member reaches the kth true score -> exactly 1.0
+    assert blind is not None and blind < 0.9
+    assert aware == 1.0
+    n_sample = groups * reps  # 14 < max_queries: the whole corpus
+    assert aware_pairs == n_sample * 3 and blind_pairs >= aware_pairs

@@ -1086,7 +1086,14 @@ def _audit_ground_truth(
             exclude_self=exclude_self,
             dtype=dtype,
         )
-        .select(query_id, F.col(corpus_id).alias("__exact_id"))
+        # __exact_sim rides along for tie-aware consumers (the kth
+        # score per query is min(__exact_sim) — boundary ties are
+        # retained by the blocked kernel, so min IS the kth score)
+        .select(
+            query_id,
+            F.col(corpus_id).alias("__exact_id"),
+            F.col("similarity").alias("__exact_sim"),
+        )
         .localCheckpoint()
     )
     return sample, exact, exact.count()

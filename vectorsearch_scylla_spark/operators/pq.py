@@ -540,6 +540,7 @@ def pq_recall_audit(
     exclude_self: bool = True,
     dtype: str = "float32",
     max_queries: int = 512,
+    tie_aware: bool = False,
 ) -> tuple[float | None, int]:
     """Sampled recall@k of the PQ ADC scan against the exact
     full-precision sweep — the codebook-staleness watch for the
@@ -574,13 +575,55 @@ def pq_recall_audit(
         query_id=query_id, corpus_id=corpus_id, query_vec=query_vec,
         exclude_self=exclude_self, dtype=dtype,
     ).select(query_id, F.col(corpus_id).alias("__approx_id"))
-    hits = exact.join(
-        approx,
-        (exact[query_id] == approx[query_id])
-        & (exact["__exact_id"] == approx["__approx_id"]),
-        "left_semi",
-    ).count()
-    return hits / denom, denom
+    if not tie_aware:
+        hits = exact.join(
+            approx,
+            (exact[query_id] == approx[query_id])
+            & (exact["__exact_id"] == approx["__approx_id"]),
+            "left_semi",
+        ).count()
+        return hits / denom, denom
+    # TIE-AWARE recall (r12, from the pqstream study's calibration
+    # finding): on near-duplicate-heavy corpora many corpus rows tie
+    # the exact kth score, and id-set intersection punishes ADC for
+    # returning a DIFFERENT-but-equally-near neighbor — the fresh-add
+    # watch then reads tie-resolution, not staleness.  Here a returned
+    # neighbor counts as a hit iff its TRUE cosine reaches the query's
+    # exact kth score (within an fp-path epsilon), i.e. recall over
+    # the acceptable-set, not the id-set.  The returned pair count is
+    # the number of ADC-returned rows (the denominator of this
+    # definition); epsilon covers the float32 blocked ground truth vs
+    # the float64 expression re-score.
+    from vectorsearch_scylla_spark.functions.vector import (
+        cosine_similarity,
+    )
+
+    kth = exact.groupBy(query_id).agg(F.min("__exact_sim").alias("__kth"))
+    qv = sample.select(query_id, F.col(query_vec).alias("__qv"))
+    cv = members.select(
+        F.col(corpus_id).alias("__approx_id"),
+        F.col(corpus_vec).alias("__cv"),
+    )
+    eps = 1e-5 if dtype == "float32" else 1e-9
+    scored = (
+        approx.join(qv, query_id)
+        .join(cv, "__approx_id")
+        .withColumn(
+            "__cos",
+            cosine_similarity(
+                F.col("__qv").cast("array<double>"),
+                F.col("__cv").cast("array<double>"),
+            ),
+        )
+        .join(kth, query_id)
+        .select((F.col("__cos") >= F.col("__kth") - F.lit(eps)).alias("__hit"))
+        .localCheckpoint()
+    )
+    n_ret = scored.count()
+    if not n_ret:
+        return None, 0
+    hits = scored.filter(F.col("__hit")).count()
+    return hits / n_ret, n_ret
 
 
 def maybe_retrain_pq(
