@@ -2019,7 +2019,11 @@ def _pq_stream_day_study(spark, emb, base: str) -> dict:
 
     m, dsub = 8, 8
     ksub = int(os.environ.get("SPARK_GRAFT_PQ_KSUB", "256"))
-    out: dict = {"m": m, "ksub": ksub, "dsub": dsub}
+    # SPARK_GRAFT_PQ_TIEAWARE=1 runs the whole watch on the tie-aware
+    # metric (returned neighbor counts iff its TRUE cosine reaches the
+    # exact kth score) — the calibration finding's root fix
+    tie_aware = os.environ.get("SPARK_GRAFT_PQ_TIEAWARE", "") == "1"
+    out: dict = {"m": m, "ksub": ksub, "dsub": dsub, "tie_aware": tie_aware}
     corpus = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
@@ -2047,7 +2051,7 @@ def _pq_stream_day_study(spark, emb, base: str) -> dict:
         books,
         corpus,
         k=5, dsub=dsub, corpus_id="vec_id", corpus_vec="embedding",
-        max_queries=512,
+        max_queries=512, tie_aware=tie_aware,
     )
     out["recall_healthy_base_self"] = healthy
 
@@ -2090,7 +2094,7 @@ def _pq_stream_day_study(spark, emb, base: str) -> dict:
         ),
         codes0, books, grown0,
         k=5, dsub=dsub, corpus_id="vec_id", corpus_vec="embedding",
-        max_queries=512,
+        max_queries=512, tie_aware=tie_aware,
     )
     budget = round(commissioning - 0.05, 4)
     out["recall_commissioning"], out["recall_budget"] = commissioning, budget
@@ -2102,6 +2106,7 @@ def _pq_stream_day_study(spark, emb, base: str) -> dict:
         "max_audit_queries": 512,
         "audit_source": "recent",
         "rollback": True,
+        "tie_aware": tie_aware,
     }
 
     def run_day(tag: str, inc) -> dict:

@@ -3916,3 +3916,18 @@ def test_pq_recall_audit_tie_aware_on_duplicate_heavy_corpus(spark):
     assert aware == 1.0
     n_sample = groups * reps  # 14 < max_queries: the whole corpus
     assert aware_pairs == n_sample * 3 and blind_pairs >= aware_pairs
+
+    # tie_aware threads through BOTH of maybe_retrain_pq's audits: the
+    # same healthy state reads 1.0 tie-aware, so any budget <= 1.0 is
+    # a pure no-op — where the tie-blind metric would have mis-fired
+    # the retrain on every maintenance day
+    from vectorsearch_scylla_spark.operators.pq import maybe_retrain_pq
+
+    b, c, rep = maybe_retrain_pq(
+        corpus, codes, books, queries,
+        recall_budget=0.99, k=3, dsub=dsub, max_audit_queries=16,
+        tie_aware=True,
+    )
+    assert rep["recall_before"] == 1.0 and rep["retrained"] is False
+    assert b is books and c is codes
+

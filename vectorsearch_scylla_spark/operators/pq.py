@@ -541,6 +541,7 @@ def pq_recall_audit(
     dtype: str = "float32",
     max_queries: int = 512,
     tie_aware: bool = False,
+    tie_tolerance: float | None = None,
 ) -> tuple[float | None, int]:
     """Sampled recall@k of the PQ ADC scan against the exact
     full-precision sweep — the codebook-staleness watch for the
@@ -604,7 +605,18 @@ def pq_recall_audit(
         F.col(corpus_id).alias("__approx_id"),
         F.col(corpus_vec).alias("__cv"),
     )
-    eps = 1e-5 if dtype == "float32" else 1e-9
+    # default epsilon covers fp-path divergence only (exact ties); a
+    # caller-supplied tie_tolerance widens acceptability to a TASK
+    # tolerance — the generalized floor on replica-heavy corpora is
+    # sub-resolution ORDERING, where returned twins sit a small but
+    # real margin below the kth score (measured ~1e-3-1e-2 on the
+    # 100-replica cohort corpus, BENCH_SCALE.md "In-stream PQ refresh
+    # day"): neighbors within the task's indifference band count
+    eps = (
+        float(tie_tolerance)
+        if tie_tolerance is not None
+        else (1e-5 if dtype == "float32" else 1e-9)
+    )
     scored = (
         approx.join(qv, query_id)
         .join(cv, "__approx_id")
@@ -648,6 +660,7 @@ def maybe_retrain_pq(
     recall_before: float | None = None,
     rollback_below_budget: bool = False,
     ksub: int | None = None,
+    tie_aware: bool = False,
 ) -> tuple[list[list[tuple[int, list[float]]]], DataFrame, dict]:
     """Codebook-staleness trigger for the PQ family — the quantized
     twin of :func:`~vectorsearch_scylla_spark.operators.ivf.
@@ -688,6 +701,11 @@ def maybe_retrain_pq(
     rejected measurement — the escalate-to-composition signal
     (residual IVF-PQ: let the coarse quantizer absorb the shift and
     encode near-stationary residuals) without spending the persist.
+
+    ``tie_aware`` passes through to BOTH audits (entry and
+    post-retrain): on near-duplicate-heavy corpora the id-set recall
+    is tie-dominated and a budget can neither be calibrated nor
+    honestly re-checked against it — see :func:`pq_recall_audit`.
     """
     if rollback_below_budget and not audit_after:
         raise ValueError(
@@ -713,7 +731,7 @@ def maybe_retrain_pq(
             k=k, dsub=dsub, query_id=query_id, query_vec=query_vec,
             corpus_id=corpus_id, corpus_vec=corpus_vec,
             exclude_self=exclude_self, dtype=dtype,
-            max_queries=max_audit_queries,
+            max_queries=max_audit_queries, tie_aware=tie_aware,
         )
     else:
         # caller-supplied measurement; pair count unknown — None, not a
@@ -751,7 +769,7 @@ def maybe_retrain_pq(
             k=k, dsub=dsub, query_id=query_id, query_vec=query_vec,
             corpus_id=corpus_id, corpus_vec=corpus_vec,
             exclude_self=exclude_self, dtype=dtype,
-            max_queries=max_audit_queries,
+            max_queries=max_audit_queries, tie_aware=tie_aware,
         )
         report["recall_after"] = recall_after
         if (

@@ -993,7 +993,8 @@ def pq_add_stream(
     candidate generator; exact re-rank upstream absorbs moderate
     decay), ``every``, ``max_audit_queries`` (default 64), ``k``,
     ``audit_source``, ``train_rows``, ``iters``, ``rollback``
-    (default True).  CALIBRATE THE BUDGET ON THE WATCH'S OWN
+    (default True), ``tie_aware`` (default False — pass True on
+    near-duplicate-heavy corpora; see below).  CALIBRATE THE BUDGET ON THE WATCH'S OWN
     POPULATION: on near-duplicate-heavy corpora a fresh-add audit is
     tie-dominated (ADC cannot order within a large near-duplicate
     cohort, so even a zero-drift add day audits far below the base
@@ -1074,10 +1075,11 @@ def pq_add_stream(
         budget = float(m.get("recall_budget", 0.7))
         k = int(m.get("k", 5))
         maq = int(m.get("max_audit_queries", 64))
+        tie_aware = bool(m.get("tie_aware", False))
         recall, denom = pq_recall_audit(
             queries, codes, state["books"], members_v,
             k=k, dsub=dsub, corpus_id=id_col, corpus_vec=vec_col,
-            dtype=dtype, max_queries=maq,
+            dtype=dtype, max_queries=maq, tie_aware=tie_aware,
         )
         report: dict = {
             "epoch": int(epoch_id),
@@ -1099,6 +1101,7 @@ def pq_add_stream(
             ksub=state["ksub"],
             audit_after=True,
             rollback_below_budget=bool(m.get("rollback", True)),
+            tie_aware=tie_aware,
         )
         report.update(
             retrained=bool(rep.get("retrained")),
