@@ -1030,6 +1030,15 @@ def ivf_recall_audit(
     daily).  Returns ``(recall, n_exact_pairs)``; recall is ``None``
     when the sample yields no ground-truth pairs.
 
+    No ``tie_aware`` option here, deliberately (asymmetry with
+    :func:`~vectorsearch_scylla_spark.operators.pq.pq_recall_audit`):
+    the IVF probe scores candidates with the TRUE cosine — the same
+    kernel as the ground truth — so within the probed lists its
+    ordering matches the exact sweep up to fp noise and the id-set
+    metric carries no tie/resolution floor; every miss is a genuine
+    routing miss, which is exactly what the maintenance ladder gates
+    on.  Only the LOSSY code-side audit needs tie/tolerance handling.
+
     The audit is BOUNDED by construction: ``max_queries`` queries are
     drawn by the same deterministic md5-order the trainers sample with
     (smallest ``md5(cast(id as string))``, tie-break id), so repeated

@@ -206,7 +206,9 @@ DRIVER_WINDOW: list[str] = [
 # ivf_compaction, sq8_ivf_knn, ivf_incremental_add, ivfpq_knn,
 # ivfpq_residual_knn — these LEAD the r13 window; (b)
 # fold_streaming_epochs (all-or-nothing pre-scan), ivf_maintenance_
-# step/maybe_retrain (fail-fast ordering, None sentinel), and the new
+# step/maybe_retrain (fail-fast ordering, None sentinel),
+# _audit_ground_truth (now carries __exact_sim for the tie-aware PQ
+# audit — additive column, joins unchanged), and the new
 # ivf_add_stream entrypoint, whose registered consumers
 # streaming_ivf_add_e2e / streaming_neardup_e2e / ivf_grouped_knn sat
 # IN the r12 window and were driver-certified against the changed
