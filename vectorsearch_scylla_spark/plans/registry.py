@@ -124,71 +124,73 @@ def query(name: str, oracle: str | None, survey_ids: list[str], doc: str = ""):
 # verification via tests/test_oracle_parity.py, which replicates the
 # driver gate over the ENTIRE registry at sf0.001.
 DRIVER_WINDOW: list[str] = [
-    # -- the r12 must-rotate set: the 42 queries whose last driver row
-    # is r10 (tools/rotate_window.py's sit-out report after the r11
-    # stamp).  Its five streaming members are deferred to the
-    # streaming tail; the 37 batch members run here, source order -----
-    "anomaly_events_build",
-    "approx_distinct_check",
-    "bpe_token_estimate",
-    "chunk_dedup",
-    "customer_order_coverage",
-    "dedup_clusters_incremental",
-    "dedup_pipeline_funnel",
-    "doc_repetition_stats",
-    "domain_doc_cap",
-    "embedding_input_text",
-    "embedding_neardup_incremental",
-    "event_props_stats",
-    "event_sessionization",
-    "fleet_config_source",
-    "knn_same_label",
-    "lsh_knn",
-    "media_byte_features",
-    "media_frame_sample",
-    "metric_percentiles",
-    "metric_percentiles_approx",
-    "minhash_dup_buckets",
-    "ngram_jaccard_incremental",
-    "ngram_jaccard_pairs",
-    "path3_novelty_flags",
-    "pii_redaction",
-    "profile_rebuild_after_feedback",
-    "resample_daily_locf",
-    "retention_sweep",
-    "simhash_dup_pairs",
-    "source_lang_rollup",
-    "source_mix_summary",
-    "sq8_knn",
-    "tfidf_top_terms",
-    "threshold_rules",
-    "token_budget_sample",
-    "unigram_logprob_score",
-    "zscore_outliers",
-    # -- flagship re-certifications filling the 6 free batch slots:
-    # one representative per heavy operator family (all r11-stamped),
-    # plus token_packing, which is under active perf attribution this
-    # round (r11 VERDICT task 4) and must hold a hard driver row in
-    # case the attribution lands a fix ---------------------------------
-    "token_packing",
-    "knn_bruteforce",
+    # -- r13 leads: the six assign_clusters_np consumers that shipped
+    # the r12 post-stamp kernel change (sim_col param + body
+    # restructure, commit bef9bbc) with only the local parity suite
+    # behind them — per the pinned post-stamp-change rule they take
+    # hard driver rows FIRST this round (r12 VERDICT task 1) ----------
+    "ivf_sampled_train_knn",
+    "ivf_compaction",
+    "sq8_ivf_knn",
+    "ivf_incremental_add",
+    "ivfpq_knn",
+    "ivfpq_residual_knn",
+    # -- in-window changed-dependency re-cert: ivf_grouped_knn was
+    # driver-certified at r12 against the changed assignment path, but
+    # by the r11-judge precedent it re-certifies once more alongside
+    # its out-of-window siblings ---------------------------------------
     "ivf_grouped_knn",
-    "minhash_signatures",
-    "dedup_exact",
-    "path2_anomaly",
+    # -- the rest of the r13 must-rotate set (r11-stamped sit-outs),
+    # batch members in source order ------------------------------------
+    "ann_recall_report",
+    "asof_event_snapshot_join",
+    "asof_nearest_join",
+    "benchmark_decontam",
+    "conditional_counts",
+    "corpus_quality_filter",
+    "dedup_canonical",
+    "dedup_clusters",
+    "dedup_clusters_union_cascade",
+    "dedup_incremental",
+    "detect_consensus",
+    "device_profile_build",
+    "device_statistics",
+    "doc_chunking",
+    "doc_fingerprint",
+    "embedding_neardup_pairs",
+    "fleet_simulator",
+    "knn_distributed",
+    "language_id",
+    "latest_event_per_user",
+    "lww_window_snapshot",
+    "market_share",
+    "pq_knn",
+    "pricing_summary",
+    "range_scan",
+    "relationship_rules",
+    "rolling_metric_stats",
+    "semantic_dedup_keepers",
+    "simhash_fingerprints",
+    "similar_state_metric_diff",
+    "stratified_sample",
+    "text_quality",
+    "token_stats_by_lang",
+    "top_orders_per_customer",
+    "tumbling_window_counts",
+    "window_pivot_snapshot",
     # -- streaming e2e LAST: a completed Structured Streaming query
     # leaves residue in the shared local JVM (streaming-state/codegen
     # caches and a stopped-query cleanup thread) that intermittently
     # slows later heavy batch queries 10-50x in the same process —
     # so every batch query must run before the first stream starts.
-    # Within the tail, the two changed-dependency re-certs LEAD (the
-    # pinned post-stamp-change rule): the late-r11 session changed
-    # fold_streaming_epochs (layout-mix refusal, 37a41b6) AFTER the
-    # r11 window stamp, so its consumers streaming_neardup_e2e and
-    # streaming_ivf_add_e2e shipped a changed fold path with only the
-    # local parity suite behind them — the driver gate re-certifies
-    # them first.  The remaining five are the must-rotate set's
-    # streaming members.
+    # ALL SEVEN streaming queries are in-window at r13 because this
+    # round's planned work (the _maintain-twins refactor, the
+    # generation-machinery crash-safety fixes from r12 ADVICE, and the
+    # streaming_novelty_e2e drift attribution) lands in
+    # streaming/pipeline.py — every registered consumer of that module
+    # holds a hard driver row against the changed code.  The two
+    # changed-dependency re-certs lead the tail (ivf_add_stream +
+    # fold/generation machinery consumers). ----------------------------
     "streaming_neardup_e2e",
     "streaming_ivf_add_e2e",
     "streaming_dedup_e2e",
@@ -197,25 +199,14 @@ DRIVER_WINDOW: list[str] = [
     "streaming_rolling_stats",
     "streaming_window_pivot",
 ]
-# r13 rotation note (the pinned post-stamp-change rule): the r12
-# session changed, AFTER the r12 stamp, (a) assign_clusters_np
-# (optional sim_col param + kernel body restructure — the assignment
-# path inside build_ivf_index's numpy kernel), whose registered
-# consumers NOT in the r12 window shipped the change with only the
-# local parity suite behind them: ivf_sampled_train_knn,
-# ivf_compaction, sq8_ivf_knn, ivf_incremental_add, ivfpq_knn,
-# ivfpq_residual_knn — these LEAD the r13 window; (b)
-# fold_streaming_epochs (all-or-nothing pre-scan), ivf_maintenance_
-# step/maybe_retrain (fail-fast ordering, None sentinel),
-# _audit_ground_truth (now carries __exact_sim for the tie-aware PQ
-# audit — additive column, joins unchanged), and the new
-# ivf_add_stream entrypoint, whose registered consumers
-# streaming_ivf_add_e2e / streaming_neardup_e2e / ivf_grouped_knn sat
-# IN the r12 window and were driver-certified against the changed
-# code this round — by the same precedent the r11 judge applied to
-# the fold consumers, they lead r13 again (streaming members in the
-# tail as always).  Then rotate the r11-stamped sit-outs in via
-# tools/rotate_window.py --write 13 and fill oldest-first.
+# r13 rotation executed at ROUND START (manifest 50@13 + 42@12, per
+# r12 VERDICT task 1): the six out-of-window assign_clusters_np
+# consumers lead, ivf_grouped_knn re-certifies next, the r11-stamped
+# sit-outs fill the batch slots, and ALL SEVEN streaming queries hold
+# the tail because this round's planned streaming/pipeline.py work
+# (the _maintain-twins refactor, the generation-machinery
+# crash-safety fixes, the novelty drift attribution) precedes the
+# next stamp — no query-consumed kernel edits after this stamp.
 
 
 def _exposure_order() -> list[str]:
