@@ -1465,3 +1465,250 @@ def test_pq_add_stream_refresh_fires_in_stream(spark, sf_dir, tmp_path):
     assert state_r["books"] == [
         [(int(c), list(map(float, v))) for c, v in b] for b in state["books"]
     ]
+
+
+def test_resume_recovers_generation_swap_crash_debris(spark, tmp_path):
+    """r12 ADVICE (crash-safety of the shared generation machinery):
+    the entry-side recovery in ``_resume_newest_generation`` must (a)
+    heal the rolled store's FIXED-NAME two-rename heal swap at any
+    crash point — mid-swap (live dir missing, pre-heal copy at
+    ``.heal.old``) restores then re-heals; post-promote (stale
+    ``.heal.old`` beside a live dir) deletes the debris — (b) sweep
+    stranded ``store_gen*.staging.*`` dirs a crashed
+    ``_swap_in_generation`` write left behind, and (c) match crash
+    residue on ``(id, vector)``, not id alone, so a legitimately
+    re-ingested id with an UPDATED vector survives the heal."""
+    import json
+    import os
+
+    from vectorsearch_scylla_spark.streaming.pipeline import (
+        _resume_newest_generation,
+    )
+
+    base = str(tmp_path / "pqwork")
+    os.makedirs(base)
+    rolled = os.path.join(base, "rolled")
+    gen_dir = os.path.join(base, "store_gen1")
+    schema = "vec_id long, embedding array<double>"
+
+    # newest generation holds ids 1,2,5,6 (5 and 6 matter for the
+    # (id, vector) match below)
+    spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (5, [1.0, 1.0]),
+            (6, [2.0, 0.0]),
+        ],
+        schema,
+    ).write.parquet(gen_dir)
+    with open(os.path.join(gen_dir, "_centroids.json"), "w") as f:
+        json.dump([[0, [1.0, 0.0]]], f)
+
+    # crash shape (a)-mid-swap: no live rolled dir; the pre-heal copy
+    # sits at .heal.old (id 2 = absorbed residue, id 3 = survivor,
+    # id 5 = UPDATED vector for a generation id, id 6 = bit-identical
+    # re-add) and a completed-but-unpromoted staging dir lingers
+    spark.createDataFrame(
+        [
+            (2, [0.0, 1.0]),
+            (3, [0.5, 0.5]),
+            (5, [9.0, 9.0]),
+            (6, [2.0, 0.0]),
+        ],
+        schema,
+    ).write.parquet(f"{rolled}.heal.old")
+    spark.createDataFrame([(3, [0.5, 0.5])], schema).write.parquet(
+        f"{rolled}.heal.staging"
+    )
+    # crash shape (b): a swap that died mid-write stranded a staging
+    # generation dir
+    os.makedirs(os.path.join(base, "store_gen2.staging.deadbeef"))
+
+    got_dir, got_gen, sidecar = _resume_newest_generation(
+        spark, base, rolled, "vec_id", "_centroids.json", None,
+        vec_col="embedding",
+    )
+    assert got_dir == gen_dir and got_gen == 1
+    assert sidecar == [[0, [1.0, 0.0]]]
+    assert not os.path.exists(f"{rolled}.heal.old")
+    assert not os.path.exists(f"{rolled}.heal.staging")
+    assert not os.path.exists(os.path.join(base, "store_gen2.staging.deadbeef"))
+    healed = {
+        r["vec_id"]: list(r["embedding"])
+        for r in spark.read.parquet(rolled).collect()
+    }
+    # residue (2, identical) and re-add (6, identical) dropped; true
+    # survivor (3) and updated-vector re-ingest (5) kept
+    assert healed == {3: [0.5, 0.5], 5: [9.0, 9.0]}
+
+    # crash shape (a)-post-promote: stale .heal.old beside a live
+    # rolled dir — live wins, debris deleted, rolled untouched
+    spark.createDataFrame([(2, [0.0, 1.0])], schema).write.parquet(
+        f"{rolled}.heal.old"
+    )
+    got_dir2, got_gen2, _ = _resume_newest_generation(
+        spark, base, rolled, "vec_id", "_centroids.json", None,
+        vec_col="embedding",
+    )
+    assert got_dir2 == gen_dir and got_gen2 == 1
+    assert not os.path.exists(f"{rolled}.heal.old")
+    healed2 = {
+        r["vec_id"]: list(r["embedding"])
+        for r in spark.read.parquet(rolled).collect()
+    }
+    assert healed2 == healed
+
+
+def test_pq_commission_budget_noops_on_healthy_replica_stream(
+    spark, sf_dir, tmp_path
+):
+    """r12 VERDICT task 3 — mechanize the PQ-watch commissioning rule.
+    BENCH_SCALE.md "In-stream PQ refresh day" measured that on a
+    replica-heavy corpus the fresh-add id-set audit is tie-dominated
+    (reads far below the corpus's base-self recall even on a zero-
+    drift day), so a budget derived from base-self recall FALSE-FIRES
+    the refresh on every healthy day.  The mechanized rule —
+    ``maintenance={"recall_budget": "commission"}`` — must instead
+    calibrate on the watch's own first fired day and then NO-OP on the
+    following healthy days.  Fixture: distinct base corpus; the stream
+    adds replica cohorts (12 near-identical twins each, jitter real in
+    the exact score but collapsed by the codes) of held-out vectors —
+    duplicate-heavy but undrifted."""
+    import json
+    import os
+
+    from vectorsearch_scylla_spark.operators.pq import (
+        commission_pq_watch,
+        encode_pq_np,
+        pq_recall_audit,
+        train_pq,
+    )
+    from vectorsearch_scylla_spark.streaming.pipeline import pq_add_stream
+
+    m, ksub, dsub, k = 8, 64, 8, 5
+    margin = 0.1
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").cast("array<double>").alias("corpus_vec"),
+    )
+    base = emb.filter(F.col("corpus_id") % 10 != 7).localCheckpoint()
+    books = train_pq(
+        base, m=m, ksub=ksub, iters=3, dsub=dsub,
+        id_col="corpus_id", vec_col="corpus_vec", kernel="numpy",
+    )
+    base_store = str(tmp_path / "pq_base")
+    encode_pq_np(base, books, dsub=dsub, vec_col="corpus_vec").write.parquet(
+        base_store
+    )
+
+    # the MISCALIBRATED baseline: base-self recall on the distinct
+    # corpus — the number a deployer would naively derive a budget from
+    base_codes = spark.read.parquet(base_store).drop("corpus_vec")
+    base_queries = base.limit(100).select(
+        F.col("corpus_id").alias("query_id"),
+        F.col("corpus_vec").alias("query_vec"),
+    )
+    base_self, n0 = pq_recall_audit(
+        base_queries, base_codes, books, base,
+        k=k, dsub=dsub, max_queries=48,
+    )
+    assert n0 > 0 and base_self is not None
+
+    # standalone commissioning form: same audit, returns the config
+    cfg = commission_pq_watch(
+        base_queries, base_codes, books, base,
+        margin=margin, k=k, dsub=dsub, max_queries=48, tie_aware=False,
+    )
+    assert cfg["budget"] == pytest.approx(base_self - margin)
+    assert cfg["recall_observed"] == pytest.approx(base_self)
+    assert cfg["audit_metric"] == "id_set" and cfg["n_pairs"] == n0
+    with pytest.raises(ValueError, match="zero pairs"):
+        commission_pq_watch(
+            base_queries.limit(0), base_codes, books, base,
+            margin=margin, k=k, dsub=dsub, max_queries=48,
+        )
+
+    # healthy-but-duplicate-heavy adds: 12 cohorts x 24 replicas of
+    # HELD-OUT vectors (same distribution as base — zero drift), twin
+    # jitter 1e-4..24e-4 on one coordinate: a real exact-score
+    # ordering the byte codes cannot see, so the cohort ADC-ties and
+    # the id-set audit reads tie-resolution, not staleness
+    parents = (
+        emb.filter(F.col("corpus_id") % 10 == 7)
+        .orderBy("corpus_id")
+        .limit(12)
+        .collect()
+    )
+    src = str(tmp_path / "pq_src")
+    os.makedirs(src)
+    import pandas as pd
+
+    t0 = 1_700_000_000
+    for qf in range(3):  # 4 whole cohorts per file, twins never split
+        rows = []
+        for j in range(qf * 4, qf * 4 + 4):
+            vec = list(parents[j]["corpus_vec"])
+            for r in range(24):
+                v = list(vec)
+                v[j % len(v)] += 1e-4 * (r + 1)
+                rows.append((2_000_000_000 + j * 1000 + r, v))
+        fp = os.path.join(src, f"f{qf}.parquet")
+        pd.DataFrame(rows, columns=["corpus_id", "corpus_vec"]).to_parquet(
+            fp, index=False
+        )
+        os.utime(fp, times=(t0 + qf, t0 + qf))
+
+    work = str(tmp_path / "pq_work")
+    os.makedirs(work)
+    mnt = {
+        "recall_budget": "commission",
+        "commission_margin": margin,
+        "every": 1,
+        "max_audit_queries": 48,
+        "audit_source": "recent",
+    }
+    state = pq_add_stream(
+        spark, src, "corpus_id long, corpus_vec array<double>",
+        books, base_store, work,
+        id_col="corpus_id", vec_col="corpus_vec", dsub=dsub,
+        max_files_per_trigger=1, compact_at_files=0, maintenance=mnt,
+    )
+    assert state["epochs"] == 3
+    assert [r["epoch"] for r in state["reports"]] == [1, 2]
+    day1, day2 = state["reports"]
+
+    # day 1 commissions: budget = its own measured recall - margin,
+    # stamped, persisted, and the day never escalates
+    assert day1.get("commissioned") is True and not day1["retrained"]
+    assert day1["audit_metric"] == "id_set"
+    assert day1["recall_budget"] == pytest.approx(
+        max(0.0, day1["recall_before"] - margin)
+    )
+    assert state["commissioned_budget"] == day1["recall_budget"]
+    assert os.path.isfile(os.path.join(work, "_commission.json"))
+
+    # day 2 (healthy, same duplicate-heavy regime) NO-OPS under the
+    # commissioned budget...
+    assert not day2["retrained"] and not day2["rolled_back"]
+    assert day2["recall_before"] >= day2["recall_budget"]
+    assert day2["recall_budget"] == day1["recall_budget"]
+    assert state["generation"] == 0 and state["store"] is None
+
+    # ...while the false-trigger premise holds: the naive base-self
+    # budget sits ABOVE both healthy days' tie-dominated readings —
+    # under it, every one of these days would have fired the retrain
+    naive_budget = base_self - margin
+    assert day1["recall_before"] < naive_budget
+    assert day2["recall_before"] < naive_budget
+
+    # restart: the commissioned budget survives the process (no
+    # re-commissioning on whatever state the restart wakes up to)
+    state_r = pq_add_stream(
+        spark, src, "corpus_id long, corpus_vec array<double>",
+        books, base_store, work,
+        id_col="corpus_id", vec_col="corpus_vec", dsub=dsub,
+        max_files_per_trigger=1, compact_at_files=0, maintenance=mnt,
+    )
+    assert state_r["epochs"] == 0 and state_r["reports"] == []
+    assert state_r["commissioned_budget"] == day1["recall_budget"]

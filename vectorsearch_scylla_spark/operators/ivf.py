@@ -1095,9 +1095,14 @@ def _audit_ground_truth(
             exclude_self=exclude_self,
             dtype=dtype,
         )
-        # __exact_sim rides along for tie-aware consumers (the kth
-        # score per query is min(__exact_sim) — boundary ties are
-        # retained by the blocked kernel, so min IS the kth score)
+        # __exact_sim rides along for tie-aware consumers.  min(
+        # __exact_sim) per query is the kth score ONLY because the
+        # blocked kernel's global row_number re-rank caps output at
+        # exactly k rows (ties beyond k are trimmed, broken by
+        # corpus_id) — this is NOT the complete acceptable-set at the
+        # kth score; a tie-aware consumer needing the full tie cohort
+        # must re-score against the members table (as
+        # pq_recall_audit's tie_aware path does).
         .select(
             query_id,
             F.col(corpus_id).alias("__exact_id"),

@@ -557,7 +557,26 @@ def pq_recall_audit(
     pass read — the audit never decodes, it re-reads).  Bounded like
     :func:`~vectorsearch_scylla_spark.operators.ivf.ivf_recall_audit`:
     same deterministic md5 query draw, one O(sample·N) exact pass, ADC
-    cost candidates-only.  Returns ``(recall, n_exact_pairs)``.
+    cost candidates-only.
+
+    RETURN CONTRACT — the two modes measure different things and their
+    second values count different populations (r12 ADVICE; mixing them
+    in budget or pair-count arithmetic is a unit error):
+
+    * ``tie_aware=False`` (default): ``(recall, n_exact_pairs)`` —
+      id-set recall@k (fraction of the exact top-k pairs whose ids the
+      ADC scan returned), denominator = exact pair count.
+    * ``tie_aware=True``: ``(precision, n_returned)`` — fraction of
+      the ADC-RETURNED rows whose true cosine reaches the query's
+      exact kth score (within ``tie_tolerance``), denominator = ADC
+      returned-row count.  Equals acceptable-set recall when both
+      sides return exactly k rows per query, but the population is the
+      returned set, not the exact set.
+
+    Consumers that persist either number should stamp the mode beside
+    it (``"tie_aware" | "id_set"`` — see :func:`maybe_retrain_pq`'s
+    ``report["audit_metric"]``) so cross-mode comparisons can be
+    refused mechanically.
     """
     from vectorsearch_scylla_spark.operators.ivf import (
         _audit_ground_truth,
@@ -661,6 +680,7 @@ def maybe_retrain_pq(
     rollback_below_budget: bool = False,
     ksub: int | None = None,
     tie_aware: bool = False,
+    tie_tolerance: float | None = None,
 ) -> tuple[list[list[tuple[int, list[float]]]], DataFrame, dict]:
     """Codebook-staleness trigger for the PQ family — the quantized
     twin of :func:`~vectorsearch_scylla_spark.operators.ivf.
@@ -702,10 +722,19 @@ def maybe_retrain_pq(
     (residual IVF-PQ: let the coarse quantizer absorb the shift and
     encode near-stationary residuals) without spending the persist.
 
-    ``tie_aware`` passes through to BOTH audits (entry and
-    post-retrain): on near-duplicate-heavy corpora the id-set recall
-    is tie-dominated and a budget can neither be calibrated nor
-    honestly re-checked against it — see :func:`pq_recall_audit`.
+    ``tie_aware`` / ``tie_tolerance`` pass through to BOTH audits
+    (entry and post-retrain): on near-duplicate-heavy corpora the
+    id-set recall is tie-dominated and a budget can neither be
+    calibrated nor honestly re-checked against it — see
+    :func:`pq_recall_audit`, whose two modes return DIFFERENT metrics
+    over different denominators.  The report therefore stamps
+    ``audit_metric`` (``"tie_aware" | "id_set"``) beside
+    ``recall_before`` / ``recall_after`` / ``n_audit_pairs`` so a
+    downstream comparison across mixed-mode reports can be refused
+    mechanically rather than silently averaging a recall with a
+    precision (r12 ADVICE).  A caller-supplied ``recall_before`` must
+    have been measured in the SAME mode as these flags — the fast
+    path trusts, it cannot check.
     """
     if rollback_below_budget and not audit_after:
         raise ValueError(
@@ -732,6 +761,7 @@ def maybe_retrain_pq(
             corpus_id=corpus_id, corpus_vec=corpus_vec,
             exclude_self=exclude_self, dtype=dtype,
             max_queries=max_audit_queries, tie_aware=tie_aware,
+            tie_tolerance=tie_tolerance,
         )
     else:
         # caller-supplied measurement; pair count unknown — None, not a
@@ -743,6 +773,7 @@ def maybe_retrain_pq(
         "k": int(k),
         "m": int(m),
         "ksub": int(ksub),
+        "audit_metric": "tie_aware" if tie_aware else "id_set",
         "n_audit_pairs": None if denom is None else int(denom),
         "recall_before": recall_before,
         "retrained": False,
@@ -770,6 +801,7 @@ def maybe_retrain_pq(
             corpus_id=corpus_id, corpus_vec=corpus_vec,
             exclude_self=exclude_self, dtype=dtype,
             max_queries=max_audit_queries, tie_aware=tie_aware,
+            tie_tolerance=tie_tolerance,
         )
         report["recall_after"] = recall_after
         if (
@@ -780,3 +812,79 @@ def maybe_retrain_pq(
             report["rolled_back"] = True
             return books, codes, report
     return new_books, new_codes, report
+
+
+def commission_pq_watch(
+    queries: DataFrame,
+    codes: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    members: DataFrame,
+    margin: float = 0.05,
+    k: int = 5,
+    dsub: int = 16,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    corpus_id: str = "corpus_id",
+    corpus_vec: str = "corpus_vec",
+    exclude_self: bool = True,
+    dtype: str = "float32",
+    max_queries: int = 512,
+    tie_aware: bool = True,
+    tie_tolerance: float | None = None,
+) -> dict:
+    """Mechanize the r12 calibration rule: CALIBRATE THE BUDGET ON THE
+    WATCH'S OWN POPULATION, never base-self recall.  On
+    near-duplicate-heavy corpora a fresh-add audit is tie-dominated —
+    ADC cannot order within a large near-duplicate cohort, so even a
+    zero-drift add day audits far below the corpus's base self-audit
+    (measured 0.632 base-self vs 0.47 commissioning on the 100-replica
+    cohort corpus, BENCH_SCALE.md "In-stream PQ refresh day") — and a
+    budget derived from base-self recall false-triggers the refresh on
+    every healthy day.
+
+    This runs ONE commissioning audit through the exact measurement
+    the deployed watch will run (:func:`pq_recall_audit` with the same
+    ``tie_aware`` / ``tie_tolerance`` / ``k`` / sample bound) on a
+    state the deployer vouches is UNDRIFTED — typically the watch's
+    first healthy day: ``queries`` drawn from the same population the
+    production ``audit_source`` will draw from (the newest adds for
+    ``"recent"``), ``codes``/``members`` the committed view — and
+    returns the watch configuration::
+
+        {"budget": observed - margin, "recall_observed": r,
+         "n_pairs": n, "margin": margin,
+         "audit_metric": "tie_aware" | "id_set",
+         "tie_tolerance": eps_or_None, "k": k}
+
+    Pass ``budget`` (with the SAME mode flags) to
+    :func:`maybe_retrain_pq` / ``pq_add_stream``'s ``maintenance`` —
+    or skip this function entirely and hand ``pq_add_stream``
+    ``maintenance={"recall_budget": "commission", ...}``, which runs
+    this same calibration in-stream on its first fired maintenance
+    day and persists the result beside the stores.  Raises when the
+    commissioning audit is empty — a budget cannot be calibrated on
+    zero pairs, and silently returning one would arm the watch with a
+    meaningless trigger.
+    """
+    recall, n_pairs = pq_recall_audit(
+        queries, codes, books, members,
+        k=k, dsub=dsub, query_id=query_id, query_vec=query_vec,
+        corpus_id=corpus_id, corpus_vec=corpus_vec,
+        exclude_self=exclude_self, dtype=dtype, max_queries=max_queries,
+        tie_aware=tie_aware, tie_tolerance=tie_tolerance,
+    )
+    if recall is None or not n_pairs:
+        raise ValueError(
+            "commission_pq_watch: the commissioning audit drew zero "
+            "pairs — a recall budget cannot be calibrated on an empty "
+            "sample; commission on a day with committed adds"
+        )
+    return {
+        "budget": max(0.0, recall - float(margin)),
+        "recall_observed": recall,
+        "n_pairs": int(n_pairs),
+        "margin": float(margin),
+        "audit_metric": "tie_aware" if tie_aware else "id_set",
+        "tie_tolerance": tie_tolerance,
+        "k": int(k),
+    }

@@ -562,25 +562,74 @@ def snapshot_sink(
     return writer.start()
 
 
+def _recover_rolled_heal(rolled: str) -> None:
+    """Heal the crash windows of the rolled store's FIXED-NAME
+    two-rename heal swap (``<rolled>.heal.old`` / ``<rolled>.heal.
+    staging`` — the ``compact_signature_artifact`` marker pattern, r12
+    ADVICE): a crash between ``rename(rolled, old)`` and
+    ``rename(staging, rolled)`` leaves no live dir — restore the
+    pre-heal copy (the heal recomputes idempotently on the next
+    entry); a crash after the promote leaves a stale ``.heal.old`` —
+    live wins.  Any staging dir is an incomplete (or already-promoted)
+    write and is discarded.  Idempotent, two existence checks when
+    there is nothing to heal."""
+    import os
+    import shutil
+
+    old = f"{rolled}.heal.old"
+    if os.path.exists(old):
+        if os.path.exists(rolled):
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.rename(old, rolled)
+    staging = f"{rolled}.heal.staging"
+    if os.path.exists(staging):
+        shutil.rmtree(staging, ignore_errors=True)
+
+
 def _resume_newest_generation(
     spark, base_dir: str, rolled: str, id_col: str, sidecar: str,
-    partition_col: str | None,
+    partition_col: str | None, vec_col: str | None = None,
 ):
     """Entry-side generation recovery shared by the ``*_add_stream``
-    entrypoints: pick the newest persisted store generation (its
+    entrypoints: sweep the crash debris no other path owns (stranded
+    ``store_gen*.staging.*`` dirs from a swap that died mid-write, and
+    interrupted rolled-heal swaps — see :func:`_recover_rolled_heal`),
+    pick the newest persisted store generation (its
     underscore-prefixed sidecar JSON carries the model state adopted
     at swap time), sweep superseded generations a crash left behind,
     and heal the swap's one crash window — a crash between the
     generation rename and the rolled reset leaves the just-absorbed
-    rows in BOTH stores, so rolled ids already present in the
+    rows in BOTH stores, so rolled rows already present in the
     generation are dropped before anything reads the store (the pure
-    crash shape empties rolled; post-fire adds have new ids and
-    survive).  Returns ``(gen_dir, generation, sidecar_obj)`` or
-    ``(None, 0, None)`` when no generation exists."""
+    crash shape empties rolled; post-fire adds survive).  With
+    ``vec_col`` the match is on ``(id, vector)`` rather than id alone,
+    so a stream that legitimately re-ingests an existing id with an
+    UPDATED vector keeps the newer rolled copy — only bit-identical
+    residue (crash duplicates, or idempotent re-adds already absorbed
+    into the generation) is dropped.  Returns ``(gen_dir, generation,
+    sidecar_obj)`` or ``(None, 0, None)`` when no generation
+    exists."""
+    import glob
     import json
     import os
     import shutil
-    import uuid
+
+    # entry-side debris sweep (r12 ADVICE): a crash inside
+    # _swap_in_generation before its atomic rename strands a
+    # .staging. dir forever (the swap never happened — pre-swap state
+    # is intact and the staging copy is safely discardable), and a
+    # pre-r13 heal left uuid-suffixed .heal./.healed. dirs no code
+    # path recovered.  Sweep both, then recover the fixed-name heal
+    # markers.
+    for p in glob.glob(os.path.join(base_dir, "store_gen*.staging.*")):
+        shutil.rmtree(p, ignore_errors=True)
+    for p in glob.glob(f"{rolled}.healed.*"):
+        shutil.rmtree(p, ignore_errors=True)
+    for p in glob.glob(f"{rolled}.heal.*"):
+        if p not in (f"{rolled}.heal.old", f"{rolled}.heal.staging"):
+            shutil.rmtree(p, ignore_errors=True)
+    _recover_rolled_heal(rolled)
 
     gens = sorted(
         int(d[len("store_gen"):])
@@ -599,21 +648,27 @@ def _resume_newest_generation(
         shutil.rmtree(old_dir, ignore_errors=True)
         spark.catalog.refreshByPath(old_dir)
     if os.path.isdir(rolled):
-        gen_ids = spark.read.parquet(gen_dir).select(id_col)
+        match_cols = [id_col] + ([vec_col] if vec_col else [])
+        gen_keys = spark.read.parquet(gen_dir).select(*match_cols)
         rolled_df = spark.read.parquet(rolled)
         n_all = rolled_df.count()
-        kept = rolled_df.join(gen_ids, id_col, "left_anti")
+        kept = rolled_df.join(gen_keys, match_cols, "left_anti")
         n_kept = kept.count()
         if n_kept == 0:
             shutil.rmtree(rolled)
             spark.catalog.refreshByPath(rolled)
         elif n_kept < n_all:
-            staging = f"{rolled}.heal.{uuid.uuid4().hex[:8]}"
+            # fixed-name marker swap (not uuid-suffixed): a crash at
+            # ANY point is recoverable by _recover_rolled_heal on the
+            # next entry — between the two renames the pre-heal copy
+            # sits at .heal.old and is restored, after the promote the
+            # stale .heal.old is deleted
+            staging = f"{rolled}.heal.staging"
             w = kept.write
             if partition_col:
                 w = w.partitionBy(partition_col)
             w.parquet(staging)
-            old = f"{rolled}.healed.{uuid.uuid4().hex[:8]}"
+            old = f"{rolled}.heal.old"
             os.rename(rolled, old)
             os.rename(staging, rolled)
             shutil.rmtree(old, ignore_errors=True)
@@ -659,6 +714,65 @@ def _swap_in_generation(
         shutil.rmtree(prev_store, ignore_errors=True)
         spark.catalog.refreshByPath(prev_store)
     return gen_dir, gen
+
+
+def _maintenance_day(
+    spark, state: dict, base_dir: str, rolled: str, epoch_id: int,
+    sidecar: str, audit_and_plan,
+) -> None:
+    """The shared audit→escalate→swap skeleton of the ``*_add_stream``
+    maintenance days (r12 VERDICT task 5 — the generation machinery
+    was already shared; this lifts the day loop too).
+    ``audit_and_plan()`` runs the family's own ladder against the
+    committed view and returns ``(report, adoption)``: ``adoption`` is
+    ``None`` on a healthy (or rolled-back) day — audit-only, state
+    untouched — else ``(frame, sidecar_obj, state_updates,
+    partition_col, n_parts)`` describing the rewritten full index.
+    The driver owns everything family-independent: the epoch-stamped
+    report append, the generation persist (:func:`_swap_in_generation`
+    — staged dir + atomic rename, sidecar co-located, rolled absorbed,
+    superseded generation retired), and the post-swap ``state`` update
+    that makes THIS and every later micro-batch use the refreshed
+    model."""
+    report, adoption = audit_and_plan()
+    state["reports"].append({"epoch": int(epoch_id), **report})
+    if adoption is None:
+        return
+    frame, sidecar_obj, updates, partition_col, n_parts = adoption
+    gen_dir, gen = _swap_in_generation(
+        spark, base_dir, state["generation"], frame, sidecar, sidecar_obj,
+        rolled, state["store"], partition_col=partition_col, n_parts=n_parts,
+    )
+    state.update(store=gen_dir, generation=gen, **updates)
+
+
+def _fold_maintain_route(
+    spark, state: dict, epoch_root: str, rolled: str,
+    compact_at_files: int, maintenance, every: int, maintain, write_epoch,
+):
+    """Build the shared ``foreachBatch`` body of the ``*_add_stream``
+    entrypoints.  ORDER IS LOAD-BEARING: fold first (every epoch <
+    current moves into rolled), THEN maintain, THEN transform+write
+    this epoch.  Maintenance therefore always sees the COMPLETE
+    committed view, and at generation-swap time no epoch dir produced
+    by the old model can be left pending — the only unfolded dir is a
+    crashed attempt of THIS epoch, which ``write_epoch``'s overwrite
+    replaces with refreshed-model output anyway."""
+    from vectorsearch_scylla_spark.operators.dedup import (
+        fold_streaming_epochs,
+    )
+
+    def route_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        fold_streaming_epochs(
+            spark, epoch_root, rolled, int(epoch_id),
+            compact_at_files=compact_at_files,
+        )
+        if maintenance and epoch_id >= every and epoch_id % every == 0:
+            maintain(int(epoch_id))
+        write_epoch(batch_df, int(epoch_id))
+        state["epochs"] += 1
+
+    return route_batch
 
 
 def _drain_file_stream(
@@ -767,9 +881,19 @@ def ivf_add_stream(
     BENCH_SCALE.md instead.  Single-writer contract: the generation
     swap plus rolled reset is two steps — run maintenance in the same
     window that owns the fold, exactly like compaction; a crash
-    BETWEEN the two steps is healed on the next entry (rolled ids
+    BETWEEN the two steps is healed on the next entry (rolled rows
     already absorbed into the newest generation are dropped before
     anything else reads the store — see the resume block).
+
+    ID CONTRACT: the stream is ADD-ORIENTED — ids are expected to be
+    new.  Re-ingesting an id with an UPDATED vector is safe (the
+    crash heal matches on ``(id, vector)``, so the newer copy
+    survives) but is NOT an update: the committed view keeps BOTH
+    rows; deduplicate upstream or via a periodic compaction if LWW
+    semantics are needed.  Re-ingesting a bit-identical ``(id,
+    vector)`` row after a generation swap may be dropped by the heal
+    as indistinguishable from crash residue — a semantic no-op, since
+    that exact row is already in the committed view.
 
     Returns the final state dict: ``cents`` (current quantizer),
     ``rolled`` (path of post-generation adds), ``store`` (current
@@ -792,9 +916,6 @@ def ivf_add_stream(
     """
     import os
 
-    from vectorsearch_scylla_spark.operators.dedup import (
-        fold_streaming_epochs,
-    )
     from vectorsearch_scylla_spark.operators.ivf import (
         assign_clusters,
         assign_clusters_np,
@@ -832,7 +953,8 @@ def ivf_add_stream(
     # maintenance ladder already retired.  The helper also sweeps
     # superseded generations and heals the swap's crash window.
     gen_dir, gen_n, sidecar = _resume_newest_generation(
-        spark, base_dir, rolled, id_col, "_centroids.json", "cluster_id"
+        spark, base_dir, rolled, id_col, "_centroids.json", "cluster_id",
+        vec_col=vec_col,
     )
     if gen_dir is not None:
         state["cents"] = [(int(c), list(v)) for c, v in sidecar]
@@ -857,7 +979,7 @@ def ivf_add_stream(
             )
         return base
 
-    def _maintain(epoch_id: int) -> None:
+    def _audit_and_plan() -> tuple[dict, tuple | None]:
         members = _members_view()
         # audit_source picks WHO the recall budget protects:
         # "members" (default — the registered, oracle-certified shape)
@@ -888,38 +1010,27 @@ def ivf_add_stream(
             dtype=dtype,
             max_audit_queries=int(m.get("max_audit_queries", 64)),
         )
-        state["reports"].append({"epoch": int(epoch_id), **report})
         if not ({"split", "retrain"} & set(report["actions"])):
-            return
-        # the ladder rewrote cluster ids: persist the re-routed
-        # members as a new generation and swap (shared machinery:
-        # staged dir + atomic rename, quantizer sidecar co-located —
+            return report, None
+        # the ladder rewrote cluster ids: adopt the re-routed members
+        # as a new generation (quantizer sidecar co-located —
         # underscore-prefixed so Spark's file index treats it as
-        # metadata — rolled absorbed, superseded generation retired);
-        # THIS and every subsequent batch route through c2
-        gen_dir, gen = _swap_in_generation(
-            spark, base_dir, state["generation"],
+        # metadata); THIS and every subsequent batch route through c2
+        return report, (
             m2.select(id_col, vec_col, "cluster_id"),
-            "_centroids.json",
             [[int(c), list(map(float, v))] for c, v in c2],
-            rolled, state["store"],
-            partition_col="cluster_id", n_parts=len(c2),
+            {"cents": c2},
+            "cluster_id",
+            len(c2),
         )
-        state.update(cents=c2, store=gen_dir, generation=gen)
 
-    def route_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        # ORDER IS LOAD-BEARING: fold first (every epoch < current
-        # moves into rolled), THEN maintain, THEN route+write this
-        # epoch.  Maintenance therefore always sees the COMPLETE
-        # committed view, and at generation-swap time no epoch dir
-        # routed by the old quantizer can be left pending — the only
-        # unfolded dir is a crashed attempt of THIS epoch, which the
-        # overwrite below replaces with new-quantizer routing anyway.
-        fold_streaming_epochs(
-            spark, epoch_root, rolled, int(epoch_id), compact_at_files=compact_at_files
+    def _maintain(epoch_id: int) -> None:
+        _maintenance_day(
+            spark, state, base_dir, rolled, epoch_id,
+            "_centroids.json", _audit_and_plan,
         )
-        if maintenance and epoch_id >= every and epoch_id % every == 0:
-            _maintain(int(epoch_id))
+
+    def _write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         routed = _route(batch_df)
         # the epoch store keeps the VECTORS, not just ids+sims: the
         # rolled store is the add-side of the index the maintenance
@@ -930,7 +1041,11 @@ def ivf_add_stream(
         ).partitionBy("cluster_id").parquet(
             os.path.join(epoch_root, f"epoch={epoch_id}")
         )
-        state["epochs"] += 1
+
+    route_batch = _fold_maintain_route(
+        spark, state, epoch_root, rolled, compact_at_files,
+        maintenance, every, _maintain, _write_epoch,
+    )
 
     _drain_file_stream(
         spark, src_path, src_schema, base_dir, route_batch,
@@ -994,7 +1109,10 @@ def pq_add_stream(
     decay), ``every``, ``max_audit_queries`` (default 64), ``k``,
     ``audit_source``, ``train_rows``, ``iters``, ``rollback``
     (default True), ``tie_aware`` (default False — pass True on
-    near-duplicate-heavy corpora; see below).  CALIBRATE THE BUDGET ON THE WATCH'S OWN
+    near-duplicate-heavy corpora; see below), ``tie_tolerance``
+    (task indifference band for the tie-aware metric; every report
+    stamps its ``audit_metric`` so mixed-mode comparisons can be
+    refused).  CALIBRATE THE BUDGET ON THE WATCH'S OWN
     POPULATION: on near-duplicate-heavy corpora a fresh-add audit is
     tie-dominated (ADC cannot order within a large near-duplicate
     cohort, so even a zero-drift add day audits far below the base
@@ -1008,9 +1126,22 @@ def pq_add_stream(
     Returns the state dict: ``books``, ``ksub`` (intended capacity —
     survives codeword drops across retrains), ``rolled``, ``store``,
     ``generation``, ``reports`` (one per maintenance day: recall,
-    pair count, trigger report when fired), ``epochs``.  Restart
-    resumes from the newest generation's persisted books exactly like
-    :func:`ivf_add_stream`.
+    pair count, ``audit_metric`` mode stamp, trigger report when
+    fired), ``epochs``.  Restart resumes from the newest generation's
+    persisted books exactly like :func:`ivf_add_stream`, whose
+    ID CONTRACT (add-oriented stream; ``(id, vector)``-matched crash
+    heal; duplicate ids are kept, not LWW-resolved) applies here
+    unchanged.
+
+    ``maintenance["recall_budget"]`` also accepts the string
+    ``"commission"`` (with optional ``commission_margin``, default
+    0.05): the first fired maintenance day becomes the commissioning
+    day — its measured recall on the deployer-vouched undrifted state
+    sets the working budget (observed − margin, persisted beside the
+    stores so restarts keep it), and that day never escalates.  This
+    mechanizes the calibration rule above; the standalone form is
+    :func:`~vectorsearch_scylla_spark.operators.pq.
+    commission_pq_watch`.
 
     Reference parity: the reference re-creates its HNSW index
     wholesale when the embedding space moves
@@ -1018,11 +1149,9 @@ def pq_add_stream(
     code layer's version of that lifecycle with the refresh decision
     audited, budget-gated, and rollback-protected.
     """
+    import json
     import os
 
-    from vectorsearch_scylla_spark.operators.dedup import (
-        fold_streaming_epochs,
-    )
     from vectorsearch_scylla_spark.operators.pq import (
         encode_pq_np,
         maybe_retrain_pq,
@@ -1043,7 +1172,7 @@ def pq_add_stream(
         "epochs": 0,
     }
     gen_dir, gen_n, sidecar = _resume_newest_generation(
-        spark, base_dir, rolled, id_col, "_books.json", None
+        spark, base_dir, rolled, id_col, "_books.json", None, vec_col=vec_col
     )
     if gen_dir is not None:
         state["books"] = [
@@ -1054,6 +1183,15 @@ def pq_add_stream(
         state["generation"] = gen_n
     m = dict(maintenance or {})
     every = int(m.get("every", 1))
+    # the commissioned budget outlives the process (a restart must not
+    # silently re-commission on whatever state it wakes up to — the
+    # deployer vouched for the COMMISSIONING day's state, not this
+    # one), so it persists as a tiny JSON beside the stores
+    commission_path = os.path.join(base_dir, "_commission.json")
+    state["commissioned_budget"] = None
+    if os.path.isfile(commission_path):
+        with open(commission_path) as f:
+            state["commissioned_budget"] = json.load(f)["budget"]
 
     def _view() -> DataFrame:
         cols = [id_col, vec_col, *code_cols, "rnorm"]
@@ -1062,7 +1200,7 @@ def pq_add_stream(
             base = base.unionByName(spark.read.parquet(rolled).select(cols))
         return base
 
-    def _maintain(epoch_id: int) -> None:
+    def _audit_and_plan() -> tuple[dict, tuple | None]:
         view = _view()
         codes = view.select(id_col, *code_cols, "rnorm")
         members_v = view.select(id_col, vec_col)
@@ -1072,25 +1210,64 @@ def pq_add_stream(
         queries = q_src.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
         )
-        budget = float(m.get("recall_budget", 0.7))
         k = int(m.get("k", 5))
         maq = int(m.get("max_audit_queries", 64))
         tie_aware = bool(m.get("tie_aware", False))
+        tie_tol = m.get("tie_tolerance")
         recall, denom = pq_recall_audit(
             queries, codes, state["books"], members_v,
             k=k, dsub=dsub, corpus_id=id_col, corpus_vec=vec_col,
             dtype=dtype, max_queries=maq, tie_aware=tie_aware,
+            tie_tolerance=tie_tol,
         )
         report: dict = {
-            "epoch": int(epoch_id),
+            "audit_metric": "tie_aware" if tie_aware else "id_set",
             "recall_before": recall,
             "n_audit_pairs": int(denom),
             "retrained": False,
             "rolled_back": False,
         }
+        # recall_budget="commission" mechanizes the r12 calibration
+        # rule (CALIBRATE ON THE WATCH'S OWN POPULATION): the FIRST
+        # fired maintenance day is the commissioning day — its
+        # measured recall, on a state the deployer vouches is
+        # undrifted, BECOMES the baseline and the working budget is
+        # baseline − commission_margin.  The commissioning day itself
+        # never escalates.  See operators.pq.commission_pq_watch for
+        # the standalone (non-streaming) form.
+        if (
+            m.get("recall_budget") == "commission"
+            and state["commissioned_budget"] is None
+            and recall is not None
+        ):
+            margin = float(m.get("commission_margin", 0.05))
+            state["commissioned_budget"] = max(0.0, recall - margin)
+            with open(commission_path, "w") as f:
+                json.dump(
+                    {
+                        "budget": state["commissioned_budget"],
+                        "recall_observed": recall,
+                        "margin": margin,
+                        "audit_metric": report["audit_metric"],
+                        "n_audit_pairs": int(denom),
+                    },
+                    f,
+                )
+            report.update(
+                commissioned=True,
+                commission_margin=margin,
+                recall_budget=state["commissioned_budget"],
+            )
+            return report, None
+        if m.get("recall_budget") == "commission":
+            budget = state["commissioned_budget"]
+            if budget is None:
+                return report, None
+        else:
+            budget = float(m.get("recall_budget", 0.7))
+        report["recall_budget"] = budget
         if recall is None or recall >= budget:
-            state["reports"].append(report)
-            return
+            return report, None
         b2, _, rep = maybe_retrain_pq(
             members_v, codes, state["books"], queries,
             recall_budget=budget, recall_before=recall,
@@ -1102,6 +1279,7 @@ def pq_add_stream(
             audit_after=True,
             rollback_below_budget=bool(m.get("rollback", True)),
             tie_aware=tie_aware,
+            tie_tolerance=tie_tol,
         )
         report.update(
             retrained=bool(rep.get("retrained")),
@@ -1109,45 +1287,45 @@ def pq_add_stream(
             recall_after=rep.get("recall_after"),
             ksub=rep.get("ksub"),
         )
-        state["reports"].append(report)
         if not report["retrained"] or report["rolled_back"]:
-            return
+            return report, None
         # adopted: re-encode the full committed view under the new
         # books during the generation scan (map-only — cheaper than
         # shuffling the trigger's code table back onto its vectors)
         gen_frame = encode_pq_np(
             view.select(id_col, vec_col), b2, dsub, vec_col=vec_col, dtype=dtype
         )
-        new_dir, new_gen = _swap_in_generation(
-            spark, base_dir, state["generation"], gen_frame,
-            "_books.json",
+        return report, (
+            gen_frame,
             {
                 "ksub": int(state["ksub"]),
                 "books": [
                     [[int(c), list(map(float, v))] for c, v in b] for b in b2
                 ],
             },
-            rolled, state["store"], partition_col=None,
+            {"books": b2},
+            None,
+            32,
         )
-        state.update(books=b2, store=new_dir, generation=new_gen)
 
-    def route_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        # same load-bearing order as ivf_add_stream: fold -> maintain
-        # -> encode+write, so the audit sees the complete committed
-        # view and an adopted refresh can never leave an old-books
-        # epoch dir pending
-        fold_streaming_epochs(
-            spark, epoch_root, rolled, int(epoch_id), compact_at_files=compact_at_files
+    def _maintain(epoch_id: int) -> None:
+        _maintenance_day(
+            spark, state, base_dir, rolled, epoch_id,
+            "_books.json", _audit_and_plan,
         )
-        if maintenance and epoch_id >= every and epoch_id % every == 0:
-            _maintain(int(epoch_id))
+
+    def _write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         encoded = encode_pq_np(
             batch_df, state["books"], dsub, vec_col=vec_col, dtype=dtype
         )
         encoded.select(id_col, vec_col, *code_cols, "rnorm").write.mode(
             "overwrite"
         ).parquet(os.path.join(epoch_root, f"epoch={epoch_id}"))
-        state["epochs"] += 1
+
+    route_batch = _fold_maintain_route(
+        spark, state, epoch_root, rolled, compact_at_files,
+        maintenance, every, _maintain, _write_epoch,
+    )
 
     _drain_file_stream(
         spark, src_path, src_schema, base_dir, route_batch,
