@@ -248,6 +248,25 @@ def main() -> None:
         ):
             REGISTRY[_n].fn(spark, sf_dir)
 
+    # ... and the artifacts the STREAMING queries stage at
+    # plan-construction time (r13; r12 VERDICT task 2).  Their query
+    # fns cannot be called here (that would DRAIN a stream before the
+    # batch section), but the artifact builds themselves are pure
+    # batch jobs, factored into registry helpers the queries share —
+    # prestage_streaming_artifacts builds them all with provably the
+    # same cache keys.  The driver regenerates testdata per round, so
+    # its bench always arrived at a COLD temp dir and the first timed
+    # streaming runs absorbed these builds: at sf0.1 the source
+    # staging ~1.5 s + the LWW snapshot history ~4.2 s inside
+    # streaming_novelty_e2e and the profile build inside
+    # streaming_detect_e2e — the structural half of the r10→r12
+    # 6.9→17.4 s novelty drift band (BENCH_SCALE.md attribution).
+    from vectorsearch_scylla_spark.plans.registry import (
+        prestage_streaming_artifacts,
+    )
+
+    prestage_streaming_artifacts(spark, sf_dir)
+
     def _py_probe(batches):
         # fixed-work Python/memory-bandwidth kernel: a bounded matmul
         # chain + one 16 MB array pass per Arrow batch — the

@@ -514,3 +514,48 @@ def test_token_packing_single_shard_partitioning(plans):
     assert "Window" in p, p
     # one shuffle total: the shard partitioning that feeds the window
     assert p.count("Exchange") <= 2, p  # Exchange node + its reuse ref
+
+
+def test_novelty_batch_plan_is_broadcast_and_sort_free(spark):
+    """r13 (r12 VERDICT task 2): streaming_novelty_e2e's raw bench
+    wall drifted 6.9 -> 17.4 s over r10 -> r12 with ZERO code changes
+    on its path; the attribution (BENCH_SCALE.md
+    "streaming_novelty_e2e drift attribution") landed on artifact +
+    first-stream JVM warmth, NOT plan drift.  This pins the
+    foreachBatch body's plan shape so any FUTURE raw-wall move on this
+    query can be triaged against a hard test instead of reopening the
+    mystery: the per-batch kNN vote must (a) BROADCAST the
+    materialized history into the stream-static join (a shuffled join
+    would move the corpus-sized history every micro-batch), and (b)
+    stay SORT-FREE — the top-k >= threshold vote reduces to a capped
+    conditional count because every above-threshold neighbor outranks
+    every below-threshold one, so no rank/sort may appear."""
+    import datetime
+
+    from vectorsearch_scylla_spark.streaming.pipeline import (
+        detect_path3_batch,
+    )
+
+    metrics = ["temperature", "humidity"]
+    snap = spark.createDataFrame(
+        [
+            ("d1", datetime.datetime(2026, 1, 1, 0, 0),
+             {"temperature": 1.0, "humidity": 2.0}),
+            ("d2", datetime.datetime(2026, 1, 1, 0, 1),
+             {"temperature": 3.0, "humidity": 4.0}),
+        ],
+        "device_id string, window_start timestamp, "
+        "metrics map<string,double>",
+    )
+    hist = spark.createDataFrame(
+        [("d1", 0, 1.0, 2.0), ("d1", 60, 1.5, 2.5), ("d2", 0, 3.0, 4.0)],
+        "device_id string, ws long, m_temperature double, "
+        "m_humidity double",
+    )
+    out = detect_path3_batch(snap, hist, metrics)
+    out.collect()  # execute THIS frame so AQE finalizes its plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "+- Sort " not in plan and ":- Sort " not in plan, plan

@@ -6426,6 +6426,166 @@ def _materialize_once(
             shutil.rmtree(staging, ignore_errors=True)
     return path
 
+
+# ---------------------------------------------------------------------------
+# Streaming-query artifact preludes.  Each streaming query stages one
+# or more ``_materialize_once`` artifacts at PLAN-CONSTRUCTION time
+# (the "earlier batch job" a real deployment would have persisted).
+# These builders are factored out of the query bodies so
+# :func:`prestage_streaming_artifacts` provably computes the SAME
+# cache keys the queries do — a drifted copy would silently re-pay the
+# build inside the timed run, which is exactly the r10→r12
+# streaming_novelty_e2e drift band this closes (r12 VERDICT task 2).
+# ---------------------------------------------------------------------------
+
+
+def _metric_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 5-column raw-metric projection every metric-backed
+    streaming query streams from (via :func:`_stream_source_dir`)."""
+    return device_metrics_raw(spark, sf_dir).select(
+        "device_id", "timestamp", "metric_name", "metric_value", "event_id"
+    )
+
+
+def _lww_snapshot_plan(raw: DataFrame) -> DataFrame:
+    """Full-history 60 s LWW pivot (0-filled wide snapshot per
+    device × window) — the shared upstream of streaming_detect_e2e's
+    profile table and streaming_novelty_e2e's ANN history."""
+    lww = raw.groupBy(
+        "device_id", window_start("timestamp", 60).alias("ws"), "metric_name"
+    ).agg(F.max_by("metric_value", F.struct("timestamp", "event_id")).alias("v"))
+    return lww.groupBy("device_id", "ws").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("metric_name") == m, F.col("v"))), F.lit(0.0)
+            ).alias(f"m_{m}")
+            for m in METRICS
+        ]
+    )
+
+
+def _novelty_history_dir(spark: SparkSession, sf_dir: str) -> str:
+    """streaming_novelty_e2e's persisted snapshot history (the table
+    the reference's Path-3 poller ANN-queries)."""
+    return _materialize_once(
+        _lww_snapshot_plan(_metric_raw(spark, sf_dir)),
+        "vss_snaphist",
+        sf_dir,
+        logic="lww-pivot-v1",
+    )
+
+
+def _detect_profiles_dir(spark: SparkSession, sf_dir: str) -> str:
+    """streaming_detect_e2e's persisted per-device profile table."""
+    snapb = _lww_snapshot_plan(_metric_raw(spark, sf_dir))
+    profiles_plan = snapb.groupBy("device_id").agg(
+        *[
+            a
+            for m in METRICS
+            for a in (
+                quantize(F.avg(f"m_{m}")).alias(f"mean_{m}"),
+                quantize(F.stddev_pop(f"m_{m}")).alias(f"std_{m}"),
+            )
+        ]
+    )
+    return _materialize_once(
+        profiles_plan, "vss_profiles", sf_dir, logic="mean-std-v1"
+    )
+
+
+def _dedup_stream_src(spark: SparkSession, sf_dir: str) -> str:
+    """streaming_dedup_e2e's staged planted-dup document source."""
+    docs = _docs_with_planted_dups(load_table(spark, sf_dir, "documents"))
+    return _materialize_once(
+        docs, "vss_docstream_src", sf_dir, logic="planted-dups-v1"
+    )
+
+
+def _neardup_base_sigs_dir(spark: SparkSession, sf_dir: str) -> str:
+    """streaming_neardup_e2e's frozen base-corpus signature index."""
+    from vectorsearch_scylla_spark.operators.dedup import simhash128
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    return _materialize_once(
+        simhash128(docs.select("doc_id", "text")),
+        "vss_basesigs",
+        sf_dir,
+        logic="simhash128-v1",
+    )
+
+
+def _neardup_stream_src(spark: SparkSession, sf_dir: str) -> str:
+    """streaming_neardup_e2e's staged 3-family increment source."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    planted = _docs_with_planted_dups(docs)
+    increment = planted.filter(F.col("doc_id") >= 1000000).unionByName(
+        planted.filter(
+            (F.col("doc_id") >= 1000000) & (F.col("doc_id") < 2000000)
+        ).select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
+    )
+    return _materialize_once(
+        increment.repartitionByRange(3, "doc_id"),
+        "vss_neardup_src",
+        sf_dir,
+        logic="planted-dups-3fam-v2-3files",
+    )
+
+
+def _ivfadd_base_and_src(spark: SparkSession, sf_dir: str):
+    """streaming_ivf_add_e2e's frozen base index (same cache token as
+    ivf_incremental_add) + staged increment source.  Returns
+    ``(cents, lists_path, inc, src)``."""
+    from vectorsearch_scylla_spark.operators.ivf import build_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base_corpus = vecs.filter(F.col("vec_id") % 10 != 7)
+    inc = vecs.filter(F.col("vec_id") % 10 == 7)
+    cents, lists_path = build_ivf_index(
+        base_corpus,
+        _sf_cache_token(sf_dir, "ivfinc", IVF_GK, IVF_GITERS),
+        k=IVF_GK,
+        iters=IVF_GITERS,
+    )
+    src = _materialize_once(
+        inc.repartition(16), "vss_ivfadd_src", sf_dir, logic="mod10-7-v2"
+    )
+    return cents, lists_path, inc, src
+
+
+def prestage_streaming_artifacts(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Build every ``_materialize_once`` artifact the streaming
+    queries stage at plan-construction time — BATCH code only, no
+    stream is created or drained, so callers may run this before the
+    batch section without violating the streams-run-last rule.
+
+    This is bench.py's untimed warm-up hook (r12 VERDICT task 2): the
+    driver regenerates the testdata each round, so its bench always
+    arrives at a COLD artifact temp dir and the first timed streaming
+    runs absorb these builds — measured at sf0.1: the stream source
+    staging ~1.5 s, the 60 s-LWW snapshot history ~4.2 s — which is
+    the structural half of streaming_novelty_e2e's 6.9→17.4 s
+    r10→r12 raw-wall band (the other half is first-stream JVM
+    warmth; BENCH_SCALE.md "streaming_novelty_e2e drift attribution").
+    """
+    raw = _metric_raw(spark, sf_dir)
+    return [
+        _stream_source_dir(raw, sf_dir),
+        _novelty_history_dir(spark, sf_dir),
+        _detect_profiles_dir(spark, sf_dir),
+        _dedup_stream_src(spark, sf_dir),
+        _neardup_base_sigs_dir(spark, sf_dir),
+        _neardup_stream_src(spark, sf_dir),
+        _ivfadd_base_and_src(spark, sf_dir)[3],
+    ]
+
+
 @query(
     "streaming_window_pivot",
     RAW_CTE
@@ -6460,9 +6620,7 @@ def q_streaming_window_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from vectorsearch_scylla_spark.streaming.pipeline import windowed_snapshot_stream
 
-    raw = device_metrics_raw(spark, sf_dir).select(
-        "device_id", "timestamp", "metric_name", "metric_value", "event_id"
-    )
+    raw = _metric_raw(spark, sf_dir)
     # the parquet copy of the raw table is keyed by sf_dir and reused
     # across invocations (bench retries, repeated correctness runs) —
     # only the checkpoint must be fresh per run, and it is deleted once
@@ -6577,25 +6735,12 @@ def q_streaming_novelty_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         windowed_snapshot_stream,
     )
 
-    raw = device_metrics_raw(spark, sf_dir).select(
-        "device_id", "timestamp", "metric_name", "metric_value", "event_id"
-    )
+    raw = _metric_raw(spark, sf_dir)
     src = _stream_source_dir(raw, sf_dir)
     # the "earlier batch job": full-history 60 s LWW snapshot table,
     # persisted once per corpus fingerprint (the history the reference's
     # Path-3 poller queries via ANN, path3_vector_search.py:119-160)
-    lww = raw.groupBy(
-        "device_id", window_start("timestamp", 60).alias("ws"), "metric_name"
-    ).agg(F.max_by("metric_value", F.struct("timestamp", "event_id")).alias("v"))
-    snapb = lww.groupBy("device_id", "ws").agg(
-        *[
-            F.coalesce(
-                F.max(F.when(F.col("metric_name") == m, F.col("v"))), F.lit(0.0)
-            ).alias(f"m_{m}")
-            for m in METRICS
-        ]
-    )
-    history = spark.read.parquet(_materialize_once(snapb, "vss_snaphist", sf_dir, logic="lww-pivot-v1"))
+    history = spark.read.parquet(_novelty_history_dir(spark, sf_dir))
     base = tempfile.mkdtemp(prefix="vss_novelty_e2e_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     stream = spark.readStream.schema(raw.schema).parquet(src)
@@ -6672,9 +6817,7 @@ def q_streaming_detect_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         windowed_snapshot_stream,
     )
 
-    raw = device_metrics_raw(spark, sf_dir).select(
-        "device_id", "timestamp", "metric_name", "metric_value", "event_id"
-    )
+    raw = _metric_raw(spark, sf_dir)
     src = _stream_source_dir(raw, sf_dir)
     # the "earlier batch job": per-device profile over the FULL history
     # (60 s LWW pivot, 0-filled, quantized stats — what the reference's
@@ -6684,30 +6827,7 @@ def q_streaming_detect_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # history scan+aggregate INSIDE every streaming micro-batch that
     # broadcasts it (~7 s/invocation at sf0.1) — the stream must join
     # against the written table, exactly as the consumer does.
-    lww = raw.groupBy(
-        "device_id", window_start("timestamp", 60).alias("ws"), "metric_name"
-    ).agg(F.max_by("metric_value", F.struct("timestamp", "event_id")).alias("v"))
-    snapb = lww.groupBy("device_id", "ws").agg(
-        *[
-            F.coalesce(
-                F.max(F.when(F.col("metric_name") == m, F.col("v"))), F.lit(0.0)
-            ).alias(f"m_{m}")
-            for m in METRICS
-        ]
-    )
-    profiles_plan = snapb.groupBy("device_id").agg(
-        *[
-            a
-            for m in METRICS
-            for a in (
-                quantize(F.avg(f"m_{m}")).alias(f"mean_{m}"),
-                quantize(F.stddev_pop(f"m_{m}")).alias(f"std_{m}"),
-            )
-        ]
-    )
-    profiles = spark.read.parquet(
-        _materialize_once(profiles_plan, "vss_profiles", sf_dir, logic="mean-std-v1")
-    )
+    profiles = spark.read.parquet(_detect_profiles_dir(spark, sf_dir))
     import atexit
 
     base = tempfile.mkdtemp(prefix="vss_detect_e2e_")
@@ -6775,9 +6895,7 @@ def q_streaming_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pandas sees session-local wall times: pin UTC so ts_epoch is
     # timezone-independent on any caller-provided session
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    raw = device_metrics_raw(spark, sf_dir).select(
-        "device_id", "timestamp", "metric_name", "metric_value", "event_id"
-    )
+    raw = _metric_raw(spark, sf_dir)
     src = _stream_source_dir(raw, sf_dir)
     ck = tempfile.mkdtemp(prefix="vss_stream_ck_")
     name = f"roll_{uuid.uuid4().hex[:8]}"
@@ -6837,7 +6955,7 @@ def q_streaming_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _docs_with_planted_dups(load_table(spark, sf_dir, "documents"))
-    src = _materialize_once(docs, "vss_docstream_src", sf_dir, logic="planted-dups-v1")
+    src = _dedup_stream_src(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="vss_dedup_e2e_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     stream = spark.readStream.schema(docs.schema).parquet(src)
@@ -6919,35 +7037,17 @@ def q_streaming_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from vectorsearch_scylla_spark.session import drop_inherited_stats
 
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    base_sigs = spark.read.parquet(
-        _materialize_once(
-            simhash128(docs.select("doc_id", "text")),
-            "vss_basesigs",
-            sf_dir,
-            logic="simhash128-v1",
-        )
-    )
-    planted = _docs_with_planted_dups(docs)
-    increment = planted.filter(F.col("doc_id") >= 1000000).unionByName(
-        # third family: exact copies OF the +1M increment docs — the
-        # pairs (1M+x, 3M+x) live entirely inside the stream, so they
-        # are findable only via the within-batch self-join or the
-        # rolled-forward artifact, never via the frozen base index
-        planted.filter(
-            (F.col("doc_id") >= 1000000) & (F.col("doc_id") < 2000000)
-        ).select((F.col("doc_id") + 2000000).alias("doc_id"), "text")
-    )
-    # range-split the source into several files so maxFilesPerTrigger=1
-    # yields several micro-batches, separating the +1M and +3M families
-    # (3 files: enough to force the cross-epoch path without paying
-    # foreachBatch spin-up 6 times at bench scale)
-    src = _materialize_once(
-        increment.repartitionByRange(3, "doc_id"),
-        "vss_neardup_src",
-        sf_dir,
-        logic="planted-dups-3fam-v2-3files",
-    )
+    base_sigs = spark.read.parquet(_neardup_base_sigs_dir(spark, sf_dir))
+    # the staged increment: +1M/+2M planted families plus a third
+    # family (+3M exact copies of the +1M docs) whose pairs live
+    # entirely inside the stream — findable only via the within-batch
+    # self-join or the rolled-forward artifact, never via the frozen
+    # base index.  Range-split into 3 files so maxFilesPerTrigger=1
+    # yields several micro-batches separating the families (enough to
+    # force the cross-epoch path without paying foreachBatch spin-up
+    # 6 times at bench scale).
+    src = _neardup_stream_src(spark, sf_dir)
+    increment = spark.read.parquet(src)
     base = tempfile.mkdtemp(prefix="vss_neardup_e2e_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     out_dir = os.path.join(base, "pairs")
@@ -7046,34 +7146,19 @@ def q_streaming_ivf_add_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from vectorsearch_scylla_spark.operators.ivf import build_ivf_index
     from vectorsearch_scylla_spark.streaming.pipeline import ivf_add_stream
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    vecs = emb.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
-    )
-    base_corpus = vecs.filter(F.col("vec_id") % 10 != 7)
-    inc = vecs.filter(F.col("vec_id") % 10 == 7)
     # SAME cache token as ivf_incremental_add: the frozen index builds
-    # once and serves the batch query, this stream, and reruns
-    cents, lists_path = build_ivf_index(
-        base_corpus,
-        _sf_cache_token(sf_dir, "ivfinc", IVF_GK, IVF_GITERS),
-        k=IVF_GK,
-        iters=IVF_GITERS,
-    )
+    # once and serves the batch query, this stream, and reruns.
+    # repartition(16) inside the helper stages the increment as MANY
+    # part files: with maxFilesPerTrigger=8 the registered run
+    # genuinely spans ≥2 micro-batches, exercising the batch-split
+    # independence the docstring claims (r5 ADVICE).
+    cents, lists_path, inc, src = _ivfadd_base_and_src(spark, sf_dir)
     sizes = (
         spark.read.parquet(lists_path)
         .groupBy(F.col("cluster_id").cast("int").alias("cluster_id"))
         .agg(F.count("*").alias("n_base_members"))
-    )
-    # repartition(16) so the staged increment lands as MANY part files:
-    # with maxFilesPerTrigger=8 the registered run genuinely spans ≥2
-    # micro-batches, exercising the batch-split independence the
-    # docstring claims (r5 ADVICE; previously one part file = one batch)
-    src = _materialize_once(
-        inc.repartition(16), "vss_ivfadd_src", sf_dir, logic="mod10-7-v2"
     )
     base = tempfile.mkdtemp(prefix="vss_ivfadd_e2e_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)

@@ -360,7 +360,14 @@ def detect_path3_batch(
     threshold equals ``least(count(sim ≥ threshold), k)`` — every
     above-threshold neighbor outranks every below-threshold one, so
     the vote reduces to a capped conditional COUNT and the |batch| ×
-    |history/device| pair set never needs a sort.
+    |history/device| pair set never needs a sort.  The whole batch is
+    ONE broadcast LEFT join + ONE aggregation (r13): snapshots whose
+    device has no usable history survive the left join as a null-
+    history row and fold to ``similar_count = 0``, so no second join
+    re-attaches zero-count snapshots — the r12 shape's count
+    re-attach ran as a SortMergeJoin with two extra exchanges per
+    micro-batch (plan pinned by tests/test_plans.py::
+    test_novelty_batch_plan_is_broadcast_and_sort_free).
     """
 
     v = {
@@ -393,10 +400,23 @@ def detect_path3_batch(
     sim = F.when((ns == 0.0) | (nh == 0.0), F.lit(0.0)).otherwise(
         dot / (F.sqrt(ns) * F.sqrt(nh))
     )
-    counts = (
-        s.join(F.broadcast(h), "device_id")
-        .filter(F.col("__hws") != F.col("ws_epoch"))
-        .groupBy("device_id", "ws_epoch")
+    # LEFT join with the self-window exclusion IN the join condition:
+    # a snapshot with no usable history emits one null-history row
+    # whose sim is null, scoring 0 — every snapshot therefore reaches
+    # the aggregate and no re-attach join is needed (the windowed
+    # pivot upstream guarantees one row per (device, window), so the
+    # groupBy emits exactly one row per input snapshot)
+    pairs = s.alias("s").join(
+        F.broadcast(h.alias("h")),
+        (F.col("s.device_id") == F.col("h.device_id"))
+        & (F.col("h.__hws") != F.col("s.ws_epoch")),
+        "left",
+    )
+    return (
+        pairs.groupBy(
+            F.col("s.device_id").alias("device_id"),
+            F.col("s.ws_epoch").alias("window_start"),
+        )
         .agg(
             F.least(
                 F.sum(F.when(sim >= sim_threshold, 1).otherwise(0)), F.lit(k)
@@ -404,17 +424,11 @@ def detect_path3_batch(
             .cast("long")
             .alias("similar_count")
         )
-    )
-    return (
-        s.select("device_id", "ws_epoch")
-        .join(counts, ["device_id", "ws_epoch"], "left")
         .select(
             "device_id",
-            F.col("ws_epoch").alias("window_start"),
-            F.coalesce("similar_count", F.lit(0)).alias("similar_count"),
-            (F.coalesce("similar_count", F.lit(0)) < min_similar).alias(
-                "path3_triggered"
-            ),
+            "window_start",
+            "similar_count",
+            (F.col("similar_count") < min_similar).alias("path3_triggered"),
         )
     )
 
