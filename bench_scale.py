@@ -1988,6 +1988,207 @@ def _ivf_stream_day_study(spark, emb, base: str) -> dict:
     return out
 
 
+def _ivf_stream_chain_study(spark, emb, base: str) -> dict:
+    """r13 (r12 VERDICT task 4): MULTI-FIRING generation churn.  The
+    r12 in-stream day study measures at most ONE escalation; a month
+    at 100 TB sees many, and the open questions are mechanical: does
+    store-generation disk debt accumulate across firings (high-water),
+    what does retiring a superseded generation cost, and does the
+    per-day fold stay flat as generations churn?
+
+    Six chained days through ONE work dir + ONE source dir (new files
+    appended per day; the stream's checkpoint resumes and processes
+    only the new ones — the production restart-per-day shape, each
+    entry passing the STALE initial centroids that resume must
+    override): days 2/4/5 fire, days 1/3/6 are healthy.  Per day:
+    drain wall, generation, maintenance actions, and the on-disk
+    generation census (store_gen* dirs + bytes, rolled bytes) — the
+    after-day census shows retained debt; the during-swap transient is
+    bounded by prev_gen + staged new gen + rolled, reported per
+    firing.  Retirement latency is measured directly: a superseded
+    generation is fabricated after the chain and the entry-side sweep
+    timed.
+
+    The three firings are FORCED by per-day budget (0.995 on firing
+    days) rather than by drift realism, deliberately: the organic
+    chain attempts reproduced the r12 drift-insensitivity finding at
+    chain scale — a retrained tiling is NOT re-defeated by re-salting
+    the hashed-axis scatter atop the manifold it already learned
+    (day 4/5 recipes that structurally mirror a firing day-2 recipe
+    audit ABOVE budget against the day-2 retrain), large coherent
+    shifts (new linear block, or scatter ≥0.8) move the cohort into
+    few lists and are trivially served, and the "recent" audit
+    dilutes each day's drift with the healthy adds accumulated in
+    rolled since the last swap.  Realistic consecutive organic
+    firings therefore need genuinely novel drift mechanisms per
+    firing, which is exactly why churn MECHANICS (disk, retirement,
+    fold flatness) deserve their own forced-firing measurement —
+    the organic when-does-it-fire question is the ivfweek /
+    ivfstream studies' subject."""
+    from vectorsearch_scylla_spark.operators.ivf import (
+        assign_clusters_np,
+        lloyd_kmeans,
+    )
+    from vectorsearch_scylla_spark.streaming.pipeline import (
+        _resume_newest_generation,
+        ivf_add_stream,
+    )
+
+    out: dict = {}
+    n0 = emb.count()
+    k = max(8, int(round(n0**0.5)))
+    t0 = time.perf_counter()
+    cents = lloyd_kmeans(emb, k=k, iters=2, kernel="numpy", train_rows=256 * k)
+    out["build_sec"] = round(time.perf_counter() - t0, 3)
+    out["n_base"], out["k"] = n0, k
+
+    lists = os.path.join(base, "ivfchain_lists")
+    assign_clusters_np(emb, cents, dtype="float32").select(
+        "vec_id", "embedding", "cluster_id"
+    ).repartition(32, "cluster_id").write.partitionBy("cluster_id").parquet(lists)
+
+    def policy(budget: float) -> dict:
+        return {
+            "recall_budget": budget,
+            "nprobe_grid": (8,),
+            "post_retrain_grid": (8, 16, 32),
+            "every": 1,
+            "max_audit_queries": 512,
+            "audit_source": "recent",
+        }
+
+    healthy_budget = float(os.environ.get("SPARK_GRAFT_IVF_BUDGET", "0.85"))
+    # no grid can hold 0.995 on these fixtures: the firing-day audit
+    # exhausts the era grid deterministically and the retrain rung
+    # fires (and swaps) every firing day — see the docstring for why
+    # forcing beats drift-recipe roulette here
+    fire_budget = 0.995
+    out["policy"] = {
+        "healthy": policy(healthy_budget),
+        "fire": policy(fire_budget),
+    }
+    out["policy"] = {
+        side: {
+            k2: (list(v) if isinstance(v, tuple) else v)
+            for k2, v in p.items()
+        }
+        for side, p in out["policy"].items()
+    }
+
+    src = os.path.join(base, "ivfchain_src")
+    work = os.path.join(base, "ivfchain_work")
+    os.makedirs(work, exist_ok=True)
+
+    def du(path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        return total
+
+    def census() -> dict:
+        gens = {
+            d: du(os.path.join(work, d))
+            for d in sorted(os.listdir(work))
+            if d.startswith("store_gen")
+        }
+        rolled = os.path.join(work, "rolled")
+        return {
+            "gens": gens,
+            "rolled_bytes": du(rolled) if os.path.isdir(rolled) else 0,
+        }
+
+    def day(tag: str, inc, budget: float) -> dict:
+        inc.repartition(8).write.mode("append").parquet(src)
+        t0 = time.perf_counter()
+        state = ivf_add_stream(
+            spark,
+            src,
+            spark.read.parquet(src).schema,
+            cents,  # stale initials every day — resume must override
+            lists,
+            work,
+            max_files_per_trigger=4,
+            compact_at_files=64,
+            maintenance=policy(budget),
+            kernel="numpy",
+            timeout_sec=1800,
+        )
+        wall = round(time.perf_counter() - t0, 3)
+        rep = {
+            "drain_sec": wall,
+            "epochs": state["epochs"],
+            "generation": state["generation"],
+            "actions": [
+                {"epoch": r["epoch"], "actions": r["actions"]}
+                for r in state["reports"]
+            ],
+            "disk": census(),
+        }
+        print(f"[bench_scale] ivfchain {tag}: {rep}", file=sys.stderr)
+        return rep
+
+    def healthy_inc(mod: int, tag_base: int):
+        return emb.filter(F.col("vec_id") % 20 == mod).select(
+            (F.col("vec_id") + tag_base).alias("vec_id"),
+            F.expr(
+                "transform(cast(embedding as array<double>), "
+                "(x, i) -> CASE WHEN i < 8 THEN x + 0.05 ELSE x END)"
+            ).alias("embedding"),
+        )
+
+    def shift_inc(mod: int, tag_base: int, salt: int, mag: float = 0.6):
+        # the ivfstream retrain-day drift shape (linear term + SUBTLE
+        # per-row hashed-axis scatter — small enough that rows stay
+        # near their original tiles while true neighbors reorder
+        # around the axis term), fresh salt per day
+        return emb.filter(F.col("vec_id") % 20 == mod).select(
+            (F.col("vec_id") + tag_base).alias("vec_id"),
+            F.expr(
+                "transform(cast(embedding as array<double>), "
+                f"(x, i) -> CASE WHEN i < 8 THEN x + {0.4 + salt * 0.1} "
+                f"WHEN i = 8 + pmod(xxhash64(vec_id + {salt}), 48) "
+                f"THEN x + {mag} ELSE x END)"
+            ).alias("embedding"),
+        )
+
+    hb, fb = healthy_budget, fire_budget
+    out["day1_healthy"] = day("d1-healthy", healthy_inc(1, 1_000_000_000), hb)
+    out["day2_fire"] = day("d2-fire", shift_inc(2, 2_000_000_000, 1), fb)
+    out["day3_healthy"] = day("d3-healthy", healthy_inc(3, 3_000_000_000), hb)
+    out["day4_fire"] = day("d4-fire", shift_inc(4, 4_000_000_000, 2), fb)
+    out["day5_fire"] = day("d5-fire", shift_inc(5, 5_000_000_000, 3), fb)
+    out["day6_healthy"] = day("d6-healthy", healthy_inc(6, 6_000_000_000), hb)
+
+    # retirement latency, measured directly: fabricate a superseded
+    # generation (full copy of the live one) and time the entry-side
+    # sweep that retires it.  Locally this is an rmtree; on an object
+    # store it is a bulk delete — the SHAPE (O(generation files),
+    # off the hot path) is what transfers.
+    gen_ids = [
+        int(d[len("store_gen"):])
+        for d in os.listdir(work)
+        if d.startswith("store_gen") and d[len("store_gen"):].isdigit()
+    ]
+    if gen_ids:
+        final_gen = max(gen_ids)
+        live = os.path.join(work, f"store_gen{final_gen}")
+        stale = os.path.join(work, f"store_gen{final_gen - 1}")
+        shutil.copytree(live, stale)
+        t0 = time.perf_counter()
+        _resume_newest_generation(
+            spark, work, os.path.join(work, "rolled"), "vec_id",
+            "_centroids.json", "cluster_id", vec_col="embedding",
+        )
+        out["retirement_sweep_sec"] = round(time.perf_counter() - t0, 3)
+        out["retired_bytes"] = du(live)
+        assert not os.path.isdir(stale)
+    return out
+
+
 def _pq_stream_day_study(spark, emb, base: str) -> dict:
     """r12 (late): the codebook-staleness loop priced INSIDE the code
     ingest stream — pq_add_stream's twin of the ivfstream study, on
@@ -2459,7 +2660,7 @@ def main() -> None:
         # =funnel run ONLY the named study and print their own JSON —
         # both are additive long-running measurements that must not
         # balloon the default battery
-        if sections and sections <= {"clique", "funnel", "sweep", "inc", "bigk", "incfunnel", "compact", "chain", "chain7", "bucketed", "ndstream", "ndepochs", "ivfweek", "pqstale", "ivfstream", "sigknee", "pqstream"}:
+        if sections and sections <= {"clique", "funnel", "sweep", "inc", "bigk", "incfunnel", "compact", "chain", "chain7", "bucketed", "ndstream", "ndepochs", "ivfweek", "pqstale", "ivfstream", "ivfchain", "sigknee", "pqstream"}:
             study: dict = {}
             if "clique" in sections:
                 study["clique_study"] = _clique_study(spark, docs0, base)
@@ -2491,6 +2692,10 @@ def main() -> None:
                 study["ivf_week"] = _ivf_week_study(spark, emb, base)
             if "ivfstream" in sections:
                 study["ivf_stream_day"] = _ivf_stream_day_study(spark, emb, base)
+            if "ivfchain" in sections:
+                study["ivf_stream_chain"] = _ivf_stream_chain_study(
+                    spark, emb, base
+                )
             if "pqstream" in sections:
                 study["pq_stream_day"] = _pq_stream_day_study(spark, emb, base)
             if "sigknee" in sections:
