@@ -207,6 +207,20 @@ DRIVER_WINDOW: list[str] = [
 # (the _maintain-twins refactor, the generation-machinery
 # crash-safety fixes, the novelty drift attribution) precedes the
 # next stamp — no query-consumed kernel edits after this stamp.
+#
+# r14 rotation note: EVERY query whose code dependencies changed
+# during r13 sat IN the r13 window and takes a hard driver row at the
+# r13 gate — the r13 session's query-consumed edits were confined to
+# streaming/pipeline.py (shared maintenance skeleton, crash-safe heal,
+# detect_path3_batch single-pass vote) and the streaming query bodies'
+# artifact-prelude factoring, whose consumers are exactly the seven
+# in-window streaming queries; operators/pq.py changes
+# (commission_pq_watch, tie_tolerance plumb-through, audit_metric
+# stamp) have NO registered consumers and operators/ivf.py changed by
+# one comment.  So r14 carries no changed-dependency leads from r13:
+# rotate the 42 r13 sit-outs in (all batch; tools/rotate_window.py
+# reports them), fill the free slots as that round's work demands,
+# streaming members in the tail as always, --write 14 at ROUND START.
 
 
 def _exposure_order() -> list[str]:
