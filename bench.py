@@ -132,6 +132,7 @@ def final_line(
     degraded_window: bool = False,
     stall_pct_batch: float = -1.0,
     stall_gate_ok: bool = False,
+    canary_regime_ok: bool = True,
 ) -> str:
     """Render the driver's parse target: a compact single JSON line.
 
@@ -172,6 +173,12 @@ def final_line(
             # comparable (see BENCH_SCALE.md "Canary composite")
             "canary_skew": canary_skew,
             "degraded_window": degraded_window,
+            # absolute-level regime gate (r13): false when a settled
+            # sample sits outside the healthy [1.5, 4.0] band — the
+            # run sat inside a uniformly slow host regime that flat
+            # within-run skew cannot see (normalization over-corrects
+            # there; tools/compare_bench.py refuses such endpoints)
+            "canary_regime_ok": canary_regime_ok,
             "canary_method": "r11-settled",
             "sf": sf,
             "full_map": "BENCH_LOCAL.json",
@@ -489,6 +496,17 @@ def main() -> None:
             "canary_sec": composite,
             "canary_skew": canary_skew,
             "degraded_window": degraded_window,
+            # absolute-level regime gate (r13): within-run skew is
+            # blind to a run that starts AND finishes inside a
+            # uniformly slow host regime (measured: settled samples
+            # 5.95/6.29 at skew 1.06 — normalization over-corrects).
+            # Healthy settled band from the agreement study: 1.57-2.92;
+            # tools/compare_bench.py refuses endpoints outside
+            # [1.5, 4.0].  The band is calibrated at sf0.1 (the scan
+            # probe scales with lineitem); other sf stamp True.
+            "canary_regime_ok": (
+                all(1.5 <= s <= 4.0 for s in settled) if sf == 0.1 else True
+            ),
             # methodology marker (r11 ADVICE): value_canary_normalized
             # divides by the mean of the SETTLED (mid+end) samples of
             # the 3-component composite canary with an untimed canary
@@ -522,6 +540,13 @@ def main() -> None:
             retry_stall=retry_stall, retry_warmup=retry_warmup,
             canary_skew=canary_skew, degraded_window=degraded_window,
             stall_pct_batch=stall_pct_batch, stall_gate_ok=stall_gate_ok,
+            # the absolute band is calibrated at sf0.1 (the scan probe
+            # scales with the sf dir's lineitem) — at other sf the
+            # level is meaningless, stamp True and let canary_skew
+            # carry the health signal alone
+            canary_regime_ok=(
+                all(1.5 <= s <= 4.0 for s in settled) if sf == 0.1 else True
+            ),
         )
     )
 

@@ -123,6 +123,7 @@ def _bench(tmp_path, name, wrap=False, **fields):
         "canary_method": "r11-settled",
         "degraded_window": False,
         "stall_gate_ok": True,
+        "sf": 0.1,
         **fields,
     }
     d = {k: v for k, v in d.items() if v is not None}
@@ -184,3 +185,31 @@ def test_compare_bench_unwraps_driver_artifact_and_reports_movers(
     assert rc == 0
     assert "q1: 1.0 -> 2.0  (2.00x)" in out
     assert "q2" not in out.split("movers")[1]
+
+
+def test_compare_bench_refuses_uniform_slow_regime(tmp_path, capsys):
+    """r13: a run entirely inside a uniformly slow host regime carries
+    flat within-run skew (degraded_window false) but settled canary
+    samples far above the healthy absolute band — its normalized total
+    OVER-corrects and must be refused as an endpoint.  The start
+    sample is structurally hot and exempt from the band."""
+    a = _bench(tmp_path, "a.json", canary_sec=[5.49, 2.68, 2.84])
+    b = _bench(tmp_path, "b.json", canary_sec=[4.07, 5.95, 6.29])
+    rc, out = _run_cmp([a, b], capsys)
+    assert rc == 2 and "regime band" in out
+    rc, out = _run_cmp([a, b, "--force"], capsys)
+    assert rc == 0 and "WARNING" in out
+    # a hot START sample alone does not refuse (structurally exempt)
+    c = _bench(tmp_path, "c.json", canary_sec=[5.49, 2.0, 2.2])
+    rc, out = _run_cmp([a, c], capsys)
+    assert rc == 0
+    # artifacts without canary_sec (pre-r11) skip the check
+    d = _bench(tmp_path, "d.json")
+    rc, out = _run_cmp([a, d], capsys)
+    assert rc == 0
+    # the band is calibrated at sf0.1 — other sf skip it (the scan
+    # probe scales with the sf dir's lineitem)
+    e = _bench(tmp_path, "e.json", canary_sec=[1.0, 0.9, 1.1], sf=0.01)
+    f = _bench(tmp_path, "f.json", canary_sec=[1.0, 0.9, 1.1], sf=0.01)
+    rc, out = _run_cmp([e, f], capsys)
+    assert rc == 0

@@ -19,6 +19,16 @@ Rules, in refusal order:
    a comparison ENDPOINT: its normalized total is not cross-run
    comparable (BENCH_SCALE.md "Canary composite").  ``--force`` prints
    the comparison anyway, clearly marked.
+3. **regime level** (r13) — a run whose SETTLED canary samples sit
+   outside the healthy absolute band [1.5, 4.0] s is refused even
+   when its within-run skew is flat: the r13 agreement pair showed a
+   whole run inside a uniformly ~2× slow host regime (settled
+   samples 5.95/6.29, skew 1.06) whose normalization OVER-corrects —
+   within-run skew catches regime CHANGES, not runs that start and
+   finish inside a slow regime.  Band from the r11 agreement study +
+   r13 pair: every healthy row's settled samples sit in 1.57–2.92;
+   every degraded/regime row has one outside.  Artifacts without
+   ``canary_sec`` (pre-r11) skip this check.
 
 Output: the normalized-total delta (the ONLY cross-run headline), the
 raw-total delta for context, and per-query raw movers past
@@ -33,6 +43,13 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+
+
+# healthy settled-canary absolute band (seconds): r11 agreement study
+# rows 1-14 healthy settled samples span 1.57-2.92; every degraded or
+# uniform-slow-regime row has a settled sample outside this band
+# (BENCH_SCALE.md "Canary composite + two-window agreement")
+REGIME_BAND = (1.5, 4.0)
 
 
 def load(path: str) -> dict:
@@ -95,6 +112,24 @@ def main() -> int:
             bad.append("degraded_window")
         if "stall_gate_ok" in d and not d["stall_gate_ok"]:
             bad.append("stall gate failed")
+        samples = d.get("canary_sec")
+        # the absolute band is calibrated at sf0.1 — the scan probe
+        # scales with the sf dir's lineitem, so the level is
+        # meaningless at other scale factors (skip, like pre-r11
+        # artifacts without canary_sec)
+        if (
+            isinstance(samples, list)
+            and len(samples) >= 2
+            and d.get("sf") == 0.1
+        ):
+            lo, hi = REGIME_BAND
+            off = [s for s in samples[1:] if not (lo <= s <= hi)]
+            if off:
+                bad.append(
+                    f"settled canary outside the healthy regime band "
+                    f"[{lo}, {hi}]: {off} (uniform-slow regime — flat "
+                    "skew cannot see it; normalization over-corrects)"
+                )
         if bad and not args.force:
             print(
                 f"REFUSED: {path} is not a comparable endpoint "
