@@ -2356,6 +2356,56 @@ def _pq_stream_day_study(spark, emb, base: str) -> dict:
         ).alias("embedding"),
     )
     out["refresh_day"] = run_day("drift", drift_inc)
+
+    # COMMISSIONED chain (r13; r12 VERDICT task 3 at scale): the same
+    # calibration the manual block above does by hand, run through the
+    # MECHANIZED in-stream rule — two chained healthy days through one
+    # work dir with maintenance recall_budget="commission".  Day 1's
+    # first fired maintenance epoch commissions (measures its own
+    # population, persists budget = observed − margin beside the
+    # stores, never escalates); day 2 restarts, resumes the persisted
+    # budget, and must NO-OP even though every day here audits far
+    # below base-self recall (the tie-domination regime).
+    cpolicy = dict(policy)
+    cpolicy.update(recall_budget="commission", commission_margin=0.05)
+    csrc = os.path.join(base, "pqstream_src_comm")
+    cwork = os.path.join(base, "pqstream_work_comm")
+    os.makedirs(cwork, exist_ok=True)
+
+    def comm_day(tag: str, inc) -> dict:
+        main = inc.filter(F.col("vec_id") % 10 != 0)
+        tail = inc.filter(F.col("vec_id") % 10 == 0)
+        main.coalesce(2).write.mode("append").parquet(csrc)
+        tail.coalesce(1).write.mode("append").parquet(csrc)
+        t0 = time.perf_counter()
+        state = pq_add_stream(
+            spark, csrc, spark.read.parquet(csrc).schema, books, store,
+            cwork, id_col="vec_id", vec_col="embedding", dsub=dsub,
+            max_files_per_trigger=1, compact_at_files=64,
+            maintenance=cpolicy, timeout_sec=1800,
+        )
+        day = {
+            "drain_sec": round(time.perf_counter() - t0, 3),
+            "epochs": state["epochs"],
+            "generation": state["generation"],
+            "commissioned_budget": state["commissioned_budget"],
+            "maintenance": state["reports"],
+        }
+        print(f"[bench_scale] pqstream comm-{tag}: {day}", file=sys.stderr)
+        return day
+
+    day2_inc = emb.filter(F.col("vec_id") % 20 == 3).select(
+        (F.col("vec_id") + 3_000_000_000).alias("vec_id"),
+        F.expr(
+            "transform(cast(embedding as array<double>), (x, i) -> "
+            "CASE WHEN i = pmod(xxhash64(vec_id), 64) "
+            "THEN x + 0.02 ELSE x END)"
+        ).alias("embedding"),
+    )
+    out["commission_day1"] = comm_day("d1", healthy_inc.select(
+        (F.col("vec_id") + 1_000_000_000).alias("vec_id"), "embedding"
+    ))
+    out["commission_day2"] = comm_day("d2", day2_inc)
     return out
 
 
