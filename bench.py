@@ -117,6 +117,18 @@ HEADLINE = [
 # driver's ~2,000-char tail even with every other field present.
 FINAL_LINE_TOP_N = 12
 
+# Healthy settled-canary absolute band (r13): a run whose settled
+# samples sit outside this band ran inside a uniformly slow host
+# regime that flat within-run skew cannot see, and its normalized
+# total over-corrects.  Calibrated at REGIME_SF (the scan probe's
+# work scales with the sf dir's lineitem); other scale factors stamp
+# True.  tools/compare_bench.py carries the SAME band for its refusal
+# gate — equality is pinned by tests/test_tools.py (the tool must not
+# import this module: it would drag the pyspark import into a plain
+# file-comparison CLI).
+REGIME_BAND = (1.5, 4.0)
+REGIME_SF = 0.1
+
 
 def final_line(
     total: float,
@@ -459,6 +471,14 @@ def main() -> None:
         round(max(settled) / min(settled), 3) if min(settled) > 0 else -1.0
     )
     degraded_window = canary_skew > 1.5
+    # absolute-level regime gate: meaningless away from the calibrated
+    # sf (the scan probe's work scales with lineitem) — stamp True
+    # there and let canary_skew carry the health signal alone
+    canary_regime_ok = (
+        all(REGIME_BAND[0] <= s <= REGIME_BAND[1] for s in settled)
+        if sf == REGIME_SF
+        else True
+    )
     # The <5 % host-noise gate, stated mechanically (r12; r11 VERDICT
     # task 3): retry_stall_sec is batch-section-only by construction,
     # so the denominator is the BATCH wall, not the total (streaming
@@ -500,13 +520,9 @@ def main() -> None:
             # blind to a run that starts AND finishes inside a
             # uniformly slow host regime (measured: settled samples
             # 5.95/6.29 at skew 1.06 — normalization over-corrects).
-            # Healthy settled band from the agreement study: 1.57-2.92;
-            # tools/compare_bench.py refuses endpoints outside
-            # [1.5, 4.0].  The band is calibrated at sf0.1 (the scan
-            # probe scales with lineitem); other sf stamp True.
-            "canary_regime_ok": (
-                all(1.5 <= s <= 4.0 for s in settled) if sf == 0.1 else True
-            ),
+            # Healthy settled band from the agreement study: 1.57-2.92
+            # (see REGIME_BAND; compare_bench refuses outside it).
+            "canary_regime_ok": canary_regime_ok,
             # methodology marker (r11 ADVICE): value_canary_normalized
             # divides by the mean of the SETTLED (mid+end) samples of
             # the 3-component composite canary with an untimed canary
@@ -540,13 +556,7 @@ def main() -> None:
             retry_stall=retry_stall, retry_warmup=retry_warmup,
             canary_skew=canary_skew, degraded_window=degraded_window,
             stall_pct_batch=stall_pct_batch, stall_gate_ok=stall_gate_ok,
-            # the absolute band is calibrated at sf0.1 (the scan probe
-            # scales with the sf dir's lineitem) — at other sf the
-            # level is meaningless, stamp True and let canary_skew
-            # carry the health signal alone
-            canary_regime_ok=(
-                all(1.5 <= s <= 4.0 for s in settled) if sf == 0.1 else True
-            ),
+            canary_regime_ok=canary_regime_ok,
         )
     )
 

@@ -1559,6 +1559,43 @@ def test_resume_recovers_generation_swap_crash_debris(spark, tmp_path):
     }
     assert healed2 == healed
 
+    # legacy (pre-fixed-name) uuid-suffixed heal debris: when the live
+    # rolled dir is MISSING, the single surviving pre-heal copy must be
+    # RESTORED, not swept (sweeping it would destroy the only copy of
+    # the unabsorbed rows); the heal then recomputes idempotently
+    import shutil as _sh
+
+    _sh.rmtree(rolled)
+    spark.createDataFrame(
+        [(2, [0.0, 1.0]), (7, [3.0, 3.0])], schema
+    ).write.parquet(f"{rolled}.healed.deadbeef")
+    got_dir3, _, _ = _resume_newest_generation(
+        spark, base, rolled, "vec_id", "_centroids.json", None,
+        vec_col="embedding",
+    )
+    assert got_dir3 == gen_dir
+    assert not os.path.exists(f"{rolled}.healed.deadbeef")
+    restored = {
+        r["vec_id"]: list(r["embedding"])
+        for r in spark.read.parquet(rolled).collect()
+    }
+    # id 2 was absorbed residue (dropped by the recomputed heal);
+    # id 7 is the surviving unabsorbed row
+    assert restored == {7: [3.0, 3.0]}
+
+    # ambiguity (two legacy pre-heal copies, no live dir) refuses
+    # loudly instead of guessing
+    _sh.rmtree(rolled)
+    for tag in ("aa", "bb"):
+        spark.createDataFrame([(7, [3.0, 3.0])], schema).write.parquet(
+            f"{rolled}.healed.{tag}"
+        )
+    with pytest.raises(RuntimeError, match="cannot pick the survivor"):
+        _resume_newest_generation(
+            spark, base, rolled, "vec_id", "_centroids.json", None,
+            vec_col="embedding",
+        )
+
 
 def test_pq_commission_budget_noops_on_healthy_replica_stream(
     spark, sf_dir, tmp_path

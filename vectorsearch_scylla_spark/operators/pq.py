@@ -828,12 +828,21 @@ def commission_pq_watch(
     corpus_vec: str = "corpus_vec",
     exclude_self: bool = True,
     dtype: str = "float32",
-    max_queries: int = 512,
-    tie_aware: bool = True,
+    max_queries: int = 64,
+    tie_aware: bool = False,
     tie_tolerance: float | None = None,
 ) -> dict:
     """Mechanize the r12 calibration rule: CALIBRATE THE BUDGET ON THE
-    WATCH'S OWN POPULATION, never base-self recall.  On
+    WATCH'S OWN POPULATION, never base-self recall.
+
+    Defaults MATCH ``pq_add_stream``'s maintenance defaults
+    (``tie_aware=False``, ``max_audit_queries=64``, ``k=5``) so that
+    commissioning with defaults and deploying with defaults measures
+    the SAME thing; whenever the deployed watch overrides a flag, pass
+    the identical override here — a budget calibrated in one audit
+    mode or sample bound and enforced in another is a unit error (the
+    in-stream ``"commission"`` mode persists its flags and refuses a
+    mismatched restart mechanically).  On
     near-duplicate-heavy corpora a fresh-add audit is tie-dominated —
     ADC cannot order within a large near-duplicate cohort, so even a
     zero-drift add day audits far below the corpus's base self-audit

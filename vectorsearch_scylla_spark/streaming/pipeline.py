@@ -638,11 +638,31 @@ def _resume_newest_generation(
     # markers.
     for p in glob.glob(os.path.join(base_dir, "store_gen*.staging.*")):
         shutil.rmtree(p, ignore_errors=True)
-    for p in glob.glob(f"{rolled}.healed.*"):
+    # legacy uuid-suffixed heal dirs (pre-fixed-name swap): when the
+    # live rolled dir exists they are post-promote debris — sweep;
+    # when it is MISSING they may be the ONLY surviving copy of the
+    # rolled rows (a crash between the legacy swap's two renames) —
+    # restore the single pre-heal copy (.healed.*; the heal recomputes
+    # idempotently), fall back to a single completed staged heal
+    # (.heal.*), and refuse loudly on ambiguity rather than guess.
+    legacy_old = sorted(glob.glob(f"{rolled}.healed.*"))
+    legacy_staged = sorted(
+        p
+        for p in glob.glob(f"{rolled}.heal.*")
+        if p not in (f"{rolled}.heal.old", f"{rolled}.heal.staging")
+    )
+    if not os.path.isdir(rolled) and (legacy_old or legacy_staged):
+        candidates = legacy_old or legacy_staged
+        if len(candidates) > 1:
+            raise RuntimeError(
+                f"interrupted legacy heal: {rolled} is missing and "
+                f"{len(candidates)} heal siblings exist ({candidates}); "
+                "cannot pick the survivor automatically — inspect and "
+                "rename the correct one back to the rolled path"
+            )
+        os.rename(candidates[0], rolled)
+    for p in legacy_old + legacy_staged:
         shutil.rmtree(p, ignore_errors=True)
-    for p in glob.glob(f"{rolled}.heal.*"):
-        if p not in (f"{rolled}.heal.old", f"{rolled}.heal.staging"):
-            shutil.rmtree(p, ignore_errors=True)
     _recover_rolled_heal(rolled)
 
     gens = sorted(
@@ -1200,12 +1220,44 @@ def pq_add_stream(
     # the commissioned budget outlives the process (a restart must not
     # silently re-commission on whatever state it wakes up to — the
     # deployer vouched for the COMMISSIONING day's state, not this
-    # one), so it persists as a tiny JSON beside the stores
+    # one), so it persists as a tiny JSON beside the stores.  The
+    # budget is only meaningful under the audit configuration that
+    # measured it (pq_recall_audit's two modes return DIFFERENT
+    # metrics over different denominators), so the load REFUSES a
+    # restart whose maintenance flags disagree with the persisted
+    # ones — the same mechanical cross-mode refusal the report's
+    # audit_metric stamp exists for.
     commission_path = os.path.join(base_dir, "_commission.json")
+    if os.path.isfile(f"{commission_path}.tmp"):
+        os.remove(f"{commission_path}.tmp")  # crashed mid-persist; rewritten
     state["commissioned_budget"] = None
     if os.path.isfile(commission_path):
         with open(commission_path) as f:
-            state["commissioned_budget"] = json.load(f)["budget"]
+            persisted = json.load(f)
+        current_cfg = {
+            "audit_metric": (
+                "tie_aware" if m.get("tie_aware", False) else "id_set"
+            ),
+            "tie_tolerance": m.get("tie_tolerance"),
+            "k": int(m.get("k", 5)),
+            "max_audit_queries": int(m.get("max_audit_queries", 64)),
+        }
+        mismatch = {
+            k2: (persisted.get(k2), v)
+            for k2, v in current_cfg.items()
+            if k2 in persisted and persisted.get(k2) != v
+        }
+        if mismatch:
+            raise ValueError(
+                "pq_add_stream: the persisted commissioned budget was "
+                f"measured under a different audit configuration than "
+                f"this restart's maintenance flags ({mismatch}; file "
+                f"{commission_path}) — comparing across audit modes or "
+                "sample bounds is a unit error.  Re-commission (delete "
+                "the file on a deployer-vouched healthy day) or restart "
+                "with the original flags."
+            )
+        state["commissioned_budget"] = persisted["budget"]
 
     def _view() -> DataFrame:
         cols = [id_col, vec_col, *code_cols, "rnorm"]
@@ -1256,17 +1308,26 @@ def pq_add_stream(
         ):
             margin = float(m.get("commission_margin", 0.05))
             state["commissioned_budget"] = max(0.0, recall - margin)
-            with open(commission_path, "w") as f:
+            # atomic persist (write-then-rename): a crash mid-write
+            # must not strand a truncated JSON that bricks every
+            # subsequent entry's load — same discipline as the
+            # generation sidecars, which ride the staging-dir rename
+            tmp_path = f"{commission_path}.tmp"
+            with open(tmp_path, "w") as f:
                 json.dump(
                     {
                         "budget": state["commissioned_budget"],
                         "recall_observed": recall,
                         "margin": margin,
                         "audit_metric": report["audit_metric"],
+                        "tie_tolerance": tie_tol,
+                        "k": k,
+                        "max_audit_queries": maq,
                         "n_audit_pairs": int(denom),
                     },
                     f,
                 )
+            os.rename(tmp_path, commission_path)
             report.update(
                 commissioned=True,
                 commission_margin=margin,
