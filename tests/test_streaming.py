@@ -1242,6 +1242,10 @@ def test_ivf_add_stream_maintenance_fires_in_stream(spark, tmp_path):
         "vec_id", "embedding", F.lit(0.5).alias("__sim"), "cluster_id"
     ).write.mode("append").partitionBy("cluster_id").parquet(state["rolled"])
     spark.catalog.refreshByPath(state["rolled"])
+    # the real crash window closes BEFORE the swap-completed marker is
+    # written — a faithful simulation must remove it, or the entry
+    # rightly trusts the marker and skips the heal
+    os.remove(os.path.join(state["store"], "_rolled_absorbed"))
     state_h = ivf_add_stream(
         spark,
         src,
@@ -1566,6 +1570,8 @@ def test_resume_recovers_generation_swap_crash_debris(spark, tmp_path):
     import shutil as _sh
 
     _sh.rmtree(rolled)
+    # pre-marker-era crash: no swap-completed marker existed
+    os.remove(os.path.join(gen_dir, "_rolled_absorbed"))
     spark.createDataFrame(
         [(2, [0.0, 1.0]), (7, [3.0, 3.0])], schema
     ).write.parquet(f"{rolled}.healed.deadbeef")
@@ -1582,6 +1588,24 @@ def test_resume_recovers_generation_swap_crash_debris(spark, tmp_path):
     # id 2 was absorbed residue (dropped by the recomputed heal);
     # id 7 is the surviving unabsorbed row
     assert restored == {7: [3.0, 3.0]}
+
+    # swap-completed marker: with _rolled_absorbed present (the heal
+    # above just rewrote it), a re-entry must SKIP the corpus-sized
+    # heal check entirely — bit-identical residue survives, proving
+    # the skip (the marker's contract: it only exists when the swap's
+    # crash window closed cleanly, so there is no residue to find)
+    assert os.path.isfile(os.path.join(gen_dir, "_rolled_absorbed"))
+    spark.createDataFrame([(1, [1.0, 0.0])], schema).write.mode(
+        "append"
+    ).parquet(rolled)
+    spark.catalog.refreshByPath(rolled)
+    got_dir4, _, _ = _resume_newest_generation(
+        spark, base, rolled, "vec_id", "_centroids.json", None,
+        vec_col="embedding",
+    )
+    assert got_dir4 == gen_dir
+    skipped = sorted(r["vec_id"] for r in spark.read.parquet(rolled).collect())
+    assert skipped == [1, 7]  # the duplicate of gen-row 1 was NOT dropped
 
     # ambiguity (two legacy pre-heal copies, no live dir) refuses
     # loudly instead of guessing

@@ -681,7 +681,19 @@ def _resume_newest_generation(
         old_dir = os.path.join(base_dir, f"store_gen{g}")
         shutil.rmtree(old_dir, ignore_errors=True)
         spark.catalog.refreshByPath(old_dir)
-    if os.path.isdir(rolled):
+    # the rolled-heal check reads the full generation (the anti-join's
+    # build side is corpus-sized) — at 100 TB that is a whole store
+    # scan per restart, paid even when there is nothing to heal.  The
+    # _rolled_absorbed marker skips it: _swap_in_generation writes the
+    # marker AFTER the rolled reset completes, so its presence proves
+    # the swap's crash window closed cleanly; the pure crash shape
+    # (gen renamed, rolled not yet reset) has no marker and the heal
+    # runs.  Post-fire adds never invalidate it — they were routed
+    # after the swap and are not in the generation (skipping the heal
+    # merely skips the optional idempotent-re-add dedup, which the ID
+    # CONTRACT already declares best-effort).
+    marker = os.path.join(gen_dir, "_rolled_absorbed")
+    if os.path.isdir(rolled) and not os.path.isfile(marker):
         match_cols = [id_col] + ([vec_col] if vec_col else [])
         gen_keys = spark.read.parquet(gen_dir).select(*match_cols)
         rolled_df = spark.read.parquet(rolled)
@@ -707,6 +719,11 @@ def _resume_newest_generation(
             os.rename(staging, rolled)
             shutil.rmtree(old, ignore_errors=True)
             spark.catalog.refreshByPath(rolled)
+    if not os.path.isfile(marker):
+        # healed (or nothing to heal): the committed view is consistent
+        # — stamp it so the next restart skips the corpus-sized check
+        with open(marker, "w") as f:
+            f.write("")
     return gen_dir, gens[-1], obj
 
 
@@ -744,6 +761,13 @@ def _swap_in_generation(
     if os.path.isdir(rolled):
         shutil.rmtree(rolled)
         spark.catalog.refreshByPath(rolled)
+    # rolled reset done — the swap's crash window is closed: stamp the
+    # marker that lets every future restart skip the corpus-sized
+    # rolled-heal check (see _resume_newest_generation).  Written
+    # AFTER the reset by construction: a crash before this line leaves
+    # no marker and the next entry heals.
+    with open(os.path.join(gen_dir, "_rolled_absorbed"), "w") as f:
+        f.write("")
     if prev_store and os.path.isdir(prev_store):
         shutil.rmtree(prev_store, ignore_errors=True)
         spark.catalog.refreshByPath(prev_store)
