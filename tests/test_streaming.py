@@ -1773,3 +1773,118 @@ def test_pq_commission_budget_noops_on_healthy_replica_stream(
     )
     assert state_r["epochs"] == 0 and state_r["reports"] == []
     assert state_r["commissioned_budget"] == day1["recall_budget"]
+
+
+def test_ivf_commission_budget_noops_on_boundary_heavy_stream(spark, tmp_path):
+    """r13 (the IVF twin of the PQ commissioning test): a deployment
+    whose workload legitimately straddles list boundaries audits far
+    below a textbook budget at the era grid's floor nprobe even with
+    ZERO drift — the firing test demonstrates that a 0.9 budget
+    exhausts the (nprobe=1) grid and fires the retrain on exactly this
+    population.  maintenance={"recall_budget": "commission"} must
+    instead calibrate on the watch's own first fired day, no-op on the
+    following same-population day, survive a restart, and refuse a
+    restart whose audit flags disagree with the persisted ones."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from vectorsearch_scylla_spark.operators.ivf import assign_clusters_np
+    from vectorsearch_scylla_spark.streaming.pipeline import ivf_add_stream
+
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    base_rows = [(i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(20)] + [
+        (100 + i, [0.001 * i, 1.0, 0.0, 0.0]) for i in range(20)
+    ]
+    base = spark.createDataFrame(
+        base_rows, "vec_id long, embedding array<double>"
+    )
+    base_lists = str(tmp_path / "base_lists")
+    assign_clusters_np(base, cents, dtype="float64").write.partitionBy(
+        "cluster_id"
+    ).parquet(base_lists)
+
+    def straddle(day: int):
+        # the firing test's boundary-straddling pair recipe — here it
+        # IS the healthy workload, not drift: pairs sit 1 ± ε around
+        # the routing boundary, so nprobe=1 recall is structurally low
+        rows = [
+            (
+                day * 10_000 + i,
+                [
+                    1.0,
+                    1.0 + (0.0005 if i % 2 else -0.0005),
+                    0.02 * (i // 2),
+                    0.0,
+                ],
+            )
+            for i in range(32)
+        ]
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    src = str(tmp_path / "src")
+    work = str(tmp_path / "work")
+    os.makedirs(work)
+    mnt = {
+        "recall_budget": "commission",
+        "commission_margin": 0.1,
+        "nprobe_grid": (1,),
+        "post_retrain_grid": (1, 2, 3),
+        "retrain_k": 3,
+        "every": 1,
+        "max_audit_queries": 64,
+        "audit_source": "recent",
+    }
+
+    def run_day(day: int) -> dict:
+        straddle(day).repartition(2).write.mode("append").parquet(src)
+        return ivf_add_stream(
+            spark, src, "vec_id long, embedding array<double>",
+            cents, base_lists, work,
+            max_files_per_trigger=1, compact_at_files=0, maintenance=mnt,
+        )
+
+    state1 = run_day(1)
+    # day 1: the first fired epoch commissions at the grid floor and
+    # never escalates; subsequent epochs of the same day already run
+    # against the commissioned budget
+    assert state1["generation"] == 0 and state1["store"] is None
+    comm = [r for r in state1["reports"] if r["actions"] == ["commission"]]
+    assert len(comm) == 1 and comm[0].get("commissioned") is True
+    assert comm[0]["nprobe"] == 1
+    # the premise: this healthy population reads far below the naive
+    # 0.9 budget the firing test fires under
+    assert comm[0]["recall_before"] < 0.9
+    assert comm[0]["recall_budget"] == pytest.approx(
+        max(0.0, comm[0]["recall_before"] - 0.1)
+    )
+    assert state1["commissioned_budget"] == comm[0]["recall_budget"]
+    with open(os.path.join(work, "_commission.json")) as f:
+        persisted = json.load(f)
+    assert persisted["budget"] == comm[0]["recall_budget"]
+    assert persisted["nprobe_floor"] == 1
+    later = [r for r in state1["reports"] if r["actions"] != ["commission"]]
+    assert all(r["actions"] == ["retune"] for r in later)
+
+    # day 2 (restart, same population): resumes the persisted budget,
+    # every maintenance day is audit-only — no escalation, no swap
+    state2 = run_day(2)
+    assert state2["generation"] == 0 and state2["store"] is None
+    assert state2["commissioned_budget"] == comm[0]["recall_budget"]
+    assert state2["reports"] and all(
+        r["actions"] == ["retune"] and r["nprobe"] == 1
+        for r in state2["reports"]
+    )
+
+    # a restart with a DIFFERENT audit configuration is refused — the
+    # persisted budget is meaningless under other flags
+    bad = dict(mnt, max_audit_queries=128)
+    with _pytest.raises(ValueError, match="different audit configuration"):
+        ivf_add_stream(
+            spark, src, "vec_id long, embedding array<double>",
+            cents, base_lists, work,
+            max_files_per_trigger=1, compact_at_files=0, maintenance=bad,
+        )

@@ -774,6 +774,74 @@ def _swap_in_generation(
     return gen_dir, gen
 
 
+def _resume_commissioned_budget(
+    base_dir: str, current_cfg: dict
+) -> tuple[str, float | None]:
+    """Load the persisted commissioned budget (``_commission.json``
+    beside the stores) for a ``*_add_stream`` restart, REFUSING a
+    restart whose audit configuration disagrees with the one the
+    budget was measured under — a budget calibrated in one audit
+    mode / population / sample bound and enforced in another is a
+    unit error, refused mechanically rather than by docstring.
+    Returns ``(commission_path, budget_or_None)``; sweeps a crashed
+    mid-persist ``.tmp``.  ``current_cfg``'s keys are
+    family-specific (PQ: audit_metric/tie_tolerance; IVF: the era
+    grid's floor nprobe) — only keys PRESENT in the persisted file
+    are compared, so older files stay loadable."""
+    import json
+    import os
+
+    commission_path = os.path.join(base_dir, "_commission.json")
+    if os.path.isfile(f"{commission_path}.tmp"):
+        os.remove(f"{commission_path}.tmp")  # crashed mid-persist
+    if not os.path.isfile(commission_path):
+        return commission_path, None
+    with open(commission_path) as f:
+        persisted = json.load(f)
+    mismatch = {
+        k2: (persisted.get(k2), v)
+        for k2, v in current_cfg.items()
+        if k2 in persisted and persisted.get(k2) != v
+    }
+    if mismatch:
+        raise ValueError(
+            "the persisted commissioned budget was measured under a "
+            f"different audit configuration than this restart's "
+            f"maintenance flags ({mismatch}; file {commission_path}) — "
+            "comparing across audit modes, populations, or sample "
+            "bounds is a unit error.  Re-commission (delete the file "
+            "on a deployer-vouched healthy day) or restart with the "
+            "original flags."
+        )
+    return commission_path, persisted["budget"]
+
+
+def _persist_commissioned_budget(
+    commission_path: str, budget: float, recall: float, margin: float,
+    cfg: dict, n_pairs: int,
+) -> None:
+    """Atomic (write-then-rename) persist of a commissioning day's
+    result plus the audit configuration it was measured under — the
+    flags :func:`_resume_commissioned_budget` refuses mismatches
+    against."""
+    import json
+    import os
+
+    tmp_path = f"{commission_path}.tmp"
+    with open(tmp_path, "w") as f:
+        json.dump(
+            {
+                "budget": budget,
+                "recall_observed": recall,
+                "margin": margin,
+                "n_audit_pairs": int(n_pairs),
+                **cfg,
+            },
+            f,
+        )
+    os.rename(tmp_path, commission_path)
+
+
 def _maintenance_day(
     spark, state: dict, base_dir: str, rolled: str, epoch_id: int,
     sidecar: str, audit_and_plan,
@@ -920,7 +988,15 @@ def ivf_add_stream(
     / ``max_size`` / ``retrain_k`` / ``max_audit_queries`` (default
     64) / ``every`` / ``audit_source`` (``"members"`` default, or
     ``"recent"`` to audit only the post-generation adds — the
-    drift-sensitive choice; see ``_maintain``).  A healthy day is audit-only (bounded exact pass;
+    drift-sensitive choice; see ``_maintain``).
+    ``recall_budget`` also accepts ``"commission"`` (with optional
+    ``commission_margin``, default 0.05), the same mechanized
+    calibration rule as ``pq_add_stream``'s: the first fired
+    maintenance day measures the era grid's FLOOR nprobe on the
+    deployer-vouched undrifted state and persists
+    budget = observed − margin beside the stores (restarts with
+    mismatched audit flags are refused); the commissioning day never
+    escalates.  A healthy day is audit-only (bounded exact pass;
     state untouched).  When the grid exhausts below budget the ladder
     escalates in-stream: the returned re-routed members are persisted
     as a NEW store generation (staged dir + atomic rename — the
@@ -978,6 +1054,7 @@ def ivf_add_stream(
         assign_clusters,
         assign_clusters_np,
         ivf_maintenance_step,
+        ivf_recall_audit,
     )
 
     # routing kernel: 'expr' is the fused-expression path whose
@@ -1020,6 +1097,21 @@ def ivf_add_stream(
         state["generation"] = gen_n
     m = dict(maintenance or {})
     every = int(m.get("every", 1))
+    # commissioned-budget resume (shared helper; see pq_add_stream):
+    # the cfg keys are the IVF watch's own — the era grid's FLOOR
+    # nprobe (the operating point a commissioning day measures), the
+    # audit population, and the sample bound
+    commission_cfg = {
+        "nprobe_floor": min(
+            int(n) for n in m.get("nprobe_grid", (4, 8, 16, 32))
+        ),
+        "k": int(m.get("k", 5)),
+        "max_audit_queries": int(m.get("max_audit_queries", 64)),
+        "audit_source": m.get("audit_source", "members"),
+    }
+    commission_path, state["commissioned_budget"] = (
+        _resume_commissioned_budget(base_dir, commission_cfg)
+    )
 
     def _members_view() -> DataFrame:
         """The committed index: current generation (or gen-0 base
@@ -1053,11 +1145,53 @@ def ivf_add_stream(
         queries = q_src.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_vec")
         )
+        # recall_budget="commission" (r13; same mechanized rule as
+        # pq_add_stream): the FIRST fired maintenance day measures the
+        # era grid's FLOOR point on the deployer-vouched undrifted
+        # state — that reading, minus commission_margin, becomes the
+        # working budget (persisted; restarts with mismatched flags
+        # are refused).  The commissioning day never escalates.
+        if (
+            m.get("recall_budget") == "commission"
+            and state["commissioned_budget"] is None
+        ):
+            nprobe0 = commission_cfg["nprobe_floor"]
+            recall, denom = ivf_recall_audit(
+                queries, state["cents"], members,
+                k=commission_cfg["k"], nprobe=nprobe0,
+                corpus_id=id_col, corpus_vec=vec_col,
+                dtype=dtype,
+                max_queries=commission_cfg["max_audit_queries"],
+            )
+            report = {
+                "actions": ["commission"],
+                "nprobe": nprobe0,
+                "recall_before": recall,
+                "n_audit_pairs": int(denom),
+            }
+            if recall is None:
+                return report, None  # no pairs yet — commission later
+            margin = float(m.get("commission_margin", 0.05))
+            state["commissioned_budget"] = max(0.0, recall - margin)
+            _persist_commissioned_budget(
+                commission_path, state["commissioned_budget"], recall,
+                margin, commission_cfg, denom,
+            )
+            report.update(
+                commissioned=True,
+                commission_margin=margin,
+                recall_budget=state["commissioned_budget"],
+            )
+            return report, None
+        if m.get("recall_budget") == "commission":
+            budget = state["commissioned_budget"]
+        else:
+            budget = float(m.get("recall_budget", 0.85))
         c2, m2, report = ivf_maintenance_step(
             members,
             state["cents"],
             queries,
-            recall_budget=float(m.get("recall_budget", 0.85)),
+            recall_budget=budget,
             nprobe_grid=tuple(m.get("nprobe_grid", (4, 8, 16, 32))),
             post_retrain_grid=m.get("post_retrain_grid"),
             max_size=m.get("max_size"),
@@ -1207,7 +1341,6 @@ def pq_add_stream(
     code layer's version of that lifecycle with the refresh decision
     audited, budget-gated, and rollback-protected.
     """
-    import json
     import os
 
     from vectorsearch_scylla_spark.operators.pq import (
@@ -1244,44 +1377,20 @@ def pq_add_stream(
     # the commissioned budget outlives the process (a restart must not
     # silently re-commission on whatever state it wakes up to — the
     # deployer vouched for the COMMISSIONING day's state, not this
-    # one), so it persists as a tiny JSON beside the stores.  The
-    # budget is only meaningful under the audit configuration that
-    # measured it (pq_recall_audit's two modes return DIFFERENT
-    # metrics over different denominators), so the load REFUSES a
-    # restart whose maintenance flags disagree with the persisted
-    # ones — the same mechanical cross-mode refusal the report's
-    # audit_metric stamp exists for.
-    commission_path = os.path.join(base_dir, "_commission.json")
-    if os.path.isfile(f"{commission_path}.tmp"):
-        os.remove(f"{commission_path}.tmp")  # crashed mid-persist; rewritten
-    state["commissioned_budget"] = None
-    if os.path.isfile(commission_path):
-        with open(commission_path) as f:
-            persisted = json.load(f)
-        current_cfg = {
-            "audit_metric": (
-                "tie_aware" if m.get("tie_aware", False) else "id_set"
-            ),
-            "tie_tolerance": m.get("tie_tolerance"),
-            "k": int(m.get("k", 5)),
-            "max_audit_queries": int(m.get("max_audit_queries", 64)),
-        }
-        mismatch = {
-            k2: (persisted.get(k2), v)
-            for k2, v in current_cfg.items()
-            if k2 in persisted and persisted.get(k2) != v
-        }
-        if mismatch:
-            raise ValueError(
-                "pq_add_stream: the persisted commissioned budget was "
-                f"measured under a different audit configuration than "
-                f"this restart's maintenance flags ({mismatch}; file "
-                f"{commission_path}) — comparing across audit modes or "
-                "sample bounds is a unit error.  Re-commission (delete "
-                "the file on a deployer-vouched healthy day) or restart "
-                "with the original flags."
-            )
-        state["commissioned_budget"] = persisted["budget"]
+    # one); the shared helper refuses a restart whose audit flags
+    # disagree with the ones the budget was measured under
+    commission_cfg = {
+        "audit_metric": (
+            "tie_aware" if m.get("tie_aware", False) else "id_set"
+        ),
+        "tie_tolerance": m.get("tie_tolerance"),
+        "k": int(m.get("k", 5)),
+        "max_audit_queries": int(m.get("max_audit_queries", 64)),
+        "audit_source": m.get("audit_source", "members"),
+    }
+    commission_path, state["commissioned_budget"] = (
+        _resume_commissioned_budget(base_dir, commission_cfg)
+    )
 
     def _view() -> DataFrame:
         cols = [id_col, vec_col, *code_cols, "rnorm"]
@@ -1332,26 +1441,10 @@ def pq_add_stream(
         ):
             margin = float(m.get("commission_margin", 0.05))
             state["commissioned_budget"] = max(0.0, recall - margin)
-            # atomic persist (write-then-rename): a crash mid-write
-            # must not strand a truncated JSON that bricks every
-            # subsequent entry's load — same discipline as the
-            # generation sidecars, which ride the staging-dir rename
-            tmp_path = f"{commission_path}.tmp"
-            with open(tmp_path, "w") as f:
-                json.dump(
-                    {
-                        "budget": state["commissioned_budget"],
-                        "recall_observed": recall,
-                        "margin": margin,
-                        "audit_metric": report["audit_metric"],
-                        "tie_tolerance": tie_tol,
-                        "k": k,
-                        "max_audit_queries": maq,
-                        "n_audit_pairs": int(denom),
-                    },
-                    f,
-                )
-            os.rename(tmp_path, commission_path)
+            _persist_commissioned_budget(
+                commission_path, state["commissioned_budget"], recall,
+                margin, commission_cfg, denom,
+            )
             report.update(
                 commissioned=True,
                 commission_margin=margin,
