@@ -1888,3 +1888,106 @@ def test_ivf_commission_budget_noops_on_boundary_heavy_stream(spark, tmp_path):
             cents, base_lists, work,
             max_files_per_trigger=1, compact_at_files=0, maintenance=bad,
         )
+
+
+def test_generation_swap_crash_states_all_converge(spark, tmp_path):
+    """r13: enumerate the on-disk states a crash can leave at EACH step
+    of the generation swap (staging write → atomic rename → rolled
+    reset → swap-completed marker → superseded-generation delete) and
+    assert the next entry converges every one of them to the correct
+    committed view with no data loss, no duplicates, and no debris.
+    The swap absorbs rolled rows B into the new generation (A ∪ B), so
+    the correct view is: pre-swap (A in gen1 + B in rolled) while the
+    atomic rename has not happened, post-swap (A ∪ B) after it —
+    including the nasty middle states: a PARTIALLY deleted rolled dir
+    (rmtree is not atomic; the survivors are bit-identical residue the
+    (id, vector) heal must drop) and a not-yet-retired gen1."""
+    import json
+    import os
+    import shutil
+
+    from vectorsearch_scylla_spark.streaming.pipeline import (
+        _resume_newest_generation,
+    )
+
+    schema = "vec_id long, embedding array<double>"
+    rows_a = [(1, [1.0, 0.0]), (2, [0.0, 1.0])]
+    rows_b = [(10, [0.5, 0.5]), (11, [0.25, 0.75])]
+    sidecar1, sidecar2 = [[0, [1.0, 0.0]]], [[0, [0.9, 0.1]]]
+
+    def build(base: str, *, staging: bool, gen2: bool, rolled_rows,
+              gen2_marker: bool, gen1_alive: bool):
+        os.makedirs(base)
+        if gen1_alive:
+            g1 = os.path.join(base, "store_gen1")
+            spark.createDataFrame(rows_a, schema).write.parquet(g1)
+            with open(os.path.join(g1, "_centroids.json"), "w") as f:
+                json.dump(sidecar1, f)
+            with open(os.path.join(g1, "_rolled_absorbed"), "w") as f:
+                f.write("")
+        if staging:
+            st = os.path.join(base, "store_gen2.staging.cafe01")
+            spark.createDataFrame(rows_a + rows_b, schema).write.parquet(st)
+            with open(os.path.join(st, "_centroids.json"), "w") as f:
+                json.dump(sidecar2, f)
+        if gen2:
+            g2 = os.path.join(base, "store_gen2")
+            spark.createDataFrame(rows_a + rows_b, schema).write.parquet(g2)
+            with open(os.path.join(g2, "_centroids.json"), "w") as f:
+                json.dump(sidecar2, f)
+            if gen2_marker:
+                with open(os.path.join(g2, "_rolled_absorbed"), "w") as f:
+                    f.write("")
+        if rolled_rows:
+            spark.createDataFrame(rolled_rows, schema).write.parquet(
+                os.path.join(base, "rolled")
+            )
+
+    # (name, state kwargs, expected (generation, sidecar, view rows))
+    post = (2, sidecar2, sorted(r[0] for r in rows_a + rows_b))
+    pre = (1, sidecar1, sorted(r[0] for r in rows_a + rows_b))
+    cases = [
+        # crash after the staging write, before the atomic rename:
+        # swap never happened — pre-swap state stands, staging swept
+        ("staged-only", dict(staging=True, gen2=False, rolled_rows=rows_b,
+                             gen2_marker=False, gen1_alive=True), pre),
+        # crash right after the rename: rolled fully intact — every
+        # rolled row is absorbed residue, heal empties it
+        ("renamed", dict(staging=False, gen2=True, rolled_rows=rows_b,
+                         gen2_marker=False, gen1_alive=True), post),
+        # crash mid-rmtree of rolled: a strict subset survives
+        ("partial-reset", dict(staging=False, gen2=True,
+                               rolled_rows=rows_b[:1],
+                               gen2_marker=False, gen1_alive=True), post),
+        # crash after the reset, before the marker
+        ("reset-no-marker", dict(staging=False, gen2=True, rolled_rows=[],
+                                 gen2_marker=False, gen1_alive=True), post),
+        # crash after the marker, before gen1 retirement
+        ("marked-unretired", dict(staging=False, gen2=True, rolled_rows=[],
+                                  gen2_marker=True, gen1_alive=True), post),
+    ]
+    for name, kw, (exp_gen, exp_sidecar, exp_ids) in cases:
+        base = str(tmp_path / name)
+        build(base, **kw)
+        rolled = os.path.join(base, "rolled")
+        for attempt in (1, 2):  # second entry pins idempotence
+            gen_dir, gen_n, obj = _resume_newest_generation(
+                spark, base, rolled, "vec_id", "_centroids.json", None,
+                vec_col="embedding",
+            )
+            assert gen_n == exp_gen, (name, attempt, gen_n)
+            assert obj == exp_sidecar, (name, attempt)
+            view = spark.read.parquet(gen_dir)
+            if os.path.isdir(rolled):
+                view = view.unionByName(spark.read.parquet(rolled))
+            got = sorted(r["vec_id"] for r in view.collect())
+            assert got == exp_ids, (name, attempt, got)
+            # converged: no staging/heal debris, marker present, at
+            # most the expected stores remain
+            left = sorted(os.listdir(base))
+            assert not any(".staging." in d or ".heal" in d for d in left), (
+                name, attempt, left)
+            assert os.path.isfile(os.path.join(gen_dir, "_rolled_absorbed"))
+            gens_left = [d for d in left if d.startswith("store_gen")]
+            assert gens_left == [f"store_gen{exp_gen}"], (name, attempt, left)
+        shutil.rmtree(base, ignore_errors=True)
