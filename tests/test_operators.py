@@ -3931,3 +3931,84 @@ def test_pq_recall_audit_tie_aware_on_duplicate_heavy_corpus(spark):
     assert rep["recall_before"] == 1.0 and rep["retrained"] is False
     assert b is books and c is codes
 
+
+
+def test_audio_pcm_features_exact_on_synthetic_signals(spark):
+    """r13: the raw-PCM audio kernel computes REAL windowed DSP
+    features with no codec dependency — verify exact values on
+    constructed signals: full-scale square wave (known RMS, known ZCR,
+    fully clipped), silence (silence_frac 1.0), a half-scale constant
+    (known RMS, zero ZCR), sub-window and odd-length blobs, and the
+    per-window exploded shape."""
+    import numpy as np
+
+    from vectorsearch_scylla_spark.multimodal.media import (
+        audio_pcm_features,
+    )
+
+    win, hop = 8, 4
+    # square wave period 2: +FS, -FS, ... -> every adjacent pair
+    # crosses zero; int16 full scale on both rails -> clip_frac 1.0
+    square = np.tile(
+        np.array([32767, -32768], dtype="<i2"), 16
+    )  # 32 samples
+    silence = np.zeros(32, dtype="<i2")
+    half = np.full(32, 16384, dtype="<i2")  # ~0.5 FS constant, no ZC
+    short = np.array([1, 2, 3], dtype="<i2")  # < one window
+    rows = [
+        (1, "audio", bytearray(square.tobytes()), None),
+        (2, "audio", bytearray(silence.tobytes()), None),
+        (3, "audio", bytearray(half.tobytes()), None),
+        (4, "audio", bytearray(short.tobytes()), None),
+        (5, "audio", bytearray(square.tobytes()[:17]), None),  # odd tail
+        (6, "audio", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "asset_id long, kind string, content binary, "
+        "meta map<string,string>",
+    )
+    got = {
+        r["asset_id"]: r.asDict()
+        for r in audio_pcm_features(
+            df, window_samples=win, hop_samples=hop
+        ).collect()
+    }
+    n_w = 1 + (32 - win) // hop  # 7 windows over 32 samples
+
+    sq = got[1]
+    assert sq["n_samples"] == 32 and sq["n_windows"] == n_w
+    # RMS of a +FS/-FS square: sqrt(mean of 1 and (32768/32767)^2)
+    exp_rms = float(np.sqrt((1.0 + (32768.0 / 32767.0) ** 2) / 2.0))
+    assert sq["mean_rms"] == pytest.approx(exp_rms, rel=1e-9)
+    assert sq["max_rms"] == pytest.approx(exp_rms, rel=1e-9)
+    assert sq["mean_zcr"] == pytest.approx(1.0)  # every adjacent pair flips
+    assert sq["silence_frac"] == 0.0 and sq["clip_frac"] == 1.0
+
+    si = got[2]
+    assert si["mean_rms"] == 0.0 and si["silence_frac"] == 1.0
+    assert si["mean_zcr"] == 0.0 and si["clip_frac"] == 0.0
+
+    hf = got[3]
+    assert hf["mean_rms"] == pytest.approx(16384.0 / 32767.0, rel=1e-9)
+    assert hf["mean_zcr"] == 0.0 and hf["clip_frac"] == 0.0
+
+    sh = got[4]  # shorter than one window: no windows, silent by defn
+    assert sh["n_samples"] == 3 and sh["n_windows"] == 0
+    assert sh["silence_frac"] == 1.0 and sh["mean_rms"] == 0.0
+
+    odd = got[5]  # 17 bytes -> 8 full samples -> one window exactly
+    assert odd["n_samples"] == 8 and odd["n_windows"] == 1
+    assert odd["clip_frac"] == 1.0
+
+    nil = got[6]
+    assert nil["n_samples"] == 0 and nil["n_windows"] == 0
+
+    # per-window exploded shape agrees with the summary
+    per_w = audio_pcm_features(
+        df.filter("asset_id = 1"), window_samples=win, hop_samples=hop,
+        per_window=True,
+    ).collect()
+    assert [r["win_idx"] for r in sorted(per_w, key=lambda r: r["win_idx"])] == list(range(n_w))
+    assert all(r["rms"] == pytest.approx(exp_rms, rel=1e-9) for r in per_w)
+    assert all(r["zcr"] == pytest.approx(1.0) for r in per_w)

@@ -117,6 +117,130 @@ def sample_frames(df: DataFrame, frame_bytes: int = 16, every_n: int = 2) -> Dat
     )
 
 
+def audio_pcm_features(
+    df: DataFrame,
+    window_samples: int = 400,
+    hop_samples: int = 160,
+    per_window: bool = False,
+    pcm_dtype: str = "<i2",
+) -> DataFrame:
+    """REAL (not stubbed) audio feature extraction over raw-PCM blobs
+    — windowed RMS energy, zero-crossing rate, and clipping analysis,
+    the silence/quality gate an audio-corpus curation pipeline runs
+    before anything expensive (the audio twin of ``text_quality``'s
+    cheap-signals-first posture).  Raw PCM needs NO codec library: the
+    blob is reinterpreted as little-endian int16 samples
+    (``pcm_dtype``; a trailing partial sample is ignored) and every
+    feature is a vectorized NumPy pass — the one media family whose
+    decode step is honestly computable in this environment, so unlike
+    :func:`decode_image` there is nothing gated here.
+
+    Defaults are the standard speech framing at 16 kHz: 25 ms windows
+    (400 samples), 10 ms hop (160).  Per asset (default) emits one
+    small summary row::
+
+        (asset_id, n_samples, n_windows,
+         mean_rms, max_rms,      -- per-window RMS of [-1, 1] floats
+         mean_zcr,               -- mean per-window zero-crossing rate
+         silence_frac,           -- windows with RMS < 1e-3
+         clip_frac)              -- samples at int16 full scale
+
+    ``per_window=True`` emits the exploded VAD-ish shape instead:
+    ``(asset_id, win_idx, rms, zcr)`` — one row per analysis window,
+    fanned out inside the worker, no shuffle.  Scale posture matches
+    the module's design rules: bytes never shuffle, features are tiny,
+    windows are materialized per-asset inside the Python worker via a
+    zero-copy strided view (never a windows × samples copy).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if window_samples <= 0 or hop_samples <= 0:
+        raise ValueError(
+            "audio_pcm_features: window_samples and hop_samples must be "
+            "positive"
+        )
+    full_scale = 32767.0
+    clip_lo, clip_hi = -32768, 32767
+
+    def _windows(x: "np.ndarray") -> "np.ndarray":
+        # zero-copy strided (n_windows, window_samples) view
+        n = 1 + (x.size - window_samples) // hop_samples
+        return np.lib.stride_tricks.as_strided(
+            x,
+            shape=(n, window_samples),
+            strides=(x.strides[0] * hop_samples, x.strides[0]),
+            writeable=False,
+        )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if per_window:
+                out_w = {"asset_id": [], "win_idx": [], "rms": [], "zcr": []}
+            else:
+                out_a = {
+                    "asset_id": [], "n_samples": [], "n_windows": [],
+                    "mean_rms": [], "max_rms": [], "mean_zcr": [],
+                    "silence_frac": [], "clip_frac": [],
+                }
+            for aid, blob in zip(pdf["asset_id"], pdf["content"]):
+                raw = blob if blob is not None else b""
+                n_bytes = len(raw) - len(raw) % np.dtype(pcm_dtype).itemsize
+                pcm = np.frombuffer(raw[:n_bytes], dtype=pcm_dtype)
+                n = pcm.size
+                if n >= window_samples:
+                    x = pcm.astype(np.float64) / full_scale
+                    w = _windows(x)
+                    rms = np.sqrt(np.mean(w * w, axis=1))
+                    signs = np.signbit(_windows(pcm))
+                    zcr = np.mean(
+                        signs[:, 1:] != signs[:, :-1], axis=1
+                    )
+                else:
+                    rms = np.empty(0)
+                    zcr = np.empty(0)
+                if per_window:
+                    out_w["asset_id"].extend([aid] * rms.size)
+                    out_w["win_idx"].extend(range(rms.size))
+                    out_w["rms"].extend(float(v) for v in rms)
+                    out_w["zcr"].extend(float(v) for v in zcr)
+                else:
+                    clip = (
+                        int(((pcm == clip_lo) | (pcm == clip_hi)).sum())
+                        if n
+                        else 0
+                    )
+                    out_a["asset_id"].append(aid)
+                    out_a["n_samples"].append(n)
+                    out_a["n_windows"].append(int(rms.size))
+                    out_a["mean_rms"].append(
+                        float(rms.mean()) if rms.size else 0.0
+                    )
+                    out_a["max_rms"].append(
+                        float(rms.max()) if rms.size else 0.0
+                    )
+                    out_a["mean_zcr"].append(
+                        float(zcr.mean()) if zcr.size else 0.0
+                    )
+                    out_a["silence_frac"].append(
+                        float((rms < 1e-3).mean()) if rms.size else 1.0
+                    )
+                    out_a["clip_frac"].append(clip / n if n else 0.0)
+            yield pd.DataFrame(out_w if per_window else out_a)
+
+    if per_window:
+        schema = "asset_id long, win_idx int, rms double, zcr double"
+    else:
+        schema = (
+            "asset_id long, n_samples long, n_windows long, "
+            "mean_rms double, max_rms double, mean_zcr double, "
+            "silence_frac double, clip_frac double"
+        )
+    return df.select("asset_id", "content").mapInPandas(kernel, schema=schema)
+
+
 def decode_image(df: DataFrame, resize: tuple[int, int] | None = None) -> DataFrame:
     """STUB — image decode (+ optional resize) to (asset_id, width,
     height, mode, pixels binary).
