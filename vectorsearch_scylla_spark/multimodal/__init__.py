@@ -3,6 +3,7 @@ from vectorsearch_scylla_spark.multimodal.media import (
     documents_as_media,
     extract_byte_features,
     sample_frames,
+    audio_pcm_features,
     decode_image,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "documents_as_media",
     "extract_byte_features",
     "sample_frames",
+    "audio_pcm_features",
     "decode_image",
 ]
