@@ -2186,14 +2186,16 @@ def _ivf_stream_chain_study(spark, emb, base: str) -> dict:
             )
             return round(time.perf_counter() - t0, 3)
 
-        # every entry pays the rolled-heal check (generation + rolled
-        # reads, two counts, one anti-join — Spark jobs that scale
-        # with the corpus) whether or not anything needs retiring;
-        # timing the whole call would attribute that fixed entry cost
-        # to retirement.  Baseline first (nothing to retire), then the
-        # same call with a fabricated superseded generation — the DIFF
-        # is the retirement itself (locally an rmtree; on an object
-        # store a bulk delete off the hot path).
+        # timing the whole call would attribute the entry's other
+        # work to retirement, so: baseline first (nothing to retire),
+        # then the same call with a fabricated superseded generation —
+        # the DIFF is the retirement itself (locally an rmtree; on an
+        # object store a bulk delete off the hot path).  Since the
+        # _rolled_absorbed marker landed, the baseline entry is the
+        # CHEAP marker-gated path (~ms — the corpus-sized rolled-heal
+        # anti-join only runs when a crash left no marker), so the
+        # published baseline measures the steady-state restart cost,
+        # not a heal.
         out["resume_entry_baseline_sec"] = resume_once()
         shutil.copytree(live, stale)
         with_stale = resume_once()

@@ -4004,6 +4004,32 @@ def test_audio_pcm_features_exact_on_synthetic_signals(spark):
     nil = got[6]
     assert nil["n_samples"] == 0 and nil["n_windows"] == 0
 
+    # dtype-derived rails: int32 PCM at its own full scale must read
+    # the same normalized features as the int16 twin (rails from
+    # np.iinfo, not hardcoded 32767)
+    sq32 = np.tile(
+        np.array([2147483647, -2147483648], dtype="<i4"), 16
+    )
+    df32 = spark.createDataFrame(
+        [(7, "audio", bytearray(sq32.tobytes()), None)],
+        "asset_id long, kind string, content binary, "
+        "meta map<string,string>",
+    )
+    g32 = audio_pcm_features(
+        df32, window_samples=win, hop_samples=hop, pcm_dtype="<i4"
+    ).collect()[0]
+    exp32 = float(
+        np.sqrt((1.0 + (2147483648.0 / 2147483647.0) ** 2) / 2.0)
+    )
+    assert g32["mean_rms"] == pytest.approx(exp32, rel=1e-9)
+    assert g32["mean_zcr"] == pytest.approx(1.0)
+    assert g32["clip_frac"] == 1.0
+
+    # unsigned / float PCM is refused loudly (no sign bit -> ZCR would
+    # silently read 0; no integer rails -> clip_frac meaningless)
+    with pytest.raises(ValueError, match="SIGNED integer"):
+        audio_pcm_features(df, pcm_dtype="u1")
+
     # per-window exploded shape agrees with the summary
     per_w = audio_pcm_features(
         df.filter("asset_id = 1"), window_samples=win, hop_samples=hop,

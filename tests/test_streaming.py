@@ -1889,6 +1889,24 @@ def test_ivf_commission_budget_noops_on_boundary_heavy_stream(spark, tmp_path):
             max_files_per_trigger=1, compact_at_files=0, maintenance=bad,
         )
 
+    # ...but the stale commission file must NEVER poison restarts that
+    # will not consume it: a numeric-budget restart (mismatched flags
+    # and all) and a maintenance-free pure-ingest restart both enter
+    # cleanly
+    state_n = ivf_add_stream(
+        spark, src, "vec_id long, embedding array<double>",
+        cents, base_lists, work,
+        max_files_per_trigger=1, compact_at_files=0,
+        maintenance=dict(bad, recall_budget=0.0001),
+    )
+    assert state_n["epochs"] == 0 and state_n["commissioned_budget"] is None
+    state_p = ivf_add_stream(
+        spark, src, "vec_id long, embedding array<double>",
+        cents, base_lists, work,
+        max_files_per_trigger=1, compact_at_files=0,
+    )
+    assert state_p["epochs"] == 0 and state_p["commissioned_budget"] is None
+
 
 def test_generation_swap_crash_states_all_converge(spark, tmp_path):
     """r13: enumerate the on-disk states a crash can leave at EACH step

@@ -225,3 +225,4 @@ def test_regime_band_constants_agree():
     import bench
 
     assert compare_bench.REGIME_BAND == bench.REGIME_BAND
+    assert compare_bench.REGIME_SF == bench.REGIME_SF

@@ -48,8 +48,12 @@ import sys
 # healthy settled-canary absolute band (seconds): r11 agreement study
 # rows 1-14 healthy settled samples span 1.57-2.92; every degraded or
 # uniform-slow-regime row has a settled sample outside this band
-# (BENCH_SCALE.md "Canary composite + two-window agreement")
+# (BENCH_SCALE.md "Canary composite + two-window agreement").  The
+# band is calibrated at REGIME_SF.  Both constants mirror bench.py's
+# (which this CLI deliberately does not import — pyspark cost);
+# equality is pinned by tests/test_tools.py.
 REGIME_BAND = (1.5, 4.0)
+REGIME_SF = 0.1
 
 
 def load(path: str) -> dict:
@@ -120,7 +124,7 @@ def main() -> int:
         if (
             isinstance(samples, list)
             and len(samples) >= 2
-            and d.get("sf") == 0.1
+            and d.get("sf") == REGIME_SF
         ):
             lo, hi = REGIME_BAND
             off = [s for s in samples[1:] if not (lo <= s <= hi)]

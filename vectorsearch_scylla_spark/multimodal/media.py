@@ -129,11 +129,13 @@ def audio_pcm_features(
     the silence/quality gate an audio-corpus curation pipeline runs
     before anything expensive (the audio twin of ``text_quality``'s
     cheap-signals-first posture).  Raw PCM needs NO codec library: the
-    blob is reinterpreted as little-endian int16 samples
-    (``pcm_dtype``; a trailing partial sample is ignored) and every
-    feature is a vectorized NumPy pass — the one media family whose
-    decode step is honestly computable in this environment, so unlike
-    :func:`decode_image` there is nothing gated here.
+    blob is reinterpreted as SIGNED integer samples (``pcm_dtype``,
+    default little-endian int16; full-scale and clip rails derive from
+    the dtype via ``np.iinfo``, and unsigned/float dtypes are refused
+    — convert upstream; a trailing partial sample is ignored) and
+    every feature is a vectorized NumPy pass — the one media family
+    whose decode step is honestly computable in this environment, so
+    unlike :func:`decode_image` there is nothing gated here.
 
     Defaults are the standard speech framing at 16 kHz: 25 ms windows
     (400 samples), 10 ms hop (160).  Per asset (default) emits one
@@ -149,8 +151,10 @@ def audio_pcm_features(
     ``(asset_id, win_idx, rms, zcr)`` — one row per analysis window,
     fanned out inside the worker, no shuffle.  Scale posture matches
     the module's design rules: bytes never shuffle, features are tiny,
-    windows are materialized per-asset inside the Python worker via a
-    zero-copy strided view (never a windows × samples copy).
+    and the per-window sums come from ONE cumulative-sum pass over the
+    sample stream — O(n) memory per asset, never a windows × samples
+    temporary (2.5× overlapped windows over a 100 MB blob would
+    otherwise allocate a ~GB product array in the worker).
     """
     import numpy as np
     import pandas as pd
@@ -160,20 +164,31 @@ def audio_pcm_features(
             "audio_pcm_features: window_samples and hop_samples must be "
             "positive"
         )
-    full_scale = 32767.0
-    clip_lo, clip_hi = -32768, 32767
-
-    def _windows(x: "np.ndarray") -> "np.ndarray":
-        # zero-copy strided (n_windows, window_samples) view
-        n = 1 + (x.size - window_samples) // hop_samples
-        return np.lib.stride_tricks.as_strided(
-            x,
-            shape=(n, window_samples),
-            strides=(x.strides[0] * hop_samples, x.strides[0]),
-            writeable=False,
+    dt = np.dtype(pcm_dtype)
+    if dt.kind != "i":
+        # unsigned PCM has no sign bit (ZCR would read 0 everywhere)
+        # and float PCM has no integer clip rails — refuse loudly
+        # rather than emit silently wrong features
+        raise ValueError(
+            "audio_pcm_features: pcm_dtype must be a SIGNED integer "
+            f"PCM dtype (got {pcm_dtype!r}); convert unsigned/float "
+            "PCM upstream"
         )
+    info = np.iinfo(dt)
+    full_scale = float(info.max)
+    clip_lo, clip_hi = int(info.min), int(info.max)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def _per_window_sums(series: "np.ndarray", width: int, n: int):
+            # per-window sums over hopped windows in O(len(series))
+            # memory via one cumulative sum — never a windows×samples
+            # temporary (the module's 100 TB design rule: a 100 MB
+            # blob with 2.5× window overlap would otherwise allocate
+            # a ~GB dense product array per asset)
+            cs = np.concatenate(([0.0], np.cumsum(series)))
+            starts = np.arange(n) * hop_samples
+            return cs[starts + width] - cs[starts]
+
         for pdf in batches:
             if pdf.empty:
                 continue
@@ -187,17 +202,26 @@ def audio_pcm_features(
                 }
             for aid, blob in zip(pdf["asset_id"], pdf["content"]):
                 raw = blob if blob is not None else b""
-                n_bytes = len(raw) - len(raw) % np.dtype(pcm_dtype).itemsize
-                pcm = np.frombuffer(raw[:n_bytes], dtype=pcm_dtype)
+                n_bytes = len(raw) - len(raw) % dt.itemsize
+                pcm = np.frombuffer(raw[:n_bytes], dtype=dt)
                 n = pcm.size
                 if n >= window_samples:
+                    n_win = 1 + (n - window_samples) // hop_samples
                     x = pcm.astype(np.float64) / full_scale
-                    w = _windows(x)
-                    rms = np.sqrt(np.mean(w * w, axis=1))
-                    signs = np.signbit(_windows(pcm))
-                    zcr = np.mean(
-                        signs[:, 1:] != signs[:, :-1], axis=1
+                    rms = np.sqrt(
+                        _per_window_sums(x * x, window_samples, n_win)
+                        / window_samples
                     )
+                    if window_samples > 1:
+                        signs = np.signbit(pcm)
+                        crossings = (signs[1:] != signs[:-1]).astype(
+                            np.float64
+                        )
+                        zcr = _per_window_sums(
+                            crossings, window_samples - 1, n_win
+                        ) / (window_samples - 1)
+                    else:
+                        zcr = np.zeros(n_win)
                 else:
                     rms = np.empty(0)
                     zcr = np.empty(0)

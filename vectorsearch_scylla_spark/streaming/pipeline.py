@@ -651,6 +651,7 @@ def _resume_newest_generation(
         for p in glob.glob(f"{rolled}.heal.*")
         if p not in (f"{rolled}.heal.old", f"{rolled}.heal.staging")
     )
+    legacy_restored = False
     if not os.path.isdir(rolled) and (legacy_old or legacy_staged):
         candidates = legacy_old or legacy_staged
         if len(candidates) > 1:
@@ -661,6 +662,11 @@ def _resume_newest_generation(
                 "rename the correct one back to the rolled path"
             )
         os.rename(candidates[0], rolled)
+        # the restored PRE-heal copy may carry absorbed residue, so
+        # the heal below must actually run — an existing swap-
+        # completed marker (from a swap that finished before the
+        # legacy crash) no longer vouches for THIS rolled content
+        legacy_restored = True
     for p in legacy_old + legacy_staged:
         shutil.rmtree(p, ignore_errors=True)
     _recover_rolled_heal(rolled)
@@ -693,6 +699,8 @@ def _resume_newest_generation(
     # merely skips the optional idempotent-re-add dedup, which the ID
     # CONTRACT already declares best-effort).
     marker = os.path.join(gen_dir, "_rolled_absorbed")
+    if legacy_restored and os.path.isfile(marker):
+        os.remove(marker)  # the restored rolled content is unvouched
     if os.path.isdir(rolled) and not os.path.isfile(marker):
         match_cols = [id_col] + ([vec_col] if vec_col else [])
         gen_keys = spark.read.parquet(gen_dir).select(*match_cols)
@@ -1097,21 +1105,33 @@ def ivf_add_stream(
         state["generation"] = gen_n
     m = dict(maintenance or {})
     every = int(m.get("every", 1))
-    # commissioned-budget resume (shared helper; see pq_add_stream):
-    # the cfg keys are the IVF watch's own — the era grid's FLOOR
-    # nprobe (the operating point a commissioning day measures), the
-    # audit population, and the sample bound
-    commission_cfg = {
-        "nprobe_floor": min(
-            int(n) for n in m.get("nprobe_grid", (4, 8, 16, 32))
-        ),
-        "k": int(m.get("k", 5)),
-        "max_audit_queries": int(m.get("max_audit_queries", 64)),
-        "audit_source": m.get("audit_source", "members"),
-    }
-    commission_path, state["commissioned_budget"] = (
-        _resume_commissioned_budget(base_dir, commission_cfg)
-    )
+    # commissioned-budget resume (shared helper; see pq_add_stream),
+    # ONLY when commission mode will actually consume it — a stale
+    # _commission.json must never block a numeric-budget or pure-
+    # ingest restart of the same directory.  The cfg keys are the IVF
+    # watch's own: the era grid's FLOOR nprobe (the operating point a
+    # commissioning day measures), the audit population, the sample
+    # bound.
+    state["commissioned_budget"] = None
+    commission_path = os.path.join(base_dir, "_commission.json")
+    commission_cfg: dict = {}
+    if m.get("recall_budget") == "commission":
+        grid = tuple(m.get("nprobe_grid", (4, 8, 16, 32)))
+        if not grid:
+            raise ValueError(
+                "ivf_add_stream: nprobe_grid must be non-empty — the "
+                "grid IS the probe-spend policy, and commissioning "
+                "measures its floor point"
+            )
+        commission_cfg = {
+            "nprobe_floor": min(int(n) for n in grid),
+            "k": int(m.get("k", 5)),
+            "max_audit_queries": int(m.get("max_audit_queries", 64)),
+            "audit_source": m.get("audit_source", "members"),
+        }
+        commission_path, state["commissioned_budget"] = (
+            _resume_commissioned_budget(base_dir, commission_cfg)
+        )
 
     def _members_view() -> DataFrame:
         """The committed index: current generation (or gen-0 base
@@ -1378,19 +1398,26 @@ def pq_add_stream(
     # silently re-commission on whatever state it wakes up to — the
     # deployer vouched for the COMMISSIONING day's state, not this
     # one); the shared helper refuses a restart whose audit flags
-    # disagree with the ones the budget was measured under
-    commission_cfg = {
-        "audit_metric": (
-            "tie_aware" if m.get("tie_aware", False) else "id_set"
-        ),
-        "tie_tolerance": m.get("tie_tolerance"),
-        "k": int(m.get("k", 5)),
-        "max_audit_queries": int(m.get("max_audit_queries", 64)),
-        "audit_source": m.get("audit_source", "members"),
-    }
-    commission_path, state["commissioned_budget"] = (
-        _resume_commissioned_budget(base_dir, commission_cfg)
-    )
+    # disagree with the ones the budget was measured under.  Loaded
+    # ONLY when commission mode will consume it — a stale
+    # _commission.json must never block a numeric-budget or pure-
+    # ingest restart of the same directory.
+    state["commissioned_budget"] = None
+    commission_path = os.path.join(base_dir, "_commission.json")
+    commission_cfg: dict = {}
+    if m.get("recall_budget") == "commission":
+        commission_cfg = {
+            "audit_metric": (
+                "tie_aware" if m.get("tie_aware", False) else "id_set"
+            ),
+            "tie_tolerance": m.get("tie_tolerance"),
+            "k": int(m.get("k", 5)),
+            "max_audit_queries": int(m.get("max_audit_queries", 64)),
+            "audit_source": m.get("audit_source", "members"),
+        }
+        commission_path, state["commissioned_budget"] = (
+            _resume_commissioned_budget(base_dir, commission_cfg)
+        )
 
     def _view() -> DataFrame:
         cols = [id_col, vec_col, *code_cols, "rnorm"]
