@@ -4038,3 +4038,63 @@ def test_audio_pcm_features_exact_on_synthetic_signals(spark):
     assert [r["win_idx"] for r in sorted(per_w, key=lambda r: r["win_idx"])] == list(range(n_w))
     assert all(r["rms"] == pytest.approx(exp_rms, rel=1e-9) for r in per_w)
     assert all(r["zcr"] == pytest.approx(1.0) for r in per_w)
+
+
+def test_sniff_image_meta_parses_real_headers(spark):
+    """r13: codec-free image metadata sniffing — handcraft minimal but
+    SPEC-CORRECT container headers for PNG/GIF/BMP/JPEG (including a
+    JPEG whose SOF0 sits behind APP0+DQT+DHT segments and a restart
+    marker, the layout real camera files have) and verify exact
+    format/width/height; malformed and truncated bytes classify as
+    unknown/NULL instead of throwing."""
+    import struct
+
+    from vectorsearch_scylla_spark.multimodal.media import sniff_image_meta
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR"
+        + struct.pack(">II", 640, 480) + b"\x08\x02\x00\x00\x00"
+    )
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 100, 0, 0, 54)
+        + struct.pack("<I", 40) + struct.pack("<ii", 256, -128)
+    )  # negative height = top-down rows; sniffer reports 128
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    jpeg = (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00" + b"\x00" * 9)   # APP0
+        + seg(0xDB, b"\x00" + b"\x01" * 64)       # DQT
+        + seg(0xC4, b"\x00" + b"\x01" * 16)       # DHT (a 0xCn NON-frame)
+        + b"\xff\xd0"                              # RST0 standalone
+        + seg(0xC0, b"\x08" + struct.pack(">HH", 1080, 1920) + b"\x03")
+    )
+    rows = [
+        (1, "image", bytearray(png), None),
+        (2, "image", bytearray(gif), None),
+        (3, "image", bytearray(bmp), None),
+        (4, "image", bytearray(jpeg), None),
+        (5, "image", bytearray(b"\x89PNG\r\n\x1a\nxx"), None),  # truncated
+        (6, "image", bytearray(b"not an image at all"), None),
+        (7, "image", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "asset_id long, kind string, content binary, "
+        "meta map<string,string>",
+    )
+    got = {
+        r["asset_id"]: (r["format"], r["width"], r["height"])
+        for r in sniff_image_meta(df).collect()
+    }
+    assert got[1] == ("png", 640, 480)
+    assert got[2] == ("gif", 320, 200)
+    assert got[3] == ("bmp", 256, 128)
+    assert got[4] == ("jpeg", 1920, 1080)
+    assert got[5] == ("png", None, None)
+    assert got[6] == ("unknown", None, None)
+    assert got[7] == ("unknown", None, None)

@@ -4,6 +4,7 @@ from vectorsearch_scylla_spark.multimodal.media import (
     extract_byte_features,
     sample_frames,
     audio_pcm_features,
+    sniff_image_meta,
     decode_image,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "extract_byte_features",
     "sample_frames",
     "audio_pcm_features",
+    "sniff_image_meta",
     "decode_image",
 ]
