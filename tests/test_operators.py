@@ -4098,3 +4098,76 @@ def test_sniff_image_meta_parses_real_headers(spark):
     assert got[5] == ("png", None, None)
     assert got[6] == ("unknown", None, None)
     assert got[7] == ("unknown", None, None)
+
+
+def test_sniff_av_container_wav_roundtrips_into_pcm_features(spark):
+    """r13: container sniffing + the WAV fmt-chunk parse make the audio
+    path codec-free end to end — build a spec-correct 16-bit PCM WAV
+    around a known square wave, sniff it, slice the data payload at
+    the sniffed offset, and verify audio_pcm_features reads the SAME
+    features as on the raw PCM; magic-byte detection pinned for
+    mp4/webm/mkv/ogg/flac/mp3/avi and unknown/truncated bytes."""
+    import struct
+
+    import numpy as np
+
+    from vectorsearch_scylla_spark.multimodal.media import (
+        audio_pcm_features,
+        sniff_av_container,
+    )
+
+    pcm = np.tile(np.array([32767, -32768], dtype="<i2"), 16)
+    data = pcm.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, 16000, 32000, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    rows = [
+        (1, "audio", bytearray(wav), None),
+        (2, "video", bytearray(b"\x00\x00\x00\x18ftypisom" + b"\x00" * 8), None),
+        (3, "video", bytearray(b"\x1a\x45\xdf\xa3" + b"...webm..."), None),
+        (4, "video", bytearray(b"\x1a\x45\xdf\xa3" + b"..matroska.."), None),
+        (5, "audio", bytearray(b"OggS" + b"\x00" * 8), None),
+        (6, "audio", bytearray(b"fLaC" + b"\x00" * 8), None),
+        (7, "audio", bytearray(b"ID3\x04\x00" + b"\x00" * 8), None),
+        (8, "audio", bytearray(b"\xff\xfb\x90\x00" + b"\x00" * 8), None),
+        (9, "video", bytearray(b"RIFF\x24\x00\x00\x00AVI " + b"\x00" * 8), None),
+        (10, "blob", bytearray(b"zz"), None),
+        (11, "blob", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "asset_id long, kind string, content binary, "
+        "meta map<string,string>",
+    )
+    got = {r["asset_id"]: r.asDict() for r in sniff_av_container(df).collect()}
+
+    w = got[1]
+    assert w["container"] == "wav" and w["detail"] == "pcm"
+    assert (w["channels"], w["sample_rate"], w["bits_per_sample"]) == (1, 16000, 16)
+    assert w["data_len"] == len(data)
+    # slice the payload at the sniffed offset: features must equal the
+    # raw-PCM reading exactly
+    payload = bytes(wav)[w["data_offset"] : w["data_offset"] + w["data_len"]]
+    assert payload == data
+    both = spark.createDataFrame(
+        [(1, "audio", bytearray(payload), None), (2, "audio", bytearray(data), None)],
+        "asset_id long, kind string, content binary, meta map<string,string>",
+    )
+    f = {r["asset_id"]: r.asDict() for r in audio_pcm_features(
+        both, window_samples=8, hop_samples=4
+    ).collect()}
+    assert f[1] == {**f[2], "asset_id": 1}
+
+    assert (got[2]["container"], got[2]["detail"]) == ("mp4", "isom")
+    assert (got[3]["container"], got[3]["detail"]) == ("webm", "webm")
+    assert (got[4]["container"], got[4]["detail"]) == ("mkv", "matroska")
+    assert got[5]["container"] == "ogg"
+    assert got[6]["container"] == "flac"
+    assert (got[7]["container"], got[7]["detail"]) == ("mp3", "id3")
+    assert (got[8]["container"], got[8]["detail"]) == ("mp3", "framesync")
+    assert got[9]["container"] == "avi"
+    assert got[10]["container"] == "unknown"
+    assert got[11]["container"] == "unknown"

@@ -5,6 +5,7 @@ from vectorsearch_scylla_spark.multimodal.media import (
     sample_frames,
     audio_pcm_features,
     sniff_image_meta,
+    sniff_av_container,
     decode_image,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "sample_frames",
     "audio_pcm_features",
     "sniff_image_meta",
+    "sniff_av_container",
     "decode_image",
 ]

@@ -354,6 +354,112 @@ def sniff_image_meta(df: DataFrame) -> DataFrame:
     )
 
 
+def sniff_av_container(df: DataFrame) -> DataFrame:
+    """REAL (not stubbed) audio/video container sniffing — the routing
+    step before any media pipeline: classify the container from magic
+    bytes, and for WAV (RIFF/WAVE) parse the ``fmt `` chunk fully —
+    audio format code, channels, sample rate, bits per sample, and the
+    byte offset+length of the ``data`` payload.  For 16-bit integer
+    PCM WAV that makes the whole audio path codec-free END TO END:
+    ``sniff_av_container`` → slice the data payload →
+    :func:`audio_pcm_features` (whose dtype the sniffed
+    bits-per-sample selects).
+
+    Detected containers: ``wav`` (fully parsed), ``mp4`` (ISO BMFF —
+    the ``ftyp`` box's major brand rides in ``detail``), ``webm``/
+    ``mkv`` (EBML magic; ``detail`` distinguishes by DocType when it
+    is in the first bytes), ``ogg``, ``flac``, ``mp3`` (ID3 tag or
+    MPEG frame sync), ``avi`` (RIFF/AVI).  Unknown or truncated bytes
+    classify as ``unknown`` with NULL fields — never an exception.
+
+    Emits ``(asset_id, container, detail, channels, sample_rate,
+    bits_per_sample, data_offset, data_len)`` — the non-WAV rows carry
+    NULLs for the PCM fields.  Map-only ``mapInPandas``; only header
+    prefixes are inspected.
+    """
+    import struct
+
+    import pandas as pd
+
+    def _wav(b: bytes):
+        # walk RIFF chunks: fmt_ then data (chunks are word-aligned)
+        i = 12
+        fmt = None
+        data_off = data_len = None
+        while i + 8 <= len(b):
+            cid = b[i : i + 4]
+            (clen,) = struct.unpack("<I", b[i + 4 : i + 8])
+            if cid == b"fmt " and i + 8 + 16 <= len(b):
+                fmt = struct.unpack("<HHIIHH", b[i + 8 : i + 24])
+            elif cid == b"data":
+                data_off, data_len = i + 8, clen
+            i += 8 + clen + (clen & 1)
+        if fmt is None:
+            return ("wav", None, None, None, None, None, None)
+        audio_fmt, ch, sr, _brate, _balign, bits = fmt
+        detail = {1: "pcm", 3: "float", 6: "alaw", 7: "mulaw"}.get(
+            audio_fmt, f"fmt{audio_fmt}"
+        )
+        return ("wav", detail, ch, sr, bits, data_off, data_len)
+
+    def _sniff(b: bytes | None):
+        none5 = (None, None, None, None, None)
+        if not b or len(b) < 4:
+            return ("unknown", None) + none5
+        if b[:4] == b"RIFF" and len(b) >= 12:
+            if b[8:12] == b"WAVE":
+                w = _wav(b)
+                return (w[0], w[1], w[2], w[3], w[4], w[5], w[6])
+            if b[8:12] == b"AVI ":
+                return ("avi", None) + none5
+        if len(b) >= 12 and b[4:8] == b"ftyp":
+            brand = b[8:12].decode("ascii", errors="replace").strip()
+            return ("mp4", brand) + none5
+        if b[:4] == b"\x1a\x45\xdf\xa3":
+            head = b[: min(len(b), 64)]
+            detail = (
+                "webm" if b"webm" in head
+                else "matroska" if b"matroska" in head
+                else None
+            )
+            return ("webm" if detail == "webm" else "mkv", detail) + none5
+        if b[:4] == b"OggS":
+            return ("ogg", None) + none5
+        if b[:4] == b"fLaC":
+            return ("flac", None) + none5
+        if b[:3] == b"ID3" or (
+            b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
+        ):
+            return ("mp3", "id3" if b[:3] == b"ID3" else "framesync") + none5
+        return ("unknown", None) + none5
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "asset_id", "container", "detail", "channels", "sample_rate",
+            "bits_per_sample", "data_offset", "data_len",
+        ]
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            out = {c: [] for c in cols}
+            for aid, blob in zip(pdf["asset_id"], pdf["content"]):
+                vals = _sniff(bytes(blob) if blob is not None else None)
+                out["asset_id"].append(aid)
+                for c, v in zip(cols[1:], vals):
+                    out[c].append(v)
+            yield pd.DataFrame(out)
+
+    return df.select("asset_id", "content").mapInPandas(
+        kernel,
+        schema=(
+            "asset_id long, container string, detail string, "
+            "channels int, sample_rate int, bits_per_sample int, "
+            "data_offset long, data_len long"
+        ),
+    )
+
+
 def decode_image(df: DataFrame, resize: tuple[int, int] | None = None) -> DataFrame:
     """STUB — image decode (+ optional resize) to (asset_id, width,
     height, mode, pixels binary).
