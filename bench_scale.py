@@ -2427,6 +2427,82 @@ def _pq_stream_day_study(spark, emb, base: str) -> dict:
     return out
 
 
+def _media_throughput_study(spark, base: str) -> dict:
+    """r13: price the codec-free media kernels — the multimodal
+    family's scale claim made measurable.  Synthesizes a PCM corpus
+    (deterministic per-asset int16 waveforms, ~1 MB/asset, built
+    distributed — the driver never holds the blobs) and times each
+    kernel end-to-end to a count, reporting MB/s of blob bytes
+    processed.  All three are map-only Arrow-batched scans, so the
+    per-core rate IS the 100 TB projection: total wall = bytes /
+    (rate × cores), no shuffle term to grow."""
+    import time as _t
+
+    from vectorsearch_scylla_spark.multimodal.media import (
+        audio_pcm_features,
+        extract_byte_features,
+        sniff_av_container,
+        sniff_image_meta,
+    )
+
+    n_assets = int(os.environ.get("SPARK_GRAFT_MEDIA_ASSETS", "512"))
+    samples = 524_288  # 1 MiB of int16 per asset
+    blobs_path = os.path.join(base, "media_blobs")
+    t0 = _t.perf_counter()
+
+    # deterministic per-asset waveform — int16 bytes of a sawtooth-ish
+    # wave, value = ((id*7 + i*13) % 4096 - 2048) * 16 — generated
+    # INSIDE the workers (vectorized, one pass; the driver never
+    # holds a blob)
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"asset_id": [], "kind": [], "content": [], "meta": []}
+            for aid in pdf["id"]:
+                i = np.arange(samples, dtype=np.int64)
+                wave = (((aid * 7 + i * 13) % 4096) - 2048) * 16
+                out["asset_id"].append(int(aid))
+                out["kind"].append("audio")
+                out["content"].append(wave.astype("<i2").tobytes())
+                out["meta"].append(None)
+            yield pd.DataFrame(out)
+
+    spark.range(n_assets).repartition(32).mapInPandas(
+        gen,
+        schema=(
+            "asset_id long, kind string, content binary, "
+            "meta map<string,string>"
+        ),
+    ).write.mode("overwrite").parquet(blobs_path)
+    out: dict = {
+        "n_assets": n_assets,
+        "mb_total": round(n_assets * samples * 2 / 1e6, 1),
+        "gen_sec": round(_t.perf_counter() - t0, 3),
+    }
+    media = spark.read.parquet(blobs_path)
+
+    def rate(tag: str, fn) -> None:
+        t0 = _t.perf_counter()
+        n = fn(media).count()
+        wall = _t.perf_counter() - t0
+        out[f"{tag}_sec"] = round(wall, 3)
+        out[f"{tag}_mb_per_s"] = round(out["mb_total"] / wall, 1)
+        out[f"{tag}_rows"] = n
+
+    rate("audio_features", lambda d: audio_pcm_features(d))
+    rate(
+        "audio_per_window",
+        lambda d: audio_pcm_features(d, per_window=True),
+    )
+    rate("container_sniff", lambda d: sniff_av_container(d))
+    rate("image_sniff", lambda d: sniff_image_meta(d))
+    rate("byte_features", lambda d: extract_byte_features(d))
+    print(f"[bench_scale] media: {out}", file=sys.stderr)
+    return out
+
+
 def _sig_compact_knee_study(spark, docs, base: str) -> dict:
     """r12 (r11 VERDICT task 7): the compaction-CADENCE knee for the
     bucketed signature artifact — the number the 25 B-doc lifecycle
@@ -2728,7 +2804,7 @@ def main() -> None:
         # =funnel run ONLY the named study and print their own JSON —
         # both are additive long-running measurements that must not
         # balloon the default battery
-        if sections and sections <= {"clique", "funnel", "sweep", "inc", "bigk", "incfunnel", "compact", "chain", "chain7", "bucketed", "ndstream", "ndepochs", "ivfweek", "pqstale", "ivfstream", "ivfchain", "sigknee", "pqstream"}:
+        if sections and sections <= {"clique", "funnel", "sweep", "inc", "bigk", "incfunnel", "compact", "chain", "chain7", "bucketed", "ndstream", "ndepochs", "ivfweek", "pqstale", "ivfstream", "ivfchain", "sigknee", "pqstream", "media"}:
             study: dict = {}
             if "clique" in sections:
                 study["clique_study"] = _clique_study(spark, docs0, base)
@@ -2763,6 +2839,10 @@ def main() -> None:
             if "ivfchain" in sections:
                 study["ivf_stream_chain"] = _ivf_stream_chain_study(
                     spark, emb, base
+                )
+            if "media" in sections:
+                study["media_throughput"] = _media_throughput_study(
+                    spark, base
                 )
             if "pqstream" in sections:
                 study["pq_stream_day"] = _pq_stream_day_study(spark, emb, base)
