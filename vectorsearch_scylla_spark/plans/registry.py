@@ -124,73 +124,70 @@ def query(name: str, oracle: str | None, survey_ids: list[str], doc: str = ""):
 # verification via tests/test_oracle_parity.py, which replicates the
 # driver gate over the ENTIRE registry at sf0.001.
 DRIVER_WINDOW: list[str] = [
-    # -- r13 leads: the six assign_clusters_np consumers that shipped
-    # the r12 post-stamp kernel change (sim_col param + body
-    # restructure, commit bef9bbc) with only the local parity suite
-    # behind them — per the pinned post-stamp-change rule they take
-    # hard driver rows FIRST this round (r12 VERDICT task 1) ----------
-    "ivf_sampled_train_knn",
-    "ivf_compaction",
-    "sq8_ivf_knn",
-    "ivf_incremental_add",
-    "ivfpq_knn",
-    "ivfpq_residual_knn",
-    # -- in-window changed-dependency re-cert: ivf_grouped_knn was
-    # driver-certified at r12 against the changed assignment path, but
-    # by the r11-judge precedent it re-certifies once more alongside
-    # its out-of-window siblings ---------------------------------------
+    # -- r14 must-rotate set: the 42 r12-stamped sit-outs (all batch;
+    # tools/rotate_window.py report), in source order.  No forced
+    # changed-dependency leads this round — every query whose deps
+    # changed after the r13 stamp sat in the r13 window (r13 VERDICT
+    # task 1 confirmed this). ------------------------------------------
+    "anomaly_events_build",
+    "approx_distinct_check",
+    "bpe_token_estimate",
+    "chunk_dedup",
+    "customer_order_coverage",
+    "dedup_clusters_incremental",
+    "dedup_exact",
+    "dedup_pipeline_funnel",
+    "doc_repetition_stats",
+    "domain_doc_cap",
+    "embedding_input_text",
+    "embedding_neardup_incremental",
+    "event_props_stats",
+    "event_sessionization",
+    "fleet_config_source",
+    "knn_bruteforce",
+    "knn_same_label",
+    "lsh_knn",
+    "media_byte_features",
+    "media_frame_sample",
+    "metric_percentiles",
+    "metric_percentiles_approx",
+    "minhash_dup_buckets",
+    "minhash_signatures",
+    "ngram_jaccard_incremental",
+    "ngram_jaccard_pairs",
+    "path2_anomaly",
+    "path3_novelty_flags",
+    "pii_redaction",
+    "profile_rebuild_after_feedback",
+    "resample_daily_locf",
+    "retention_sweep",
+    "simhash_dup_pairs",
+    "source_lang_rollup",
+    "source_mix_summary",
+    "sq8_knn",
+    "tfidf_top_terms",
+    "threshold_rules",
+    "token_budget_sample",
+    "token_packing",
+    "unigram_logprob_score",
+    "zscore_outliers",
+    # -- flagship re-cert slot: ivf_grouped_knn holds a hard row
+    # because this round's task 7 (unified retrain-report contract)
+    # edits operators/ivf.py — the flagship IVF query certifies the
+    # module's query-consumed paths stayed inert. ----------------------
     "ivf_grouped_knn",
-    # -- the rest of the r13 must-rotate set (r11-stamped sit-outs),
-    # batch members in source order ------------------------------------
-    "ann_recall_report",
-    "asof_event_snapshot_join",
-    "asof_nearest_join",
-    "benchmark_decontam",
-    "conditional_counts",
-    "corpus_quality_filter",
-    "dedup_canonical",
-    "dedup_clusters",
-    "dedup_clusters_union_cascade",
-    "dedup_incremental",
-    "detect_consensus",
-    "device_profile_build",
-    "device_statistics",
-    "doc_chunking",
-    "doc_fingerprint",
-    "embedding_neardup_pairs",
-    "fleet_simulator",
-    "knn_distributed",
-    "language_id",
-    "latest_event_per_user",
-    "lww_window_snapshot",
-    "market_share",
-    "pq_knn",
-    "pricing_summary",
-    "range_scan",
-    "relationship_rules",
-    "rolling_metric_stats",
-    "semantic_dedup_keepers",
-    "simhash_fingerprints",
-    "similar_state_metric_diff",
-    "stratified_sample",
-    "text_quality",
-    "token_stats_by_lang",
-    "top_orders_per_customer",
-    "tumbling_window_counts",
-    "window_pivot_snapshot",
     # -- streaming e2e LAST: a completed Structured Streaming query
     # leaves residue in the shared local JVM (streaming-state/codegen
     # caches and a stopped-query cleanup thread) that intermittently
     # slows later heavy batch queries 10-50x in the same process —
     # so every batch query must run before the first stream starts.
-    # ALL SEVEN streaming queries are in-window at r13 because this
-    # round's planned work (the _maintain-twins refactor, the
-    # generation-machinery crash-safety fixes from r12 ADVICE, and the
-    # streaming_novelty_e2e drift attribution) lands in
-    # streaming/pipeline.py — every registered consumer of that module
-    # holds a hard driver row against the changed code.  The two
-    # changed-dependency re-certs lead the tail (ivf_add_stream +
-    # fold/generation machinery consumers). ----------------------------
+    # ALL SEVEN streaming queries are in-window at r14 because this
+    # round's planned work (the object-store-safe generation-commit
+    # storage seam, the rolled-heal empty-dir + NaN-residue ADVICE
+    # fixes, the unified retrain-report contract consumed via the
+    # maintenance ladder) lands in streaming/pipeline.py — every
+    # registered consumer of that module holds a hard driver row
+    # against the changed code. ----------------------------------------
     "streaming_neardup_e2e",
     "streaming_ivf_add_e2e",
     "streaming_dedup_e2e",
@@ -199,28 +196,25 @@ DRIVER_WINDOW: list[str] = [
     "streaming_rolling_stats",
     "streaming_window_pivot",
 ]
-# r13 rotation executed at ROUND START (manifest 50@13 + 42@12, per
-# r12 VERDICT task 1): the six out-of-window assign_clusters_np
-# consumers lead, ivf_grouped_knn re-certifies next, the r11-stamped
-# sit-outs fill the batch slots, and ALL SEVEN streaming queries hold
-# the tail because this round's planned streaming/pipeline.py work
-# (the _maintain-twins refactor, the generation-machinery
-# crash-safety fixes, the novelty drift attribution) precedes the
-# next stamp — no query-consumed kernel edits after this stamp.
+# r14 rotation executed at ROUND START (manifest 50@14 + 42@13, per
+# r13 VERDICT task 1): the 42 r12-stamped sit-outs take the batch
+# slots, ivf_grouped_knn takes the one discretionary flagship slot
+# (operators/ivf.py is edited this round for the shared retrain-report
+# contract), and ALL SEVEN streaming queries hold the tail because the
+# round's planned streaming/pipeline.py work (storage-strategy seam
+# for generation commits, ADVICE crash-heal fixes) precedes the next
+# stamp — avoid query-consumed kernel edits after this stamp.
 #
-# r14 rotation note: EVERY query whose code dependencies changed
-# during r13 sat IN the r13 window and takes a hard driver row at the
-# r13 gate — the r13 session's query-consumed edits were confined to
-# streaming/pipeline.py (shared maintenance skeleton, crash-safe heal,
-# detect_path3_batch single-pass vote) and the streaming query bodies'
-# artifact-prelude factoring, whose consumers are exactly the seven
-# in-window streaming queries; operators/pq.py changes
-# (commission_pq_watch, tie_tolerance plumb-through, audit_metric
-# stamp) have NO registered consumers and operators/ivf.py changed by
-# one comment.  So r14 carries no changed-dependency leads from r13:
-# rotate the 42 r13 sit-outs in (all batch; tools/rotate_window.py
-# reports them), fill the free slots as that round's work demands,
-# streaming members in the tail as always, --write 14 at ROUND START.
+# r15 rotation note: the 50 r13-stamped queries sitting out this
+# round become r15's must-rotate set; any query whose code deps
+# change after the r14 stamp must lead the r15 window.  This round's
+# post-stamp edits are planned for streaming/pipeline.py,
+# multimodal/media.py, operators/ivf.py:maybe_retrain and
+# operators/pq.py:maybe_retrain_pq — whose registered consumers
+# (seven streaming queries; media_byte_features / media_frame_sample;
+# streaming_ivf_add_e2e via ivf_maintenance_step) all sit IN the r14
+# window, so r15 should again carry no forced leads unless the work
+# drifts into other query-consumed kernels.
 
 
 def _exposure_order() -> list[str]:
