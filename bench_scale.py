@@ -2484,10 +2484,24 @@ def _media_throughput_study(spark, base: str) -> dict:
     media = spark.read.parquet(blobs_path)
 
     def rate(tag: str, fn) -> None:
-        t0 = _t.perf_counter()
-        n = fn(media).count()
-        wall = _t.perf_counter() - t0
+        # best-of-2 (r14): a single cold execution bundles plan
+        # construction, the plan's own codegen, and whatever JVM heap
+        # pressure the PREVIOUS kernel's 512 MB blob scan left behind
+        # — the r13 single-shot readings mismeasured the last-timed
+        # kernel by ~7× (byte_features 48 MB/s in-study vs ~580 in a
+        # clean session; the kernel microbenches 3× FASTER than the
+        # audio kernel single-core).  The steady-state rate is the
+        # 100 TB projection; the cold-vs-warm spread stays visible in
+        # the *_cold_sec field.
+        walls = []
+        n = 0
+        for _ in range(2):
+            t0 = _t.perf_counter()
+            n = fn(media).count()
+            walls.append(_t.perf_counter() - t0)
+        wall = min(walls)
         out[f"{tag}_sec"] = round(wall, 3)
+        out[f"{tag}_cold_sec"] = round(walls[0], 3)
         out[f"{tag}_mb_per_s"] = round(out["mb_total"] / wall, 1)
         out[f"{tag}_rows"] = n
 

@@ -4171,3 +4171,179 @@ def test_sniff_av_container_wav_roundtrips_into_pcm_features(spark):
     assert got[9]["container"] == "avi"
     assert got[10]["container"] == "unknown"
     assert got[11]["container"] == "unknown"
+
+
+def test_audio_g711_and_pcm24_roundtrip_through_sniff(spark):
+    """r14 (VERDICT task 5): the codec-free audio path widens to every
+    WAV ``fmt`` code that needs no external library — G.711 a-law
+    (fmt 6), G.711 µ-law (fmt 7), and 24-bit PCM (fmt 1 / bits 24).
+    Each is built as a spec-correct WAV around KNOWN sample codes,
+    sniffed, sliced at the sniffed data offset, and decoded by
+    ``audio_pcm_features`` with the encoding the sniff names — exact
+    pinned feature values throughout.  The expansion tables are also
+    spot-checked against the scalar ITU-T G.711 formulas."""
+    import struct
+
+    import numpy as np
+
+    from vectorsearch_scylla_spark.multimodal.media import (
+        _g711_alaw_table,
+        _g711_mulaw_table,
+        audio_pcm_features,
+        sniff_av_container,
+    )
+
+    # table spot checks (scalar G.711 reference points)
+    al = _g711_alaw_table()
+    assert al[0xAA] == 32256 and al[0x2A] == -32256  # companding peaks
+    assert al[0xD5] == 8 and al[0x55] == -8  # smallest magnitudes
+    mu = _g711_mulaw_table()
+    assert mu[0x80] == 32124 and mu[0x00] == -32124
+    assert mu[0xFF] == 0 and mu[0x7F] == 0  # µ-law's two zeros
+
+    def wav(fmt_code, ch, sr, bits, payload):
+        balign = ch * max(1, bits // 8)
+        fmt = struct.pack("<HHIIHH", fmt_code, ch, sr, sr * balign, balign, bits)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload
+        )
+
+    # alternating companding-peak codes: |x| = 1.0 at every sample,
+    # sign flips every sample -> rms 1.0, zcr 1.0, clip_frac 1.0
+    alaw_pcm = bytes([0xAA, 0x2A] * 16)
+    mulaw_pcm = bytes([0x80, 0x00] * 16)
+    # 24-bit: +2^23-1 then -(2^23-1); only the + rail equals clip_hi
+    # (clip_lo is -2^23) -> clip_frac exactly 0.5
+    pcm24 = (b"\xff\xff\x7f" + b"\x01\x00\x80") * 16
+    rows = [
+        (1, "audio", bytearray(wav(6, 1, 8000, 8, alaw_pcm)), None),
+        (2, "audio", bytearray(wav(7, 1, 8000, 8, mulaw_pcm)), None),
+        (3, "audio", bytearray(wav(1, 1, 48000, 24, pcm24)), None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "asset_id long, kind string, content binary, "
+        "meta map<string,string>",
+    )
+    sniffed = {r["asset_id"]: r.asDict() for r in sniff_av_container(df).collect()}
+    assert sniffed[1]["detail"] == "alaw" and sniffed[1]["bits_per_sample"] == 8
+    assert sniffed[2]["detail"] == "mulaw"
+    assert sniffed[3]["detail"] == "pcm" and sniffed[3]["bits_per_sample"] == 24
+
+    # slice each payload at the sniffed offset and decode with the
+    # encoding the sniff names
+    enc_by_detail = {("alaw", 8): "alaw", ("mulaw", 8): "mulaw", ("pcm", 24): "pcm24"}
+    payloads = {
+        aid: bytes(rows[aid - 1][2])[
+            s["data_offset"] : s["data_offset"] + s["data_len"]
+        ]
+        for aid, s in sniffed.items()
+    }
+    assert payloads == {1: alaw_pcm, 2: mulaw_pcm, 3: pcm24}
+    feats = {}
+    for aid, s in sniffed.items():
+        enc = enc_by_detail[(s["detail"], s["bits_per_sample"])]
+        one = spark.createDataFrame(
+            [(aid, "audio", bytearray(payloads[aid]), None)],
+            "asset_id long, kind string, content binary, "
+            "meta map<string,string>",
+        )
+        feats[aid] = audio_pcm_features(
+            one, window_samples=8, hop_samples=4, encoding=enc
+        ).collect()[0].asDict()
+
+    n_win = 7  # 1 + (32 - 8) // 4
+    for aid in (1, 2):
+        f = feats[aid]
+        assert f["n_samples"] == 32 and f["n_windows"] == n_win
+        assert f["mean_rms"] == 1.0 and f["max_rms"] == 1.0
+        assert f["mean_zcr"] == 1.0
+        assert f["silence_frac"] == 0.0 and f["clip_frac"] == 1.0
+    f = feats[3]
+    assert f["n_samples"] == 32 and f["n_windows"] == n_win
+    assert f["mean_rms"] == 1.0 and f["mean_zcr"] == 1.0
+    assert f["clip_frac"] == 0.5  # only the + rail sits at clip_hi
+
+    # unknown encoding refuses loudly
+    with pytest.raises(ValueError, match="unknown encoding"):
+        audio_pcm_features(df, encoding="opus")
+
+
+def test_sniff_hardening_malformed_jpeg_and_framesync(spark):
+    """r14 (r13 ADVICE): (a) the JPEG walker STOPS at SOS/EOI — a
+    malformed stream (SOS before any SOF, or trailing garbage after
+    EOI containing a fake 0xC0 byte) reports NULL dimensions instead
+    of entropy-coded garbage; stuffing (FF 00) and fill (FF FF) bytes
+    are stepped over, and a valid SOF after restart markers still
+    parses.  (b) the mp3 framesync check validates the MPEG
+    version/layer/bitrate/samplerate fields — sync-only blobs whose
+    fields hit reserved/invalid encodings classify as unknown."""
+    import struct
+
+    from vectorsearch_scylla_spark.multimodal.media import (
+        sniff_av_container,
+        sniff_image_meta,
+    )
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
+
+    sof = seg(0xC0, b"\x08" + struct.pack(">HH", 31, 47) + b"\x03")
+    # SOS before any SOF; scan data contains a fake 0xFF 0xC0 pair
+    # whose "height/width" would read garbage if the walk continued
+    sos_first = (
+        b"\xff\xd8" + seg(0xDA, b"\x01\x01\x00")
+        + b"\x12\xff\xc0\x00\x11\x08\x99\x99\x88\x88" + b"\xff\xd9"
+    )
+    # valid image, then trailing garbage AFTER EOI with a fake SOF
+    eoi_garbage = (
+        b"\xff\xd8" + seg(0xDB, b"\x00" * 5) + b"\xff\xd9"
+        + b"\xff\xc0\x00\x11\x08\x99\x99\x88\x88"
+    )
+    # stuffing + fill bytes before a real SOF, behind an RST marker
+    stuffed_ok = (
+        b"\xff\xd8" + b"\xff\x00" + b"\xff\xff" + b"\xff\xd0" + sof
+    )
+    rows = [
+        (1, "image", bytearray(sos_first), None),
+        (2, "image", bytearray(eoi_garbage), None),
+        (3, "image", bytearray(stuffed_ok), None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "asset_id long, kind string, content binary, "
+        "meta map<string,string>",
+    )
+    got = {r["asset_id"]: r.asDict() for r in sniff_image_meta(df).collect()}
+    assert got[1] == {"asset_id": 1, "format": "jpeg", "width": None, "height": None}
+    assert got[2] == {"asset_id": 2, "format": "jpeg", "width": None, "height": None}
+    assert got[3] == {"asset_id": 3, "format": "jpeg", "width": 47, "height": 31}
+
+    av_rows = [
+        # valid MPEG1 Layer III header survives
+        (1, "audio", bytearray(b"\xff\xfb\x90\x00" + b"\x00" * 8), None),
+        # version bits 01 (reserved)
+        (2, "audio", bytearray(b"\xff\xeb\x90\x00" + b"\x00" * 8), None),
+        # layer bits 00 (reserved)
+        (3, "audio", bytearray(b"\xff\xf9\x90\x00" + b"\x00" * 8), None),
+        # bitrate index 1111 (invalid)
+        (4, "audio", bytearray(b"\xff\xfb\xf0\x00" + b"\x00" * 8), None),
+        # sample-rate bits 11 (reserved)
+        (5, "audio", bytearray(b"\xff\xfb\x9c\x00" + b"\x00" * 8), None),
+        # sync-only two-byte blob: too short to validate
+        (6, "audio", bytearray(b"\xff\xfb"), None),
+    ]
+    av = spark.createDataFrame(
+        av_rows,
+        "asset_id long, kind string, content binary, "
+        "meta map<string,string>",
+    )
+    got_av = {
+        r["asset_id"]: (r["container"], r["detail"])
+        for r in sniff_av_container(av).collect()
+    }
+    assert got_av[1] == ("mp3", "framesync")
+    for aid in (2, 3, 4, 5, 6):
+        assert got_av[aid] == ("unknown", None), (aid, got_av[aid])

@@ -1908,22 +1908,35 @@ def test_ivf_commission_budget_noops_on_boundary_heavy_stream(spark, tmp_path):
     assert state_p["epochs"] == 0 and state_p["commissioned_budget"] is None
 
 
-def test_generation_swap_crash_states_all_converge(spark, tmp_path):
-    """r13: enumerate the on-disk states a crash can leave at EACH step
-    of the generation swap (staging write → atomic rename → rolled
-    reset → swap-completed marker → superseded-generation delete) and
-    assert the next entry converges every one of them to the correct
-    committed view with no data loss, no duplicates, and no debris.
-    The swap absorbs rolled rows B into the new generation (A ∪ B), so
-    the correct view is: pre-swap (A in gen1 + B in rolled) while the
-    atomic rename has not happened, post-swap (A ∪ B) after it —
-    including the nasty middle states: a PARTIALLY deleted rolled dir
-    (rmtree is not atomic; the survivors are bit-identical residue the
-    (id, vector) heal must drop) and a not-yet-retired gen1."""
+@pytest.mark.parametrize("strategy", ["rename", "manifest"])
+def test_generation_swap_crash_states_all_converge(spark, tmp_path, strategy):
+    """r13 (parameterized over both storage strategies r14, VERDICT
+    task 3): enumerate the on-disk states a crash can leave at EACH
+    step of the generation swap (invisible write → atomic commit →
+    rolled reset → swap-completed marker → superseded-generation
+    delete) and assert the next entry converges every one of them to
+    the correct committed view with no data loss, no duplicates, and
+    no debris.  The swap absorbs rolled rows B into the new generation
+    (A ∪ B), so the correct view is: pre-swap (A in gen1 + B in
+    rolled) while the commit has not happened, post-swap (A ∪ B)
+    after it — including the nasty middle states: a PARTIALLY deleted
+    rolled dir (rmtree is not atomic; the survivors are bit-identical
+    residue the (id, vector) heal must drop), a rolled dir whose
+    rmtree got far enough to leave NO parquet part files (r13 ADVICE
+    — isdir() true but spark.read.parquet raises; must converge, not
+    fail-stop), and a not-yet-retired gen1.  Strategy mapping:
+    "rename" commits by atomic dir rename with an uncommitted write
+    at ``store_gen2.staging.*`` and an empty-file marker; "manifest"
+    commits by atomically replacing ``_CURRENT`` with an uncommitted
+    write as an UNREFERENCED unique prefix and the marker as a
+    manifest field."""
     import json
     import os
     import shutil
 
+    from vectorsearch_scylla_spark.streaming.genstore import (
+        make_generation_storage,
+    )
     from vectorsearch_scylla_spark.streaming.pipeline import (
         _resume_newest_generation,
     )
@@ -1932,44 +1945,78 @@ def test_generation_swap_crash_states_all_converge(spark, tmp_path):
     rows_a = [(1, [1.0, 0.0]), (2, [0.0, 1.0])]
     rows_b = [(10, [0.5, 0.5]), (11, [0.25, 0.75])]
     sidecar1, sidecar2 = [[0, [1.0, 0.0]]], [[0, [0.9, 0.1]]]
+    # manifest mode: generations live under unique never-renamed
+    # prefixes; rename mode: canonical store_genN dirs
+    g1_name = "store_gen1" if strategy == "rename" else "store_gen1.aaaa1111"
+    g2_name = "store_gen2" if strategy == "rename" else "store_gen2.bbbb2222"
+    # an uncommitted gen-2 write: rename = a .staging. dir the rename
+    # never promoted; manifest = a fully-written unique prefix the
+    # commit PUT never referenced
+    staged_name = (
+        "store_gen2.staging.cafe01" if strategy == "rename"
+        else "store_gen2.cafe0102"
+    )
+
+    def put_manifest(base, gen, prefix, absorbed):
+        with open(os.path.join(base, "_CURRENT"), "w") as f:
+            json.dump(
+                {"generation": gen, "prefix": prefix,
+                 "rolled_absorbed": absorbed}, f,
+            )
+
+    def write_gen(base, name, rows, sidecar_obj, marker):
+        d = os.path.join(base, name)
+        spark.createDataFrame(rows, schema).write.parquet(d)
+        with open(os.path.join(d, "_centroids.json"), "w") as f:
+            json.dump(sidecar_obj, f)
+        if marker and strategy == "rename":
+            with open(os.path.join(d, "_rolled_absorbed"), "w") as f:
+                f.write("")
 
     def build(base: str, *, staging: bool, gen2: bool, rolled_rows,
-              gen2_marker: bool, gen1_alive: bool):
+              gen2_marker: bool, gen1_alive: bool, rolled_empty=False,
+              manifest_tmp=False):
         os.makedirs(base)
         if gen1_alive:
-            g1 = os.path.join(base, "store_gen1")
-            spark.createDataFrame(rows_a, schema).write.parquet(g1)
-            with open(os.path.join(g1, "_centroids.json"), "w") as f:
-                json.dump(sidecar1, f)
-            with open(os.path.join(g1, "_rolled_absorbed"), "w") as f:
-                f.write("")
+            write_gen(base, g1_name, rows_a, sidecar1, marker=True)
         if staging:
-            st = os.path.join(base, "store_gen2.staging.cafe01")
-            spark.createDataFrame(rows_a + rows_b, schema).write.parquet(st)
-            with open(os.path.join(st, "_centroids.json"), "w") as f:
-                json.dump(sidecar2, f)
+            write_gen(base, staged_name, rows_a + rows_b, sidecar2,
+                      marker=False)
         if gen2:
-            g2 = os.path.join(base, "store_gen2")
-            spark.createDataFrame(rows_a + rows_b, schema).write.parquet(g2)
-            with open(os.path.join(g2, "_centroids.json"), "w") as f:
-                json.dump(sidecar2, f)
-            if gen2_marker:
-                with open(os.path.join(g2, "_rolled_absorbed"), "w") as f:
-                    f.write("")
+            write_gen(base, g2_name, rows_a + rows_b, sidecar2,
+                      marker=gen2_marker)
+        if strategy == "manifest":
+            # the manifest references the newest COMMITTED generation;
+            # an uncommitted staging prefix is by definition
+            # unreferenced
+            if gen2:
+                put_manifest(base, 2, g2_name, gen2_marker)
+            elif gen1_alive:
+                put_manifest(base, 1, g1_name, True)
+            if manifest_tmp:
+                # a crashed mid-PUT tmp (never the live manifest)
+                with open(os.path.join(base, "_CURRENT.tmp.dead01"), "w") as f:
+                    f.write("{not even json")
         if rolled_rows:
             spark.createDataFrame(rolled_rows, schema).write.parquet(
                 os.path.join(base, "rolled")
             )
+        elif rolled_empty:
+            # mid-rmtree crash that got all the part files but not the
+            # dir: only a _SUCCESS marker survives
+            os.makedirs(os.path.join(base, "rolled"))
+            with open(os.path.join(base, "rolled", "_SUCCESS"), "w") as f:
+                f.write("")
 
     # (name, state kwargs, expected (generation, sidecar, view rows))
     post = (2, sidecar2, sorted(r[0] for r in rows_a + rows_b))
     pre = (1, sidecar1, sorted(r[0] for r in rows_a + rows_b))
     cases = [
-        # crash after the staging write, before the atomic rename:
-        # swap never happened — pre-swap state stands, staging swept
+        # crash after the staging write, before the commit: swap never
+        # happened — pre-swap state stands, uncommitted write swept
         ("staged-only", dict(staging=True, gen2=False, rolled_rows=rows_b,
                              gen2_marker=False, gen1_alive=True), pre),
-        # crash right after the rename: rolled fully intact — every
+        # crash right after the commit: rolled fully intact — every
         # rolled row is absorbed residue, heal empties it
         ("renamed", dict(staging=False, gen2=True, rolled_rows=rows_b,
                          gen2_marker=False, gen1_alive=True), post),
@@ -1977,21 +2024,35 @@ def test_generation_swap_crash_states_all_converge(spark, tmp_path):
         ("partial-reset", dict(staging=False, gen2=True,
                                rolled_rows=rows_b[:1],
                                gen2_marker=False, gen1_alive=True), post),
+        # crash mid-rmtree that removed every part file but not the
+        # dir (r13 ADVICE): a part-less rolled dir must read as
+        # already-reset, not fail-stop every restart
+        ("empty-rolled", dict(staging=False, gen2=True, rolled_rows=[],
+                              rolled_empty=True,
+                              gen2_marker=False, gen1_alive=True), post),
         # crash after the reset, before the marker
         ("reset-no-marker", dict(staging=False, gen2=True, rolled_rows=[],
                                  gen2_marker=False, gen1_alive=True), post),
         # crash after the marker, before gen1 retirement
         ("marked-unretired", dict(staging=False, gen2=True, rolled_rows=[],
                                   gen2_marker=True, gen1_alive=True), post),
+        # crash mid-manifest-PUT: the half-written .tmp is never the
+        # live manifest; swept on entry (manifest strategy only — for
+        # rename this degenerates to marked-unretired)
+        ("manifest-tmp", dict(staging=False, gen2=True, rolled_rows=[],
+                              gen2_marker=True, gen1_alive=True,
+                              manifest_tmp=True), post),
     ]
     for name, kw, (exp_gen, exp_sidecar, exp_ids) in cases:
         base = str(tmp_path / name)
         build(base, **kw)
         rolled = os.path.join(base, "rolled")
+        storage = make_generation_storage(strategy, base)
+        exp_dir_name = g2_name if exp_gen == 2 else g1_name
         for attempt in (1, 2):  # second entry pins idempotence
             gen_dir, gen_n, obj = _resume_newest_generation(
                 spark, base, rolled, "vec_id", "_centroids.json", None,
-                vec_col="embedding",
+                vec_col="embedding", storage=storage,
             )
             assert gen_n == exp_gen, (name, attempt, gen_n)
             assert obj == exp_sidecar, (name, attempt)
@@ -2000,12 +2061,194 @@ def test_generation_swap_crash_states_all_converge(spark, tmp_path):
                 view = view.unionByName(spark.read.parquet(rolled))
             got = sorted(r["vec_id"] for r in view.collect())
             assert got == exp_ids, (name, attempt, got)
-            # converged: no staging/heal debris, marker present, at
-            # most the expected stores remain
+            # converged: no staging/heal/tmp debris, marker present,
+            # exactly the expected store remains
             left = sorted(os.listdir(base))
-            assert not any(".staging." in d or ".heal" in d for d in left), (
-                name, attempt, left)
-            assert os.path.isfile(os.path.join(gen_dir, "_rolled_absorbed"))
+            assert not any(
+                ".staging." in d or ".heal" in d or ".tmp." in d
+                for d in left
+            ), (name, attempt, left)
+            assert storage.rolled_absorbed(gen_dir), (name, attempt)
             gens_left = [d for d in left if d.startswith("store_gen")]
-            assert gens_left == [f"store_gen{exp_gen}"], (name, attempt, left)
+            assert gens_left == [exp_dir_name], (name, attempt, left)
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_add_stream_families_run_on_manifest_storage(spark, tmp_path):
+    """r14 (VERDICT task 3): both ``*_add_stream`` families run
+    end-to-end on the object-store-safe MANIFEST strategy.  IVF half —
+    the drift-day firing fixture with ``storage="manifest"``: the
+    retrain fires mid-stream, the committed generation lives under a
+    unique never-renamed prefix referenced by ``_CURRENT`` (no
+    canonical ``store_genN`` dir is ever created — nothing needed a
+    directory rename), a restart resumes the refreshed quantizer
+    THROUGH the manifest, and the swap's crash window (marker field
+    cleared + duplicated rolled rows) heals exactly as in rename mode.
+    PQ half — a generation published through the shared machinery with
+    the PQ sidecar shape ({ksub, books}) resumes books and ksub
+    through the manifest and the stream encodes with them."""
+    import json
+    import os
+
+    from vectorsearch_scylla_spark.operators.ivf import assign_clusters_np
+    from vectorsearch_scylla_spark.streaming.genstore import (
+        ManifestGenerationStorage,
+    )
+    from vectorsearch_scylla_spark.streaming.pipeline import (
+        _swap_in_generation,
+        ivf_add_stream,
+        pq_add_stream,
+    )
+
+    # ---- IVF half: the firing fixture from
+    # test_ivf_add_stream_maintenance_fires_in_stream, on manifest ----
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    base_rows = [
+        (i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(20)
+    ] + [
+        (100 + i, [0.001 * i, 1.0, 0.0, 0.0]) for i in range(20)
+    ]
+    base = spark.createDataFrame(
+        base_rows, "vec_id long, embedding array<double>"
+    )
+    base_lists = str(tmp_path / "base_lists")
+    assign_clusters_np(base, cents, dtype="float64").write.partitionBy(
+        "cluster_id"
+    ).parquet(base_lists)
+    drift_rows = [
+        (
+            1000 + i,
+            [1.0, 1.0 + (0.0005 if i % 2 else -0.0005), 0.02 * (i // 2), 0.0],
+        )
+        for i in range(32)
+    ]
+    drift = spark.createDataFrame(
+        drift_rows, "vec_id long, embedding array<double>"
+    )
+    src = str(tmp_path / "src")
+    drift.repartition(4).write.parquet(src)
+    work = str(tmp_path / "work")
+    os.makedirs(work)
+    mcfg = {
+        "recall_budget": 0.9,
+        "nprobe_grid": (1,),
+        "post_retrain_grid": (1, 2, 3),
+        "retrain_k": 3,
+        "every": 2,
+        "max_audit_queries": 64,
+    }
+    state = ivf_add_stream(
+        spark, src, drift.schema, cents, base_lists, work,
+        max_files_per_trigger=1, compact_at_files=0,
+        maintenance=mcfg, storage="manifest",
+    )
+    assert any("retrain" in r["actions"] for r in state["reports"])
+    assert state["generation"] == 1 and state["store"] is not None
+    # the committed generation is a UNIQUE prefix, resolved through
+    # _CURRENT; the canonical rename-mode name never exists
+    store_name = os.path.basename(state["store"])
+    assert store_name.startswith("store_gen1.") and len(store_name) > 11
+    assert not os.path.exists(os.path.join(work, "store_gen1"))
+    with open(os.path.join(work, "_CURRENT")) as f:
+        man = json.load(f)
+    assert man == {
+        "generation": 1, "prefix": store_name, "rolled_absorbed": True
+    }
+    # nothing lost across the manifest commit
+    store_df = spark.read.parquet(state["store"])
+    rolled_df = spark.read.parquet(state["rolled"])
+    all_ids = sorted(
+        r["vec_id"]
+        for r in store_df.unionByName(
+            rolled_df.select(store_df.columns)
+        ).collect()
+    )
+    assert all_ids == sorted(
+        [r[0] for r in base_rows] + [r[0] for r in drift_rows]
+    )
+
+    # restart with STALE initials: the quantizer must resume through
+    # the manifest-referenced generation's sidecar
+    state_r = ivf_add_stream(
+        spark, src, drift.schema, cents, base_lists, work,
+        max_files_per_trigger=1, compact_at_files=0,
+        maintenance=mcfg, storage="manifest",
+    )
+    assert state_r["epochs"] == 0 and state_r["generation"] == 1
+    assert state_r["store"] == state["store"]
+    assert state_r["cents"] == [
+        (int(c), list(map(float, v))) for c, v in state["cents"]
+    ]
+
+    # crash window: duplicated rolled rows + marker field cleared (the
+    # faithful simulation — the real crash closes before the field
+    # flips) must heal on re-entry, dropping exactly the duplicates
+    survivors = sorted(r["vec_id"] for r in rolled_df.collect())
+    store_df.limit(3).select(
+        "vec_id", "embedding", F.lit(0.5).alias("__sim"), "cluster_id"
+    ).write.mode("append").partitionBy("cluster_id").parquet(state["rolled"])
+    spark.catalog.refreshByPath(state["rolled"])
+    ManifestGenerationStorage(work).clear_rolled_absorbed(state["store"])
+    state_h = ivf_add_stream(
+        spark, src, drift.schema, cents, base_lists, work,
+        max_files_per_trigger=1, compact_at_files=0, storage="manifest",
+    )
+    healed = sorted(
+        r["vec_id"] for r in spark.read.parquet(state_h["rolled"]).collect()
+    )
+    assert healed == survivors
+
+    # ---- PQ half: publish a generation with the PQ sidecar shape
+    # through the shared machinery, then resume + ingest on it --------
+    dim, dsub = 4, 2
+    books_v1 = [
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+    ]
+    books_v2 = [  # the "refreshed" books a fired day would have adopted
+        [(0, [0.8, 0.2]), (1, [0.2, 0.8])],
+        [(0, [0.9, 0.1]), (1, [0.1, 0.9])],
+    ]
+    pq_work = str(tmp_path / "pq_work")
+    os.makedirs(pq_work)
+    gen_frame = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 1.0], 0, 1), (2, [0.0, 1.0, 1.0, 0.0], 1, 0)],
+        "vec_id long, embedding array<double>, code0 int, code1 int",
+    )
+    sidecar_obj = {
+        "ksub": 2,
+        "books": [
+            [[int(c), list(map(float, v))] for c, v in b] for b in books_v2
+        ],
+    }
+    pq_rolled = os.path.join(pq_work, "rolled")
+    gen_dir, gen = _swap_in_generation(
+        spark, pq_work, 0, gen_frame, "_books.json", sidecar_obj,
+        pq_rolled, None, storage="manifest",
+    )
+    assert gen == 1 and os.path.basename(gen_dir).startswith("store_gen1.")
+
+    pq_src = str(tmp_path / "pq_src")
+    adds = spark.createDataFrame(
+        [(10, [0.5, 0.5, 0.5, 0.5]), (11, [0.9, 0.1, 0.2, 0.8])],
+        "vec_id long, embedding array<double>",
+    )
+    adds.repartition(1).write.parquet(pq_src)
+    pq_state = pq_add_stream(
+        spark, pq_src, adds.schema, books_v1,  # STALE books
+        os.path.join(pq_work, "unused_base"), pq_work,
+        dsub=dsub, compact_at_files=0, storage="manifest",
+    )
+    # books resumed THROUGH the manifest-referenced generation, not
+    # the caller's stale initials; the drained epoch encoded with them
+    assert pq_state["generation"] == 1 and pq_state["store"] == gen_dir
+    assert pq_state["books"] == [
+        [(int(c), list(map(float, v))) for c, v in b] for b in books_v2
+    ]
+    assert pq_state["epochs"] == 1
+    rolled_codes = {
+        r["vec_id"]: (r["code0"], r["code1"])
+        for r in spark.read.parquet(pq_state["rolled"]).collect()
+    }
+    # id 11 under books_v2: sub0 [0.9,0.1] -> code 0, sub1 [0.2,0.8] -> 1
+    assert rolled_codes[11] == (0, 1)

@@ -65,6 +65,22 @@ def extract_byte_features(df: DataFrame) -> DataFrame:
     counts of bytes in [a-f], [g-m], and the space byte — a stand-in
     for real feature extraction (e.g. channel histograms) with the same
     execution shape: Arrow batch in → NumPy kernel → small row out.
+
+    KERNEL SHAPE NOTE (r14, closing r13 VERDICT task 4): the r13
+    study's 48 MB/s-vs-367 MB/s spread against the audio kernel was
+    attributed to this loop's per-blob Python handling — that
+    attribution was WRONG.  Measured head-to-head (BENCH_SCALE
+    "Media-kernel throughput, re-measured"): this per-blob loop is
+    326 MB/s single-core in plain pandas (3× the audio kernel's 103 —
+    three masked reductions beat windowed DSP, as they should) and
+    ~580 MB/s aggregate in a clean Spark session; a "vectorized"
+    rewrite (concatenate the batch, per-blob counts via int64
+    cumulative sums) microbenches 10× SLOWER — at 1 MB blobs the loop
+    is already vector-dominated, and the rewrite's 3×8-byte-per-input-
+    byte cumsum temporaries are pure memory-bandwidth waste that
+    collapses under 32 concurrent workers.  The r13 study reading was
+    an ordering artifact (byte_features timed LAST, after the
+    1.6M-row per-window explode), fixed in the study, not here.
     """
     import numpy as np
     import pandas as pd
@@ -117,25 +133,68 @@ def sample_frames(df: DataFrame, frame_bytes: int = 16, every_n: int = 2) -> Dat
     )
 
 
+def _g711_alaw_table():
+    """G.711 a-law → linear int16 expansion table (ITU-T G.711, the
+    public segmented-companding formula: XOR 0x55, 3-bit segment,
+    4-bit mantissa; sign bit SET means positive).  Peak magnitude is
+    ±32256 — a-law's full scale, not int16's."""
+    import numpy as np
+
+    a = np.arange(256, dtype=np.int32) ^ 0x55
+    t = (a & 0x0F) << 4
+    seg = (a & 0x70) >> 4
+    t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    return np.where(a & 0x80, t, -t).astype(np.int16)
+
+
+def _g711_mulaw_table():
+    """G.711 µ-law → linear int16 expansion table (complement, 3-bit
+    exponent, 4-bit mantissa, bias 0x84; sign bit of the complemented
+    code SET means negative).  Peak magnitude is ±32124."""
+    import numpy as np
+
+    u = (~np.arange(256, dtype=np.int32)) & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    return np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+
+
 def audio_pcm_features(
     df: DataFrame,
     window_samples: int = 400,
     hop_samples: int = 160,
     per_window: bool = False,
     pcm_dtype: str = "<i2",
+    encoding: str = "pcm",
 ) -> DataFrame:
     """REAL (not stubbed) audio feature extraction over raw-PCM blobs
     — windowed RMS energy, zero-crossing rate, and clipping analysis,
     the silence/quality gate an audio-corpus curation pipeline runs
     before anything expensive (the audio twin of ``text_quality``'s
     cheap-signals-first posture).  Raw PCM needs NO codec library: the
-    blob is reinterpreted as SIGNED integer samples (``pcm_dtype``,
-    default little-endian int16; full-scale and clip rails derive from
-    the dtype via ``np.iinfo``, and unsigned/float dtypes are refused
-    — convert upstream; a trailing partial sample is ignored) and
-    every feature is a vectorized NumPy pass — the one media family
-    whose decode step is honestly computable in this environment, so
-    unlike :func:`decode_image` there is nothing gated here.
+    blob is reinterpreted as SIGNED integer samples and every feature
+    is a vectorized NumPy pass — the one media family whose decode
+    step is honestly computable in this environment, so unlike
+    :func:`decode_image` there is nothing gated here.
+
+    ``encoding`` selects the sample decode (r14, VERDICT task 5 —
+    covering every WAV ``fmt`` code that needs no external codec,
+    exactly the ones :func:`sniff_av_container` classifies):
+
+    * ``"pcm"`` (default) — ``pcm_dtype`` samples (default
+      little-endian int16); full-scale and clip rails derive from the
+      dtype via ``np.iinfo``, and unsigned/float dtypes are refused —
+      convert upstream; a trailing partial sample is ignored.
+    * ``"pcm24"`` — 24-bit little-endian signed PCM (3-byte frames,
+      sign-extended to int32; rails ±2^23).
+    * ``"alaw"`` / ``"mulaw"`` — G.711 companded telephony audio,
+      expanded through the public ITU-T tables (pure 256-entry
+      lookup, one byte per sample; rails at the companding peaks
+      ±32256 / ±32124 — a G.711 stream saturates THERE, not at
+      int16 full scale).
+
+    Full scale (the [-1, 1] normalizer) and the clip rails always
+    come from the ENCODING's own peak, so ``clip_frac`` means "at
+    this encoding's saturation point" uniformly.
 
     Defaults are the standard speech framing at 16 kHz: 25 ms windows
     (400 samples), 10 ms hop (160).  Per asset (default) emits one
@@ -164,19 +223,53 @@ def audio_pcm_features(
             "audio_pcm_features: window_samples and hop_samples must be "
             "positive"
         )
-    dt = np.dtype(pcm_dtype)
-    if dt.kind != "i":
-        # unsigned PCM has no sign bit (ZCR would read 0 everywhere)
-        # and float PCM has no integer clip rails — refuse loudly
-        # rather than emit silently wrong features
+    if encoding == "pcm":
+        dt = np.dtype(pcm_dtype)
+        if dt.kind != "i":
+            # unsigned PCM has no sign bit (ZCR would read 0
+            # everywhere) and float PCM has no integer clip rails —
+            # refuse loudly rather than emit silently wrong features
+            raise ValueError(
+                "audio_pcm_features: pcm_dtype must be a SIGNED integer "
+                f"PCM dtype (got {pcm_dtype!r}); convert unsigned/float "
+                "PCM upstream"
+            )
+        info = np.iinfo(dt)
+        itemsize = dt.itemsize
+        full_scale = float(info.max)
+        clip_lo, clip_hi = int(info.min), int(info.max)
+
+        def decode(raw: bytes) -> "np.ndarray":
+            return np.frombuffer(raw, dtype=dt)
+
+    elif encoding == "pcm24":
+        itemsize = 3
+        full_scale = float(2**23 - 1)
+        clip_lo, clip_hi = -(2**23), 2**23 - 1
+
+        def decode(raw: bytes) -> "np.ndarray":
+            b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+            v = (
+                b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int32) << 16)
+            )
+            return (v ^ 0x800000) - 0x800000  # sign-extend bit 23
+
+    elif encoding in ("alaw", "mulaw"):
+        table = _g711_alaw_table() if encoding == "alaw" else _g711_mulaw_table()
+        itemsize = 1
+        full_scale = float(table.max())
+        clip_lo, clip_hi = int(table.min()), int(table.max())
+
+        def decode(raw: bytes) -> "np.ndarray":
+            return table[np.frombuffer(raw, dtype=np.uint8)]
+
+    else:
         raise ValueError(
-            "audio_pcm_features: pcm_dtype must be a SIGNED integer "
-            f"PCM dtype (got {pcm_dtype!r}); convert unsigned/float "
-            "PCM upstream"
+            f"audio_pcm_features: unknown encoding {encoding!r} — "
+            "expected 'pcm', 'pcm24', 'alaw', or 'mulaw'"
         )
-    info = np.iinfo(dt)
-    full_scale = float(info.max)
-    clip_lo, clip_hi = int(info.min), int(info.max)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         def _per_window_sums(series: "np.ndarray", width: int, n: int):
@@ -202,8 +295,8 @@ def audio_pcm_features(
                 }
             for aid, blob in zip(pdf["asset_id"], pdf["content"]):
                 raw = blob if blob is not None else b""
-                n_bytes = len(raw) - len(raw) % dt.itemsize
-                pcm = np.frombuffer(raw[:n_bytes], dtype=dt)
+                n_bytes = len(raw) - len(raw) % itemsize
+                pcm = decode(raw[:n_bytes])
                 n = pcm.size
                 if n >= window_samples:
                     n_win = 1 + (n - window_samples) // hop_samples
@@ -316,12 +409,30 @@ def sniff_image_meta(df: DataFrame) -> DataFrame:
                 return "bmp", abs(w), abs(h)
             return "bmp", None, None
         if b[:2] == b"\xff\xd8":
+            # marker-segment walk, hardened against malformed streams
+            # (r13 ADVICE): STOP at SOS (0xDA) and EOI (0xD9) — what
+            # follows SOS is entropy-coded data, not segments, and a
+            # walker that keeps reading there interprets entropy bytes
+            # as segment lengths and can land on a garbage 0xC0-0xCF
+            # byte, reporting wrong dimensions instead of NULLs.  The
+            # stuffing escape (0xFF 0x00) and fill bytes (0xFF 0xFF)
+            # are handled explicitly — neither carries a length.
             i = 2
-            while i + 9 <= len(b):
+            while i + 2 <= len(b):
                 if b[i] != 0xFF:
                     i += 1
                     continue
                 marker = b[i + 1]
+                if marker == 0x00:  # byte-stuffing escape, not a marker
+                    i += 2
+                    continue
+                if marker == 0xFF:  # fill byte before a marker
+                    i += 1
+                    continue
+                if marker in (0xD9, 0xDA):
+                    # EOI / start-of-scan with no SOF seen: no frame
+                    # header precedes the scan data — dims unknown
+                    break
                 if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                     i += 2  # standalone markers carry no length
                     continue
@@ -329,9 +440,15 @@ def sniff_image_meta(df: DataFrame) -> DataFrame:
                     0xC0 <= marker <= 0xCF
                     and marker not in (0xC4, 0xC8, 0xCC)  # DHT/JPG/DAC
                 ):
-                    h, w = struct.unpack(">HH", b[i + 5 : i + 9])
-                    return "jpeg", w, h
+                    if i + 9 <= len(b):
+                        h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+                        return "jpeg", w, h
+                    break  # truncated frame header
+                if i + 4 > len(b):
+                    break
                 seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+                if seg_len < 2:  # malformed: lengths include themselves
+                    break
                 i += 2 + seg_len
             return "jpeg", None, None
         return "unknown", None, None
@@ -342,7 +459,14 @@ def sniff_image_meta(df: DataFrame) -> DataFrame:
                 continue
             out = {"asset_id": [], "format": [], "width": [], "height": []}
             for aid, blob in zip(pdf["asset_id"], pdf["content"]):
-                fmt, w, h = _sniff(bytes(blob) if blob is not None else None)
+                # Arrow hands binary cells over as bytes already — the
+                # r13 bytes(blob) re-wrap copied every blob per row
+                # (r13 VERDICT task 4); bytearray/memoryview cells are
+                # the only case that still needs a materializing copy
+                fmt, w, h = _sniff(
+                    blob if isinstance(blob, bytes) or blob is None
+                    else bytes(blob)
+                )
                 out["asset_id"].append(aid)
                 out["format"].append(fmt)
                 out["width"].append(w)
@@ -427,10 +551,26 @@ def sniff_av_container(df: DataFrame) -> DataFrame:
             return ("ogg", None) + none5
         if b[:4] == b"fLaC":
             return ("flac", None) + none5
-        if b[:3] == b"ID3" or (
-            b[0] == 0xFF and (b[1] & 0xE0) == 0xE0
+        if b[:3] == b"ID3":
+            return ("mp3", "id3") + none5
+        if (
+            # MPEG frame sync, VALIDATED (r13 ADVICE): sync alone
+            # (0xFF + top-3 bits) fires on ~0.2 % of uniform binary —
+            # and this check runs AFTER the magic-prefix formats, so
+            # arbitrary high-byte blobs classified as "mp3".  Checking
+            # the version/layer/bitrate/samplerate fields against
+            # their reserved/invalid encodings cuts the rate ~2.5×
+            # and rejects exactly the headers no MPEG decoder would
+            # accept either.
+            len(b) >= 3
+            and b[0] == 0xFF
+            and (b[1] & 0xE0) == 0xE0
+            and (b[1] >> 3) & 0x03 != 0x01  # version 01 is reserved
+            and (b[1] >> 1) & 0x03 != 0x00  # layer 00 is reserved
+            and (b[2] >> 4) != 0x0F  # bitrate index 1111 is invalid
+            and (b[2] >> 2) & 0x03 != 0x03  # sample-rate 11 reserved
         ):
-            return ("mp3", "id3" if b[:3] == b"ID3" else "framesync") + none5
+            return ("mp3", "framesync") + none5
         return ("unknown", None) + none5
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -444,7 +584,13 @@ def sniff_av_container(df: DataFrame) -> DataFrame:
                 continue
             out = {c: [] for c in cols}
             for aid, blob in zip(pdf["asset_id"], pdf["content"]):
-                vals = _sniff(bytes(blob) if blob is not None else None)
+                # no per-row bytes() re-wrap (r13 VERDICT task 4) —
+                # Arrow already delivers bytes; only exotic cell types
+                # pay a materializing copy
+                vals = _sniff(
+                    blob if isinstance(blob, bytes) or blob is None
+                    else bytes(blob)
+                )
                 out["asset_id"].append(aid)
                 for c, v in zip(cols[1:], vals):
                     out[c].append(v)

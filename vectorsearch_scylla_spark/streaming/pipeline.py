@@ -604,6 +604,7 @@ def _recover_rolled_heal(rolled: str) -> None:
 def _resume_newest_generation(
     spark, base_dir: str, rolled: str, id_col: str, sidecar: str,
     partition_col: str | None, vec_col: str | None = None,
+    storage=None,
 ):
     """Entry-side generation recovery shared by the ``*_add_stream``
     entrypoints: sweep the crash debris no other path owns (stranded
@@ -621,23 +622,36 @@ def _resume_newest_generation(
     so a stream that legitimately re-ingests an existing id with an
     UPDATED vector keeps the newer rolled copy — only bit-identical
     residue (crash duplicates, or idempotent re-adds already absorbed
-    into the generation) is dropped.  Returns ``(gen_dir, generation,
-    sidecar_obj)`` or ``(None, 0, None)`` when no generation
-    exists."""
+    into the generation) is dropped.  NaN carve-out (r13 ADVICE): the
+    residue match is SQL equality, which never matches NaN — a crash-
+    duplicated row whose vector contains NaN survives the heal as a
+    duplicate.  Accepted: NaN is not an admissible embedding value in
+    any kernel of this engine (cosine/IVF/PQ all propagate it to
+    garbage ranks), so the carve-out is documented next to the ID
+    CONTRACT rather than paid for with an eqNullSafe-per-element join
+    on every heal.  ``storage`` selects the generation-commit strategy
+    (:mod:`~vectorsearch_scylla_spark.streaming.genstore`; default
+    local-rename).  Returns ``(gen_dir, generation, sidecar_obj)`` or
+    ``(None, 0, None)`` when no generation exists."""
     import glob
     import json
     import os
     import shutil
 
+    from vectorsearch_scylla_spark.streaming.genstore import (
+        _has_parquet_parts,
+        make_generation_storage,
+    )
+
+    storage = make_generation_storage(storage, base_dir)
     # entry-side debris sweep (r12 ADVICE): a crash inside
-    # _swap_in_generation before its atomic rename strands a
-    # .staging. dir forever (the swap never happened — pre-swap state
-    # is intact and the staging copy is safely discardable), and a
+    # _swap_in_generation before its commit point strands an
+    # uncommitted write (the swap never happened — pre-swap state
+    # is intact and the copy is safely discardable), and a
     # pre-r13 heal left uuid-suffixed .heal./.healed. dirs no code
     # path recovered.  Sweep both, then recover the fixed-name heal
     # markers.
-    for p in glob.glob(os.path.join(base_dir, "store_gen*.staging.*")):
-        shutil.rmtree(p, ignore_errors=True)
+    storage.sweep_uncommitted(spark)
     # legacy uuid-suffixed heal dirs (pre-fixed-name swap): when the
     # live rolled dir exists they are post-promote debris — sweep;
     # when it is MISSING they may be the ONLY surviving copy of the
@@ -671,22 +685,14 @@ def _resume_newest_generation(
         shutil.rmtree(p, ignore_errors=True)
     _recover_rolled_heal(rolled)
 
-    gens = sorted(
-        int(d[len("store_gen"):])
-        for d in (os.listdir(base_dir) if os.path.isdir(base_dir) else [])
-        if d.startswith("store_gen")
-        and d[len("store_gen"):].isdigit()
-        and os.path.isfile(os.path.join(base_dir, d, sidecar))
-    )
+    gens = storage.list_committed(sidecar)
     if not gens:
         return None, 0, None
-    gen_dir = os.path.join(base_dir, f"store_gen{gens[-1]}")
+    gen_n, gen_dir = gens[-1]
     with open(os.path.join(gen_dir, sidecar)) as f:
         obj = json.load(f)
-    for g in gens[:-1]:
-        old_dir = os.path.join(base_dir, f"store_gen{g}")
-        shutil.rmtree(old_dir, ignore_errors=True)
-        spark.catalog.refreshByPath(old_dir)
+    for _g, old_dir in gens[:-1]:
+        storage.retire(spark, old_dir)
     # the rolled-heal check reads the full generation (the anti-join's
     # build side is corpus-sized) — at 100 TB that is a whole store
     # scan per restart, paid even when there is nothing to heal.  The
@@ -698,10 +704,19 @@ def _resume_newest_generation(
     # after the swap and are not in the generation (skipping the heal
     # merely skips the optional idempotent-re-add dedup, which the ID
     # CONTRACT already declares best-effort).
-    marker = os.path.join(gen_dir, "_rolled_absorbed")
-    if legacy_restored and os.path.isfile(marker):
-        os.remove(marker)  # the restored rolled content is unvouched
-    if os.path.isdir(rolled) and not os.path.isfile(marker):
+    if legacy_restored and storage.rolled_absorbed(gen_dir):
+        # the restored rolled content is unvouched
+        storage.clear_rolled_absorbed(gen_dir)
+    # r13 ADVICE: a crash mid-way through the rolled reset's rmtree
+    # (or mid-heal) can leave `rolled` as an existing dir with ZERO
+    # parquet part files (only _SUCCESS, or nothing) — isdir() is true
+    # but spark.read.parquet raises "unable to infer schema", fail-
+    # stopping every restart.  A part-less rolled dir IS the reset's
+    # end state — finish the rmtree and continue.
+    if os.path.isdir(rolled) and not _has_parquet_parts(rolled):
+        shutil.rmtree(rolled, ignore_errors=True)
+        spark.catalog.refreshByPath(rolled)
+    if os.path.isdir(rolled) and not storage.rolled_absorbed(gen_dir):
         match_cols = [id_col] + ([vec_col] if vec_col else [])
         gen_keys = spark.read.parquet(gen_dir).select(*match_cols)
         rolled_df = spark.read.parquet(rolled)
@@ -727,45 +742,40 @@ def _resume_newest_generation(
             os.rename(staging, rolled)
             shutil.rmtree(old, ignore_errors=True)
             spark.catalog.refreshByPath(rolled)
-    if not os.path.isfile(marker):
+    if not storage.rolled_absorbed(gen_dir):
         # healed (or nothing to heal): the committed view is consistent
         # — stamp it so the next restart skips the corpus-sized check
-        with open(marker, "w") as f:
-            f.write("")
-    return gen_dir, gens[-1], obj
+        storage.stamp_rolled_absorbed(gen_dir)
+    return gen_dir, gen_n, obj
 
 
 def _swap_in_generation(
     spark, base_dir: str, generation: int, frame: DataFrame, sidecar: str,
     sidecar_obj, rolled: str, prev_store: str | None,
     partition_col: str | None = None, n_parts: int = 32,
+    storage=None,
 ):
     """Adopt a rewritten full-index frame as the next store
-    generation — staged dir + atomic rename (the
-    ``compact_signature_artifact`` swap pattern), sidecar JSON
-    co-located so a restart resumes the adopted model state, rolled
-    reset (its rows are absorbed into the generation), superseded
-    generation retired (pure disk debt; a crash before the delete is
-    healed by :func:`_resume_newest_generation`).  Returns
+    generation: invisible write + atomic commit (``storage`` picks the
+    primitive — staged dir + rename on a POSIX FS, unique prefix +
+    ``_CURRENT`` manifest PUT on an object store; see
+    :mod:`~vectorsearch_scylla_spark.streaming.genstore`), sidecar
+    JSON co-located so a restart resumes the adopted model state,
+    rolled reset (its rows are absorbed into the generation),
+    superseded generation retired (pure disk debt; a crash before the
+    delete is healed by :func:`_resume_newest_generation`).  Returns
     ``(gen_dir, generation + 1)``."""
-    import json
     import os
     import shutil
-    import uuid
 
-    gen = generation + 1
-    gen_dir = os.path.join(base_dir, f"store_gen{gen}")
-    staging = f"{gen_dir}.staging.{uuid.uuid4().hex[:8]}"
-    out = frame
-    if partition_col:
-        out = out.repartition(max(1, int(n_parts)), partition_col)
-    writer = out.write
-    if partition_col:
-        writer = writer.partitionBy(partition_col)
-    writer.parquet(staging)
-    with open(os.path.join(staging, sidecar), "w") as f:
-        json.dump(sidecar_obj, f)
-    os.rename(staging, gen_dir)
+    from vectorsearch_scylla_spark.streaming.genstore import (
+        make_generation_storage,
+    )
+
+    storage = make_generation_storage(storage, base_dir)
+    gen_dir, gen = storage.publish(
+        spark, frame, generation, sidecar, sidecar_obj, partition_col, n_parts
+    )
     if os.path.isdir(rolled):
         shutil.rmtree(rolled)
         spark.catalog.refreshByPath(rolled)
@@ -773,12 +783,10 @@ def _swap_in_generation(
     # marker that lets every future restart skip the corpus-sized
     # rolled-heal check (see _resume_newest_generation).  Written
     # AFTER the reset by construction: a crash before this line leaves
-    # no marker and the next entry heals.
-    with open(os.path.join(gen_dir, "_rolled_absorbed"), "w") as f:
-        f.write("")
+    # no marker (manifest field false) and the next entry heals.
+    storage.stamp_rolled_absorbed(gen_dir)
     if prev_store and os.path.isdir(prev_store):
-        shutil.rmtree(prev_store, ignore_errors=True)
-        spark.catalog.refreshByPath(prev_store)
+        storage.retire(spark, prev_store)
     return gen_dir, gen
 
 
@@ -852,7 +860,7 @@ def _persist_commissioned_budget(
 
 def _maintenance_day(
     spark, state: dict, base_dir: str, rolled: str, epoch_id: int,
-    sidecar: str, audit_and_plan,
+    sidecar: str, audit_and_plan, storage=None,
 ) -> None:
     """The shared audit→escalate→swap skeleton of the ``*_add_stream``
     maintenance days (r12 VERDICT task 5 — the generation machinery
@@ -876,6 +884,7 @@ def _maintenance_day(
     gen_dir, gen = _swap_in_generation(
         spark, base_dir, state["generation"], frame, sidecar, sidecar_obj,
         rolled, state["store"], partition_col=partition_col, n_parts=n_parts,
+        storage=storage,
     )
     state.update(store=gen_dir, generation=gen, **updates)
 
@@ -971,6 +980,7 @@ def ivf_add_stream(
     timeout_sec: int = 600,
     kernel: str = "expr",
     dtype: str = "float32",
+    storage: str = "rename",
 ) -> dict:
     """STREAMING IVF ingest + index lifecycle — the single entrypoint
     behind ``streaming_ivf_add_e2e`` (reg) and the in-stream
@@ -1007,8 +1017,11 @@ def ivf_add_stream(
     escalates.  A healthy day is audit-only (bounded exact pass;
     state untouched).  When the grid exhausts below budget the ladder
     escalates in-stream: the returned re-routed members are persisted
-    as a NEW store generation (staged dir + atomic rename — the
-    ``compact_signature_artifact`` swap pattern), the rolled store is
+    as a NEW store generation (commit primitive picked by ``storage``:
+    ``"rename"`` = staged dir + atomic rename for POSIX/HDFS stores,
+    ``"manifest"`` = unique prefix + atomic ``_CURRENT`` manifest PUT
+    for object stores — see :mod:`~vectorsearch_scylla_spark.
+    streaming.genstore`), the rolled store is
     reset (its rows are absorbed into the generation), and THIS and
     every subsequent micro-batch route through the refreshed
     quantizer (per-batch order is fold → maintain → route, so the
@@ -1035,7 +1048,13 @@ def ivf_add_stream(
     semantics are needed.  Re-ingesting a bit-identical ``(id,
     vector)`` row after a generation swap may be dropped by the heal
     as indistinguishable from crash residue — a semantic no-op, since
-    that exact row is already in the committed view.
+    that exact row is already in the committed view.  NaN carve-out
+    (r13 ADVICE): the residue match is SQL equality, which never
+    matches NaN, so a vector containing NaN is never deduplicated by
+    the heal — crash residue with NaN persists as a duplicate.  NaN
+    is not an admissible embedding value anywhere in this engine
+    (cosine/IVF/PQ all propagate it to garbage ranks); reject NaN
+    upstream rather than expect the heal to handle it.
 
     Returns the final state dict: ``cents`` (current quantizer),
     ``rolled`` (path of post-generation adds), ``store`` (current
@@ -1095,9 +1114,14 @@ def ivf_add_stream(
     # every post-restart batch re-routes by the tiling the
     # maintenance ladder already retired.  The helper also sweeps
     # superseded generations and heals the swap's crash window.
+    from vectorsearch_scylla_spark.streaming.genstore import (
+        make_generation_storage,
+    )
+
+    gen_storage = make_generation_storage(storage, base_dir)
     gen_dir, gen_n, sidecar = _resume_newest_generation(
         spark, base_dir, rolled, id_col, "_centroids.json", "cluster_id",
-        vec_col=vec_col,
+        vec_col=vec_col, storage=gen_storage,
     )
     if gen_dir is not None:
         state["cents"] = [(int(c), list(v)) for c, v in sidecar]
@@ -1239,7 +1263,7 @@ def ivf_add_stream(
     def _maintain(epoch_id: int) -> None:
         _maintenance_day(
             spark, state, base_dir, rolled, epoch_id,
-            "_centroids.json", _audit_and_plan,
+            "_centroids.json", _audit_and_plan, storage=gen_storage,
         )
 
     def _write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -1282,6 +1306,7 @@ def pq_add_stream(
     maintenance: dict | None = None,
     timeout_sec: int = 600,
     dtype: str = "float32",
+    storage: str = "rename",
 ) -> dict:
     """STREAMING PQ code ingest + codebook lifecycle — the quantized
     twin of :func:`ivf_add_stream`, completing the in-stream half of
@@ -1313,7 +1338,8 @@ def pq_add_stream(
     re-encoding during the generation scan beats joining the
     trigger's internal code table back to its vectors, which would
     shuffle the corpus — and swaps it in as a new store generation
-    (shared machinery: staged rename, ``_books.json`` sidecar with
+    (shared machinery; commit primitive picked by ``storage`` exactly
+    as in :func:`ivf_add_stream` — ``_books.json`` sidecar with
     the INTENDED ksub capacity, rolled absorbed, superseded
     generation retired, crash windows healed on re-entry).
     Maintenance keys: ``recall_budget`` (default 0.7 — ADC is a
@@ -1382,8 +1408,14 @@ def pq_add_stream(
         "reports": [],
         "epochs": 0,
     }
+    from vectorsearch_scylla_spark.streaming.genstore import (
+        make_generation_storage,
+    )
+
+    gen_storage = make_generation_storage(storage, base_dir)
     gen_dir, gen_n, sidecar = _resume_newest_generation(
-        spark, base_dir, rolled, id_col, "_books.json", None, vec_col=vec_col
+        spark, base_dir, rolled, id_col, "_books.json", None, vec_col=vec_col,
+        storage=gen_storage,
     )
     if gen_dir is not None:
         state["books"] = [
@@ -1530,7 +1562,7 @@ def pq_add_stream(
     def _maintain(epoch_id: int) -> None:
         _maintenance_day(
             spark, state, base_dir, rolled, epoch_id,
-            "_books.json", _audit_and_plan,
+            "_books.json", _audit_and_plan, storage=gen_storage,
         )
 
     def _write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
