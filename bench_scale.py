@@ -2427,6 +2427,69 @@ def _pq_stream_day_study(spark, emb, base: str) -> dict:
     return out
 
 
+def _genstore_commit_study(spark, emb, base: str) -> dict:
+    """r14 (r13 VERDICT task 3): price the manifest-pointer generation
+    commit against the default rename commit.  Same frame, same cycle
+    (publish → rolled reset → swap-completed marker → retire the
+    superseded generation) run GENS times through _swap_in_generation
+    under each strategy, then one resume through
+    _resume_newest_generation — the walls' difference IS the manifest
+    indirection (one extra tiny-file PUT per commit for the marker
+    flip, a manifest read per resolution, and unreferenced-prefix
+    sweeping instead of glob-the-staging-suffix).  The generation
+    WRITE dominates both; the commit primitive must be noise."""
+    import time as _t
+
+    from vectorsearch_scylla_spark.streaming.genstore import (
+        make_generation_storage,
+    )
+    from vectorsearch_scylla_spark.streaming.pipeline import (
+        _resume_newest_generation,
+        _swap_in_generation,
+    )
+
+    frame = emb.select(
+        F.col("vec_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+        F.pmod(F.col("vec_id"), F.lit(8)).cast("int").alias("cluster_id"),
+    ).localCheckpoint()
+    n_rows = frame.count()
+    gens = 4
+    out: dict = {"n_rows": n_rows, "gens": gens}
+    for strategy in ("rename", "manifest"):
+        work = os.path.join(base, f"genstore_{strategy}")
+        os.makedirs(work)
+        storage = make_generation_storage(strategy, work)
+        rolled = os.path.join(work, "rolled")
+        walls = []
+        gen_dir, gen_n = None, 0
+        for _g in range(gens):
+            # seed a rolled store so every cycle pays the reset too
+            frame.limit(200).write.mode("overwrite").parquet(rolled)
+            t0 = _t.perf_counter()
+            gen_dir, gen_n = _swap_in_generation(
+                spark, work, gen_n, frame, "_centroids.json",
+                [[0, [1.0, 0.0]]], rolled, gen_dir,
+                partition_col="cluster_id", n_parts=8, storage=storage,
+            )
+            walls.append(_t.perf_counter() - t0)
+        t0 = _t.perf_counter()
+        got_dir, got_n, _sc = _resume_newest_generation(
+            spark, work, rolled, "vec_id", "_centroids.json", "cluster_id",
+            vec_col="embedding", storage=storage,
+        )
+        resume = _t.perf_counter() - t0
+        assert got_n == gens and got_dir == gen_dir
+        out[f"{strategy}_commit_sec"] = [round(w, 3) for w in walls]
+        out[f"{strategy}_commit_mean_sec"] = round(sum(walls) / gens, 3)
+        out[f"{strategy}_resume_sec"] = round(resume, 3)
+    out["indirection_sec_per_commit"] = round(
+        out["manifest_commit_mean_sec"] - out["rename_commit_mean_sec"], 3
+    )
+    print(f"[bench_scale] genstore: {out}", file=sys.stderr)
+    return out
+
+
 def _media_throughput_study(spark, base: str) -> dict:
     """r13: price the codec-free media kernels — the multimodal
     family's scale claim made measurable.  Synthesizes a PCM corpus
@@ -2818,7 +2881,7 @@ def main() -> None:
         # =funnel run ONLY the named study and print their own JSON —
         # both are additive long-running measurements that must not
         # balloon the default battery
-        if sections and sections <= {"clique", "funnel", "sweep", "inc", "bigk", "incfunnel", "compact", "chain", "chain7", "bucketed", "ndstream", "ndepochs", "ivfweek", "pqstale", "ivfstream", "ivfchain", "sigknee", "pqstream", "media"}:
+        if sections and sections <= {"clique", "funnel", "sweep", "inc", "bigk", "incfunnel", "compact", "chain", "chain7", "bucketed", "ndstream", "ndepochs", "ivfweek", "pqstale", "ivfstream", "ivfchain", "sigknee", "pqstream", "media", "genstore"}:
             study: dict = {}
             if "clique" in sections:
                 study["clique_study"] = _clique_study(spark, docs0, base)
@@ -2857,6 +2920,10 @@ def main() -> None:
             if "media" in sections:
                 study["media_throughput"] = _media_throughput_study(
                     spark, base
+                )
+            if "genstore" in sections:
+                study["genstore_commit"] = _genstore_commit_study(
+                    spark, emb, base
                 )
             if "pqstream" in sections:
                 study["pq_stream_day"] = _pq_stream_day_study(spark, emb, base)

@@ -4347,3 +4347,50 @@ def test_sniff_hardening_malformed_jpeg_and_framesync(spark):
     assert got_av[1] == ("mp3", "framesync")
     for aid in (2, 3, 4, 5, 6):
         assert got_av[aid] == ("unknown", None), (aid, got_av[aid])
+
+
+def test_retrain_report_contract_and_comparability():
+    """r14 (r13 VERDICT task 7): both index families' retrain triggers
+    emit ONE report contract (fired / rolled_back / budget /
+    audit_metric / metric_before / metric_after; legacy aliases in
+    sync), and check_reports_comparable refuses mixed-unit
+    comparisons mechanically — mixed audit_metric (a recall vs a
+    tie-tolerant precision) and mixed k (recall@5 vs recall@10)."""
+    import pytest as _pytest
+
+    from vectorsearch_scylla_spark.operators.report import (
+        check_reports_comparable,
+        retrain_report,
+    )
+
+    ivf_day = retrain_report(
+        fired=True, budget=0.9, audit_metric="id_set",
+        metric_before=0.4, metric_after=0.95,
+        nprobe=4, k=5, k_before=2, k_after=3, n_audit_pairs=64,
+    )
+    pq_day = retrain_report(
+        fired=False, budget=0.7, audit_metric="id_set",
+        metric_before=0.8, k=5, m=8, ksub=32, n_audit_pairs=64,
+    )
+    # aliases are born in sync
+    for r in (ivf_day, pq_day):
+        assert r["fired"] == r["retrained"]
+        assert r["budget"] == r["recall_budget"]
+        assert r["metric_before"] == r["recall_before"]
+        assert r["metric_after"] == r["recall_after"]
+        assert r["rolled_back"] is False
+    # same metric, same k: one key map reads both families
+    check_reports_comparable([ivf_day, pq_day])
+
+    tie_day = retrain_report(
+        fired=False, budget=0.45, audit_metric="tie_aware",
+        metric_before=0.47, k=5, m=8, ksub=32, n_audit_pairs=64,
+    )
+    with _pytest.raises(ValueError, match="mixed audit_metric"):
+        check_reports_comparable([ivf_day, tie_day])
+    k10_day = retrain_report(
+        fired=False, budget=0.9, audit_metric="id_set",
+        metric_before=0.8, k=10, nprobe=4, n_audit_pairs=64,
+    )
+    with _pytest.raises(ValueError, match="mixed audit k"):
+        check_reports_comparable([ivf_day, k10_day])

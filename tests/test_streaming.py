@@ -1164,6 +1164,16 @@ def test_ivf_add_stream_maintenance_fires_in_stream(spark, tmp_path):
     assert max(rep["retune"]["recall_at"].values()) < 0.9
     assert rep["nprobe"] is not None
     assert rep["retune_after_retrain"]["recall_at"][rep["nprobe"]] >= 0.9
+    # shared retrain-report contract (r14, operators/report.py): the
+    # nested retrain report carries the cross-family keys with the
+    # legacy aliases in sync
+    rr = rep["retrain"]
+    assert rr["fired"] is True and rr["retrained"] is True
+    assert rr["rolled_back"] is False
+    assert rr["audit_metric"] == "id_set"
+    assert rr["budget"] == rr["recall_budget"] == 0.9
+    assert rr["metric_before"] == rr["recall_before"] < 0.9
+    assert rr["metric_after"] == rr["recall_after"]
 
     # generation swapped: partitioned store dir + co-located quantizer
     assert state["generation"] == 1 and state["store"] is not None
@@ -1426,6 +1436,14 @@ def test_pq_add_stream_refresh_fires_in_stream(spark, sf_dir, tmp_path):
     assert rep["recall_before"] < budget
     assert rep["recall_after"] is not None and rep["recall_after"] >= budget
     assert rep["ksub"] == ksub  # intended capacity, not survivor count
+    # shared retrain-report contract (r14, operators/report.py): the
+    # streaming day report mirrors the cross-family keys, aliases in
+    # sync — one key map reads IVF and PQ maintenance days alike
+    assert rep["fired"] is True and rep["retrained"] is True
+    assert rep["audit_metric"] == "id_set"
+    assert rep["budget"] == rep["recall_budget"] == budget
+    assert rep["metric_before"] == rep["recall_before"]
+    assert rep["metric_after"] == rep["recall_after"]
 
     # generation swapped: books persisted with the store, state updated
     assert state["generation"] == 1 and os.path.isdir(state["store"])

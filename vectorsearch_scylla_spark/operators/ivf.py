@@ -43,6 +43,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from vectorsearch_scylla_spark.operators.report import retrain_report
 from vectorsearch_scylla_spark.session import drop_inherited_stats
 
 # mirrors plans/registry.quantize (floor(x·10^n + 0.5 + eps)/10^n) —
@@ -1296,6 +1297,17 @@ def maybe_retrain(
     redundant O(sample·N) exact pass.  Never pass a stale or
     different-state measurement; the trigger decision is only as
     honest as this number.
+
+    REPORT CONTRACT (r14, shared with :func:`~vectorsearch_scylla_
+    spark.operators.pq.maybe_retrain_pq` — see
+    :mod:`~vectorsearch_scylla_spark.operators.report`): the returned
+    report carries ``fired`` / ``rolled_back`` / ``budget`` /
+    ``audit_metric`` / ``metric_before`` / ``metric_after`` with
+    identical semantics across families (IVF always audits
+    ``"id_set"`` and never rolls back — ``rolled_back`` is a constant
+    False here, present so cross-family tooling needs no key map),
+    plus the IVF diagnostics ``nprobe``/``k``/``k_before``/
+    ``k_after``/``n_audit_pairs`` and the legacy aliases.
     """
     if recall_before is None:
         recall_before, denom = ivf_recall_audit(
@@ -1311,17 +1323,23 @@ def maybe_retrain(
         # pair counts across reports fails loudly instead of silently
         # skewing the total (r11 ADVICE).
         denom = None
-    report = {
-        "recall_budget": float(recall_budget),
-        "nprobe": int(nprobe_max),
-        "k": int(k),
-        "n_audit_pairs": None if denom is None else int(denom),
-        "recall_before": recall_before,
-        "k_before": len(centroids),
-        "retrained": False,
-        "recall_after": None,
-        "k_after": len(centroids),
-    }
+    # ONE report contract across index families (r13 VERDICT task 7):
+    # fired / rolled_back / budget / audit_metric / metric_before /
+    # metric_after, family diagnostics alongside, legacy spellings as
+    # aliases — see operators/report.py.  IVF's audit is always the
+    # id-set recall (ivf_recall_audit has no tie-aware mode; coarse
+    # routing is not tie-dominated the way ADC scoring is).
+    report = retrain_report(
+        fired=False,
+        budget=float(recall_budget),
+        audit_metric="id_set",
+        metric_before=recall_before,
+        nprobe=int(nprobe_max),
+        k=int(k),
+        n_audit_pairs=None if denom is None else int(denom),
+        k_before=len(centroids),
+        k_after=len(centroids),
+    )
     if recall_before is None or recall_before >= recall_budget:
         return centroids, members, report
 
@@ -1343,7 +1361,7 @@ def maybe_retrain(
     routed = assign_clusters_np(
         vecs, new_cents, vec_col=vec_col, out_col=cluster_col, dtype=dtype
     )
-    report["retrained"] = True
+    report["retrained"] = report["fired"] = True
     report["k_after"] = len(new_cents)
     report["n_corpus"] = int(n)
     if audit_after:
@@ -1354,7 +1372,7 @@ def maybe_retrain(
             corpus_id=id_col, corpus_vec=vec_col, cluster_col=cluster_col,
             dtype=dtype, max_queries=max_audit_queries,
         )
-        report["recall_after"] = recall_after
+        report["recall_after"] = report["metric_after"] = recall_after
     return new_cents, routed, report
 
 

@@ -39,6 +39,7 @@ from vectorsearch_scylla_spark.operators.ivf import (
     _best_cluster_struct,
     lloyd_kmeans,
 )
+from vectorsearch_scylla_spark.operators.report import retrain_report
 
 _EPS = 1e-6
 
@@ -735,6 +736,17 @@ def maybe_retrain_pq(
     precision (r12 ADVICE).  A caller-supplied ``recall_before`` must
     have been measured in the SAME mode as these flags — the fast
     path trusts, it cannot check.
+
+    REPORT CONTRACT (r14, shared with :func:`~vectorsearch_scylla_
+    spark.operators.ivf.maybe_retrain` — see
+    :mod:`~vectorsearch_scylla_spark.operators.report`): the returned
+    report carries ``fired`` / ``rolled_back`` / ``budget`` /
+    ``audit_metric`` / ``metric_before`` / ``metric_after`` with
+    identical semantics across families, plus the PQ diagnostics
+    ``k``/``m``/``ksub``/``n_audit_pairs`` and the legacy aliases;
+    :func:`~vectorsearch_scylla_spark.operators.report.
+    check_reports_comparable` is the mechanical refusal for
+    mixed-metric comparisons.
     """
     if rollback_below_budget and not audit_after:
         raise ValueError(
@@ -768,17 +780,20 @@ def maybe_retrain_pq(
         # -1 sentinel, so cross-report arithmetic fails loudly (r11
         # ADVICE, same rule as ivf.maybe_retrain)
         denom = None
-    report = {
-        "recall_budget": float(recall_budget),
-        "k": int(k),
-        "m": int(m),
-        "ksub": int(ksub),
-        "audit_metric": "tie_aware" if tie_aware else "id_set",
-        "n_audit_pairs": None if denom is None else int(denom),
-        "recall_before": recall_before,
-        "retrained": False,
-        "recall_after": None,
-    }
+    # ONE report contract across index families (r13 VERDICT task 7):
+    # fired / rolled_back / budget / audit_metric / metric_before /
+    # metric_after, family diagnostics alongside, legacy spellings as
+    # aliases — see operators/report.py.
+    report = retrain_report(
+        fired=False,
+        budget=float(recall_budget),
+        audit_metric="tie_aware" if tie_aware else "id_set",
+        metric_before=recall_before,
+        k=int(k),
+        m=int(m),
+        ksub=int(ksub),
+        n_audit_pairs=None if denom is None else int(denom),
+    )
     if recall_before is None or recall_before >= recall_budget:
         return books, codes, report
 
@@ -792,7 +807,7 @@ def maybe_retrain_pq(
     new_codes = encode_pq_np(
         vecs, new_books, dsub=dsub, vec_col=corpus_vec, dtype=dtype
     ).drop(corpus_vec)
-    report["retrained"] = True
+    report["retrained"] = report["fired"] = True
     report["n_corpus"] = int(members.count())
     if audit_after:
         recall_after, _ = pq_recall_audit(
@@ -803,12 +818,12 @@ def maybe_retrain_pq(
             max_queries=max_audit_queries, tie_aware=tie_aware,
             tie_tolerance=tie_tolerance,
         )
-        report["recall_after"] = recall_after
+        report["recall_after"] = report["metric_after"] = recall_after
         if (
             rollback_below_budget
             and (recall_after is None or recall_after < recall_budget)
         ):
-            report["retrained"] = False
+            report["retrained"] = report["fired"] = False
             report["rolled_back"] = True
             return books, codes, report
     return new_books, new_codes, report

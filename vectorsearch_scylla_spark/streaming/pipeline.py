@@ -1478,11 +1478,19 @@ def pq_add_stream(
             dtype=dtype, max_queries=maq, tie_aware=tie_aware,
             tie_tolerance=tie_tol,
         )
+        # day-report wrapper, key-compatible with the shared retrain-
+        # report contract (operators/report.py): fired / rolled_back /
+        # audit_metric / metric_before / metric_after ride beside the
+        # legacy spellings so maintenance-day tooling reads streaming
+        # and batch reports with one key map
         report: dict = {
             "audit_metric": "tie_aware" if tie_aware else "id_set",
             "recall_before": recall,
+            "metric_before": recall,
+            "metric_after": None,
             "n_audit_pairs": int(denom),
             "retrained": False,
+            "fired": False,
             "rolled_back": False,
         }
         # recall_budget="commission" mechanizes the r12 calibration
@@ -1508,6 +1516,7 @@ def pq_add_stream(
                 commissioned=True,
                 commission_margin=margin,
                 recall_budget=state["commissioned_budget"],
+                budget=state["commissioned_budget"],
             )
             return report, None
         if m.get("recall_budget") == "commission":
@@ -1516,7 +1525,7 @@ def pq_add_stream(
                 return report, None
         else:
             budget = float(m.get("recall_budget", 0.7))
-        report["recall_budget"] = budget
+        report["recall_budget"] = report["budget"] = budget
         if recall is None or recall >= budget:
             return report, None
         b2, _, rep = maybe_retrain_pq(
@@ -1534,8 +1543,10 @@ def pq_add_stream(
         )
         report.update(
             retrained=bool(rep.get("retrained")),
+            fired=bool(rep.get("fired")),
             rolled_back=bool(rep.get("rolled_back")),
             recall_after=rep.get("recall_after"),
+            metric_after=rep.get("metric_after"),
             ksub=rep.get("ksub"),
         )
         if not report["retrained"] or report["rolled_back"]:
