@@ -1283,8 +1283,11 @@ def maybe_retrain(
     The returned ``members`` frame has ``cluster_col`` rewritten for
     EVERY row (ids from the new quantizer's id space, starting at 0);
     the caller owns persisting it (``partitionBy(cluster_col)``) and
-    swapping the store — see ``compact_signature_artifact``'s staged
-    two-rename pattern for the crash-safe swap.  ``queries`` carries
+    swapping the store — pick the commit primitive the store's
+    filesystem makes atomic (:mod:`~vectorsearch_scylla_spark.
+    streaming.genstore`: staged rename on POSIX/HDFS, manifest PUT on
+    object stores; ``ivf_add_stream`` threads its ``storage`` knob
+    through exactly this).  ``queries`` carries
     ``(query_id, query_vec)`` — the audit sample the deployment
     watches, typically the most recent increment's vectors (drift
     shows up in NEW queries first; the week study samples exactly

@@ -706,8 +706,11 @@ def maybe_retrain_pq(
     training O(m · iters · 256·ksub) corpus-independent, re-encode one
     map-only scan (the same pass every index build pays), audit
     bounded as ever.  The caller owns persisting the returned code
-    table and swapping the store (``compact_signature_artifact``'s
-    staged two-rename pattern).
+    table and swapping the store — pick the commit primitive the
+    store's filesystem makes atomic (:mod:`~vectorsearch_scylla_
+    spark.streaming.genstore`: staged rename on POSIX/HDFS, manifest
+    PUT on object stores; ``pq_add_stream`` threads its ``storage``
+    knob through exactly this).
 
     ``rollback_below_budget`` is the safety rail the two-capacity-cell
     study motivates (BENCH_SCALE.md "PQ codebook staleness at scale"):

@@ -872,7 +872,7 @@ def _maintenance_day(
     partition_col, n_parts)`` describing the rewritten full index.
     The driver owns everything family-independent: the epoch-stamped
     report append, the generation persist (:func:`_swap_in_generation`
-    — staged dir + atomic rename, sidecar co-located, rolled absorbed,
+    — storage-strategy commit, sidecar co-located, rolled absorbed,
     superseded generation retired), and the post-swap ``state`` update
     that makes THIS and every later micro-batch use the refreshed
     model."""
