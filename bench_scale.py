@@ -2568,14 +2568,19 @@ def _media_throughput_study(spark, base: str) -> dict:
         out[f"{tag}_mb_per_s"] = round(out["mb_total"] / wall, 1)
         out[f"{tag}_rows"] = n
 
+    # small-output kernels first, the 1.6M-row per-window explode LAST:
+    # its result transfer + GC shadows whatever runs next (the r13
+    # container_sniff reading sat in that shadow — 66 in-study vs ~670
+    # in a clean session; best-of-2 alone cannot escape a shadow that
+    # covers both runs)
     rate("audio_features", lambda d: audio_pcm_features(d))
+    rate("container_sniff", lambda d: sniff_av_container(d))
+    rate("image_sniff", lambda d: sniff_image_meta(d))
+    rate("byte_features", lambda d: extract_byte_features(d))
     rate(
         "audio_per_window",
         lambda d: audio_pcm_features(d, per_window=True),
     )
-    rate("container_sniff", lambda d: sniff_av_container(d))
-    rate("image_sniff", lambda d: sniff_image_meta(d))
-    rate("byte_features", lambda d: extract_byte_features(d))
     print(f"[bench_scale] media: {out}", file=sys.stderr)
     return out
 
