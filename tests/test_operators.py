@@ -4394,3 +4394,157 @@ def test_retrain_report_contract_and_comparability():
     )
     with _pytest.raises(ValueError, match="mixed audit k"):
         check_reports_comparable([ivf_day, k10_day])
+
+
+def test_decode_image_codec_free_png_bmp_netpbm(spark):
+    """r14: pixel decode is REAL without any codec library for the
+    formats whose layout is arithmetic + stdlib — PNG (zlib inflate +
+    scanline unfiltering, all five filter types exercised), BMP
+    (uncompressed 24-bit bottom-up with row padding and 32-bit
+    top-down), and netpbm PGM/PPM (with header comments).  The test
+    FORWARD-filters known pixels with an independent oracle encoder,
+    wraps spec-correct containers, and asserts the decoded bytes equal
+    the source pixels exactly; nearest-neighbor resize and the
+    honestly-gated JPEG fallback (no PIL in this env) are pinned too."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from vectorsearch_scylla_spark.multimodal.media import decode_image
+
+    rng = np.random.default_rng(7)
+
+    def png_bytes(arr, filters):
+        h, w, ch = arr.shape
+        ctype = {1: 0, 3: 2, 2: 4, 4: 6}[ch]
+        raw = b""
+        prev = np.zeros(w * ch, np.uint8)
+        for y, ft in zip(range(h), filters):
+            line = arr[y].reshape(-1)
+            if ft == 0:
+                filt = line.copy()
+            elif ft == 1:
+                left = np.concatenate([np.zeros(ch, np.uint8), line[:-ch]])
+                filt = line - left
+            elif ft == 2:
+                filt = line - prev
+            elif ft == 3:
+                left = np.concatenate([np.zeros(ch, np.uint8), line[:-ch]])
+                filt = line - (
+                    (left.astype(int) + prev.astype(int)) // 2
+                ).astype(np.uint8)
+            else:  # Paeth
+                filt = np.empty_like(line)
+                for i in range(len(line)):
+                    a = int(line[i - ch]) if i >= ch else 0
+                    b_ = int(prev[i])
+                    c = int(prev[i - ch]) if i >= ch else 0
+                    p = a + b_ - c
+                    pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                    pred = (
+                        a if (pa <= pb and pa <= pc)
+                        else (b_ if pb <= pc else c)
+                    )
+                    filt[i] = (int(line[i]) - pred) % 256
+            raw += bytes([ft]) + filt.tobytes()
+            prev = line
+        def chunk(cid, data):
+            return (
+                struct.pack(">I", len(data)) + cid + data
+                + struct.pack(">I", zlib.crc32(cid + data))
+            )
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+        )
+
+    # RGB 4x5 exercising every filter type, one per row; gray + RGBA
+    # twins exercise the other bpp values through the same path
+    rgb = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    gray = rng.integers(0, 256, size=(5, 4, 1), dtype=np.uint8)
+    rgba = rng.integers(0, 256, size=(5, 4, 4), dtype=np.uint8)
+    filters = [0, 1, 2, 3, 4]
+
+    def bmp24(arr):  # bottom-up, 4-byte padded rows
+        h, w, _ = arr.shape
+        row = w * 3
+        pad = (-row) % 4
+        body = b"".join(
+            arr[y, :, ::-1].tobytes() + b"\x00" * pad
+            for y in range(h - 1, -1, -1)
+        )
+        header = (
+            b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                          2835, 2835, 0, 0)
+        )
+        return header + body
+
+    def bmp32_topdown(arr):
+        h, w, _ = arr.shape
+        bgra = arr[:, :, [2, 1, 0, 3]]
+        body = bgra.tobytes()
+        header = (
+            b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+            + struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 32, 0, len(body),
+                          2835, 2835, 0, 0)
+        )
+        return header + body
+
+    pgm = b"P5 # a comment\n4 5 255\n" + gray.tobytes()
+    ppm = b"P6\n4 5\n255\n" + rgb.tobytes()
+
+    rows = [
+        (1, "image", bytearray(png_bytes(rgb, filters)), None),
+        (2, "image", bytearray(png_bytes(gray, filters)), None),
+        (3, "image", bytearray(png_bytes(rgba, filters)), None),
+        (4, "image", bytearray(bmp24(rgb)), None),
+        (5, "image", bytearray(bmp32_topdown(rgba)), None),
+        (6, "image", bytearray(pgm), None),
+        (7, "image", bytearray(ppm), None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "asset_id long, kind string, content binary, "
+        "meta map<string,string>",
+    )
+    got = {r["asset_id"]: r.asDict() for r in decode_image(df).collect()}
+    exp = {
+        1: ("RGB", rgb), 2: ("L", gray), 3: ("RGBA", rgba),
+        4: ("RGB", rgb), 5: ("RGBA", rgba), 6: ("L", gray), 7: ("RGB", rgb),
+    }
+    for aid, (mode, arr) in exp.items():
+        g = got[aid]
+        assert (g["width"], g["height"], g["mode"]) == (4, 5, mode), (aid, g)
+        assert bytes(g["pixels"]) == arr.tobytes(), aid
+
+    # nearest-neighbor resize: 4x5 -> 2x2 picks rows {0,2} cols {0,2}
+    rez = {
+        r["asset_id"]: r.asDict()
+        for r in decode_image(df, resize=(2, 2)).collect()
+    }
+    want = rgb[[0, 2]][:, [0, 2]]
+    assert bytes(rez[1]["pixels"]) == want.tobytes()
+    assert (rez[1]["width"], rez[1]["height"]) == (2, 2)
+
+    # the sniffing path classifies everything the decode path decodes
+    # — netpbm included (shared header parser)
+    from vectorsearch_scylla_spark.multimodal.media import sniff_image_meta
+
+    sniffed = {
+        r["asset_id"]: (r["format"], r["width"], r["height"])
+        for r in sniff_image_meta(df).collect()
+    }
+    assert sniffed[6] == ("pgm", 4, 5) and sniffed[7] == ("ppm", 4, 5)
+    assert sniffed[1] == ("png", 4, 5) and sniffed[4] == ("bmp", 4, 5)
+
+    # JPEG stays honestly gated: no codec in this env
+    jpeg = spark.createDataFrame(
+        [(9, "image", bytearray(b"\xff\xd8\xff\xe0" + b"\x00" * 32), None)],
+        "asset_id long, kind string, content binary, "
+        "meta map<string,string>",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|no imaging"):
+        decode_image(jpeg).collect()

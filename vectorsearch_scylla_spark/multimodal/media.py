@@ -16,11 +16,14 @@ Design rules for 100 TB:
   ``spark.sql.files.maxPartitionBytes`` (or repartition by asset id)
   so one Arrow batch of blobs fits executor memory.
 
-The actual image/audio codecs are NOT available in this environment, so
-``decode_image`` is a clearly-marked stub (NotImplementedError unless
-PIL is importable); the Spark-side plumbing — schema, batching, UDF
-signatures, frame sampling — is real and oracle-tested via the
-deterministic byte-level kernels below.
+External image/audio codec libraries are NOT available in this
+environment — but most of the media story never needed one: container
+sniffing, WAV/PCM/G.711 audio DSP, and pixel decode for PNG (stdlib
+zlib + arithmetic unfiltering), uncompressed BMP, and netpbm are all
+REAL, codec-free implementations below.  Only the formats whose
+bitstreams genuinely require a codec (JPEG's DCT pipeline, GIF's LZW,
+palette/16-bit/interlaced PNG) stay honestly gated behind a PIL
+fallback in ``decode_image`` (NotImplementedError when absent).
 """
 
 from __future__ import annotations
@@ -377,6 +380,9 @@ def sniff_image_meta(df: DataFrame) -> DataFrame:
       SOF0-SOF15 frame header (skipping the non-frame DHT/DAC/RST/
       standalone markers) and read height/width as big-endian u16 at
       +5/+7.
+    * PGM/PPM — netpbm ``P5``/``P6``; width/height from the
+      whitespace-tokenized header (shared parser with
+      :func:`decode_image`'s codec-free raster path).
 
     Emits ``(asset_id, format string, width int, height int)`` with
     NULL dimensions (and format ``"unknown"``) for unrecognized or
@@ -451,6 +457,13 @@ def sniff_image_meta(df: DataFrame) -> DataFrame:
                     break
                 i += 2 + seg_len
             return "jpeg", None, None
+        if b[:2] in (b"P5", b"P6"):
+            parsed = _netpbm_header(b)
+            fmt = "pgm" if b[:2] == b"P5" else "ppm"
+            if parsed is None:
+                return fmt, None, None
+            _mode, _nch, w, h, _maxval, _off = parsed
+            return fmt, w, h
         return "unknown", None, None
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -606,15 +619,202 @@ def sniff_av_container(df: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(df: DataFrame, resize: tuple[int, int] | None = None) -> DataFrame:
-    """STUB — image decode (+ optional resize) to (asset_id, width,
-    height, mode, pixels binary).
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytes:
+    """Reverse PNG scanline filtering (PNG spec §9, public): each
+    scanline is one filter-type byte + ``width·bpp`` filtered bytes;
+    types None/Sub/Up/Average/Paeth reconstruct against the left /
+    above / above-left RECONSTRUCTED bytes, all arithmetic mod 256.
+    Sub is a per-lane cumulative sum and Up a vector add (both
+    vectorized); Average and Paeth carry a true left-dependency, so
+    they reconstruct pixel-sequentially within the row — correctness
+    first, and rows are independent of everything but their
+    predecessor, so memory stays O(2 rows)."""
+    import numpy as np
 
-    The container has no imaging library; if PIL is importable this
-    runs for real, otherwise the kernel raises ``NotImplementedError``
-    at execution time.  The signature, schema, and batching are the
-    production shape — swapping in a real codec changes only the
-    ``_decode`` body.
+    stride = width * bpp
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(
+            f"PNG decode: decompressed stream is {len(raw)} bytes, "
+            f"expected {(stride + 1) * height} for {width}x{height} "
+            f"@{bpp}bpp — corrupt IDAT or unsupported layout"
+        )
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    prev = np.zeros(stride, dtype=np.uint8)
+    out = np.empty((height, stride), dtype=np.uint8)
+    for y in range(height):
+        ftype = int(arr[y, 0])
+        line = arr[y, 1:].copy()
+        if ftype == 0:  # None
+            recon = line
+        elif ftype == 1:  # Sub: per-lane cumulative sum mod 256
+            recon = line.reshape(width, bpp).cumsum(axis=0, dtype=np.uint64)
+            recon = (recon % 256).astype(np.uint8).reshape(stride)
+        elif ftype == 2:  # Up
+            recon = line + prev  # uint8 wraps mod 256
+        elif ftype == 3:  # Average
+            recon = line
+            for i in range(stride):
+                left = int(recon[i - bpp]) if i >= bpp else 0
+                recon[i] = (int(line[i]) + (left + int(prev[i])) // 2) % 256
+        elif ftype == 4:  # Paeth
+            recon = line
+            for i in range(stride):
+                a = int(recon[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                recon[i] = (int(line[i]) + pred) % 256
+        else:
+            raise ValueError(f"PNG decode: unknown filter type {ftype}")
+        out[y] = recon
+        prev = out[y]
+    return out.tobytes()
+
+
+def _decode_codec_free(b: bytes):
+    """Pixel decode for the formats that need NO codec library —
+    returns ``(width, height, mode, pixels)`` or None when the format
+    genuinely requires an external codec (JPEG's DCT, GIF's LZW).
+
+    * PNG — stdlib ``zlib`` inflates the IDAT stream; scanline
+      unfiltering is pure arithmetic (:func:`_png_unfilter`).  8-bit,
+      non-interlaced, color types 0/2/4/6 (gray / RGB / gray+alpha /
+      RGBA).  Palette (type 3), 16-bit, and Adam7 return None — PIL
+      territory.
+    * BMP — uncompressed (BI_RGB) 24/32-bit: raw BGR(A) rows, 4-byte
+      padded, bottom-up (or top-down when height < 0); emitted as
+      RGB/RGBA to match PIL's channel order.
+    * PGM/PPM (netpbm P5/P6, maxval ≤ 255) — whitespace-separated
+      header then raw bytes.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        if b[12:16] != b"IHDR":
+            return None
+        w, h, depth, ctype, comp, filt, interlace = struct.unpack(
+            ">IIBBBBB", b[16:29]
+        )
+        channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+        if channels is None or depth != 8 or comp or filt or interlace:
+            return None  # palette/16-bit/Adam7: codec-library territory
+        mode = {0: "L", 2: "RGB", 4: "LA", 6: "RGBA"}[ctype]
+        idat = bytearray()
+        i = 8
+        while i + 8 <= len(b):
+            (clen,) = struct.unpack(">I", b[i : i + 4])
+            cid = b[i + 4 : i + 8]
+            if cid == b"IDAT":
+                idat += b[i + 8 : i + 8 + clen]
+            elif cid == b"IEND":
+                break
+            i += 12 + clen  # len + id + data + crc
+        raw = zlib.decompress(bytes(idat))
+        return w, h, mode, _png_unfilter(raw, w, h, channels)
+
+    if b[:2] == b"BM" and len(b) >= 54:
+        (data_off,) = struct.unpack("<I", b[10:14])
+        w, h_signed = struct.unpack("<ii", b[18:26])
+        planes, bits = struct.unpack("<HH", b[26:30])
+        (compression,) = struct.unpack("<I", b[30:34])
+        if compression != 0 or bits not in (24, 32) or w <= 0:
+            return None  # RLE/bitfield BMPs need a codec path
+        h = abs(h_signed)
+        nch = bits // 8
+        row_bytes = (w * nch + 3) & ~3  # rows pad to 4 bytes
+        if len(b) < data_off + row_bytes * h:
+            return None
+        rows = np.frombuffer(
+            b, dtype=np.uint8, count=row_bytes * h, offset=data_off
+        ).reshape(h, row_bytes)[:, : w * nch].reshape(h, w, nch)
+        if h_signed > 0:
+            rows = rows[::-1]  # bottom-up storage
+        rows = rows[:, :, [2, 1, 0] + ([3] if nch == 4 else [])]  # BGR(A)→RGB(A)
+        return w, h, ("RGBA" if nch == 4 else "RGB"), rows.tobytes()
+
+    if b[:2] in (b"P5", b"P6"):
+        parsed = _netpbm_header(b)
+        if parsed is None:
+            return None
+        mode, nch, w, h, maxval, i = parsed
+        if maxval > 255:
+            return None  # 16-bit netpbm not supported
+        if len(b) < i + w * h * nch:
+            return None
+        return w, h, mode, b[i : i + w * h * nch]
+
+    return None
+
+
+def _netpbm_header(b: bytes):
+    """Parse a netpbm P5/P6 header — magic, width, height, maxval as
+    whitespace-separated tokens with ``#`` comments running to end of
+    line, then EXACTLY one whitespace byte before the raster.  Returns
+    ``(mode, channels, width, height, maxval, raster_offset)`` or
+    None on malformed input.  Shared by the sniffing and decode paths
+    so they cannot disagree on what counts as a netpbm blob."""
+    mode = "L" if b[:2] == b"P5" else "RGB"
+    nch = 1 if mode == "L" else 3
+    tokens, i = [], 2
+    while len(tokens) < 3 and i < len(b):
+        c = b[i : i + 1]
+        if c == b"#":
+            while i < len(b) and b[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(b) and not b[j : j + 1].isspace():
+                j += 1
+            tokens.append(b[i:j])
+            i = j
+    if len(tokens) < 3:
+        return None
+    try:
+        w, h, maxval = (int(t) for t in tokens)
+    except ValueError:
+        return None
+    if w <= 0 or h <= 0 or maxval <= 0:
+        return None
+    return mode, nch, w, h, maxval, i + 1
+
+
+def _resize_nearest(
+    pixels: bytes, w: int, h: int, nch: int, new_w: int, new_h: int
+) -> bytes:
+    """Nearest-neighbor resize, pure NumPy index selection — the
+    deterministic resample used for EVERY decode path (a PIL fallback
+    decode must produce the same bytes as the codec-free path for the
+    same image, so the resample cannot depend on which decoder ran)."""
+    import numpy as np
+
+    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, nch)
+    ys = (np.arange(new_h) * h) // new_h
+    xs = (np.arange(new_w) * w) // new_w
+    return arr[ys][:, xs].tobytes()
+
+
+def decode_image(df: DataFrame, resize: tuple[int, int] | None = None) -> DataFrame:
+    """Image decode (+ optional nearest-neighbor resize) to
+    (asset_id, width, height, mode, pixels binary).
+
+    REAL, codec-free (r14), for the formats whose pixel layout is pure
+    arithmetic + stdlib: PNG (8-bit gray/RGB/LA/RGBA, non-interlaced —
+    ``zlib`` inflate + scanline unfiltering), uncompressed 24/32-bit
+    BMP, and netpbm PGM/PPM — see :func:`_decode_codec_free`.  Formats
+    that genuinely need a codec library (JPEG's DCT entropy pipeline,
+    GIF's LZW, palette/16-bit/interlaced PNG) fall back to PIL when it
+    is importable and raise ``NotImplementedError`` otherwise — the
+    honestly-gated remainder of MEDIA-DECODE.  ``resize`` always uses
+    the same NumPy nearest-neighbor resample regardless of which
+    decoder produced the pixels, so output bytes do not depend on the
+    environment's codec availability.
     """
     import pandas as pd
 
@@ -628,24 +828,40 @@ def decode_image(df: DataFrame, resize: tuple[int, int] | None = None) -> DataFr
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
 
-        if not have_pil:
-            raise NotImplementedError(
-                "decode_image: no imaging library in this environment; "
-                "plug in PIL/turbojpeg here"
-            )
-        from PIL import Image
+        if have_pil:
+            from PIL import Image
 
         for pdf in batches:
             out = {"asset_id": [], "width": [], "height": [], "mode": [], "pixels": []}
             for aid, blob in zip(pdf["asset_id"], pdf["content"]):
-                img = Image.open(io.BytesIO(blob))
+                raw = blob if isinstance(blob, bytes) else bytes(blob)
+                got = _decode_codec_free(raw)
+                if got is not None:
+                    w, h, mode, pixels = got
+                elif have_pil:
+                    img = Image.open(io.BytesIO(raw))
+                    w, h, mode, pixels = (
+                        img.width, img.height, img.mode, img.tobytes()
+                    )
+                else:
+                    raise NotImplementedError(
+                        "decode_image: blob is not one of the codec-free "
+                        "formats (PNG 8-bit non-interlaced, uncompressed "
+                        "24/32-bit BMP, PGM/PPM) and no imaging library "
+                        "is present; plug in PIL/turbojpeg for "
+                        "JPEG/GIF/palette-PNG"
+                    )
                 if resize is not None:
-                    img = img.resize(resize)
+                    nch = max(1, len(pixels) // (w * h)) if w and h else 1
+                    pixels = _resize_nearest(
+                        pixels, w, h, nch, resize[0], resize[1]
+                    )
+                    w, h = resize
                 out["asset_id"].append(aid)
-                out["width"].append(img.width)
-                out["height"].append(img.height)
-                out["mode"].append(img.mode)
-                out["pixels"].append(img.tobytes())
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mode"].append(mode)
+                out["pixels"].append(pixels)
             yield pd.DataFrame(out)
 
     return df.select("asset_id", "content").mapInPandas(
