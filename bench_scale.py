@@ -2546,7 +2546,7 @@ def _media_throughput_study(spark, base: str) -> dict:
     }
     media = spark.read.parquet(blobs_path)
 
-    def rate(tag: str, fn) -> None:
+    def rate(tag: str, fn, src_df=None) -> None:
         # best-of-2 (r14): a single cold execution bundles plan
         # construction, the plan's own codegen, and whatever JVM heap
         # pressure the PREVIOUS kernel's 512 MB blob scan left behind
@@ -2560,7 +2560,7 @@ def _media_throughput_study(spark, base: str) -> dict:
         n = 0
         for _ in range(2):
             t0 = _t.perf_counter()
-            n = fn(media).count()
+            n = fn(src_df if src_df is not None else media).count()
             walls.append(_t.perf_counter() - t0)
         wall = min(walls)
         out[f"{tag}_sec"] = round(wall, 3)
@@ -2577,6 +2577,62 @@ def _media_throughput_study(spark, base: str) -> dict:
     rate("container_sniff", lambda d: sniff_av_container(d))
     rate("image_sniff", lambda d: sniff_image_meta(d))
     rate("byte_features", lambda d: extract_byte_features(d))
+
+    # codec-free PNG pixel decode (r14): the same per-asset MiB as a
+    # 1024×1024 gray 8-bit PNG (filter-0 rows, zlib level 1 — the
+    # inflate+unfilter+pixel-transfer path is what's being priced;
+    # MB/s is of DECODED pixels so the row compares with the others)
+    png_path = os.path.join(base, "media_pngs")
+    side = 1024
+
+    def gen_png(batches):
+        import struct
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        def chunk(cid, data):
+            return (
+                struct.pack(">I", len(data)) + cid + data
+                + struct.pack(">I", zlib.crc32(cid + data))
+            )
+
+        ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", side, side, 8, 0, 0, 0, 0))
+        for pdf in batches:
+            out = {"asset_id": [], "kind": [], "content": [], "meta": []}
+            for aid in pdf["id"]:
+                i = np.arange(samples, dtype=np.int64)
+                wave = ((((aid * 7 + i * 13) % 4096) - 2048) * 16).astype("<i2")
+                gray = np.frombuffer(wave.tobytes(), dtype=np.uint8).reshape(
+                    side, side
+                )
+                raw = b"".join(
+                    b"\x00" + gray[y].tobytes() for y in range(side)
+                )
+                png = (
+                    b"\x89PNG\r\n\x1a\n" + ihdr
+                    + chunk(b"IDAT", zlib.compress(raw, 1))
+                    + chunk(b"IEND", b"")
+                )
+                out["asset_id"].append(int(aid))
+                out["kind"].append("image")
+                out["content"].append(png)
+                out["meta"].append(None)
+            yield pd.DataFrame(out)
+
+    spark.range(n_assets).repartition(32).mapInPandas(
+        gen_png,
+        schema=(
+            "asset_id long, kind string, content binary, "
+            "meta map<string,string>"
+        ),
+    ).write.mode("overwrite").parquet(png_path)
+    pngs = spark.read.parquet(png_path)
+    from vectorsearch_scylla_spark.multimodal.media import decode_image
+
+    rate("png_decode", lambda d: decode_image(d), src_df=pngs)
+
     rate(
         "audio_per_window",
         lambda d: audio_pcm_features(d, per_window=True),

@@ -2270,3 +2270,46 @@ def test_add_stream_families_run_on_manifest_storage(spark, tmp_path):
     }
     # id 11 under books_v2: sub0 [0.9,0.1] -> code 0, sub1 [0.2,0.8] -> 1
     assert rolled_codes[11] == (0, 1)
+
+
+def test_manifest_storage_refusals(spark, tmp_path):
+    """r14: the manifest strategy's two refusal rails — a _CURRENT
+    that references a missing prefix means the store was damaged
+    externally (referenced prefixes are never swept by this
+    machinery), and retiring the live prefix would destroy the index
+    the manifest points at.  Both refuse loudly instead of guessing."""
+    import json
+    import os
+
+    from vectorsearch_scylla_spark.streaming.genstore import (
+        ManifestGenerationStorage,
+    )
+
+    base = str(tmp_path / "damaged")
+    os.makedirs(base)
+    with open(os.path.join(base, "_CURRENT"), "w") as f:
+        json.dump(
+            {"generation": 3, "prefix": "store_gen3.dead", "rolled_absorbed": True},
+            f,
+        )
+    storage = ManifestGenerationStorage(base)
+    with pytest.raises(RuntimeError, match="references missing prefix"):
+        storage.list_committed("_centroids.json")
+
+    base2 = str(tmp_path / "live")
+    os.makedirs(base2)
+    live = os.path.join(base2, "store_gen1.abcd1234")
+    os.makedirs(live)
+    with open(os.path.join(base2, "_CURRENT"), "w") as f:
+        json.dump(
+            {"generation": 1, "prefix": "store_gen1.abcd1234",
+             "rolled_absorbed": True}, f,
+        )
+    storage2 = ManifestGenerationStorage(base2)
+    with pytest.raises(RuntimeError, match="refusing to retire live"):
+        storage2.retire(spark, live)
+    assert os.path.isdir(live)  # nothing was deleted
+    # a marker flip for a prefix the manifest does not reference is a
+    # contract violation, not a silent no-op
+    with pytest.raises(RuntimeError, match="marker flip"):
+        storage2.stamp_rolled_absorbed(os.path.join(base2, "store_gen2.ffff"))
