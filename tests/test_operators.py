@@ -4415,9 +4415,10 @@ def test_decode_image_codec_free_png_bmp_netpbm(spark):
 
     rng = np.random.default_rng(7)
 
-    def png_bytes(arr, filters):
+    def png_bytes(arr, filters, ctype=None, extra_chunks=()):
         h, w, ch = arr.shape
-        ctype = {1: 0, 3: 2, 2: 4, 4: 6}[ch]
+        if ctype is None:
+            ctype = {1: 0, 3: 2, 2: 4, 4: 6}[ch]
         raw = b""
         prev = np.zeros(w * ch, np.uint8)
         for y, ft in zip(range(h), filters):
@@ -4457,6 +4458,7 @@ def test_decode_image_codec_free_png_bmp_netpbm(spark):
         ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
         return (
             b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + b"".join(chunk(cid, data) for cid, data in extra_chunks)
             + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
         )
 
@@ -4496,6 +4498,22 @@ def test_decode_image_codec_free_png_bmp_netpbm(spark):
     pgm = b"P5 # a comment\n4 5 255\n" + gray.tobytes()
     ppm = b"P6\n4 5\n255\n" + rgb.tobytes()
 
+    # palette PNG (color type 3): 4-entry palette, indices exercise
+    # the same unfilter path at bpp=1, then one PLTE lookup; the tRNS
+    # twin promotes the expansion to RGBA
+    pal = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]], dtype=np.uint8
+    )
+    idx = rng.integers(0, 4, size=(5, 4, 1), dtype=np.uint8)
+    plte = pal.tobytes()
+    trns = bytes([0, 128, 255])  # entries 0-2 translucent, 3 defaults 255
+    pal_png = png_bytes(idx, filters, ctype=3, extra_chunks=[(b"PLTE", plte)])
+    pal_png_a = png_bytes(
+        idx, filters, ctype=3, extra_chunks=[(b"PLTE", plte), (b"tRNS", trns)]
+    )
+    alpha = np.array([0, 128, 255, 255], dtype=np.uint8)
+    pal_rgba = np.concatenate([pal, alpha[:, None]], axis=1)
+
     rows = [
         (1, "image", bytearray(png_bytes(rgb, filters)), None),
         (2, "image", bytearray(png_bytes(gray, filters)), None),
@@ -4504,6 +4522,8 @@ def test_decode_image_codec_free_png_bmp_netpbm(spark):
         (5, "image", bytearray(bmp32_topdown(rgba)), None),
         (6, "image", bytearray(pgm), None),
         (7, "image", bytearray(ppm), None),
+        (8, "image", bytearray(pal_png), None),
+        (10, "image", bytearray(pal_png_a), None),
     ]
     df = spark.createDataFrame(
         rows,
@@ -4514,6 +4534,7 @@ def test_decode_image_codec_free_png_bmp_netpbm(spark):
     exp = {
         1: ("RGB", rgb), 2: ("L", gray), 3: ("RGBA", rgba),
         4: ("RGB", rgb), 5: ("RGBA", rgba), 6: ("L", gray), 7: ("RGB", rgb),
+        8: ("RGB", pal[idx[:, :, 0]]), 10: ("RGBA", pal_rgba[idx[:, :, 0]]),
     }
     for aid, (mode, arr) in exp.items():
         g = got[aid]

@@ -680,9 +680,10 @@ def _decode_codec_free(b: bytes):
 
     * PNG — stdlib ``zlib`` inflates the IDAT stream; scanline
       unfiltering is pure arithmetic (:func:`_png_unfilter`).  8-bit,
-      non-interlaced, color types 0/2/4/6 (gray / RGB / gray+alpha /
-      RGBA).  Palette (type 3), 16-bit, and Adam7 return None — PIL
-      territory.
+      non-interlaced, color types 0/2/3/4/6 (gray / RGB / palette /
+      gray+alpha / RGBA; palette expands through one vectorized PLTE
+      lookup, tRNS promotes it to RGBA).  16-bit, sub-byte depths,
+      and Adam7 interlace return None — PIL territory.
     * BMP — uncompressed (BI_RGB) 24/32-bit: raw BGR(A) rows, 4-byte
       padded, bottom-up (or top-down when height < 0); emitted as
       RGB/RGBA to match PIL's channel order.
@@ -700,22 +701,43 @@ def _decode_codec_free(b: bytes):
         w, h, depth, ctype, comp, filt, interlace = struct.unpack(
             ">IIBBBBB", b[16:29]
         )
-        channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
         if channels is None or depth != 8 or comp or filt or interlace:
-            return None  # palette/16-bit/Adam7: codec-library territory
-        mode = {0: "L", 2: "RGB", 4: "LA", 6: "RGBA"}[ctype]
-        idat = bytearray()
+            return None  # 16-bit / sub-byte depths / Adam7: PIL territory
+        idat, plte, trns = bytearray(), None, None
         i = 8
         while i + 8 <= len(b):
             (clen,) = struct.unpack(">I", b[i : i + 4])
             cid = b[i + 4 : i + 8]
             if cid == b"IDAT":
                 idat += b[i + 8 : i + 8 + clen]
+            elif cid == b"PLTE":
+                plte = b[i + 8 : i + 8 + clen]
+            elif cid == b"tRNS":
+                trns = b[i + 8 : i + 8 + clen]
             elif cid == b"IEND":
                 break
             i += 12 + clen  # len + id + data + crc
         raw = zlib.decompress(bytes(idat))
-        return w, h, mode, _png_unfilter(raw, w, h, channels)
+        pixels = _png_unfilter(raw, w, h, channels)
+        if ctype == 3:
+            # indexed color: the unfiltered bytes are palette indices;
+            # expansion is one vectorized table lookup (with tRNS the
+            # palette gains an alpha lane — RGBA out)
+            if plte is None or len(plte) % 3:
+                return None  # PLTE is mandatory for color type 3
+            pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+            idx = np.frombuffer(pixels, dtype=np.uint8)
+            if int(idx.max(initial=0)) >= pal.shape[0]:
+                return None  # index past palette end: corrupt
+            if trns is not None:
+                alpha = np.full(pal.shape[0], 255, dtype=np.uint8)
+                alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+                pal = np.concatenate([pal, alpha[:, None]], axis=1)
+                return w, h, "RGBA", pal[idx].tobytes()
+            return w, h, "RGB", pal[idx].tobytes()
+        mode = {0: "L", 2: "RGB", 4: "LA", 6: "RGBA"}[ctype]
+        return w, h, mode, pixels
 
     if b[:2] == b"BM" and len(b) >= 54:
         (data_off,) = struct.unpack("<I", b[10:14])
@@ -805,11 +827,12 @@ def decode_image(df: DataFrame, resize: tuple[int, int] | None = None) -> DataFr
     (asset_id, width, height, mode, pixels binary).
 
     REAL, codec-free (r14), for the formats whose pixel layout is pure
-    arithmetic + stdlib: PNG (8-bit gray/RGB/LA/RGBA, non-interlaced —
-    ``zlib`` inflate + scanline unfiltering), uncompressed 24/32-bit
-    BMP, and netpbm PGM/PPM — see :func:`_decode_codec_free`.  Formats
+    arithmetic + stdlib: PNG (8-bit gray/RGB/palette/LA/RGBA,
+    non-interlaced — ``zlib`` inflate + scanline unfiltering + PLTE
+    expansion), uncompressed 24/32-bit BMP, and netpbm PGM/PPM — see
+    :func:`_decode_codec_free`.  Formats
     that genuinely need a codec library (JPEG's DCT entropy pipeline,
-    GIF's LZW, palette/16-bit/interlaced PNG) fall back to PIL when it
+    GIF's LZW, 16-bit/interlaced PNG) fall back to PIL when it
     is importable and raise ``NotImplementedError`` otherwise — the
     honestly-gated remainder of MEDIA-DECODE.  ``resize`` always uses
     the same NumPy nearest-neighbor resample regardless of which
