@@ -2546,33 +2546,42 @@ def _media_throughput_study(spark, base: str) -> dict:
     }
     media = spark.read.parquet(blobs_path)
 
-    def rate(tag: str, fn, src_df=None) -> None:
-        # best-of-2 (r14): a single cold execution bundles plan
-        # construction, the plan's own codegen, and whatever JVM heap
-        # pressure the PREVIOUS kernel's 512 MB blob scan left behind
-        # — the r13 single-shot readings mismeasured the last-timed
-        # kernel by ~7× (byte_features 48 MB/s in-study vs ~580 in a
-        # clean session; the kernel microbenches 3× FASTER than the
-        # audio kernel single-core).  The steady-state rate is the
-        # 100 TB projection; the cold-vs-warm spread stays visible in
-        # the *_cold_sec field.
-        walls = []
-        n = 0
-        for _ in range(2):
-            t0 = _t.perf_counter()
-            n = fn(src_df if src_df is not None else media).count()
-            walls.append(_t.perf_counter() - t0)
-        wall = min(walls)
-        out[f"{tag}_sec"] = round(wall, 3)
-        out[f"{tag}_cold_sec"] = round(walls[0], 3)
-        out[f"{tag}_mb_per_s"] = round(out["mb_total"] / wall, 1)
-        out[f"{tag}_rows"] = n
+    # Measurement shape (r14): TWO full round-robin passes over the
+    # kernel sequence, per-kernel best across passes.  A single cold
+    # execution bundles plan construction, codegen, and whatever
+    # JVM/worker pressure the PREVIOUS kernel left behind — the r13
+    # single-shot readings mismeasured the last-timed kernel by ~7×
+    # (byte_features 48 MB/s in-study vs ~580 in a clean session; the
+    # kernel microbenches 3× FASTER than the audio kernel single-core)
+    # — and consecutive best-of-2 cannot escape a pressure window that
+    # covers both runs (the container_sniff readings reproduced low
+    # across positions while every clean-session probe read ~650).
+    # Round-robin decorrelates each kernel from any fixed neighbor;
+    # the first-pass wall stays visible in *_cold_sec.  The
+    # steady-state rate is the 100 TB projection.
+    _kernels: list = []
 
-    # small-output kernels first, the 1.6M-row per-window explode LAST:
-    # its result transfer + GC shadows whatever runs next (the r13
-    # container_sniff reading sat in that shadow — 66 in-study vs ~670
-    # in a clean session; best-of-2 alone cannot escape a shadow that
-    # covers both runs)
+    def rate(tag: str, fn, src_df=None) -> None:
+        _kernels.append((tag, fn, src_df))
+
+    def run_rates() -> None:
+        walls: dict = {t: [] for t, _f, _s in _kernels}
+        rows: dict = {}
+        for _pass in range(2):
+            for tag, fn, src_df in _kernels:
+                t0 = _t.perf_counter()
+                rows[tag] = fn(src_df if src_df is not None else media).count()
+                walls[tag].append(_t.perf_counter() - t0)
+        for tag, _fn, _src in _kernels:
+            wall = min(walls[tag])
+            out[f"{tag}_sec"] = round(wall, 3)
+            out[f"{tag}_cold_sec"] = round(walls[tag][0], 3)
+            out[f"{tag}_mb_per_s"] = round(out["mb_total"] / wall, 1)
+            out[f"{tag}_rows"] = rows[tag]
+
+    # small-output kernels first, the 1.6M-row per-window explode LAST
+    # within each pass: its result transfer + GC shadows whatever runs
+    # next (the r13 readings that followed it sat in that shadow)
     rate("audio_features", lambda d: audio_pcm_features(d))
     rate("container_sniff", lambda d: sniff_av_container(d))
     rate("image_sniff", lambda d: sniff_image_meta(d))
@@ -2637,6 +2646,7 @@ def _media_throughput_study(spark, base: str) -> dict:
         "audio_per_window",
         lambda d: audio_pcm_features(d, per_window=True),
     )
+    run_rates()
     print(f"[bench_scale] media: {out}", file=sys.stderr)
     return out
 
