@@ -4569,3 +4569,128 @@ def test_decode_image_codec_free_png_bmp_netpbm(spark):
     )
     with pytest.raises(Exception, match="NotImplementedError|no imaging"):
         decode_image(jpeg).collect()
+
+
+def test_decode_image_gif_lzw_codec_free(spark):
+    """r14: single-frame GIF decode is real — pure-Python LZW with
+    variable-width codes, palette expansion, GCE transparency → RGBA,
+    local-color-table override, and GIF interlace row de-permutation.
+    The test encodes known indices with an independent REAL LZW
+    encoder (dictionary growth + width changes, not the uncompressed-
+    GIF trick), wraps a spec-correct container, and pins the decoded
+    bytes; the repeated-run pattern forces the KwKwK special case."""
+    import struct
+
+    import numpy as np
+
+    from vectorsearch_scylla_spark.multimodal.media import decode_image
+
+    def lzw_encode(pixels: bytes, min_code_size: int) -> bytes:
+        clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+        table = {bytes([i]): i for i in range(clear)}
+        next_code = end + 1
+        code_size = min_code_size + 1
+        outbuf = bytearray()
+        acc = bits = 0
+
+        def emit(code):
+            nonlocal acc, bits
+            acc |= code << bits
+            bits += code_size
+            while bits >= 8:
+                outbuf.append(acc & 0xFF)
+                acc >>= 8
+                bits -= 8
+
+        emit(clear)
+        w = b""
+        for px in pixels:
+            wk = w + bytes([px])
+            if wk in table:
+                w = wk
+                continue
+            emit(table[w])
+            table[wk] = next_code
+            next_code += 1
+            # the just-assigned code next_code-1 needs code_size+1
+            # bits once it reaches 2^code_size — widen so the decoder
+            # (which mirrors this after its append) stays in lockstep
+            if next_code == (1 << code_size) + 1 and code_size < 12:
+                code_size += 1
+            w = bytes([px])
+        if w:
+            emit(table[w])
+        emit(end)
+        if bits:
+            outbuf.append(acc & 0xFF)
+        return bytes(outbuf)
+
+    def sub_blocks(data: bytes) -> bytes:
+        out = b""
+        for i in range(0, len(data), 255):
+            part = data[i : i + 255]
+            out += bytes([len(part)]) + part
+        return out + b"\x00"
+
+    pal = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [7, 8, 9]], dtype=np.uint8
+    )
+
+    def gif_bytes(idx2d, *, interlace=False, transparent=None, local=False):
+        h, w = idx2d.shape
+        field = 1  # 2 << 1 = 4 palette entries
+        gct_flag = 0 if local else 0x80
+        out = b"GIF89a" + struct.pack("<HH", w, h)
+        out += bytes([gct_flag | field, 0, 0])
+        if not local:
+            out += pal.tobytes()
+        if transparent is not None:
+            out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, transparent, 0])
+        # a comment extension exercises the sub-block skipper
+        out += bytes([0x21, 0xFE]) + sub_blocks(b"oracle")[:-1] + b"\x00"
+        ipacked = (0x40 if interlace else 0) | (0x80 | field if local else 0)
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([ipacked])
+        if local:
+            out += pal.tobytes()
+        stored = idx2d
+        if interlace:
+            order = np.concatenate([
+                np.arange(0, h, 8), np.arange(4, h, 8),
+                np.arange(2, h, 4), np.arange(1, h, 2),
+            ])
+            stored = idx2d[order]
+        out += bytes([2]) + sub_blocks(lzw_encode(stored.tobytes(), 2))
+        return out + b"\x3b"
+
+    rng = np.random.default_rng(11)
+    # repetitive runs force dictionary reuse AND the KwKwK case;
+    # random tail forces width growth past 2^3 entries
+    runs = np.array(
+        [0] * 7 + [1] * 5 + [2, 2, 0, 0, 1, 1, 2, 3] * 3, dtype=np.uint8
+    )
+    idx = np.concatenate(
+        [np.tile(runs, 3), rng.integers(0, 4, 60).astype(np.uint8)]
+    )[: 12 * 12].reshape(12, 12)
+
+    rows = [
+        (1, "image", bytearray(gif_bytes(idx)), None),
+        (2, "image", bytearray(gif_bytes(idx, interlace=True)), None),
+        (3, "image", bytearray(gif_bytes(idx, transparent=2)), None),
+        (4, "image", bytearray(gif_bytes(idx, local=True)), None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "asset_id long, kind string, content binary, "
+        "meta map<string,string>",
+    )
+    got = {r["asset_id"]: r.asDict() for r in decode_image(df).collect()}
+    rgb = pal[idx]
+    alpha = np.full(4, 255, dtype=np.uint8)
+    alpha[2] = 0
+    rgba = np.concatenate([pal, alpha[:, None]], axis=1)[idx]
+    for aid, want, mode in (
+        (1, rgb, "RGB"), (2, rgb, "RGB"), (3, rgba, "RGBA"), (4, rgb, "RGB"),
+    ):
+        g = got[aid]
+        assert (g["width"], g["height"], g["mode"]) == (12, 12, mode), aid
+        assert bytes(g["pixels"]) == want.tobytes(), aid

@@ -19,11 +19,12 @@ Design rules for 100 TB:
 External image/audio codec libraries are NOT available in this
 environment — but most of the media story never needed one: container
 sniffing, WAV/PCM/G.711 audio DSP, and pixel decode for PNG (stdlib
-zlib + arithmetic unfiltering), uncompressed BMP, and netpbm are all
-REAL, codec-free implementations below.  Only the formats whose
-bitstreams genuinely require a codec (JPEG's DCT pipeline, GIF's LZW,
-palette/16-bit/interlaced PNG) stay honestly gated behind a PIL
-fallback in ``decode_image`` (NotImplementedError when absent).
+zlib + arithmetic unfiltering, palette included), uncompressed BMP,
+single-frame GIF (pure-Python LZW), and netpbm are all REAL,
+codec-free implementations below.  Only the formats whose bitstreams
+genuinely require a codec library (JPEG's DCT pipeline,
+16-bit/interlaced PNG) stay honestly gated behind a PIL fallback in
+``decode_image`` (NotImplementedError when absent).
 """
 
 from __future__ import annotations
@@ -673,6 +674,137 @@ def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytes:
     return out.tobytes()
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
+    """GIF-variant LZW decompression (public algorithm, GIF89a spec
+    appendix): variable-width codes read LSB-first, CLEAR resets the
+    dictionary, widths grow to 12 bits as the dictionary fills.
+    Sequential by nature (each code extends the dictionary the next
+    code may reference) — this is honest pure-Python throughput,
+    ~MB/s/core; see :func:`decode_image`'s scale note."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev = None
+    acc = bits = pos = 0
+    while len(out) < n_pixels:
+        while bits < code_size:
+            if pos >= len(data):
+                raise ValueError("GIF decode: LZW stream truncated")
+            acc |= data[pos] << bits
+            bits += 8
+            pos += 1
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        bits -= code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and (code < clear or code > end):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK special case
+        else:
+            raise ValueError(f"GIF decode: invalid LZW code {code}")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            # widen when the NEXT code would not fit (12-bit ceiling;
+            # at 4096 entries the encoder must emit CLEAR)
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return bytes(out[:n_pixels])
+
+
+def _gif_decode(b: bytes):
+    """Single-frame GIF87a/89a decode — logical-screen + palette
+    parsing, extension skipping (honoring the GCE transparency flag →
+    RGBA, mirroring PNG's tRNS), local-color-table override, Adam-less
+    GIF interlace (row permutation), LZW via :func:`_gif_lzw_decode`.
+    Returns the FIRST image frame at the frame's own geometry (the
+    training-data semantics: one image per blob; animation frames
+    beyond the first are not composited).  Returns None on malformed
+    structure."""
+    import struct
+
+    import numpy as np
+
+    try:
+        packed = b[10]
+        i = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 0x07)
+            gct = np.frombuffer(b[i : i + 3 * n], dtype=np.uint8).reshape(-1, 3)
+            i += 3 * n
+        transparent = None
+        while i < len(b):
+            block = b[i]
+            if block == 0x21:  # extension: label + sub-blocks
+                label = b[i + 1]
+                i += 2
+                if label == 0xF9 and b[i] == 4:  # graphic control ext
+                    if b[i + 1] & 0x01:
+                        transparent = b[i + 4]
+                while b[i]:  # sub-blocks until the zero terminator
+                    i += 1 + b[i]
+                i += 1
+            elif block == 0x2C:  # image descriptor
+                _left, _top, w, h = struct.unpack("<HHHH", b[i + 1 : i + 9])
+                ipacked = b[i + 9]
+                i += 10
+                pal = gct
+                if ipacked & 0x80:  # local color table overrides
+                    n = 2 << (ipacked & 0x07)
+                    pal = np.frombuffer(
+                        b[i : i + 3 * n], dtype=np.uint8
+                    ).reshape(-1, 3)
+                    i += 3 * n
+                if pal is None or w <= 0 or h <= 0:
+                    return None
+                min_code_size = b[i]
+                i += 1
+                lzw = bytearray()
+                while b[i]:
+                    lzw += b[i + 1 : i + 1 + b[i]]
+                    i += 1 + b[i]
+                idx = np.frombuffer(
+                    _gif_lzw_decode(bytes(lzw), min_code_size, w * h),
+                    dtype=np.uint8,
+                ).reshape(h, w)
+                if ipacked & 0x40:  # interlaced: de-permute rows
+                    order = np.concatenate([
+                        np.arange(0, h, 8), np.arange(4, h, 8),
+                        np.arange(2, h, 4), np.arange(1, h, 2),
+                    ])
+                    rows = np.empty_like(idx)
+                    rows[order] = idx
+                    idx = rows
+                if int(idx.max(initial=0)) >= pal.shape[0]:
+                    return None  # index past palette end: corrupt
+                if transparent is not None:
+                    alpha = np.full(pal.shape[0], 255, dtype=np.uint8)
+                    if transparent < pal.shape[0]:
+                        alpha[transparent] = 0
+                    pal4 = np.concatenate([pal, alpha[:, None]], axis=1)
+                    return w, h, "RGBA", pal4[idx].tobytes()
+                return w, h, "RGB", pal[idx].tobytes()
+            elif block == 0x3B:  # trailer before any image frame
+                return None
+            else:
+                return None
+        return None
+    except (IndexError, ValueError, struct.error):
+        return None
+
+
 def _decode_codec_free(b: bytes):
     """Pixel decode for the formats that need NO codec library —
     returns ``(width, height, mode, pixels)`` or None when the format
@@ -687,6 +819,10 @@ def _decode_codec_free(b: bytes):
     * BMP — uncompressed (BI_RGB) 24/32-bit: raw BGR(A) rows, 4-byte
       padded, bottom-up (or top-down when height < 0); emitted as
       RGB/RGBA to match PIL's channel order.
+    * GIF — single-frame GIF87a/89a via pure-Python LZW
+      (:func:`_gif_decode`): palette/transparency/interlace handled;
+      real but SEQUENTIAL — see the scale note in
+      :func:`decode_image`.
     * PGM/PPM (netpbm P5/P6, maxval ≤ 255) — whitespace-separated
       header then raw bytes.
     """
@@ -759,6 +895,9 @@ def _decode_codec_free(b: bytes):
         rows = rows[:, :, [2, 1, 0] + ([3] if nch == 4 else [])]  # BGR(A)→RGB(A)
         return w, h, ("RGBA" if nch == 4 else "RGB"), rows.tobytes()
 
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return _gif_decode(b)
+
     if b[:2] in (b"P5", b"P6"):
         parsed = _netpbm_header(b)
         if parsed is None:
@@ -829,15 +968,26 @@ def decode_image(df: DataFrame, resize: tuple[int, int] | None = None) -> DataFr
     REAL, codec-free (r14), for the formats whose pixel layout is pure
     arithmetic + stdlib: PNG (8-bit gray/RGB/palette/LA/RGBA,
     non-interlaced — ``zlib`` inflate + scanline unfiltering + PLTE
-    expansion), uncompressed 24/32-bit BMP, and netpbm PGM/PPM — see
-    :func:`_decode_codec_free`.  Formats
+    expansion), uncompressed 24/32-bit BMP, single-frame GIF
+    (pure-Python LZW), and netpbm PGM/PPM — see
+    :func:`_decode_codec_free`.  Only formats
     that genuinely need a codec library (JPEG's DCT entropy pipeline,
-    GIF's LZW, 16-bit/interlaced PNG) fall back to PIL when it
+    16-bit/interlaced PNG) fall back to PIL when it
     is importable and raise ``NotImplementedError`` otherwise — the
     honestly-gated remainder of MEDIA-DECODE.  ``resize`` always uses
     the same NumPy nearest-neighbor resample regardless of which
     decoder produced the pixels, so output bytes do not depend on the
     environment's codec availability.
+
+    SCALE NOTE: the PNG/BMP/netpbm paths are NumPy-vectorized and run
+    at the Arrow transfer ceiling (BENCH_SCALE "Media-kernel
+    throughput": PNG ~21 MB/s/core end-to-end).  GIF's LZW is
+    inherently sequential (each code extends the dictionary the next
+    code may reference) and runs as a per-code Python loop — order
+    ~1 MB/s/core.  That is an honest property of the FORMAT, not the
+    engine: a GIF-heavy 100 TB corpus should either route GIFs to a
+    codec-backed executor image (PIL/turbojpeg wheels) or transcode
+    once at ingest; the map-only Spark shape is identical either way.
     """
     import pandas as pd
 
