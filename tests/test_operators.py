@@ -4415,10 +4415,8 @@ def test_decode_image_codec_free_png_bmp_netpbm(spark):
 
     rng = np.random.default_rng(7)
 
-    def png_bytes(arr, filters, ctype=None, extra_chunks=()):
+    def filt_rows(arr, filters):
         h, w, ch = arr.shape
-        if ctype is None:
-            ctype = {1: 0, 3: 2, 2: 4, 4: 6}[ch]
         raw = b""
         prev = np.zeros(w * ch, np.uint8)
         for y, ft in zip(range(h), filters):
@@ -4450,12 +4448,32 @@ def test_decode_image_codec_free_png_bmp_netpbm(spark):
                     filt[i] = (int(line[i]) - pred) % 256
             raw += bytes([ft]) + filt.tobytes()
             prev = line
+        return raw
+
+    def png_bytes(arr, filters, ctype=None, extra_chunks=(), interlace=0):
+        h, w, ch = arr.shape
+        if ctype is None:
+            ctype = {1: 0, 3: 2, 2: 4, 4: 6}[ch]
+        if interlace:
+            # Adam7: each pass is filtered as its own sub-image
+            raw = b""
+            for xs, ys, xstep, ystep in (
+                (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+            ):
+                sub = arr[ys::ystep, xs::xstep]
+                if sub.shape[0] and sub.shape[1]:
+                    raw += filt_rows(
+                        sub, [filters[i % len(filters)] for i in range(sub.shape[0])]
+                    )
+        else:
+            raw = filt_rows(arr, filters)
         def chunk(cid, data):
             return (
                 struct.pack(">I", len(data)) + cid + data
                 + struct.pack(">I", zlib.crc32(cid + data))
             )
-        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, interlace)
         return (
             b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + b"".join(chunk(cid, data) for cid, data in extra_chunks)
@@ -4513,6 +4531,7 @@ def test_decode_image_codec_free_png_bmp_netpbm(spark):
     )
     alpha = np.array([0, 128, 255, 255], dtype=np.uint8)
     pal_rgba = np.concatenate([pal, alpha[:, None]], axis=1)
+    adam_rgb = rng.integers(0, 256, size=(10, 9, 3), dtype=np.uint8)
 
     rows = [
         (1, "image", bytearray(png_bytes(rgb, filters)), None),
@@ -4524,6 +4543,10 @@ def test_decode_image_codec_free_png_bmp_netpbm(spark):
         (7, "image", bytearray(ppm), None),
         (8, "image", bytearray(pal_png), None),
         (10, "image", bytearray(pal_png_a), None),
+        # Adam7-interlaced RGB, dimensions chosen so every one of the
+        # seven passes is non-empty AND ragged (9 not divisible by 8)
+        (11, "image", bytearray(
+            png_bytes(adam_rgb, filters, interlace=1)), None),
     ]
     df = spark.createDataFrame(
         rows,
@@ -4540,6 +4563,9 @@ def test_decode_image_codec_free_png_bmp_netpbm(spark):
         g = got[aid]
         assert (g["width"], g["height"], g["mode"]) == (4, 5, mode), (aid, g)
         assert bytes(g["pixels"]) == arr.tobytes(), aid
+    g11 = got[11]
+    assert (g11["width"], g11["height"], g11["mode"]) == (9, 10, "RGB")
+    assert bytes(g11["pixels"]) == adam_rgb.tobytes()
 
     # nearest-neighbor resize: 4x5 -> 2x2 picks rows {0,2} cols {0,2}
     rez = {

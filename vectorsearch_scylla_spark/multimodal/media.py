@@ -22,8 +22,8 @@ sniffing, WAV/PCM/G.711 audio DSP, and pixel decode for PNG (stdlib
 zlib + arithmetic unfiltering, palette included), uncompressed BMP,
 single-frame GIF (pure-Python LZW), and netpbm are all REAL,
 codec-free implementations below.  Only the formats whose bitstreams
-genuinely require a codec library (JPEG's DCT pipeline,
-16-bit/interlaced PNG) stay honestly gated behind a PIL fallback in
+genuinely require a codec library (JPEG's DCT pipeline, 16-bit
+PNG) stay honestly gated behind a PIL fallback in
 ``decode_image`` (NotImplementedError when absent).
 """
 
@@ -812,10 +812,12 @@ def _decode_codec_free(b: bytes):
 
     * PNG — stdlib ``zlib`` inflates the IDAT stream; scanline
       unfiltering is pure arithmetic (:func:`_png_unfilter`).  8-bit,
-      non-interlaced, color types 0/2/3/4/6 (gray / RGB / palette /
-      gray+alpha / RGBA; palette expands through one vectorized PLTE
-      lookup, tRNS promotes it to RGBA).  16-bit, sub-byte depths,
-      and Adam7 interlace return None — PIL territory.
+      color types 0/2/3/4/6 (gray / RGB / palette / gray+alpha /
+      RGBA; palette expands through one vectorized PLTE lookup, tRNS
+      promotes it to RGBA), Adam7 interlace included (each pass
+      unfilters as its own sub-image and scatters onto the output
+      lattice).  16-bit and sub-byte depths return None — PIL
+      territory.
     * BMP — uncompressed (BI_RGB) 24/32-bit: raw BGR(A) rows, 4-byte
       padded, bottom-up (or top-down when height < 0); emitted as
       RGB/RGBA to match PIL's channel order.
@@ -838,8 +840,8 @@ def _decode_codec_free(b: bytes):
             ">IIBBBBB", b[16:29]
         )
         channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
-        if channels is None or depth != 8 or comp or filt or interlace:
-            return None  # 16-bit / sub-byte depths / Adam7: PIL territory
+        if channels is None or depth != 8 or comp or filt or interlace > 1:
+            return None  # 16-bit / sub-byte depths: PIL territory
         idat, plte, trns = bytearray(), None, None
         i = 8
         while i + 8 <= len(b):
@@ -855,7 +857,30 @@ def _decode_codec_free(b: bytes):
                 break
             i += 12 + clen  # len + id + data + crc
         raw = zlib.decompress(bytes(idat))
-        pixels = _png_unfilter(raw, w, h, channels)
+        if interlace == 1:
+            # Adam7 (PNG spec §8.2, public): seven passes, each a
+            # sub-image with its OWN scanline filtering — unfilter
+            # each pass with the same kernel and scatter it onto the
+            # output grid at the pass's (start, step) lattice
+            out_img = np.zeros((h, w, channels), dtype=np.uint8)
+            off = 0
+            for xs, ys, xstep, ystep in (
+                (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+            ):
+                pw = (w - xs + xstep - 1) // xstep
+                ph = (h - ys + ystep - 1) // ystep
+                if pw <= 0 or ph <= 0:
+                    continue  # empty pass emits no scanlines
+                nbytes = ph * (1 + pw * channels)
+                sub = _png_unfilter(raw[off : off + nbytes], pw, ph, channels)
+                off += nbytes
+                out_img[ys::ystep, xs::xstep] = np.frombuffer(
+                    sub, dtype=np.uint8
+                ).reshape(ph, pw, channels)
+            pixels = out_img.tobytes()
+        else:
+            pixels = _png_unfilter(raw, w, h, channels)
         if ctype == 3:
             # indexed color: the unfiltered bytes are palette indices;
             # expansion is one vectorized table lookup (with tRNS the
@@ -967,12 +992,12 @@ def decode_image(df: DataFrame, resize: tuple[int, int] | None = None) -> DataFr
 
     REAL, codec-free (r14), for the formats whose pixel layout is pure
     arithmetic + stdlib: PNG (8-bit gray/RGB/palette/LA/RGBA,
-    non-interlaced — ``zlib`` inflate + scanline unfiltering + PLTE
+    Adam7 included — ``zlib`` inflate + scanline unfiltering + PLTE
     expansion), uncompressed 24/32-bit BMP, single-frame GIF
     (pure-Python LZW), and netpbm PGM/PPM — see
     :func:`_decode_codec_free`.  Only formats
     that genuinely need a codec library (JPEG's DCT entropy pipeline,
-    16-bit/interlaced PNG) fall back to PIL when it
+    16-bit PNG) fall back to PIL when it
     is importable and raise ``NotImplementedError`` otherwise — the
     honestly-gated remainder of MEDIA-DECODE.  ``resize`` always uses
     the same NumPy nearest-neighbor resample regardless of which
