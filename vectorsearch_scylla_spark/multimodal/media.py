@@ -680,7 +680,8 @@ def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
     dictionary, widths grow to 12 bits as the dictionary fills.
     Sequential by nature (each code extends the dictionary the next
     code may reference) — this is honest pure-Python throughput,
-    ~MB/s/core; see :func:`decode_image`'s scale note."""
+    measured ~8 MB/s/core on run-structured 4-bit indices; see
+    :func:`decode_image`'s scale note."""
     clear = 1 << min_code_size
     end = clear + 1
     base = [bytes([i]) for i in range(clear)] + [b"", b""]
@@ -1008,8 +1009,9 @@ def decode_image(df: DataFrame, resize: tuple[int, int] | None = None) -> DataFr
     at the Arrow transfer ceiling (BENCH_SCALE "Media-kernel
     throughput": PNG ~21 MB/s/core end-to-end).  GIF's LZW is
     inherently sequential (each code extends the dictionary the next
-    code may reference) and runs as a per-code Python loop — order
-    ~1 MB/s/core.  That is an honest property of the FORMAT, not the
+    code may reference) and runs as a per-code Python loop — measured
+    ~8 MB/s/core of decoded indices (~50× below the vectorized
+    paths).  That is an honest property of the FORMAT, not the
     engine: a GIF-heavy 100 TB corpus should either route GIFs to a
     codec-backed executor image (PIL/turbojpeg wheels) or transcode
     once at ingest; the map-only Spark shape is identical either way.
