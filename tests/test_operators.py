@@ -4450,7 +4450,11 @@ def test_decode_image_codec_free_png_bmp_netpbm(spark):
             prev = line
         return raw
 
-    def png_bytes(arr, filters, ctype=None, extra_chunks=(), interlace=0):
+    def png_bytes(arr, filters, ctype=None, extra_chunks=(), interlace=0,
+                  depth=8):
+        # arr's last axis is BYTES per pixel (bpp), not samples — for
+        # depth=16 pass big-endian byte pairs; PNG filters are
+        # byte-oriented so filt_rows needs no depth awareness
         h, w, ch = arr.shape
         if ctype is None:
             ctype = {1: 0, 3: 2, 2: 4, 4: 6}[ch]
@@ -4473,7 +4477,7 @@ def test_decode_image_codec_free_png_bmp_netpbm(spark):
                 struct.pack(">I", len(data)) + cid + data
                 + struct.pack(">I", zlib.crc32(cid + data))
             )
-        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, interlace)
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
         return (
             b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
             + b"".join(chunk(cid, data) for cid, data in extra_chunks)
@@ -4533,6 +4537,15 @@ def test_decode_image_codec_free_png_bmp_netpbm(spark):
     pal_rgba = np.concatenate([pal, alpha[:, None]], axis=1)
     adam_rgb = rng.integers(0, 256, size=(10, 9, 3), dtype=np.uint8)
 
+    def be_bytes(u16):  # (h, w, ch) u16 -> (h, w, 2*ch) u8 big-endian
+        h_, w_ = u16.shape[:2]
+        return np.frombuffer(
+            u16.astype(">u2").tobytes(), dtype=np.uint8
+        ).reshape(h_, w_, -1)
+
+    gray16_b = be_bytes(rng.integers(0, 65536, size=(5, 4, 1), dtype=np.uint16))
+    rgb16_b = be_bytes(rng.integers(0, 65536, size=(5, 4, 3), dtype=np.uint16))
+
     rows = [
         (1, "image", bytearray(png_bytes(rgb, filters)), None),
         (2, "image", bytearray(png_bytes(gray, filters)), None),
@@ -4547,6 +4560,12 @@ def test_decode_image_codec_free_png_bmp_netpbm(spark):
         # seven passes is non-empty AND ragged (9 not divisible by 8)
         (11, "image", bytearray(
             png_bytes(adam_rgb, filters, interlace=1)), None),
+        # 16-bit depths ride the same byte-level unfilter with bpp
+        # doubled — big-endian samples as stored, mode suffixed "16"
+        (12, "image", bytearray(
+            png_bytes(gray16_b, filters, ctype=0, depth=16)), None),
+        (13, "image", bytearray(
+            png_bytes(rgb16_b, filters, ctype=2, depth=16)), None),
     ]
     df = spark.createDataFrame(
         rows,
@@ -4566,6 +4585,10 @@ def test_decode_image_codec_free_png_bmp_netpbm(spark):
     g11 = got[11]
     assert (g11["width"], g11["height"], g11["mode"]) == (9, 10, "RGB")
     assert bytes(g11["pixels"]) == adam_rgb.tobytes()
+    for aid, mode, want in ((12, "L16", gray16_b), (13, "RGB16", rgb16_b)):
+        g = got[aid]
+        assert (g["width"], g["height"], g["mode"]) == (4, 5, mode), aid
+        assert bytes(g["pixels"]) == want.tobytes(), aid
 
     # nearest-neighbor resize: 4x5 -> 2x2 picks rows {0,2} cols {0,2}
     rez = {

@@ -22,9 +22,9 @@ sniffing, WAV/PCM/G.711 audio DSP, and pixel decode for PNG (stdlib
 zlib + arithmetic unfiltering, palette included), uncompressed BMP,
 single-frame GIF (pure-Python LZW), and netpbm are all REAL,
 codec-free implementations below.  Only the formats whose bitstreams
-genuinely require a codec library (JPEG's DCT pipeline, 16-bit
-PNG) stay honestly gated behind a PIL fallback in
-``decode_image`` (NotImplementedError when absent).
+genuinely require a codec library (for PNG only sub-byte depths;
+for JPEG the whole DCT pipeline) stay honestly gated behind a PIL
+fallback in ``decode_image`` (NotImplementedError when absent).
 """
 
 from __future__ import annotations
@@ -817,7 +817,8 @@ def _decode_codec_free(b: bytes):
       RGBA; palette expands through one vectorized PLTE lookup, tRNS
       promotes it to RGBA), Adam7 interlace included (each pass
       unfilters as its own sub-image and scatters onto the output
-      lattice).  16-bit and sub-byte depths return None — PIL
+      lattice), 16-bit depths included (big-endian samples as stored,
+      mode suffixed "16").  Sub-byte depths return None — PIL
       territory.
     * BMP — uncompressed (BI_RGB) 24/32-bit: raw BGR(A) rows, 4-byte
       padded, bottom-up (or top-down when height < 0); emitted as
@@ -841,8 +842,22 @@ def _decode_codec_free(b: bytes):
             ">IIBBBBB", b[16:29]
         )
         channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
-        if channels is None or depth != 8 or comp or filt or interlace > 1:
-            return None  # 16-bit / sub-byte depths: PIL territory
+        if (
+            channels is None
+            or depth not in (8, 16)
+            or (ctype == 3 and depth != 8)  # sub-byte palette: PIL
+            or comp
+            or filt
+            or interlace > 1
+        ):
+            return None  # sub-byte depths: PIL territory
+        # PNG filtering is BYTE-oriented with the pixel width measured
+        # in bytes (spec: "bpp is the number of bytes per complete
+        # pixel"), so 16-bit images ride the same unfilter kernel with
+        # bpp doubled; samples stay big-endian as stored (mode gains a
+        # "16" suffix — callers needing host-endian ints reinterpret
+        # with >u2, which is a view, not a conversion pass)
+        bpp = channels * (depth // 8)
         idat, plte, trns = bytearray(), None, None
         i = 8
         while i + 8 <= len(b):
@@ -863,7 +878,7 @@ def _decode_codec_free(b: bytes):
             # sub-image with its OWN scanline filtering — unfilter
             # each pass with the same kernel and scatter it onto the
             # output grid at the pass's (start, step) lattice
-            out_img = np.zeros((h, w, channels), dtype=np.uint8)
+            out_img = np.zeros((h, w, bpp), dtype=np.uint8)
             off = 0
             for xs, ys, xstep, ystep in (
                 (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
@@ -873,15 +888,15 @@ def _decode_codec_free(b: bytes):
                 ph = (h - ys + ystep - 1) // ystep
                 if pw <= 0 or ph <= 0:
                     continue  # empty pass emits no scanlines
-                nbytes = ph * (1 + pw * channels)
-                sub = _png_unfilter(raw[off : off + nbytes], pw, ph, channels)
+                nbytes = ph * (1 + pw * bpp)
+                sub = _png_unfilter(raw[off : off + nbytes], pw, ph, bpp)
                 off += nbytes
                 out_img[ys::ystep, xs::xstep] = np.frombuffer(
                     sub, dtype=np.uint8
-                ).reshape(ph, pw, channels)
+                ).reshape(ph, pw, bpp)
             pixels = out_img.tobytes()
         else:
-            pixels = _png_unfilter(raw, w, h, channels)
+            pixels = _png_unfilter(raw, w, h, bpp)
         if ctype == 3:
             # indexed color: the unfiltered bytes are palette indices;
             # expansion is one vectorized table lookup (with tRNS the
@@ -899,6 +914,8 @@ def _decode_codec_free(b: bytes):
                 return w, h, "RGBA", pal[idx].tobytes()
             return w, h, "RGB", pal[idx].tobytes()
         mode = {0: "L", 2: "RGB", 4: "LA", 6: "RGBA"}[ctype]
+        if depth == 16:
+            mode += "16"  # big-endian u16 samples, as stored
         return w, h, mode, pixels
 
     if b[:2] == b"BM" and len(b) >= 54:
@@ -993,14 +1010,20 @@ def decode_image(df: DataFrame, resize: tuple[int, int] | None = None) -> DataFr
 
     REAL, codec-free (r14), for the formats whose pixel layout is pure
     arithmetic + stdlib: PNG (8-bit gray/RGB/palette/LA/RGBA,
-    Adam7 included — ``zlib`` inflate + scanline unfiltering + PLTE
-    expansion), uncompressed 24/32-bit BMP, single-frame GIF
-    (pure-Python LZW), and netpbm PGM/PPM — see
+    Adam7 and 16-bit depths included — ``zlib`` inflate + scanline
+    unfiltering + PLTE expansion), uncompressed 24/32-bit BMP,
+    single-frame GIF (pure-Python LZW), and netpbm PGM/PPM — see
     :func:`_decode_codec_free`.  Only formats
-    that genuinely need a codec library (JPEG's DCT entropy pipeline,
-    16-bit PNG) fall back to PIL when it
+    that genuinely need a codec library (JPEG; sub-byte-depth PNG)
+    fall back to PIL when it
     is importable and raise ``NotImplementedError`` otherwise — the
-    honestly-gated remainder of MEDIA-DECODE.  ``resize`` always uses
+    honestly-gated remainder of MEDIA-DECODE.  JPEG is gated on
+    PRINCIPLE, not effort: ISO 10918 fixes the bitstream but allows
+    implementation-dependent IDCT rounding, so two conforming
+    decoders legitimately disagree per-pixel — a from-scratch DCT
+    path here would break this function's decoder-independent
+    output-bytes contract the moment an environment with libjpeg ran
+    beside it.  ``resize`` always uses
     the same NumPy nearest-neighbor resample regardless of which
     decoder produced the pixels, so output bytes do not depend on the
     environment's codec availability.
