@@ -4743,3 +4743,66 @@ def test_decode_image_gif_lzw_codec_free(spark):
         g = got[aid]
         assert (g["width"], g["height"], g["mode"]) == (12, 12, mode), aid
         assert bytes(g["pixels"]) == want.tobytes(), aid
+
+
+def test_sniff_av_container_flac_and_ogg_metadata(spark):
+    """r14: FLAC's mandatory leading STREAMINFO block and Ogg's
+    first-page codec id packet (OpusHead / vorbis id header) are pure
+    byte layouts — the sniffer fills channels/sample_rate(/bits) for
+    them exactly as it does for WAV, from spec-correct synthetic
+    fixtures with known field values."""
+    import struct
+
+    from vectorsearch_scylla_spark.multimodal.media import sniff_av_container
+
+    # FLAC: fLaC + block header (type 0, len 34) + STREAMINFO with
+    # sr=44100, channels=2, bits=16, total=1000
+    packed = (44100 << 44) | ((2 - 1) << 41) | ((16 - 1) << 36) | 1000
+    streaminfo = (
+        struct.pack(">HH", 1024, 1024) + b"\x00\x00\x10" + b"\x00\x00\x20"
+        + packed.to_bytes(8, "big") + b"\x00" * 16
+    )
+    assert len(streaminfo) == 34
+    flac = b"fLaC" + bytes([0x80, 0, 0, 34]) + streaminfo
+
+    def ogg_page(payload):
+        nsegs = (len(payload) + 254) // 255
+        segs = bytes([255] * (nsegs - 1) + [len(payload) - 255 * (nsegs - 1)])
+        return (
+            b"OggS" + b"\x00\x02" + b"\x00" * 8 + b"\x01\x02\x03\x04"
+            + b"\x00" * 4 + b"\x00" * 4 + bytes([nsegs]) + segs + payload
+        )
+
+    opus = ogg_page(
+        b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 312)
+        + struct.pack("<I", 48000) + b"\x00\x00\x00"
+    )
+    vorbis = ogg_page(
+        b"\x01vorbis" + struct.pack("<I", 0) + bytes([6])
+        + struct.pack("<I", 44100) + b"\x00" * 9
+    )
+    rows = [
+        (1, "audio", bytearray(flac), None),
+        (2, "audio", bytearray(opus), None),
+        (3, "audio", bytearray(vorbis), None),
+        # truncated flac / non-id ogg stay classification-only
+        (4, "audio", bytearray(b"fLaC\x80\x00"), None),
+        (5, "audio", bytearray(b"OggS" + b"\x00" * 8), None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "asset_id long, kind string, content binary, "
+        "meta map<string,string>",
+    )
+    got = {r["asset_id"]: r.asDict() for r in sniff_av_container(df).collect()}
+    f = got[1]
+    assert (f["container"], f["detail"]) == ("flac", "streaminfo")
+    assert (f["channels"], f["sample_rate"], f["bits_per_sample"]) == (2, 44100, 16)
+    o = got[2]
+    assert (o["container"], o["detail"], o["channels"], o["sample_rate"]) == (
+        "ogg", "opus", 2, 48000)
+    v = got[3]
+    assert (v["container"], v["detail"], v["channels"], v["sample_rate"]) == (
+        "ogg", "vorbis", 6, 44100)
+    assert (got[4]["container"], got[4]["detail"]) == ("flac", None)
+    assert (got[5]["container"], got[5]["detail"]) == ("ogg", None)

@@ -506,9 +506,14 @@ def sniff_av_container(df: DataFrame) -> DataFrame:
     Detected containers: ``wav`` (fully parsed), ``mp4`` (ISO BMFF —
     the ``ftyp`` box's major brand rides in ``detail``), ``webm``/
     ``mkv`` (EBML magic; ``detail`` distinguishes by DocType when it
-    is in the first bytes), ``ogg``, ``flac``, ``mp3`` (ID3 tag or
-    MPEG frame sync), ``avi`` (RIFF/AVI).  Unknown or truncated bytes
-    classify as ``unknown`` with NULL fields — never an exception.
+    is in the first bytes), ``ogg`` (r14: the first page's codec id
+    packet is parsed — ``detail`` ``"opus"``/``"vorbis"`` with
+    channels + sample rate from the public id-header layouts),
+    ``flac`` (r14: the mandatory leading STREAMINFO block yields
+    channels / sample rate / bits per sample), ``mp3`` (ID3 tag or
+    validated MPEG frame sync), ``avi`` (RIFF/AVI).  Unknown or
+    truncated bytes classify as ``unknown`` with NULL fields — never
+    an exception.
 
     Emits ``(asset_id, container, detail, channels, sample_rate,
     bits_per_sample, data_offset, data_len)`` — the non-WAV rows carry
@@ -562,8 +567,34 @@ def sniff_av_container(df: DataFrame) -> DataFrame:
             )
             return ("webm" if detail == "webm" else "mkv", detail) + none5
         if b[:4] == b"OggS":
+            # identify the codec from the FIRST page's payload (r14):
+            # page header is 27 bytes + segment table, then the codec
+            # id packet — "OpusHead" (channels u8, pre-skip u16, input
+            # rate u32le) or "\\x01vorbis" (version u32, channels u8,
+            # rate u32le), both public id-header layouts
+            if len(b) >= 28:
+                nsegs = b[26]
+                p = 27 + nsegs
+                if b[p : p + 8] == b"OpusHead" and len(b) >= p + 16:
+                    ch = b[p + 9]
+                    (sr,) = struct.unpack("<I", b[p + 12 : p + 16])
+                    return ("ogg", "opus", ch, sr, None, None, None)
+                if b[p : p + 7] == b"\x01vorbis" and len(b) >= p + 16:
+                    ch = b[p + 11]
+                    (sr,) = struct.unpack("<I", b[p + 12 : p + 16])
+                    return ("ogg", "vorbis", ch, sr, None, None, None)
             return ("ogg", None) + none5
         if b[:4] == b"fLaC":
+            # STREAMINFO is mandatory and first (r14): metadata block
+            # header (type 0) then 34 bytes; sample rate (20 bits),
+            # channels-1 (3), bits-1 (5) packed big-endian at +10
+            if len(b) >= 8 + 18 and (b[4] & 0x7F) == 0:
+                packed = int.from_bytes(b[8 + 10 : 8 + 18], "big")
+                sr = packed >> 44
+                ch = ((packed >> 41) & 0x07) + 1
+                bits = ((packed >> 36) & 0x1F) + 1
+                if sr:  # 0 is invalid per spec — treat as unparsed
+                    return ("flac", "streaminfo", ch, sr, bits, None, None)
             return ("flac", None) + none5
         if b[:3] == b"ID3":
             return ("mp3", "id3") + none5
