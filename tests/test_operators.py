@@ -4806,3 +4806,56 @@ def test_sniff_av_container_flac_and_ogg_metadata(spark):
         "ogg", "vorbis", 6, 44100)
     assert (got[4]["container"], got[4]["detail"]) == ("flac", None)
     assert (got[5]["container"], got[5]["detail"]) == ("ogg", None)
+
+
+def test_sniff_av_container_mp4_audio_track(spark):
+    """r14: ISO-BMFF box walking — the sniffer resolves the first
+    sound track's AudioSampleEntry (moov → trak → mdia[hdlr=soun] →
+    minf/stbl/stsd) and fills codec fourcc, channels, sample rate,
+    and sample size from the public 14496-12 layout; a video-only or
+    moov-less mp4 keeps the brand-only detail with NULL fields."""
+    import struct
+
+    from vectorsearch_scylla_spark.multimodal.media import sniff_av_container
+
+    def box(typ, payload):
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    entry = box(
+        b"mp4a",
+        b"\x00" * 16 + struct.pack(">HH", 2, 16) + b"\x00" * 4
+        + struct.pack(">I", 48000 << 16),
+    )
+    stsd = box(b"stsd", b"\x00" * 4 + struct.pack(">I", 1) + entry)
+    stbl = box(b"stbl", stsd)
+    minf = box(b"minf", stbl)
+    hdlr_a = box(b"hdlr", b"\x00" * 8 + b"soun" + b"\x00" * 12)
+    hdlr_v = box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+    trak_a = box(b"trak", box(b"mdia", hdlr_a + minf))
+    trak_v = box(b"trak", box(b"mdia", hdlr_v + minf))
+    ftyp = box(b"ftyp", b"isom" + b"\x00\x00\x02\x00" + b"isomiso2")
+    # a large-ish mdat BEFORE moov proves the walk skips bodies by
+    # size instead of scanning them (the non-faststart file shape)
+    mdat = box(b"mdat", b"\x00" * 4096)
+    mp4_audio = ftyp + mdat + box(b"moov", trak_v + trak_a)
+    mp4_video = ftyp + box(b"moov", trak_v)
+    mp4_bare = b"\x00\x00\x00\x18ftypmp42" + b"\x00" * 8
+
+    rows = [
+        (1, "video", bytearray(mp4_audio), None),
+        (2, "video", bytearray(mp4_video), None),
+        (3, "video", bytearray(mp4_bare), None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "asset_id long, kind string, content binary, "
+        "meta map<string,string>",
+    )
+    got = {r["asset_id"]: r.asDict() for r in sniff_av_container(df).collect()}
+    a = got[1]
+    assert (a["container"], a["detail"]) == ("mp4", "isom/mp4a")
+    assert (a["channels"], a["sample_rate"], a["bits_per_sample"]) == (2, 48000, 16)
+    v = got[2]
+    assert (v["container"], v["detail"]) == ("mp4", "isom")
+    assert v["channels"] is None and v["sample_rate"] is None
+    assert (got[3]["container"], got[3]["detail"]) == ("mp4", "mp42")

@@ -504,7 +504,12 @@ def sniff_av_container(df: DataFrame) -> DataFrame:
     bits-per-sample selects).
 
     Detected containers: ``wav`` (fully parsed), ``mp4`` (ISO BMFF —
-    the ``ftyp`` box's major brand rides in ``detail``), ``webm``/
+    r14: the box walk resolves the first sound track's
+    AudioSampleEntry, so ``detail`` is ``"<brand>/<codec fourcc>"``
+    with channels / sample rate / sample size filled; moov-less or
+    video-only files keep the brand-only detail.  The walk skips box
+    BODIES by their size fields, so a GB-scale leading ``mdat`` costs
+    one index jump), ``webm``/
     ``mkv`` (EBML magic; ``detail`` distinguishes by DocType when it
     is in the first bytes), ``ogg`` (r14: the first page's codec id
     packet is parsed — ``detail`` ``"opus"``/``"vorbis"`` with
@@ -545,6 +550,75 @@ def sniff_av_container(df: DataFrame) -> DataFrame:
         )
         return ("wav", detail, ch, sr, bits, data_off, data_len)
 
+    def _boxes(b: bytes, start: int, end: int):
+        # ISO BMFF box walk (ISO 14496-12, public): u32be size + fourcc,
+        # size==1 → u64 largesize, size==0 → to end.  Walking skips a
+        # box's body by its size field, so a leading GB-scale mdat
+        # costs one index jump, not a read.
+        i = start
+        while i + 8 <= end:
+            size = int.from_bytes(b[i : i + 4], "big")
+            typ = b[i + 4 : i + 8]
+            hdr = 8
+            if size == 1:
+                if i + 16 > end:
+                    return
+                size = int.from_bytes(b[i + 8 : i + 16], "big")
+                hdr = 16
+            elif size == 0:
+                size = end - i
+            if size < hdr:
+                return  # malformed: stop walking, keep what we have
+            yield typ, i + hdr, min(i + size, end)
+            i += size
+
+    def _mp4(b: bytes):
+        # fill the audio columns from the first sound track's sample
+        # entry: trak → mdia(hdlr=='soun') → minf/stbl/stsd; the
+        # AudioSampleEntry layout puts channelcount/samplesize at
+        # +16/+18 and the 16.16-fixed samplerate at +24 of the entry
+        # payload.  detail = "<major brand>/<codec fourcc>".
+        brand = b[8:12].decode("ascii", errors="replace").strip()
+        detail, ch, sr, bits = brand, None, None, None
+        try:
+            def child(rng_s, rng_e, name):
+                for t, s, e in _boxes(b, rng_s, rng_e):
+                    if t == name:
+                        return s, e
+                return None
+
+            moov = child(0, len(b), b"moov")
+            if moov:
+                for t, s, e in _boxes(b, *moov):
+                    if t != b"trak":
+                        continue
+                    mdia = child(s, e, b"mdia")
+                    if not mdia:
+                        continue
+                    hdlr = child(*mdia, b"hdlr")
+                    if not hdlr or b[hdlr[0] + 8 : hdlr[0] + 12] != b"soun":
+                        continue
+                    minf = child(*mdia, b"minf")
+                    stbl = minf and child(*minf, b"stbl")
+                    stsd = stbl and child(*stbl, b"stsd")
+                    if not stsd:
+                        continue
+                    entry = next(_boxes(b, stsd[0] + 8, stsd[1]), None)
+                    if entry is None:
+                        continue
+                    fourcc, es, _ee = entry
+                    detail = f"{brand}/" + fourcc.decode(
+                        "ascii", errors="replace"
+                    ).strip()
+                    ch = int.from_bytes(b[es + 16 : es + 18], "big")
+                    bits = int.from_bytes(b[es + 18 : es + 20], "big")
+                    sr = int.from_bytes(b[es + 24 : es + 28], "big") >> 16
+                    break
+        except (IndexError, ValueError):
+            pass  # keep whatever parsed before the malformation
+        return ("mp4", detail, ch or None, sr or None, bits or None,
+                None, None)
+
     def _sniff(b: bytes | None):
         none5 = (None, None, None, None, None)
         if not b or len(b) < 4:
@@ -556,8 +630,7 @@ def sniff_av_container(df: DataFrame) -> DataFrame:
             if b[8:12] == b"AVI ":
                 return ("avi", None) + none5
         if len(b) >= 12 and b[4:8] == b"ftyp":
-            brand = b[8:12].decode("ascii", errors="replace").strip()
-            return ("mp4", brand) + none5
+            return _mp4(b)
         if b[:4] == b"\x1a\x45\xdf\xa3":
             head = b[: min(len(b), 64)]
             detail = (
