@@ -4859,3 +4859,66 @@ def test_sniff_av_container_mp4_audio_track(spark):
     assert (v["container"], v["detail"]) == ("mp4", "isom")
     assert v["channels"] is None and v["sample_rate"] is None
     assert (got[3]["container"], got[3]["detail"]) == ("mp4", "mp42")
+
+
+def test_sniff_av_container_avi_and_ebml_audio_metadata(spark):
+    """r14: the last two containers with NULL audio fields now parse —
+    AVI's hdrl/strl walk reaches the 'auds' stream's WAVEFORMATEX
+    (the same struct WAV's fmt chunk carries), and webm/mkv EBML
+    varint walking reaches the audio TrackEntry's CodecID /
+    SamplingFrequency / Channels / BitDepth.  Spec-correct synthetic
+    fixtures with known values; malformed tails keep
+    classification-only behavior."""
+    import struct
+
+    from vectorsearch_scylla_spark.multimodal.media import sniff_av_container
+
+    # ---- AVI: RIFF/AVI { LIST hdrl { LIST strl { strh(auds), strf } } }
+    def chunk(cid, payload):
+        return cid + struct.pack("<I", len(payload)) + payload + (
+            b"\x00" if len(payload) & 1 else b""
+        )
+
+    strh = chunk(b"strh", b"auds" + b"PCM\x00" + b"\x00" * 40)
+    strf = chunk(b"strf", struct.pack("<HHIIHH", 1, 2, 22050, 88200, 4, 16))
+    strl = chunk(b"LIST", b"strl" + strh + strf)
+    hdrl = chunk(b"LIST", b"hdrl" + b"avih" + struct.pack("<I", 0) + strl)
+    avi_body = b"AVI " + hdrl
+    avi = b"RIFF" + struct.pack("<I", len(avi_body)) + avi_body
+
+    # ---- EBML: header(DocType webm) + Segment{Tracks{TrackEntry}}
+    def el(eid, payload):
+        assert len(payload) < 127
+        return eid + bytes([0x80 | len(payload)]) + payload
+
+    audio = (
+        el(b"\xb5", struct.pack(">f", 48000.0))
+        + el(b"\x9f", b"\x02")
+        + el(b"\x62\x64", b"\x10")
+    )
+    track = el(
+        b"\xae",
+        el(b"\x83", b"\x02") + el(b"\x86", b"A_OPUS") + el(b"\xe1", audio),
+    )
+    tracks = el(b"\x16\x54\xae\x6b", track)
+    header = el(b"\x1a\x45\xdf\xa3", el(b"\x42\x82", b"webm"))
+    webm = header + el(b"\x18\x53\x80\x67", tracks)
+
+    rows = [
+        (1, "video", bytearray(avi), None),
+        (2, "video", bytearray(webm), None),
+        (3, "video", bytearray(b"RIFF\x24\x00\x00\x00AVI " + b"\x00" * 8), None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "asset_id long, kind string, content binary, "
+        "meta map<string,string>",
+    )
+    got = {r["asset_id"]: r.asDict() for r in sniff_av_container(df).collect()}
+    a = got[1]
+    assert a["container"] == "avi" and a["detail"] == "PCM"
+    assert (a["channels"], a["sample_rate"], a["bits_per_sample"]) == (2, 22050, 16)
+    w = got[2]
+    assert (w["container"], w["detail"]) == ("webm", "webm/A_OPUS")
+    assert (w["channels"], w["sample_rate"], w["bits_per_sample"]) == (2, 48000, 16)
+    assert (got[3]["container"], got[3]["detail"]) == ("avi", None)

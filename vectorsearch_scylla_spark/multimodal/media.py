@@ -509,16 +509,18 @@ def sniff_av_container(df: DataFrame) -> DataFrame:
     with channels / sample rate / sample size filled; moov-less or
     video-only files keep the brand-only detail.  The walk skips box
     BODIES by their size fields, so a GB-scale leading ``mdat`` costs
-    one index jump), ``webm``/
-    ``mkv`` (EBML magic; ``detail`` distinguishes by DocType when it
-    is in the first bytes), ``ogg`` (r14: the first page's codec id
+    one index jump), ``webm``/``mkv`` (r14: EBML varint walking
+    reaches the audio TrackEntry — ``detail``
+    ``"<doctype>/<CodecID>"`` with channels / sampling frequency /
+    bit depth; Clusters skip by size), ``ogg`` (r14: the first page's codec id
     packet is parsed — ``detail`` ``"opus"``/``"vorbis"`` with
     channels + sample rate from the public id-header layouts),
     ``flac`` (r14: the mandatory leading STREAMINFO block yields
     channels / sample rate / bits per sample), ``mp3`` (ID3 tag or
-    validated MPEG frame sync), ``avi`` (RIFF/AVI).  Unknown or
-    truncated bytes classify as ``unknown`` with NULL fields — never
-    an exception.
+    validated MPEG frame sync), ``avi`` (r14: the hdrl/strl RIFF walk
+    reaches the ``auds`` stream's WAVEFORMATEX — the same struct the
+    WAV path parses).  Unknown or truncated bytes classify as
+    ``unknown`` with NULL fields — never an exception.
 
     Emits ``(asset_id, container, detail, channels, sample_rate,
     bits_per_sample, data_offset, data_len)`` — the non-WAV rows carry
@@ -549,6 +551,48 @@ def sniff_av_container(df: DataFrame) -> DataFrame:
             audio_fmt, f"fmt{audio_fmt}"
         )
         return ("wav", detail, ch, sr, bits, data_off, data_len)
+
+    def _avi(b: bytes):
+        # RIFF/AVI nested LIST walk (public AVI 1.0 layout): LIST hdrl
+        # → LIST strl { strh (fccType at payload+0), strf } — for an
+        # 'auds' stream strf is a WAVEFORMATEX, the same struct the
+        # WAV fmt chunk carries, so the same fields fill.
+        def chunks(start, end):
+            i = start
+            while i + 8 <= end:
+                cid = b[i : i + 4]
+                (clen,) = struct.unpack("<I", b[i + 4 : i + 8])
+                yield cid, i + 8, min(i + 8 + clen, end)
+                i += 8 + clen + (clen & 1)
+
+        detail, ch, sr, bits = None, None, None, None
+        for cid, s, e in chunks(12, len(b)):
+            if cid != b"LIST" or b[s : s + 4] != b"hdrl":
+                continue
+            for cid2, s2, e2 in chunks(s + 4, e):
+                if cid2 != b"LIST" or b[s2 : s2 + 4] != b"strl":
+                    continue
+                fcc_type = fcc_codec = None
+                for cid3, s3, e3 in chunks(s2 + 4, e2):
+                    if cid3 == b"strh" and e3 - s3 >= 8:
+                        fcc_type = b[s3 : s3 + 4]
+                        fcc_codec = b[s3 + 4 : s3 + 8]
+                    elif (
+                        cid3 == b"strf"
+                        and fcc_type == b"auds"
+                        and e3 - s3 >= 16
+                    ):
+                        _fmt, ch, sr, _br, _ba, bits = struct.unpack(
+                            "<HHIIHH", b[s3 : s3 + 16]
+                        )
+                        detail = (
+                            fcc_codec.decode("ascii", errors="replace")
+                            .strip("\x00 ") or None
+                        )
+                if ch is not None:
+                    break
+            break
+        return ("avi", detail, ch, sr, bits or None, None, None)
 
     def _boxes(b: bytes, start: int, end: int):
         # ISO BMFF box walk (ISO 14496-12, public): u32be size + fourcc,
@@ -619,6 +663,98 @@ def sniff_av_container(df: DataFrame) -> DataFrame:
         return ("mp4", detail, ch or None, sr or None, bits or None,
                 None, None)
 
+    def _ebml_vint(b: bytes, i: int):
+        """Read one EBML variable-width integer (RFC 8794, public):
+        returns ``(width, value, is_unknown, raw_bytes)`` or None on
+        malformed/truncated input.  IDs compare by raw bytes (marker
+        kept); sizes use the value (marker cleared); an all-ones value
+        means 'unknown size'."""
+        if i >= len(b) or b[i] == 0:
+            return None
+        n = 9 - b[i].bit_length()
+        if i + n > len(b):
+            return None
+        raw = b[i : i + n]
+        val = raw[0] & (0xFF >> n)
+        for byt in raw[1:]:
+            val = (val << 8) | byt
+        return n, val, val == (1 << (7 * n)) - 1, raw
+
+    def _ebml_children(b: bytes, start: int, end: int):
+        # yields (raw_id, payload_start, payload_end) for each child;
+        # an unknown-size element extends to the enclosing end and
+        # must be last (per RFC 8794) — the walk descends, not skips
+        i = start
+        while i < end:
+            rid = _ebml_vint(b, i)
+            if rid is None:
+                return
+            i += rid[0]
+            rsz = _ebml_vint(b, i)
+            if rsz is None:
+                return
+            i += rsz[0]
+            e = end if rsz[2] else min(i + rsz[1], end)
+            yield rid[3], i, e
+            if rsz[2]:
+                return
+            i = e
+
+    def _ebml(b: bytes):
+        head = b[: min(len(b), 64)]
+        doctype = (
+            "webm" if b"webm" in head
+            else "matroska" if b"matroska" in head
+            else None
+        )
+        container = "webm" if doctype == "webm" else "mkv"
+        detail, ch, sr, bits = doctype, None, None, None
+        # Segment → Tracks → TrackEntry(TrackType==2 audio) →
+        # {CodecID, Audio{SamplingFrequency, Channels, BitDepth}} —
+        # the public Matroska element IDs; Clusters are skipped by
+        # their size fields, so media payloads cost index jumps
+        try:
+            for rid, s, e in _ebml_children(b, 0, len(b)):
+                if rid != b"\x18\x53\x80\x67":  # Segment
+                    continue
+                for rid2, s2, e2 in _ebml_children(b, s, e):
+                    if rid2 != b"\x16\x54\xae\x6b":  # Tracks
+                        continue
+                    for rid3, s3, e3 in _ebml_children(b, s2, e2):
+                        if rid3 != b"\xae":  # TrackEntry
+                            continue
+                        ttype = codec = audio_rng = None
+                        for rid4, s4, e4 in _ebml_children(b, s3, e3):
+                            if rid4 == b"\x83":
+                                ttype = int.from_bytes(b[s4:e4], "big")
+                            elif rid4 == b"\x86":
+                                codec = (
+                                    b[s4:e4]
+                                    .decode("ascii", errors="replace")
+                                    .strip("\x00")
+                                )
+                            elif rid4 == b"\xe1":
+                                audio_rng = (s4, e4)
+                        if ttype != 2 or audio_rng is None:
+                            continue
+                        for rid5, s5, e5 in _ebml_children(b, *audio_rng):
+                            width = e5 - s5
+                            if rid5 == b"\xb5" and width in (4, 8):
+                                (f,) = struct.unpack(
+                                    ">f" if width == 4 else ">d", b[s5:e5]
+                                )
+                                sr = int(f)
+                            elif rid5 == b"\x9f":
+                                ch = int.from_bytes(b[s5:e5], "big")
+                            elif rid5 == b"\x62\x64":
+                                bits = int.from_bytes(b[s5:e5], "big")
+                        if codec:
+                            detail = f"{doctype or 'mkv'}/{codec}"
+                        return (container, detail, ch, sr, bits, None, None)
+        except (IndexError, ValueError, struct.error):
+            pass  # malformed: keep the head-scan classification
+        return (container, detail, ch, sr, bits, None, None)
+
     def _sniff(b: bytes | None):
         none5 = (None, None, None, None, None)
         if not b or len(b) < 4:
@@ -628,17 +764,11 @@ def sniff_av_container(df: DataFrame) -> DataFrame:
                 w = _wav(b)
                 return (w[0], w[1], w[2], w[3], w[4], w[5], w[6])
             if b[8:12] == b"AVI ":
-                return ("avi", None) + none5
+                return _avi(b)
         if len(b) >= 12 and b[4:8] == b"ftyp":
             return _mp4(b)
         if b[:4] == b"\x1a\x45\xdf\xa3":
-            head = b[: min(len(b), 64)]
-            detail = (
-                "webm" if b"webm" in head
-                else "matroska" if b"matroska" in head
-                else None
-            )
-            return ("webm" if detail == "webm" else "mkv", detail) + none5
+            return _ebml(b)
         if b[:4] == b"OggS":
             # identify the codec from the FIRST page's payload (r14):
             # page header is 27 bytes + segment table, then the codec
