@@ -2561,18 +2561,24 @@ def _media_throughput_study(spark, base: str) -> dict:
     # steady-state rate is the 100 TB projection.
     _kernels: list = []
 
-    def rate(tag: str, fn, src_df=None) -> None:
-        _kernels.append((tag, fn, src_df))
+    def rate(tag: str, fn, src_df=None, tail=False) -> None:
+        _kernels.append((tag, fn, src_df, tail))
 
     def run_rates() -> None:
-        walls: dict = {t: [] for t, _f, _s in _kernels}
+        walls: dict = {t: [] for t, _f, _s, _l in _kernels}
         rows: dict = {}
-        for _pass in range(2):
-            for tag, fn, src_df in _kernels:
-                t0 = _t.perf_counter()
-                rows[tag] = fn(src_df if src_df is not None else media).count()
-                walls[tag].append(_t.perf_counter() - t0)
-        for tag, _fn, _src in _kernels:
+        # two round-robin passes over the small-output kernels, then
+        # the tail kernels (the 1.6M-row explode) strictly LAST — in
+        # the rotation its pass-1 position would put the pass-2 run
+        # of whatever follows it inside its GC/transfer shadow
+        rotation = [k for k in _kernels if not k[3]]
+        tail_ks = [k for k in _kernels if k[3]]
+        schedule = rotation * 2 + [k for k in tail_ks for _ in range(2)]
+        for tag, fn, src_df, _l in schedule:
+            t0 = _t.perf_counter()
+            rows[tag] = fn(src_df if src_df is not None else media).count()
+            walls[tag].append(_t.perf_counter() - t0)
+        for tag, _fn, _src, _l in _kernels:
             wall = min(walls[tag])
             out[f"{tag}_sec"] = round(wall, 3)
             out[f"{tag}_cold_sec"] = round(walls[tag][0], 3)
@@ -2645,6 +2651,7 @@ def _media_throughput_study(spark, base: str) -> dict:
     rate(
         "audio_per_window",
         lambda d: audio_pcm_features(d, per_window=True),
+        tail=True,
     )
     run_rates()
     print(f"[bench_scale] media: {out}", file=sys.stderr)

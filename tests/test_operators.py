@@ -4922,3 +4922,28 @@ def test_sniff_av_container_avi_and_ebml_audio_metadata(spark):
     assert (w["container"], w["detail"]) == ("webm", "webm/A_OPUS")
     assert (w["channels"], w["sample_rate"], w["bits_per_sample"]) == (2, 48000, 16)
     assert (got[3]["container"], got[3]["detail"]) == ("avi", None)
+
+
+def test_decode_image_null_and_malformed_blobs(spark):
+    """r14 review: NULL content rows emit NULL columns (the sniffers'
+    never-throw posture), and a TRUNCATED codec-free blob surfaces as
+    the one documented NotImplementedError (PIL-less env) instead of
+    a raw struct/zlib error from inside a parser."""
+    from vectorsearch_scylla_spark.multimodal.media import decode_image
+
+    df = spark.createDataFrame(
+        [(1, "image", None, None)],
+        "asset_id long, kind string, content binary, "
+        "meta map<string,string>",
+    )
+    got = decode_image(df).collect()[0].asDict()
+    assert got == {"asset_id": 1, "width": None, "height": None,
+                   "mode": None, "pixels": None}
+
+    truncated_png = spark.createDataFrame(
+        [(2, "image", bytearray(b"\x89PNG\r\n\x1a\n\x00\x00\x00\rIHDR\x00"), None)],
+        "asset_id long, kind string, content binary, "
+        "meta map<string,string>",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|failed to parse"):
+        decode_image(truncated_png).collect()

@@ -2313,3 +2313,34 @@ def test_manifest_storage_refusals(spark, tmp_path):
     # contract violation, not a silent no-op
     with pytest.raises(RuntimeError, match="marker flip"):
         storage2.stamp_rolled_absorbed(os.path.join(base2, "store_gen2.ffff"))
+
+
+def test_generation_storage_strategy_mismatch_refused(spark, tmp_path):
+    """r14 review: flipping ``storage=`` on an existing base_dir must
+    refuse, not 'clean' — the manifest sweep would delete a
+    rename-committed generation as unreferenced debris (the only copy
+    of its absorbed rolled rows), and rename discovery is blind to
+    manifest prefixes (it would silently resume from nothing)."""
+    import json
+    import os
+
+    from vectorsearch_scylla_spark.streaming.genstore import (
+        ManifestGenerationStorage,
+        RenameGenerationStorage,
+    )
+
+    # rename-committed store opened with storage='manifest'
+    base = str(tmp_path / "was_rename")
+    os.makedirs(os.path.join(base, "store_gen1"))
+    with pytest.raises(RuntimeError, match="rename-strategy generation"):
+        ManifestGenerationStorage(base).sweep_uncommitted(spark)
+    assert os.path.isdir(os.path.join(base, "store_gen1"))  # untouched
+
+    # manifest-committed store opened with storage='rename'
+    base2 = str(tmp_path / "was_manifest")
+    os.makedirs(os.path.join(base2, "store_gen1.abcd1234"))
+    with open(os.path.join(base2, "_CURRENT"), "w") as f:
+        json.dump({"generation": 1, "prefix": "store_gen1.abcd1234",
+                   "rolled_absorbed": True}, f)
+    with pytest.raises(RuntimeError, match="_CURRENT manifest"):
+        RenameGenerationStorage(base2).sweep_uncommitted(spark)

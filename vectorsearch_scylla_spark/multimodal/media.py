@@ -592,7 +592,11 @@ def sniff_av_container(df: DataFrame) -> DataFrame:
                 if ch is not None:
                     break
             break
-        return ("avi", detail, ch, sr, bits or None, None, None)
+        # zeroed WAVEFORMATEX fields are placeholders, not metadata —
+        # normalize to NULL exactly like the mp4/EBML paths so
+        # cross-container `channels IS NOT NULL` filters mean one thing
+        return ("avi", detail, ch or None, sr or None, bits or None,
+                None, None)
 
     def _boxes(b: bytes, start: int, end: int):
         # ISO BMFF box walk (ISO 14496-12, public): u32be size + fourcc,
@@ -750,10 +754,12 @@ def sniff_av_container(df: DataFrame) -> DataFrame:
                                 bits = int.from_bytes(b[s5:e5], "big")
                         if codec:
                             detail = f"{doctype or 'mkv'}/{codec}"
-                        return (container, detail, ch, sr, bits, None, None)
+                        return (container, detail, ch or None, sr or None,
+                                bits or None, None, None)
         except (IndexError, ValueError, struct.error):
             pass  # malformed: keep the head-scan classification
-        return (container, detail, ch, sr, bits, None, None)
+        return (container, detail, ch or None, sr or None, bits or None,
+                None, None)
 
     def _sniff(b: bytes | None):
         none5 = (None, None, None, None, None)
@@ -1041,9 +1047,25 @@ def _gif_decode(b: bytes):
 
 
 def _decode_codec_free(b: bytes):
+    """Exception-safe wrapper around :func:`_decode_codec_free_inner`:
+    a truncated or corrupt blob of a codec-free format returns None
+    (so the PIL fallback gets its chance and a PIL-less environment
+    raises ONE clear NotImplementedError) instead of crashing the
+    task with a struct/zlib/ValueError from deep inside a parser —
+    the same never-throw posture GIF's decoder already had."""
+    import struct
+    import zlib
+
+    try:
+        return _decode_codec_free_inner(b)
+    except (struct.error, zlib.error, ValueError, IndexError):
+        return None
+
+
+def _decode_codec_free_inner(b: bytes):
     """Pixel decode for the formats that need NO codec library —
     returns ``(width, height, mode, pixels)`` or None when the format
-    genuinely requires an external codec (JPEG's DCT, GIF's LZW).
+    genuinely requires an external codec (JPEG's DCT).
 
     * PNG — stdlib ``zlib`` inflates the IDAT stream; scanline
       unfiltering is pure arithmetic (:func:`_png_unfilter`).  8-bit,
@@ -1262,9 +1284,15 @@ def decode_image(df: DataFrame, resize: tuple[int, int] | None = None) -> DataFr
     decoder produced the pixels, so output bytes do not depend on the
     environment's codec availability.
 
-    SCALE NOTE: the PNG/BMP/netpbm paths are NumPy-vectorized and run
-    at the Arrow transfer ceiling (BENCH_SCALE "Media-kernel
-    throughput": PNG ~21 MB/s/core end-to-end).  GIF's LZW is
+    SCALE NOTE: the BMP/netpbm paths and PNG filters None/Sub/Up are
+    NumPy-vectorized and run at the Arrow transfer ceiling
+    (BENCH_SCALE "Media-kernel throughput": PNG ~21 MB/s/core
+    end-to-end on filter-0 rows — the number that study measures).
+    PNG's Average/Paeth filters carry a true left-byte dependency and
+    reconstruct per-byte in Python (:func:`_png_unfilter`), so
+    photographic PNGs whose encoders chose them decode in the same
+    ~8 MB/s/core class as GIF's LZW — route heavy Average/Paeth
+    corpora to a codec-backed executor image just like GIF.  GIF's LZW is
     inherently sequential (each code extends the dictionary the next
     code may reference) and runs as a per-code Python loop — measured
     ~8 MB/s/core of decoded indices (~50× below the vectorized
@@ -1291,6 +1319,13 @@ def decode_image(df: DataFrame, resize: tuple[int, int] | None = None) -> DataFr
         for pdf in batches:
             out = {"asset_id": [], "width": [], "height": [], "mode": [], "pixels": []}
             for aid, blob in zip(pdf["asset_id"], pdf["content"]):
+                if blob is None:
+                    # NULL content classifies as NULL row, same
+                    # never-throw posture as the sniffers
+                    out["asset_id"].append(aid)
+                    for c in ("width", "height", "mode", "pixels"):
+                        out[c].append(None)
+                    continue
                 raw = blob if isinstance(blob, bytes) else bytes(blob)
                 got = _decode_codec_free(raw)
                 if got is not None:
@@ -1302,14 +1337,24 @@ def decode_image(df: DataFrame, resize: tuple[int, int] | None = None) -> DataFr
                     )
                 else:
                     raise NotImplementedError(
-                        "decode_image: blob is not one of the codec-free "
-                        "formats (PNG 8-bit non-interlaced, uncompressed "
-                        "24/32-bit BMP, PGM/PPM) and no imaging library "
-                        "is present; plug in PIL/turbojpeg for "
-                        "JPEG/GIF/palette-PNG"
+                        "decode_image: blob is not (or failed to parse "
+                        "as) one of the codec-free formats — PNG "
+                        "8/16-bit incl. palette and Adam7, uncompressed "
+                        "24/32-bit BMP, single-frame GIF, PGM/PPM — and "
+                        "no imaging library is present; plug in "
+                        "PIL/turbojpeg for JPEG and sub-byte-depth PNG"
                     )
                 if resize is not None:
-                    nch = max(1, len(pixels) // (w * h)) if w and h else 1
+                    if not (w and h) or len(pixels) % (w * h):
+                        # packed PIL modes (e.g. "1": 8 px/byte) have
+                        # no rectangular byte lattice for the
+                        # decoder-independent nearest resample
+                        raise ValueError(
+                            f"decode_image: resize unsupported for "
+                            f"mode {mode!r} — tobytes() is not "
+                            "width*height*channels"
+                        )
+                    nch = len(pixels) // (w * h)
                     pixels = _resize_nearest(
                         pixels, w, h, nch, resize[0], resize[1]
                     )

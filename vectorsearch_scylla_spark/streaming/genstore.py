@@ -104,7 +104,20 @@ class RenameGenerationStorage:
         """A crash inside :meth:`publish` before its atomic rename
         strands a ``.staging.`` dir forever — the swap never happened,
         pre-swap state is intact, the staging copy is safely
-        discardable."""
+        discardable.  STRATEGY-MISMATCH RAIL: a ``_CURRENT`` manifest
+        means this store was committed by the MANIFEST strategy — its
+        uuid-suffixed prefixes are invisible to this strategy's
+        discovery, so a rename-mode restart would silently resume from
+        nothing; refuse instead."""
+        if os.path.isfile(os.path.join(self.base_dir, "_CURRENT")):
+            raise RuntimeError(
+                f"{self.base_dir} carries a _CURRENT manifest (committed "
+                "by storage='manifest') but storage='rename' was "
+                "requested — rename-mode discovery cannot see "
+                "manifest-committed prefixes and would resume from "
+                "nothing.  Restart with storage='manifest' (or migrate "
+                "explicitly)."
+            )
         for p in glob.glob(os.path.join(self.base_dir, "store_gen*.staging.*")):
             shutil.rmtree(p, ignore_errors=True)
 
@@ -189,6 +202,31 @@ class ManifestGenerationStorage:
         os.replace(tmp, self.manifest_path)
 
     # -- discovery ----------------------------------------------------
+    def _refuse_rename_mode_debris(self) -> None:
+        """STRATEGY-MISMATCH RAIL: a canonical ``store_gen<N>`` dir
+        (no uuid suffix) was committed by the RENAME strategy.  This
+        strategy's sweep treats unreferenced prefixes as deletable
+        debris — applied to a rename-mode store that dir is the ONLY
+        copy of the committed index (and of the rolled rows absorbed
+        into it), so a deployment that flips ``storage=`` on an
+        existing base_dir must be refused, not "cleaned"."""
+        canonical = [
+            os.path.basename(p)
+            for p in glob.glob(os.path.join(self.base_dir, "store_gen*"))
+            if os.path.basename(p)[len("store_gen"):].isdigit()
+        ]
+        if canonical:
+            raise RuntimeError(
+                f"{self.base_dir} contains rename-strategy generation "
+                f"dirs {sorted(canonical)} but storage='manifest' was "
+                "requested — switching commit strategies on an existing "
+                "store would delete the committed index as 'unreferenced "
+                "debris'.  Migrate explicitly (publish the current "
+                "generation through the manifest strategy once, then "
+                "retire the rename-mode dir) or restart with "
+                "storage='rename'."
+            )
+
     def sweep_uncommitted(self, spark) -> None:
         """Delete every ``store_gen*`` prefix the manifest does not
         reference: crashed mid-write prefixes (commit never happened)
@@ -196,7 +234,10 @@ class ManifestGenerationStorage:
         manifest commit the two debris classes collapse into one
         idempotent rule.  Also sweeps crashed manifest ``.tmp``
         writes (a half-written tmp is never the live manifest —
-        ``os.replace``/PUT is all-or-nothing)."""
+        ``os.replace``/PUT is all-or-nothing).  Refuses outright when
+        the dir holds RENAME-strategy generations (see
+        :meth:`_refuse_rename_mode_debris`)."""
+        self._refuse_rename_mode_debris()
         man = self._read_manifest()
         live = man["prefix"] if man else None
         for p in glob.glob(os.path.join(self.base_dir, "store_gen*")):
