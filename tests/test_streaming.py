@@ -2344,3 +2344,47 @@ def test_generation_storage_strategy_mismatch_refused(spark, tmp_path):
                    "rolled_absorbed": True}, f)
     with pytest.raises(RuntimeError, match="_CURRENT manifest"):
         RenameGenerationStorage(base2).sweep_uncommitted(spark)
+
+
+def test_adaptive_stream_partitions_scale_adaptive(spark, tmp_path):
+    """r15 optimization: stateful-stream shuffle partitions derive from
+    source size (AQE cannot coalesce streaming state partitions), are
+    floored for small sources, and are CAPPED at the session's
+    configured spark.sql.shuffle.partitions so cluster tuning wins at
+    scale."""
+    from vectorsearch_scylla_spark.streaming.pipeline import (
+        adaptive_stream_partitions,
+        stream_shuffle_partitions,
+    )
+
+    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # tiny source -> floor
+    small = tmp_path / "small"
+    small.mkdir()
+    (small / "part-0.parquet").write_bytes(b"x" * 1024)
+    (small / "_SUCCESS").write_bytes(b"")  # metadata files don't count
+    assert adaptive_stream_partitions(spark, str(small)) == min(4, conf_parts)
+
+    # size-derived growth: 5 x 16 MB -> 5 partitions (if conf allows)
+    big = tmp_path / "big"
+    big.mkdir()
+    for i in range(5):
+        (big / f"part-{i}.parquet").write_bytes(b"x" * (16 << 20))
+    assert adaptive_stream_partitions(spark, str(big)) == min(5, conf_parts)
+
+    # never exceeds the configured value, however big the source claims
+    huge = tmp_path / "huge"
+    huge.mkdir()
+    (huge / "part-0.parquet").write_bytes(b"x" * (16 << 20))
+    assert (
+        adaptive_stream_partitions(
+            spark, *([str(huge)] * (conf_parts + 7))
+        )
+        <= conf_parts
+    )
+
+    # the context manager restores the session conf even on error
+    with stream_shuffle_partitions(spark, 3):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "3"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == str(conf_parts)

@@ -6626,7 +6626,11 @@ def q_streaming_window_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
-    from vectorsearch_scylla_spark.streaming.pipeline import windowed_snapshot_stream
+    from vectorsearch_scylla_spark.streaming.pipeline import (
+        adaptive_stream_partitions,
+        stream_shuffle_partitions,
+        windowed_snapshot_stream,
+    )
 
     raw = _metric_raw(spark, sf_dir)
     # the parquet copy of the raw table is keyed by sf_dir and reused
@@ -6637,22 +6641,25 @@ def q_streaming_window_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ck = tempfile.mkdtemp(prefix="vss_stream_ck_")
     name = f"snaps_{uuid.uuid4().hex[:8]}"
     stream = spark.readStream.schema(raw.schema).parquet(src)
-    q = (
-        windowed_snapshot_stream(stream, window_seconds=60, watermark_windows=2)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", ck)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        # never delete the checkpoint out from under a live query
-        q.stop()
-        shutil.rmtree(ck, ignore_errors=True)
-        raise RuntimeError(
-            "streaming_window_pivot: availableNow query did not drain within 600s"
+    with stream_shuffle_partitions(
+        spark, adaptive_stream_partitions(spark, src)
+    ):
+        q = (
+            windowed_snapshot_stream(stream, window_seconds=60, watermark_windows=2)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(600):
+            # never delete the checkpoint out from under a live query
+            q.stop()
+            shutil.rmtree(ck, ignore_errors=True)
+            raise RuntimeError(
+                "streaming_window_pivot: availableNow query did not drain within 600s"
+            )
     shutil.rmtree(ck, ignore_errors=True)
     return spark.table(name).select(
         "device_id",
@@ -6739,7 +6746,9 @@ def q_streaming_novelty_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from vectorsearch_scylla_spark.streaming.pipeline import (
+        adaptive_stream_partitions,
         novelty_sink,
+        stream_shuffle_partitions,
         windowed_snapshot_stream,
     )
 
@@ -6753,12 +6762,15 @@ def q_streaming_novelty_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     stream = spark.readStream.schema(raw.schema).parquet(src)
     snaps = windowed_snapshot_stream(stream, window_seconds=60, watermark_windows=2)
-    q = novelty_sink(snaps, history, METRICS, base)
-    if not q.awaitTermination(600):
-        q.stop()
-        raise RuntimeError(
-            "streaming_novelty_e2e: availableNow query did not drain within 600s"
-        )
+    with stream_shuffle_partitions(
+        spark, adaptive_stream_partitions(spark, src)
+    ):
+        q = novelty_sink(snaps, history, METRICS, base)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                "streaming_novelty_e2e: availableNow query did not drain within 600s"
+            )
     return spark.read.parquet(os.path.join(base, "novelty")).select(
         "device_id", "window_start", "similar_count", "path3_triggered"
     )
@@ -6820,8 +6832,10 @@ def q_streaming_detect_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from vectorsearch_scylla_spark.streaming.pipeline import (
+        adaptive_stream_partitions,
         detect_paths12,
         detection_sinks,
+        stream_shuffle_partitions,
         windowed_snapshot_stream,
     )
 
@@ -6847,12 +6861,15 @@ def q_streaming_detect_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(raw.schema).parquet(src)
     snaps = windowed_snapshot_stream(stream, window_seconds=60, watermark_windows=2)
     detected = detect_paths12(snaps, profiles, METRICS, sim_threshold=0.90)
-    q = detection_sinks(detected, base)
-    if not q.awaitTermination(600):
-        q.stop()
-        raise RuntimeError(
-            "streaming_detect_e2e: availableNow query did not drain within 600s"
-        )
+    with stream_shuffle_partitions(
+        spark, adaptive_stream_partitions(spark, src)
+    ):
+        q = detection_sinks(detected, base)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                "streaming_detect_e2e: availableNow query did not drain within 600s"
+            )
     events = spark.read.parquet(os.path.join(base, "events"))
     return events.select(
         "device_id",
@@ -6908,6 +6925,11 @@ def q_streaming_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ck = tempfile.mkdtemp(prefix="vss_stream_ck_")
     name = f"roll_{uuid.uuid4().hex[:8]}"
     stream = spark.readStream.schema(raw.schema).parquet(src)
+    # deliberately NOT size-derived (adaptive_stream_partitions): this
+    # drain is Python-CPU-bound (applyInPandasWithState over ~750
+    # groups), so task parallelism = cores is the right shape even for
+    # a small source — measured r15 A/B: 3.0 s at the session's 32
+    # partitions vs 8.2 s at the size-derived 4 (OPTIMIZATION_r15.md)
     q = (
         rolling_stats_stream(stream, frame=10)
         .writeStream.format("memory")
@@ -6958,8 +6980,10 @@ def q_streaming_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from vectorsearch_scylla_spark.streaming.pipeline import (
+        adaptive_stream_partitions,
         dedup_state_sink,
         exact_dedup_stream,
+        stream_shuffle_partitions,
     )
 
     docs = _docs_with_planted_dups(load_table(spark, sf_dir, "documents"))
@@ -6967,12 +6991,15 @@ def q_streaming_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tempfile.mkdtemp(prefix="vss_dedup_e2e_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     stream = spark.readStream.schema(docs.schema).parquet(src)
-    q = dedup_state_sink(exact_dedup_stream(stream), base)
-    if not q.awaitTermination(600):
-        q.stop()
-        raise RuntimeError(
-            "streaming_dedup_e2e: availableNow query did not drain within 600s"
-        )
+    with stream_shuffle_partitions(
+        spark, adaptive_stream_partitions(spark, src)
+    ):
+        q = dedup_state_sink(exact_dedup_stream(stream), base)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                "streaming_dedup_e2e: availableNow query did not drain within 600s"
+            )
     return spark.read.parquet(os.path.join(base, "dedup_state"))
 
 
@@ -7090,23 +7117,36 @@ def q_streaming_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(sig_root, f"epoch={epoch_id}")
         )
 
+    from vectorsearch_scylla_spark.streaming.pipeline import (
+        adaptive_stream_partitions,
+        stream_shuffle_partitions,
+    )
+
     stream = (
         spark.readStream.schema(increment.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src)
     )
-    q = (
-        stream.writeStream.foreachBatch(detect_batch)
-        .option("checkpointLocation", os.path.join(base, "checkpoint"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise RuntimeError(
-            "streaming_neardup_e2e: availableNow query did not drain within 600s"
+    # size the per-batch band joins from BOTH sides they shuffle: the
+    # streamed increment and the base signature artifact
+    with stream_shuffle_partitions(
+        spark,
+        adaptive_stream_partitions(
+            spark, src, _neardup_base_sigs_dir(spark, sf_dir)
+        ),
+    ):
+        q = (
+            stream.writeStream.foreachBatch(detect_batch)
+            .option("checkpointLocation", os.path.join(base, "checkpoint"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                "streaming_neardup_e2e: availableNow query did not drain within 600s"
+            )
     return spark.read.parquet(out_dir).select("doc_lo", "doc_hi", "hamming")
 
 
@@ -7154,7 +7194,11 @@ def q_streaming_ivf_add_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from vectorsearch_scylla_spark.streaming.pipeline import ivf_add_stream
+    from vectorsearch_scylla_spark.streaming.pipeline import (
+        adaptive_stream_partitions,
+        ivf_add_stream,
+        stream_shuffle_partitions,
+    )
 
     # SAME cache token as ivf_incremental_add: the frozen index builds
     # once and serves the batch query, this stream, and reruns.
@@ -7170,31 +7214,34 @@ def q_streaming_ivf_add_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = tempfile.mkdtemp(prefix="vss_ivfadd_e2e_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
-    state = ivf_add_stream(
-        spark,
-        src,
-        inc.schema,
-        cents,
-        lists_path,
-        base,
-        max_files_per_trigger=8,
-        # past this many part files (counted recursively across the
-        # cluster_id= dirs) the in-stream fold auto-compacts the
-        # rolled store through compact_signature_artifact's
-        # PARTITION-AWARE branch (r11)
-        compact_at_files=48,
-        # the in-stream maintenance day (r12): audit-only on this
-        # healthy fixture — the grid ceiling probes every list, so
-        # escalation past the retune rung is impossible by
-        # construction and the oracle-certified state stays
-        # split-independent
-        maintenance={
-            "recall_budget": 0.85,
-            "nprobe_grid": (4, IVF_GK),
-            "every": 1,
-            "max_audit_queries": 64,
-        },
-    )
+    with stream_shuffle_partitions(
+        spark, adaptive_stream_partitions(spark, src, lists_path)
+    ):
+        state = ivf_add_stream(
+            spark,
+            src,
+            inc.schema,
+            cents,
+            lists_path,
+            base,
+            max_files_per_trigger=8,
+            # past this many part files (counted recursively across the
+            # cluster_id= dirs) the in-stream fold auto-compacts the
+            # rolled store through compact_signature_artifact's
+            # PARTITION-AWARE branch (r11)
+            compact_at_files=48,
+            # the in-stream maintenance day (r12): audit-only on this
+            # healthy fixture — the grid ceiling probes every list, so
+            # escalation past the retune rung is impossible by
+            # construction and the oracle-certified state stays
+            # split-independent
+            maintenance={
+                "recall_budget": 0.85,
+                "nprobe_grid": (4, IVF_GK),
+                "every": 1,
+                "max_audit_queries": 64,
+            },
+        )
     assert state["generation"] == 0, (
         "streaming_ivf_add_e2e: the healthy-fixture ladder must never "
         "escalate (probe-all grid ceiling) — a generation bump means "

@@ -109,6 +109,13 @@ def get_spark(
             "spark.driver.extraJavaOptions",
             "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
         )
+        # per-DataFrame-API-call error-context capture (PySpark 4's
+        # PySparkCurrentOrigin) costs a Python stack walk + ~3 py4j
+        # round-trips on EVERY Column/DataFrame method — measured 4.5 s
+        # of the 5 s plan CONSTRUCTION of the expression-heaviest query
+        # (r15, OPTIMIZATION_r15.md "driver py4j overhead"); it only
+        # enriches error messages, so trade it for throughput here
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
         # the console progress bar interleaves \r frames with stdout,
         # corrupting bench/driver log lines
