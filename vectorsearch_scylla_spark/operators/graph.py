@@ -76,33 +76,44 @@ def connected_components(
     for _ in range(max_iters):
         # Pointer jumping FUSED into the neighbor aggregation: the
         # adjacency for this round is the real edges plus one pointer
-        # edge (u → lbl(u)) per node.  Joining labels onto the far end
-        # then delivers, per node, the labels of its neighbors AND the
-        # label of its label through the SAME shuffle — one join + one
-        # groupBy per round instead of the unfused three joins.  The
-        # pointer edge also guarantees every node appears in the
-        # aggregation (inner join, no left-join/coalesce needed), and
-        # since lbl(lbl(u)) ≤ lbl(u) (labels only ever decrease and
-        # lbl(x) ≤ x), the aggregate min is already ≤ the node's own
-        # label.
+        # edge (u → lbl(u)) AND one self edge (u → u) per node.
+        # Joining labels onto the far end then delivers, per node, the
+        # labels of its neighbors, the label of its label, AND its own
+        # label through the SAME shuffle — so the round is ONE join +
+        # ONE aggregation (r15: the previous shape re-joined `labels`
+        # a second time just to attach the node's own label for the
+        # least()/changed computation, paying an extra exchange + join
+        # per round; the self edge delivers the own label into the
+        # aggregation instead, and a conditional min recovers it for
+        # the changed flag).  The self/pointer edges also guarantee
+        # every node appears in the aggregation (inner join, no
+        # left-join/coalesce needed), and since lbl(lbl(u)) ≤ lbl(u)
+        # (labels only ever decrease and lbl(x) ≤ x), the aggregate
+        # min is already ≤ the node's own label.
         contact = sym.unionByName(
             labels.select(F.col("node").alias("u"), F.col("lbl").alias("v"))
-        )
-        nbr_min = (
-            contact.join(labels.withColumnRenamed("node", "v"), "v")
-            .groupBy("u")
-            .agg(F.min("lbl").alias("nbr_lbl"))
-            .withColumnRenamed("u", "node")
+        ).unionByName(
+            labels.select(F.col("node").alias("u"), F.col("node").alias("v"))
         )
         new_labels = (
-            labels.join(nbr_min, "node")
+            contact.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy("u")
+            .agg(
+                F.min("lbl").alias("new_lbl"),
+                # own label rides the self-edge row (v == u); the
+                # pointer edge coincides with it only when lbl(u) = u,
+                # where both deliver lbl(u) — min is unaffected
+                F.min(F.when(F.col("v") == F.col("u"), F.col("lbl"))).alias(
+                    "own_lbl"
+                ),
+            )
             .select(
-                "node",
-                F.least(F.col("lbl"), F.col("nbr_lbl")).alias("lbl"),
+                F.col("u").alias("node"),
+                F.col("new_lbl").alias("lbl"),
                 # changed flag rides the checkpointed frame, so the
                 # fixpoint test below is a filter on materialized rows,
                 # not another join against the previous round
-                (F.col("nbr_lbl") < F.col("lbl")).alias("chg"),
+                (F.col("new_lbl") < F.col("own_lbl")).alias("chg"),
             )
         ).localCheckpoint()
         new_labels = _drop_inherited_stats(new_labels)
