@@ -147,8 +147,14 @@ def main() -> int:
             os.makedirs(args.explain_dir, exist_ok=True)
             df = REGISTRY[name].fn(spark, args.sf_dir)
             out = os.path.join(args.explain_dir, f"{name}_{args.suffix}.txt")
+            import contextlib as _ctx
+            import io as _io
+
+            buf = _io.StringIO()
+            with _ctx.redirect_stdout(buf):
+                df.explain("formatted")
             with open(out, "w") as f:
-                f.write(df._jdf.queryExecution().explainString("formatted"))
+                f.write(buf.getvalue())
             print(f"explain -> {out}")
 
     # flush the event log and attribute
