@@ -36,7 +36,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from vectorsearch_scylla_spark.functions.vector import cosine_similarity
-from vectorsearch_scylla_spark.sources.tables import load_table, device_metrics_raw
+from vectorsearch_scylla_spark.sources.tables import (
+    load_table,
+    device_metrics_raw,
+    read_parquet_cached,
+)
 from vectorsearch_scylla_spark.operators.window_pivot import window_start
 from vectorsearch_scylla_spark.operators.knn import (
     topk_similarity_join,
@@ -1254,7 +1258,7 @@ def q_ivf_grouped_knn(
         k=IVF_GK,
         iters=IVF_GITERS,
     )
-    members = spark.read.parquet(lists_path).select(
+    members = read_parquet_cached(spark, lists_path).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("corpus_vec"),
         F.col("cluster_id").cast("int").alias("cluster_id"),
@@ -1344,7 +1348,7 @@ def q_ivf_sampled_train_knn(
         iters=IVF_SITERS,
         train_rows=IVF_STRAIN,
     )
-    members = spark.read.parquet(lists_path).select(
+    members = read_parquet_cached(spark, lists_path).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("corpus_vec"),
         F.col("cluster_id").cast("int").alias("cluster_id"),
@@ -1489,7 +1493,7 @@ def q_ivf_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, lists_path = build_ivf_index(
         vecs, _sf_cache_token(sf_dir, "ivf", IVF_K, IVF_ITERS), k=IVF_K, iters=IVF_ITERS
     )
-    members = spark.read.parquet(lists_path).select(
+    members = read_parquet_cached(spark, lists_path).select(
         "vec_id", "embedding", F.col("cluster_id").cast("int").alias("cluster_id")
     )
     _, new_members = split_oversized_clusters(
@@ -1572,7 +1576,7 @@ def q_sq8_ivf_knn(
     # materialized once next to the lists (4× smaller than the floats);
     # here it stays an expression over the list parquet so the oracle
     # certifies the exact quantize math rather than a stored artifact
-    codes = spark.read.parquet(lists_path).select(
+    codes = read_parquet_cached(spark, lists_path).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("cluster_id").cast("int").alias("cluster_id"),
         F.expr(_SQ8_DEQUANT_EXPR).alias("corpus_vec"),
@@ -1763,7 +1767,7 @@ def q_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=IVF_GITERS,
     )
     sizes = (
-        spark.read.parquet(lists_path)
+        read_parquet_cached(spark, lists_path)
         .groupBy(F.col("cluster_id").cast("int").alias("cluster_id"))
         .agg(F.count("*").alias("n_base_members"))
     )
@@ -1961,7 +1965,7 @@ def q_pq_knn(
         iters=PQ_ITERS,
         dsub=PQ_DSUB,
     )
-    codes = spark.read.parquet(codes_path).select(
+    codes = read_parquet_cached(spark, codes_path).select(
         F.col("vec_id").alias("neighbor_id"),
         *[f"code{s}" for s in range(PQ_M)],
         "rnorm",
@@ -2087,7 +2091,7 @@ def q_ivfpq_knn(
     # pruning gives the same directory prune (see ivf_sampled_train_knn).
     probed = probes.select("cluster_id").distinct()
     members = (
-        spark.read.parquet(lists_path)
+        read_parquet_cached(spark, lists_path)
         .join(F.broadcast(probed), "cluster_id", "left_semi")
         .select(
             F.col("vec_id").alias("neighbor_id"),
@@ -2098,7 +2102,7 @@ def q_ivfpq_knn(
     # pruning) and tagged with their cluster id so the kernel's
     # per-query probe mask can enforce "my probed clusters only"
     codes = (
-        spark.read.parquet(codes_path)
+        read_parquet_cached(spark, codes_path)
         .select(
             F.col("vec_id").alias("neighbor_id"),
             *[f"code{s}" for s in range(PQ_M)],
@@ -2222,7 +2226,7 @@ def q_ivfpq_residual_knn(
     cents, lists_path = build_ivf_index(
         vecs, _sf_cache_token(sf_dir, "ivf", IVF_K, IVF_ITERS), k=IVF_K, iters=IVF_ITERS
     )
-    members = spark.read.parquet(lists_path).select(
+    members = read_parquet_cached(spark, lists_path).select(
         "vec_id",
         "embedding",
         F.col("cluster_id").cast("int").alias("cluster_id"),
@@ -2261,7 +2265,7 @@ def q_ivfpq_residual_knn(
         f"zip_with({cent_case}, concat({cw_cases}), (x, y) -> x + y)"
     )
     codes = (
-        spark.read.parquet(codes_path)
+        read_parquet_cached(spark, codes_path)
         .select("vec_id", *[f"code{s}" for s in range(PQ_M)])
         .join(members.select("vec_id", "cluster_id"), "vec_id")
         .select(
@@ -4492,7 +4496,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the base band index is a persisted artifact (shared cache key
     # with streaming_neardup_e2e / dedup_clusters_incremental) — the
     # increment run never re-fingerprints the base corpus
-    base_sigs = spark.read.parquet(
+    base_sigs = read_parquet_cached(spark, 
         _materialize_once(
             simhash128(base), "vss_basesigs", sf_dir, logic="simhash128-v1"
         )
@@ -4561,7 +4565,7 @@ def q_ngram_jaccard_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the base MinHash band index is a PERSISTED artifact (what a real
     # deployment's earlier batch job left behind) — the increment run
     # never re-hashes the base corpus
-    base_sigs = spark.read.parquet(
+    base_sigs = read_parquet_cached(spark, 
         _materialize_once(
             _with_word_shingles(base).select(
                 "doc_id", _minhash_sig(0, non_null=True), _minhash_sig(1, non_null=True)
@@ -4701,12 +4705,12 @@ def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature artifact the |new|·bands claim is hollow, because
     # building the band index would rescan the whole base corpus).
     # vss_basesigs shares its cache key with streaming_neardup_e2e.
-    base_sigs = spark.read.parquet(
+    base_sigs = read_parquet_cached(spark, 
         _materialize_once(
             simhash128(base), "vss_basesigs", sf_dir, logic="simhash128-v1"
         )
     )
-    prev = spark.read.parquet(
+    prev = read_parquet_cached(spark, 
         _materialize_once(
             connected_components(
                 simhash_near_dup_pairs(
@@ -5291,7 +5295,7 @@ def _union_evidence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cls", F.lit("embedding"))
     )
     all_e = sim.unionByName(exact).unionByName(ngram).unionByName(emb)
-    return spark.read.parquet(
+    return read_parquet_cached(spark, 
         _materialize_once(all_e, "vss_union_edges", sf_dir, logic="union-evidence-v1")
     )
 
@@ -5658,7 +5662,7 @@ def q_embedding_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     # the base band index is a persisted artifact — the increment run
     # never re-signs the base corpus (twin of vss_basesigs on the text
     # side; logic token pins bands/bits/seed/dim)
-    base_sigs = spark.read.parquet(
+    base_sigs = read_parquet_cached(spark, 
         _materialize_once(
             hyperplane_signatures(base, dim=64, n_bands=16),
             "vss_embsigs",
@@ -6757,7 +6761,7 @@ def q_streaming_novelty_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the "earlier batch job": full-history 60 s LWW snapshot table,
     # persisted once per corpus fingerprint (the history the reference's
     # Path-3 poller queries via ANN, path3_vector_search.py:119-160)
-    history = spark.read.parquet(_novelty_history_dir(spark, sf_dir))
+    history = read_parquet_cached(spark, _novelty_history_dir(spark, sf_dir))
     base = tempfile.mkdtemp(prefix="vss_novelty_e2e_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     stream = spark.readStream.schema(raw.schema).parquet(src)
@@ -6849,7 +6853,7 @@ def q_streaming_detect_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # history scan+aggregate INSIDE every streaming micro-batch that
     # broadcasts it (~7 s/invocation at sf0.1) — the stream must join
     # against the written table, exactly as the consumer does.
-    profiles = spark.read.parquet(_detect_profiles_dir(spark, sf_dir))
+    profiles = read_parquet_cached(spark, _detect_profiles_dir(spark, sf_dir))
     import atexit
 
     base = tempfile.mkdtemp(prefix="vss_detect_e2e_")
@@ -7072,7 +7076,7 @@ def q_streaming_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from vectorsearch_scylla_spark.session import drop_inherited_stats
 
-    base_sigs = spark.read.parquet(_neardup_base_sigs_dir(spark, sf_dir))
+    base_sigs = read_parquet_cached(spark, _neardup_base_sigs_dir(spark, sf_dir))
     # the staged increment: +1M/+2M planted families plus a third
     # family (+3M exact copies of the +1M docs) whose pairs live
     # entirely inside the stream — findable only via the within-batch
@@ -7082,7 +7086,7 @@ def q_streaming_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # force the cross-epoch path without paying foreachBatch spin-up
     # 6 times at bench scale).
     src = _neardup_stream_src(spark, sf_dir)
-    increment = spark.read.parquet(src)
+    increment = read_parquet_cached(spark, src)
     base = tempfile.mkdtemp(prefix="vss_neardup_e2e_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     out_dir = os.path.join(base, "pairs")
@@ -7208,7 +7212,7 @@ def q_streaming_ivf_add_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # independence the docstring claims (r5 ADVICE).
     cents, lists_path, inc, src = _ivfadd_base_and_src(spark, sf_dir)
     sizes = (
-        spark.read.parquet(lists_path)
+        read_parquet_cached(spark, lists_path)
         .groupBy(F.col("cluster_id").cast("int").alias("cluster_id"))
         .agg(F.count("*").alias("n_base_members"))
     )

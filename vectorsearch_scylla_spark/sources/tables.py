@@ -47,6 +47,23 @@ TABLES = [
 _SCAN_PLAN_CACHE: dict[tuple, DataFrame] = {}
 
 
+def _session_id(spark: SparkSession):
+    """Per-SESSION cache identity, memoized on the Python wrapper so
+    repeat calls skip the py4j round-trip — plans must not leak across
+    sessions (conf differences, cloned/new sessions on one context)."""
+    session_id = getattr(spark, "_vss_session_id", None)
+    if session_id is None:
+        try:
+            session_id = spark._jsparkSession.sessionUUID()
+        except Exception:
+            session_id = (spark.sparkContext.applicationId, id(spark))
+        try:
+            spark._vss_session_id = session_id
+        except Exception:
+            pass
+    return session_id
+
+
 def _path_fingerprint(path: str) -> tuple:
     import os
 
@@ -74,20 +91,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for event-time streaming (``withWatermark`` rejects TIMESTAMP_NTZ).
     """
     path = f"{sf_dir}/{name}.parquet"
-    # per-SESSION identity: plans must not leak across sessions (conf
-    # differences, cloned/new sessions on one context); memoized on the
-    # Python session wrapper so repeat calls skip the py4j round-trip
-    session_id = getattr(spark, "_vss_session_id", None)
-    if session_id is None:
-        try:
-            session_id = spark._jsparkSession.sessionUUID()
-        except Exception:
-            session_id = (spark.sparkContext.applicationId, id(spark))
-        try:
-            spark._vss_session_id = session_id
-        except Exception:
-            pass
-    key = (session_id, path, _path_fingerprint(path))
+    key = (_session_id(spark), path, _path_fingerprint(path))
     cached = _SCAN_PLAN_CACHE.get(key)
     if cached is not None:
         return cached
@@ -103,6 +107,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     _SCAN_PLAN_CACHE[key] = df
     return df
+
+
+def read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
+    """Scan-plan cache for persisted artifact dirs (same discipline as
+    ``load_table``): ``spark.read.parquet`` pays ~100 ms of listing +
+    footer schema inference + py4j per call, and the ANN/dedup queries
+    re-read the same immutable materialize-once artifacts on every
+    plan construction.  Plan reuse only — every action still scans the
+    files; the file-stat fingerprint in the key makes a rewritten or
+    regenerated artifact miss the cache."""
+    key = (_session_id(spark), "artifact", path, _path_fingerprint(path))
+    cached = _SCAN_PLAN_CACHE.get(key)
+    if cached is None:
+        cached = spark.read.parquet(path)
+        _SCAN_PLAN_CACHE[key] = cached
+    return cached
 
 
 def load_all(spark: SparkSession, sf_dir: str, register_views: bool = True) -> dict[str, DataFrame]:
@@ -142,8 +162,27 @@ def device_metrics_raw(
 
     # Read the parquet directly (not via load_table's eager ts
     # conversion) so the physical ts column survives for pushdown.
+    # The WHOLE shaped frame is memoized below (same discipline as
+    # load_table's scan-plan cache): this loader is called by ~15
+    # device-metric queries per bench run and its construction is pure
+    # in (session, path, file fingerprint, epoch bounds) — reusing the
+    # analyzed plan skips ~100 ms of listing + footer schema inference
+    # + py4j per call.  Plan reuse only: every action still scans the
+    # parquet files.
+    path = f"{sf_dir}/events.parquet"
+    key = (
+        _session_id(spark),
+        "device_metrics_raw",
+        path,
+        _path_fingerprint(path),
+        start_epoch,
+        end_epoch,
+    )
+    cached = _SCAN_PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = spark.read.parquet(path)
     dt = dict(ev.dtypes).get("ts")
     if dt == "bigint":
         # raw int64 nanos: epoch × 1e9 literals compare directly
@@ -178,7 +217,7 @@ def device_metrics_raw(
             if end_epoch is not None:
                 ev = ev.filter(F.col("ts") < F.timestamp_seconds(F.lit(end_epoch)))
         ev = ev.withColumn("__ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
-    return ev.select(
+    out = ev.select(
         F.concat(F.lit("DEV-"), F.lpad(F.col("user_id").cast("string"), 3, "0")).alias("device_id"),
         F.date_format("ts", "yyyy-MM-dd").alias("date"),
         F.col("ts").alias("timestamp"),
@@ -187,3 +226,5 @@ def device_metrics_raw(
         F.round(F.col("value"), 2).alias("metric_value"),
         F.col("event_id"),
     )
+    _SCAN_PLAN_CACHE[key] = out
+    return out
