@@ -3497,42 +3497,63 @@ def q_dedup_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").isNotNull()
     )
     comp = connected_components(_dedup_component_edges(docs, sf_dir))
-    dup_nodes = comp.select(F.col("node").alias("doc_id")).distinct()
-    keepers = comp.select(F.col("component").alias("doc_id")).distinct()
-    survivors = docs.select("doc_id", "text").join(
-        dup_nodes, "doc_id", "left_anti"
-    ).unionByName(
-        docs.select("doc_id", "text").join(keepers, "doc_id", "left_semi")
-    )
+    # SINGLE-PASS funnel (r15, guide §2.4): the five stage counts are
+    # all derivable from ONE docs ⋈ comp left join — the previous
+    # five-armed union re-ran the corpus scan and the anti/semi joins
+    # once per arm (62 Exchanges / 30 scans in the formatted plan; at
+    # 100 TB that is four extra passes over the corpus).  Per doc:
+    # in_dup = it appears in the pair graph (comp nodes are unique and
+    # all drawn from this corpus), keeper = it is its component's
+    # canonical (the min id, itself always a member), survivor =
+    # untouched-by-dedup OR keeper — exactly the old dup_nodes /
+    # keepers / survivors sets, so the five counts are identical and
+    # the oracle is unchanged.  One join + one 1-row aggregation +
+    # a 5-row literal explode: 6 Exchanges, corpus scanned once.
     ln = F.length("text")
     wc = ln - F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) + 1
     the_chars = ln - F.length(F.replace(F.col("text"), F.lit("the"), F.lit("")))
     quality = quantize(
         F.least(F.lit(1.0), wc / 100.0) * (1.0 - the_chars.cast("double") / 3.0 / wc)
     )
-
-    def stage(no: int, name: str, df: DataFrame, agg: Column) -> DataFrame:
-        return df.agg(agg.alias("n_docs")).select(
-            F.lit(no).cast("int").alias("stage_no"),
-            F.lit(name).alias("stage"),
-            F.col("n_docs").cast("long"),
+    in_dup = F.col("component").isNotNull()
+    keeper = F.col("component") == F.col("doc_id")
+    survivor = (~in_dup) | keeper
+    labeled = (
+        docs.select("doc_id", "text")
+        .join(
+            comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
         )
-
-    cnt = F.count("*")
-    return (
-        stage(1, "raw_docs", docs, cnt)
-        .unionByName(stage(2, "in_dup_cluster", dup_nodes, cnt))
-        .unionByName(stage(3, "dup_clusters", keepers, cnt))
-        .unionByName(stage(4, "after_dedup", survivors, cnt))
-        .unionByName(
-            stage(
-                5,
-                "after_quality_filter",
-                survivors.select(quality.alias("q")),
-                F.sum(F.when(F.col("q") >= 0.5, 1).otherwise(0)),
-            )
+        .select(
+            in_dup.alias("in_dup"),
+            (in_dup & keeper).alias("is_keeper"),
+            survivor.alias("survivor"),
+            (survivor & (quality >= 0.5)).alias("quality_pass"),
         )
     )
+    totals = labeled.agg(
+        F.count("*").alias("n1"),
+        F.sum(F.col("in_dup").cast("long")).alias("n2"),
+        F.sum(F.col("is_keeper").cast("long")).alias("n3"),
+        F.sum(F.col("survivor").cast("long")).alias("n4"),
+        F.sum(F.col("quality_pass").cast("long")).alias("n5"),
+    )
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(no).cast("int").alias("stage_no"),
+                F.lit(name).alias("stage"),
+                F.col(f"n{no}").cast("long").alias("n_docs"),
+            )
+            for no, name in [
+                (1, "raw_docs"),
+                (2, "in_dup_cluster"),
+                (3, "dup_clusters"),
+                (4, "after_dedup"),
+                (5, "after_quality_filter"),
+            ]
+        ]
+    )
+    return totals.select(F.explode(stages).alias("s")).select("s.*")
 
 
 @query(
