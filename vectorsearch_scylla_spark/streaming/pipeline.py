@@ -1338,10 +1338,20 @@ def ivf_add_stream(
         # the epoch store keeps the VECTORS, not just ids+sims: the
         # rolled store is the add-side of the index the maintenance
         # ladder audits and re-routes, and a vector store that cannot
-        # reconstruct its vectors cannot be re-tiled
-        routed.select(id_col, vec_col, sim_col, "cluster_id").write.mode(
-            "overwrite"
-        ).partitionBy("cluster_id").parquet(
+        # reconstruct its vectors cannot be re-tiled.
+        # repartition("cluster_id") clusters the batch BEFORE the
+        # partitioned write (the hash write-distribution mode of every
+        # table format): without it each scan task splits its rows
+        # across up to K cluster_id= dirs, so one micro-batch sprays
+        # O(tasks x K) row-sized files — the rolled store balloons,
+        # auto-compaction fires per fold just to pay the write back,
+        # and every members-view scan (the maintenance audit) launches
+        # one task per crumb file.  After: <= one file per populated
+        # cluster per epoch, for one extra shuffle of just the
+        # micro-batch (tiny by definition).
+        routed.select(id_col, vec_col, sim_col, "cluster_id").repartition(
+            "cluster_id"
+        ).write.mode("overwrite").partitionBy("cluster_id").parquet(
             os.path.join(epoch_root, f"epoch={epoch_id}")
         )
 
