@@ -427,7 +427,10 @@ def simhash_near_dup_pairs(
         from vectorsearch_scylla_spark.session import drop_inherited_stats
 
         if docs_sigs is None:
-            sigs = drop_inherited_stats(sigs.localCheckpoint())
+            # LAZY (r15): the first consuming action materializes the
+            # fingerprint pass; all three subtrees then share the
+            # persisted RDD — one pass either way, one fewer job
+            sigs = drop_inherited_stats(sigs.localCheckpoint(eager=False))
         # Order matters at scale: a true-dup clique collides in EVERY
         # band, so the raw candidate stream carries up to `bands`×
         # duplicates of each pair — the signature words re-attach

@@ -60,13 +60,15 @@ def connected_components(
     # truncate the EDGE lineage too: ``sym`` is joined in every round
     # and in the convergence check — without this, the caller's whole
     # pair-generation pipeline (band joins, signature kernels) would
-    # re-execute once per round per job
+    # re-execute once per round per job.  LAZY (r15): round 0's
+    # convergence count is the materializing action, so the pipeline
+    # still runs exactly once but the dedicated checkpoint job is gone.
     sym = _drop_inherited_stats(
         (
             edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
             .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
             .distinct()
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     )
     # Round 0 FUSED into the label init (r15): with lbl(x) = x
     # initially, min(own, neighbors, lbl-of-lbl) degenerates to
@@ -200,7 +202,7 @@ def incremental_components(
     # candidate-generation pipeline (band joins, Jaccard verification,
     # hyperplane LSH) re-executes per consumer.
     new_edges = drop_inherited_stats(
-        new_edges.select(src, dst).localCheckpoint()
+        new_edges.select(src, dst).localCheckpoint(eager=False)
     )
     star = prev.filter(F.col("node") != F.col("component")).select(
         F.col("component").alias(src), F.col("node").alias(dst)

@@ -767,7 +767,8 @@ def lloyd_kmeans(
             .limit(int(train_rows))
             .select(id_col, "__v")
             .repartition(max(df.sparkSession.sparkContext.defaultParallelism, 4))
-            .localCheckpoint()
+            # LAZY (r15): the first Lloyd assignment job materializes it
+            .localCheckpoint(eager=False)
         )
     seeds = hashed.orderBy("__h", id_col).limit(k).collect()
     cents = [(i, list(r["__v"])) for i, r in enumerate(seeds)]
@@ -1077,12 +1078,18 @@ def _audit_ground_truth(
         topk_similarity_join_blocked,
     )
 
+    # LAZY checkpoints (r15): the exact kernel's bounded query collect
+    # materializes ``sample`` and ``exact.count()`` (the denominator,
+    # returned below) materializes ``exact`` — same single-evaluation
+    # guarantee, two fewer dedicated checkpoint jobs per audit.  The
+    # md5 order with id tie-break is a total order, so laziness cannot
+    # change which queries the sample holds.
     sample = drop_inherited_stats(
         queries.orderBy(
             F.md5(F.col(query_id).cast("string")), F.col(query_id)
         )
         .limit(int(max_queries))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     exact = (
         topk_similarity_join_blocked(
@@ -1109,7 +1116,7 @@ def _audit_ground_truth(
             F.col(corpus_id).alias("__exact_id"),
             F.col("similarity").alias("__exact_sim"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     return sample, exact, exact.count()
 

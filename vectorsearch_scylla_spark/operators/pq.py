@@ -649,7 +649,8 @@ def pq_recall_audit(
         )
         .join(kth, query_id)
         .select((F.col("__cos") >= F.col("__kth") - F.lit(eps)).alias("__hit"))
-        .localCheckpoint()
+        # LAZY (r15): the count below is the materializing action
+        .localCheckpoint(eager=False)
     )
     n_ret = scored.count()
     if not n_ret:

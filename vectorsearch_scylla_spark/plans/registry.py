@@ -3607,7 +3607,7 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(F.coalesce(F.col("sh"), F.array(F.col("text")))).alias(
             "shingles"
         ),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     cands = banded_pairs(
         sh.select("doc_id", "sig_0", "sig_1"),
         ["sig_0", "sig_1"],
@@ -4608,13 +4608,13 @@ def q_ngram_jaccard_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(F.coalesce(F.col("sh"), F.array(F.col("text")))).alias(
             "shingles"
         ),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     cands = banded_pairs(
         inc_sh.select("doc_id", "sig_0", "sig_1"),
         ["sig_0", "sig_1"],
         id_col="doc_id",
         against=base_sigs.select("doc_id", "sig_0", "sig_1"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # verify: exact Jaccard.  Base shingles are built ONLY for matched
     # docs — the (small) candidate id set broadcasts into the base
     # scan BEFORE any shingling, so base-side verify work is
@@ -4745,7 +4745,9 @@ def q_dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the increment is fingerprinted ONCE (it feeds both the vs-base
     # join and the within-increment self-join)
-    inc_sigs = drop_inherited_stats(simhash128(increment).localCheckpoint())
+    inc_sigs = drop_inherited_stats(
+        simhash128(increment).localCheckpoint(eager=False)
+    )
     cross = simhash_near_dup_pairs(
         increment, max_hamming=5, docs_sigs=inc_sigs, against_sigs=base_sigs
     ).select("id_a", "id_b")
@@ -5467,10 +5469,15 @@ def _cascade_union_evidence(
         .filter(F.col("doc_id") != F.col("m"))
         .select(F.col("m").alias("id_a"), F.col("doc_id").alias("id_b"))
     )
+    # LAZY checkpoints (r15): cheap materializes inside the CC round-0
+    # count (its first consumer), and c1 needs NO re-checkpoint at all
+    # — connected_components already returns a projection over its
+    # final round's materialized, stats-dropped checkpoint, so the
+    # extra eager copy was a pure job + memory-copy tax.
     cheap = drop_inherited_stats(
-        sim.union(exact).distinct().localCheckpoint()
+        sim.union(exact).distinct().localCheckpoint(eager=False)
     )
-    c1 = drop_inherited_stats(connected_components(cheap).localCheckpoint())
+    c1 = connected_components(cheap)
 
     sh = drop_inherited_stats(
         _with_word_shingles(docs)
@@ -5482,7 +5489,7 @@ def _cascade_union_evidence(
                 F.coalesce(F.col("sh"), F.array(F.col("text")))
             ).alias("shingles"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     cands = banded_pairs(
         sh.select("doc_id", "sig_0", "sig_1"),
@@ -7116,7 +7123,9 @@ def q_streaming_neardup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(sig_root, exist_ok=True)
 
     def detect_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        inc_sigs = drop_inherited_stats(simhash128(batch_df).localCheckpoint())
+        inc_sigs = drop_inherited_stats(
+            simhash128(batch_df).localCheckpoint(eager=False)
+        )
         # fold committed prior epochs into the rolled artifact (file
         # moves only; in-flight epoch excluded for retry safety), then
         # build `seen` = shared base artifact (read in place — never
