@@ -292,8 +292,20 @@ def hyperplane_near_dup_pairs(
         # expansion onto one task (operators/dedup.banded_pairs splits
         # oversized buckets across salted sub-keys).  DISTINCT because a
         # pair may collide in several bands.
+        #
+        # MATERIALIZE the signature kernel first (r15, mirroring
+        # simhash_near_dup_pairs): banded_pairs' triangular expansion
+        # references its input ~5 times (bucket-size window, both small
+        # join sides, both salted sides), and Catalyst re-executes an
+        # opaque mapInPandas subtree at every reference — the plan
+        # carried 5 copies of the signing matmul, i.e. 5 full corpus
+        # scans + signature passes at 100 TB.  Lazy: the first
+        # consuming action materializes it.
         from vectorsearch_scylla_spark.operators.dedup import banded_pairs
+        from vectorsearch_scylla_spark.session import drop_inherited_stats
 
+        if docs_sigs is None:
+            sigs = drop_inherited_stats(sigs.localCheckpoint(eager=False))
         cand = banded_pairs(
             _banded(sigs), ["band_idx", "band_val"], id_col=id_col,
         ).distinct()
