@@ -1226,7 +1226,16 @@ def ivf_add_stream(
 
     def _members_view() -> DataFrame:
         """The committed index: current generation (or gen-0 base
-        lists) ∪ rolled adds, projected to routing columns."""
+        lists) ∪ rolled adds, projected to routing columns.
+
+        coalesce to the drain's shuffle-partition count (pinned by the
+        caller's ``stream_shuffle_partitions`` to the scale-adaptive
+        value): the store is cluster-partitioned small-file dirs, so
+        the raw scan yields one task per file and the audit's Arrow
+        kernels pay a fixed worker/serialization cost per task
+        (measured 44 tasks × 0.3-2 s over a 2,000-vector view).
+        coalesce merges file splits without a shuffle; on a production
+        conf (thousands of partitions) it is a no-op."""
         base = spark.read.parquet(state["store"] or base_lists_path).select(
             id_col, vec_col, F.col("cluster_id").cast("int").alias("cluster_id")
         )
@@ -1238,7 +1247,9 @@ def ivf_add_stream(
                     F.col("cluster_id").cast("int").alias("cluster_id"),
                 )
             )
-        return base
+        return base.coalesce(
+            int(spark.conf.get("spark.sql.shuffle.partitions"))
+        )
 
     def _audit_and_plan() -> tuple[dict, tuple | None]:
         members = _members_view()
@@ -1529,11 +1540,16 @@ def pq_add_stream(
         )
 
     def _view() -> DataFrame:
+        # coalesce to the drain's (scale-adaptive) shuffle-partition
+        # count — same small-file/task-overhead rationale as
+        # ivf_add_stream's _members_view; no-op on a production conf
         cols = [id_col, vec_col, *code_cols, "rnorm"]
         base = spark.read.parquet(state["store"] or base_store_path).select(cols)
         if os.path.isdir(rolled):
             base = base.unionByName(spark.read.parquet(rolled).select(cols))
-        return base
+        return base.coalesce(
+            int(spark.conf.get("spark.sql.shuffle.partitions"))
+        )
 
     def _audit_and_plan() -> tuple[dict, tuple | None]:
         view = _view()
