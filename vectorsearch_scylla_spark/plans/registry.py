@@ -6418,7 +6418,17 @@ def _stream_source_dir(raw: DataFrame, sf_dir: str) -> str:
     mtime) so regenerated testdata at the same path gets a fresh copy
     rather than silently reusing a stale one, and the copy is staged in
     a unique temp dir then atomically renamed into place so concurrent
-    runs never observe (or destroy) a half-written source."""
+    runs never observe (or destroy) a half-written source.
+
+    Deliberately staged as ONE file (r15, measured): splitting the
+    copy across defaultParallelism files to parallelize the drain's
+    scan stage was tried and REJECTED — same-window A/B over the four
+    consumers showed the per-batch task/listing overhead of 32 small
+    files swamps the one-task-scan savings at this source size
+    (window_pivot 2.08 → 3.49 s, detect 3.64 → 5.99, novelty
+    4.77 → 9.28, rolling 3.15 → 7.82 min-of-3).  A production landing
+    dir is many files because the DATA is big; that regime sizes its
+    own scan parallelism."""
     return _materialize_once(raw, "vss_stream_src", sf_dir, logic="raw-proj-v1")
 
 

@@ -295,9 +295,19 @@ def rolling_stats_stream(metrics: DataFrame, frame: int = 10) -> DataFrame:
     def roll(key, pdf_iter, state):
         tail = list(state.get[0]) if state.exists else []
         device_id, metric_name = key
-        for pdf in pdf_iter:
-            if pdf.empty:
-                continue
+        # Concatenate the group's WHOLE micro-batch before the sort
+        # (r15): the per-chunk sort silently assumed Arrow chunks
+        # arrive timestamp-ordered, which only held while the staged
+        # source was one file scanned by one task — a multi-file
+        # source interleaves map outputs nondeterministically at the
+        # state partition.  One concat+sort makes the result
+        # independent of within-batch arrival order (the documented
+        # contract is cross-batch order only); memory is the group's
+        # batch rows, the same bound the old loop already had.
+        chunks = [pdf for pdf in pdf_iter if not pdf.empty]
+        for pdf in (
+            [pd.concat(chunks, ignore_index=True)] if chunks else []
+        ):
             pdf = pdf.sort_values(["timestamp", "event_id"], kind="mergesort")
             vals = tail + [float(v) for v in pdf["metric_value"]]
             n_prev = len(tail)
