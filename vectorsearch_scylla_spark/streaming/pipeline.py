@@ -88,6 +88,17 @@ def adaptive_stream_partitions(
     return min(conf, derived)
 
 
+def _conf_partitions(spark: SparkSession, default: int = 200) -> int:
+    """The session's shuffle-partition count as an int — same
+    non-numeric-sentinel guard as ``operators/dedup.banded_pairs``
+    (platforms running auto-optimized shuffle set the conf to e.g.
+    ``"auto"``)."""
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism or default
+
+
 @contextlib.contextmanager
 def stream_shuffle_partitions(spark: SparkSession, n: int):
     """Set ``spark.sql.shuffle.partitions`` for the duration of one
@@ -1257,9 +1268,7 @@ def ivf_add_stream(
                     F.col("cluster_id").cast("int").alias("cluster_id"),
                 )
             )
-        return base.coalesce(
-            int(spark.conf.get("spark.sql.shuffle.partitions"))
-        )
+        return base.coalesce(_conf_partitions(spark))
 
     def _audit_and_plan() -> tuple[dict, tuple | None]:
         members = _members_view()
@@ -1557,9 +1566,7 @@ def pq_add_stream(
         base = spark.read.parquet(state["store"] or base_store_path).select(cols)
         if os.path.isdir(rolled):
             base = base.unionByName(spark.read.parquet(rolled).select(cols))
-        return base.coalesce(
-            int(spark.conf.get("spark.sql.shuffle.partitions"))
-        )
+        return base.coalesce(_conf_partitions(spark))
 
     def _audit_and_plan() -> tuple[dict, tuple | None]:
         view = _view()
