@@ -6305,6 +6305,14 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
     ).filter(F.col("term") != "")
+    # Measured and rejected (r15): deriving tf and df from a
+    # localCheckpointed per-(doc, term) count to tokenize once — the
+    # checkpoint's row-format materialization + pipeline break cost
+    # MORE than the second columnar scan+explode it saves (min-of-3
+    # A/B 1.13 → 2.43 s), and the same trade holds at scale (parquet
+    # re-scan is compressed + pipelined into a partial agg; the
+    # checkpoint is an uncompressed row store of comparable size).
+    # The two branches below therefore deliberately re-tokenize.
     tfl = tok.groupBy("lang", "term").agg(F.count("*").alias("tf"))
     dft = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     score = quantize(
@@ -6367,6 +6375,17 @@ def q_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term")).filter(
         F.col("term") != ""
     )
+    # Measured and rejected twice (r15): (a) ONE tokenization pass via
+    # a localCheckpointed per-(doc, term) count — the checkpoint's
+    # row-format materialization costs more than the columnar re-scans
+    # it saves (A/B 0.77 → 1.75 s min-of-3); (b) total = sum(tf) over
+    # freq — neither static nor AQE exchange reuse shares freq's
+    # subtree with the broadcast branch, so it re-runs the full
+    # per-term aggregation where the count below is a map-side-only
+    # fold (measured 1.5-1.7 s vs 0.77).  The three branches below
+    # deliberately re-tokenize: parquet re-scan + explode pipelined
+    # into a partial agg is the cheapest form of this query at every
+    # scale tested.
     freq = tok.groupBy("term").agg(F.count("*").alias("tf"))
     total = tok.agg(F.count("*").alias("n_tok"))
     neg_lp = -F.log(F.col("tf").cast("double") / F.col("n_tok"))
