@@ -3375,11 +3375,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").isNotNull()
     )
     comp = connected_components(_dedup_component_edges(docs, sf_dir))
-    sizes = comp.groupBy("component").agg(F.count("*").cast("long").alias("cluster_size"))
-    return comp.join(sizes, "component").select(
+    # cluster_size as a WINDOW count (r15): the former
+    # groupBy+self-join re-attach planned as a SortMergeJoin (the
+    # labels ride stats-dropped checkpoint RDDs, so nothing
+    # broadcasts) — 2 exchanges + 2 sorts + an agg exchange where one
+    # exchange + one sort does it, exactly the oracle's
+    # count(*) OVER (PARTITION BY canonical_id) shape.
+    return comp.select(
         F.col("node").alias("doc_id"),
         F.col("component").alias("canonical_id"),
-        "cluster_size",
+        F.count("*")
+        .over(Window.partitionBy("component"))
+        .cast("long")
+        .alias("cluster_size"),
         (F.col("node") == F.col("component")).alias("is_keeper"),
     )
 
@@ -5369,9 +5377,6 @@ def q_dedup_clusters_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges_cls = _union_evidence_edges(spark, sf_dir)
     comp = connected_components(edges_cls.select("id_a", "id_b").distinct())
-    sizes = comp.groupBy("component").agg(
-        F.count("*").cast("long").alias("cluster_size")
-    )
     counts = (
         edges_cls.join(
             comp.select(F.col("node").alias("id_a"), "component"), "id_a"
@@ -5386,13 +5391,18 @@ def q_dedup_clusters_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
+    # cluster_size as a window count (r15) — same rewrite as
+    # q_dedup_clusters; the per-class counts join stays (it genuinely
+    # needs the edge table).
     return (
-        comp.join(sizes, "component")
-        .join(F.broadcast(counts), "component")
+        comp.join(F.broadcast(counts), "component")
         .select(
             F.col("node").alias("doc_id"),
             F.col("component").alias("canonical_id"),
-            "cluster_size",
+            F.count("*")
+            .over(Window.partitionBy("component"))
+            .cast("long")
+            .alias("cluster_size"),
             (F.col("node") == F.col("component")).alias("is_keeper"),
             "n_exact_edges",
             "n_simhash_edges",
@@ -5602,13 +5612,17 @@ def q_dedup_clusters_union_cascade(spark: SparkSession, sf_dir: str) -> DataFram
     comp = incremental_components(
         stages["cheap_components"], stages["spanning_new"]
     )
-    sizes = comp.groupBy("component").agg(
-        F.count("*").cast("long").alias("cluster_size")
-    )
-    return comp.join(sizes, "component").select(
+    # window count instead of groupBy+self-join (r15): same rewrite
+    # and rationale as q_dedup_clusters — one exchange + sort replaces
+    # a SortMergeJoin (stats-dropped label RDDs never broadcast) plus
+    # its aggregation exchange.
+    return comp.select(
         F.col("node").alias("doc_id"),
         F.col("component").alias("canonical_id"),
-        "cluster_size",
+        F.count("*")
+        .over(Window.partitionBy("component"))
+        .cast("long")
+        .alias("cluster_size"),
         (F.col("node") == F.col("component")).alias("is_keeper"),
     )
 
