@@ -34,9 +34,11 @@ _BNLJ_OK = {
     "ivfpq_knn",
     "retention_sweep",  # 1-row broadcast scalar (the cutoff aggregate)
 }
-# collect_list allowed: per-group cardinality is structurally bounded
-# (device_profile_build folds ≤ |METRICS| entries per group).
-_COLLECT_LIST_OK = {"device_profile_build"}
+# collect_list allowed: per-group cardinality is structurally bounded.
+# Empty since r16 — device_profile_build's fused fixed-metric build
+# (operators/profiles.build_profiles_fixed_metrics) dropped its map
+# assembly; the set stays as the documented escape hatch.
+_COLLECT_LIST_OK: set = set()
 
 # Batch queries whose plan shape we pin.  Streaming queries are
 # excluded (building them runs the stream); so are queries that only
@@ -249,6 +251,35 @@ def test_locf_single_scan(plans):
     import re
 
     assert len(re.findall(r"\(\d+\) Scan parquet", plans["resample_daily_locf"])) == 1
+
+
+def test_locf_single_partitioning(plans):
+    """r16: the per-day LWW pick and the gap-fill lead must share ONE
+    (device, metric) hash partitioning and ONE sort — a second
+    Exchange/Sort means the LWW window regressed to its own
+    (device, metric, day) key and the series re-shuffles the full
+    metric table at 100 TB."""
+    import re
+
+    p = plans["resample_daily_locf"]
+    assert p.count("hashpartitioning(") == 1, p
+    assert len(re.findall(r"\(\d+\) Sort\b", p)) == 1, p
+
+
+def test_device_profile_build_fused_shape(plans):
+    """r16: the fixed-metric profile build is TWO codegen hash
+    aggregations and one final per-device explode — no map/array
+    assembly (ObjectHashAggregate), no per-snapshot entry explode, no
+    join.  4 Exchanges + 2 Generates regressing back means the generic
+    map-pivot path snuck back in (see plans/r16/
+    device_profile_build_{before,after}.txt)."""
+    import re
+
+    p = plans["device_profile_build"]
+    assert "ObjectHashAggregate" not in p, p
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 2, p
+    assert len(re.findall(r"\(\d+\) Generate\b", p)) == 1, p
+    assert "Join" not in p, p
 
 
 def test_sessionization_gap_boundary(spark):

@@ -65,6 +65,131 @@ def metric_stats(
     )
 
 
+def build_profiles_fixed_metrics(
+    raw: DataFrame,
+    metric_names: list[str],
+    window_seconds: int = 60,
+    min_snapshots: int = 5,
+    value_transform=None,
+    key: str = "device_id",
+    ts_col: str = "timestamp",
+    metric_col: str = "metric_name",
+    value_col: str = "metric_value",
+) -> DataFrame:
+    """Profile build FUSED for the fixed-metric raw-rows case — the
+    shape :func:`build_profiles` computes, produced in TWO exchanges
+    with zero per-snapshot container churn (r16 optimization; guide
+    §2.3/§2.4 — fewer shuffles, aggregate before you shuffle).
+
+    :func:`build_profiles` is the generic operator: its input is
+    already-pivoted snapshots (``metrics`` map + ``embedding`` array),
+    so it must explode every snapshot into ~(dim + n_metrics) tagged
+    entries and re-aggregate them — 2 extra exchanges plus
+    ``collect_list`` map/array assembly that plans as non-codegen
+    ``ObjectHashAggregate``.  When the caller owns the RAW metric rows
+    AND the metric set is a fixed constant AND the embedding is the
+    0-filled featurization of those same metrics (the registry's
+    deterministic V2 featurizer), all of that structure is redundant —
+    the same numbers fold as plain conditional aggregates:
+
+      1. ``groupBy(key, window)``: one conditional ``avg`` per metric
+         (NULL where the metric is absent from the window — exactly
+         the rows the metrics map would not contain) + ``max(ts)``;
+      2. ``groupBy(key)``: per metric ``avg/stddev_pop/min/max/count/
+         sum`` over the per-window values (NULL-skipping, so stats
+         cover PRESENT windows exactly like the exploded map entries)
+         + ``count(*)`` (= snapshot_count: every window emits exactly
+         one row) + ``max`` (last_seen);
+      3. a pure projection explodes the per-device row into one row
+         per PRESENT metric (``n > 0`` — a metric a device never
+         reports gets no map entry in the generic path either).
+
+    The centroid needs no posexplode: position ``i`` of the 0-filled
+    featurized embedding averages to ``sum(v_i)/snapshot_count``
+    (adding IEEE ``+0.0`` for absent windows never changes a finite
+    sum, and ``value_transform`` outputs are never ``-0.0``), so
+    ``centroid_val`` rides the same aggregation.
+
+    Plan shape: scan → partial/final HashAggregate (key, window) →
+    Exchange → partial/final HashAggregate (key) → Exchange → project
+    + explode.  The generic path measured 4 Exchanges + 2 Generates +
+    ObjectHashAggregates on the same input (plans/r16/
+    device_profile_build_before.txt).
+
+    Returns one row per (key, present metric): ``key, metric_name,
+    mean, std, min, max, n_windows, snapshot_count, last_seen,
+    centroid_val`` — unquantized doubles; callers apply their own
+    output rounding.
+    """
+    from vectorsearch_scylla_spark.operators.window_pivot import window_start
+
+    w = window_start(ts_col, window_seconds).alias("window_start")
+    per_window = [
+        F.avg(F.when(F.col(metric_col) == m, F.col(value_col)))
+        for m in metric_names
+    ]
+    if value_transform is not None:
+        per_window = [value_transform(c) for c in per_window]
+    snap = raw.groupBy(F.col(key), w).agg(
+        *[c.alias(f"__v_{i}") for i, c in enumerate(per_window)],
+        F.max(ts_col).alias("__last_ts"),
+    )
+    dev = (
+        snap.groupBy(key)
+        .agg(
+            F.count("*").alias("snapshot_count"),
+            F.max("__last_ts").alias("last_seen"),
+            *[
+                a
+                for i, _ in enumerate(metric_names)
+                for a in (
+                    F.avg(f"__v_{i}").alias(f"__mean_{i}"),
+                    F.stddev_pop(f"__v_{i}").alias(f"__std_{i}"),
+                    F.min(f"__v_{i}").alias(f"__min_{i}"),
+                    F.max(f"__v_{i}").alias(f"__max_{i}"),
+                    F.count(f"__v_{i}").alias(f"__n_{i}"),
+                    F.sum(f"__v_{i}").alias(f"__sum_{i}"),
+                )
+            ],
+        )
+        .filter(F.col("snapshot_count") >= min_snapshots)
+    )
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("metric_name"),
+                F.col(f"__mean_{i}").alias("mean"),
+                F.col(f"__std_{i}").alias("std"),
+                F.col(f"__min_{i}").alias("min"),
+                F.col(f"__max_{i}").alias("max"),
+                F.col(f"__n_{i}").alias("n_windows"),
+                (
+                    F.coalesce(F.col(f"__sum_{i}"), F.lit(0.0))
+                    / F.col("snapshot_count")
+                ).alias("centroid_val"),
+            )
+            for i, m in enumerate(metric_names)
+        ]
+    )
+    return dev.select(
+        key,
+        "snapshot_count",
+        "last_seen",
+        F.explode(F.filter(entries, lambda e: e["n_windows"] > 0)).alias("s"),
+    ).select(
+        key,
+        F.col("s.metric_name").alias("metric_name"),
+        F.col("s.mean").alias("mean"),
+        F.col("s.std").alias("std"),
+        F.col("s.min").alias("min"),
+        F.col("s.max").alias("max"),
+        F.col("s.n_windows").alias("n_windows"),
+        "snapshot_count",
+        "last_seen",
+        F.col("s.centroid_val").alias("centroid_val"),
+    )
+
+
 def build_profiles(
     snapshots: DataFrame,
     key: str = "device_id",

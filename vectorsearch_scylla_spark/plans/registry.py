@@ -2493,53 +2493,43 @@ def q_path2_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "element_at featurizer also covers F12's map-op surface.",
 )
 def q_device_profile_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vectorsearch_scylla_spark.operators.profiles import build_profiles
-    from vectorsearch_scylla_spark.operators.window_pivot import (
-        tumbling_window_snapshots,
+    from vectorsearch_scylla_spark.operators.profiles import (
+        build_profiles_fixed_metrics,
     )
 
     raw = device_metrics_raw(spark, sf_dir)
-    # quantize the per-window metric values INSIDE the pivot so
-    # downstream stats start from bit-identical doubles in both engines
-    # (rebuilding the map post-hoc re-evaluates the transform at every
-    # downstream map reference — see tumbling_window_snapshots doc)
-    snaps = tumbling_window_snapshots(
-        raw, window_seconds=60, value_agg="avg", value_transform=quantize
+    # FUSED fixed-metric profile build (r16; guide §2.3/§2.4): this
+    # query owns the raw rows, the metric set is the fixed METRICS
+    # constant, and the V2 featurizer embedding is the 0-filled
+    # featurization of those same metrics — so the generic
+    # map-pivot → featurize → build_profiles chain (4 Exchanges, 2
+    # explodes, ObjectHashAggregate map/array assembly; see
+    # plans/r16/device_profile_build_before.txt) folds to TWO plain
+    # codegen aggregations: per-(device, window) conditional avgs
+    # (quantized inside, same as the old pivot's value_transform),
+    # then per-device stats + sum (centroid position i of the 0-filled
+    # embedding is sum(v_i)/snapshot_count).  Same numbers from the
+    # same per-window value multisets; the generic operator
+    # (operators/profiles.build_profiles) keeps serving map-typed
+    # snapshot inputs and its own tests.
+    prof = build_profiles_fixed_metrics(
+        raw,
+        METRICS,
+        window_seconds=60,
+        min_snapshots=5,
+        value_transform=quantize,
     )
-    # deterministic featurizer (V2 test impl): fixed metric order → vector
-    vec = F.array(
-        *[F.coalesce(F.element_at("metrics", F.lit(m)), F.lit(0.0)) for m in METRICS]
-    )
-    snaps = snaps.withColumn("embedding", vec)
-    prof = build_profiles(snaps, min_snapshots=5)
-    # explode the nested profile into flat oracle-comparable rows
-    ex = prof.select(
-        "device_id",
-        "snapshot_count",
-        F.unix_timestamp("last_seen").alias("last_seen"),
-        F.explode("metric_stats").alias("metric_name", "s"),
-        F.col("profile_embedding"),
-    )
-    centroid_val = F.element_at(
-        "profile_embedding",
-        # element_at is 1-based; map metric → its featurizer position
-        F.when(F.col("metric_name") == METRICS[0], F.lit(1))
-        .when(F.col("metric_name") == METRICS[1], F.lit(2))
-        .when(F.col("metric_name") == METRICS[2], F.lit(3))
-        .when(F.col("metric_name") == METRICS[3], F.lit(4))
-        .otherwise(F.lit(5)),
-    )
-    return ex.select(
+    return prof.select(
         "device_id",
         "metric_name",
-        quantize(F.col("s.mean")).alias("mean"),
-        quantize(F.col("s.std")).alias("std"),
-        quantize(F.col("s.min")).alias("min_value"),
-        quantize(F.col("s.max")).alias("max_value"),
-        F.col("s.n").alias("n_windows"),
+        quantize(F.col("mean")).alias("mean"),
+        quantize(F.col("std")).alias("std"),
+        quantize(F.col("min")).alias("min_value"),
+        quantize(F.col("max")).alias("max_value"),
+        F.col("n_windows"),
         "snapshot_count",
-        "last_seen",
-        quantize(centroid_val).alias("centroid_val"),
+        F.unix_timestamp("last_seen").alias("last_seen"),
+        quantize(F.col("centroid_val")).alias("centroid_val"),
     )
 
 
@@ -6104,16 +6094,31 @@ def q_metric_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_resample_daily_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = device_metrics_raw(spark, sf_dir)
     day = (F.floor(F.unix_timestamp("timestamp") / 86400) * 86400).cast("long")
-    wlww = Window.partitionBy("device_id", "metric_name", "day").orderBy(
-        F.col("timestamp").desc(), F.col("event_id").desc()
+    # ONE exchange + ONE sort for both window passes (r16; guide §2.4
+    # "establish the partitioning once"): the old shape ran the
+    # per-day LWW pick as row_number over (device, metric, day) and
+    # the gap-fill lead over (device, metric) — two different window
+    # partition keys, so the series re-shuffled AND re-sorted the full
+    # metric table (plans/r16/resample_daily_locf_before.txt: 2
+    # Exchange + 2 Sort).  Both fold into the (device, metric)
+    # partitioning: sorted by (day ASC, timestamp DESC, event_id
+    # DESC), a day's LWW row is exactly its FIRST row — lag(day)
+    # flags it — and the surviving rows are already day-ordered for
+    # lead(day), whose required sort prefix the existing order
+    # satisfies.  Same LWW row per day (row_number=1 picked the
+    # max-(ts, event_id) row; first-of-day under this sort is that
+    # same row), so the result is unchanged.
+    wseries = Window.partitionBy("device_id", "metric_name")
+    wlww = wseries.orderBy(
+        F.col("day").asc(), F.col("timestamp").desc(), F.col("event_id").desc()
     )
     daily = (
         raw.withColumn("day", day)
-        .withColumn("rn", F.row_number().over(wlww))
-        .filter(F.col("rn") == 1)
+        .withColumn("__prev_day", F.lag("day").over(wlww))
+        .filter(F.col("__prev_day").isNull() | (F.col("__prev_day") != F.col("day")))
         .select("device_id", "metric_name", "day", F.col("metric_value").alias("v_day"))
     )
-    wseries = Window.partitionBy("device_id", "metric_name").orderBy("day")
+    wseries = wseries.orderBy("day")
     return (
         daily.withColumn("next_day", F.lead("day").over(wseries))
         .select(
