@@ -300,7 +300,13 @@ def hyperplane_near_dup_pairs(
         # opaque mapInPandas subtree at every reference — the plan
         # carried 5 copies of the signing matmul, i.e. 5 full corpus
         # scans + signature passes at 100 TB.  Lazy: the first
-        # consuming action materializes it.
+        # consuming action materializes it.  Caveat (r15 ADVICE): the
+        # exactly-once guarantee is per-BlockManager — in the first
+        # materializing job several stages reference this RDD, and on
+        # a multi-executor cluster two executors can compute the same
+        # partition concurrently before its cached block registers;
+        # deployments where the signing kernel dominates may prefer
+        # eager=True there (one dedicated pass, strictly once).
         from vectorsearch_scylla_spark.operators.dedup import banded_pairs
         from vectorsearch_scylla_spark.session import drop_inherited_stats
 

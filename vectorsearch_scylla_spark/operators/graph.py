@@ -57,12 +57,18 @@ def connected_components(
     ``max_iters`` rounds (pointer jumping makes that ~log2 of the
     largest component diameter; 25 covers any realistic dup graph).
     """
-    # truncate the EDGE lineage too: ``sym`` is joined in every round
-    # and in the convergence check — without this, the caller's whole
-    # pair-generation pipeline (band joins, signature kernels) would
-    # re-execute once per round per job.  LAZY (r15): round 0's
-    # convergence count is the materializing action, so the pipeline
-    # still runs exactly once but the dedicated checkpoint job is gone.
+    # persist + truncate the EDGE lineage too: ``sym`` is joined in
+    # every round and in the convergence check — without this, the
+    # caller's whole pair-generation pipeline (band joins, signature
+    # kernels) would re-execute once per round per job.  LAZY (r15):
+    # round 0's convergence count computes and PERSISTS the RDD, so
+    # the pipeline runs once and every later round reads the cached
+    # blocks.  Precision (r15 ADVICE): with Spark's default
+    # checkpointAllMarkedAncestors=false, a nested marked RDD like
+    # this one is persisted but NOT lineage-truncated when a caller's
+    # own checkpoint materializes above it — block eviction or
+    # executor loss re-runs the upstream pipeline.  Contents are
+    # deterministic, so results are unaffected either way.
     sym = _drop_inherited_stats(
         (
             edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))

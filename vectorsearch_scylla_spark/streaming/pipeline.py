@@ -313,8 +313,11 @@ def rolling_stats_stream(metrics: DataFrame, frame: int = 10) -> DataFrame:
         # source interleaves map outputs nondeterministically at the
         # state partition.  One concat+sort makes the result
         # independent of within-batch arrival order (the documented
-        # contract is cross-batch order only); memory is the group's
-        # batch rows, the same bound the old loop already had.
+        # contract is cross-batch order only).  Memory bound (r15
+        # ADVICE): the group's ENTIRE micro-batch is held at once —
+        # the old per-chunk loop held one Arrow chunk plus the tail,
+        # so this is a larger bound, acceptable because groups are
+        # (device, metric)-scoped and micro-batches are finite.
         chunks = [pdf for pdf in pdf_iter if not pdf.empty]
         for pdf in (
             [pd.concat(chunks, ignore_index=True)] if chunks else []
